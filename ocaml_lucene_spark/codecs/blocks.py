@@ -1,0 +1,101 @@
+"""Postings block framing: 128-doc blocks with skip metadata.
+
+Mirrors the reference's postings layout semantics (/root/reference/codec/
+lucene_84_postings_reader.ml streams; skip pointers decoded at
+/root/reference/codec/terms_enumerator.ml:154-161): a term's posting
+list is chunked into BLOCK_SIZE-doc blocks; docIDs are delta+FOR/PFOR
+packed, term frequencies PFOR packed, positions (within-doc deltas)
+PFOR stream packed. Each block is independently decodable (its first
+docID is stored absolutely), so a reader can *skip* whole blocks using
+the columnar skip metadata (first_doc/last_doc/max_tf/min_dl) — that
+metadata replaces Lucene's interleaved multi-level skip lists and also
+carries what block-max WAND needs (upper-bounding BM25 via max_tf and
+min_dl, both monotone in the score).
+
+In the Spark engine these functions run inside applyInPandas /
+mapInPandas over numpy arrays — never per-row Python in the driver.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .bitpack import BLOCK_SIZE
+from .delta import delta_decode, delta_encode, stream_decode, stream_encode
+from . import pfor
+
+
+@dataclass
+class PostingBlock:
+    block_no: int
+    n: int
+    first_doc: int
+    last_doc: int
+    max_tf: int
+    min_dl: int
+    doc_bytes: bytes
+    tf_bytes: bytes
+    pos_bytes: bytes | None
+
+
+def encode_posting_blocks(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    positions: np.ndarray | None = None,
+    dls: np.ndarray | None = None,
+) -> list[PostingBlock]:
+    """Chunk one term's (docID-ascending) postings into packed blocks.
+
+    positions: concatenation of every doc's ascending position list
+    (lengths given by tfs). dls: doc length per posting row (for the
+    min_dl WAND bound); defaults to 0 (bound disabled -> conservative).
+    """
+    ids = np.asarray(doc_ids, dtype=np.int64)
+    tf = np.asarray(tfs, dtype=np.int64)
+    blocks: list[PostingBlock] = []
+    pos_offsets = None
+    if positions is not None:
+        pos_offsets = np.concatenate([[0], np.cumsum(tf)])
+    for bno, start in enumerate(range(0, ids.size, BLOCK_SIZE)):
+        end = min(start + BLOCK_SIZE, ids.size)
+        cid = ids[start:end]
+        ctf = tf[start:end]
+        pos_b = None
+        if positions is not None:
+            chunk_pos = positions[pos_offsets[start] : pos_offsets[end]].astype(np.int64)
+            # within-doc delta: subtract previous position, reset at doc starts
+            deltas = np.diff(chunk_pos, prepend=np.int64(0))
+            starts = (pos_offsets[start:end] - pos_offsets[start]).astype(np.int64)
+            deltas[starts] = chunk_pos[starts]
+            pos_b = stream_encode(deltas.astype(np.uint64))
+        blocks.append(
+            PostingBlock(
+                block_no=bno,
+                n=int(end - start),
+                first_doc=int(cid[0]),
+                last_doc=int(cid[-1]),
+                max_tf=int(ctf.max()),
+                min_dl=int(dls[start:end].min()) if dls is not None else 0,
+                doc_bytes=delta_encode(cid),
+                tf_bytes=pfor.encode(ctf.astype(np.uint64)),
+                pos_bytes=pos_b,
+            )
+        )
+    return blocks
+
+
+def decode_doc_ids(doc_bytes: bytes) -> np.ndarray:
+    return delta_decode(doc_bytes)
+
+
+def decode_tfs(tf_bytes: bytes, n: int) -> np.ndarray:
+    return pfor.decode(tf_bytes, n).astype(np.int64)
+
+
+def decode_positions(pos_bytes: bytes, tfs: np.ndarray) -> list[np.ndarray]:
+    """Return per-doc ascending position arrays."""
+    deltas = stream_decode(pos_bytes).astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(np.asarray(tfs, dtype=np.int64))])
+    return [np.cumsum(deltas[offsets[i] : offsets[i + 1]]) for i in range(len(tfs))]

@@ -1,0 +1,90 @@
+"""PFOR (patched frame-of-reference) codec for 128-int blocks.
+
+Semantic parity with the reference (/root/reference/bit_packing/
+positive_ints.ml:18-64; /root/reference/doc/bit_packing.md "Patching"):
+
+- base width = width of the 8th-largest value, but never more than
+  8 bits below the max width (so each exception's high bits fit one byte);
+- up to 7 exceptions stored as (index, high_bits) byte pairs;
+- token byte = n_exceptions << 5 | base_width;
+- special case: base width 0 (all values equal after patching) stores
+  the common value as a vint instead of a packed payload.
+
+Layout: token | [vint common OR packed low bits] | exceptions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .bitpack import pack, packed_size, unpack
+from .varint import read_vint, write_vint
+
+MAX_EXCEPTIONS = 7
+
+
+def encode(values: np.ndarray) -> bytes:
+    v = np.asarray(values, dtype=np.uint64)
+    n = v.size
+    if n == 0:
+        return bytes([0, 0])
+    widths = np.zeros(n, dtype=np.int64)
+    nz = v > 0
+    widths[nz] = np.floor(np.log2(v[nz].astype(np.float64))).astype(np.int64) + 1
+    max_w = int(widths.max())
+    if n > MAX_EXCEPTIONS:
+        eighth_w = int(np.partition(widths, n - (MAX_EXCEPTIONS + 1))[n - (MAX_EXCEPTIONS + 1)])
+    else:
+        eighth_w = 0
+    base_w = max(eighth_w, max_w - 8)
+    exc_idx = np.nonzero(widths > base_w)[0]
+    if exc_idx.size > MAX_EXCEPTIONS:
+        raise AssertionError("exception budget exceeded — base width selection bug")
+    high = (v[exc_idx] >> base_w).astype(np.uint64)
+    if high.size and int(high.max()) > 0xFF:
+        raise AssertionError("exception high bits exceed one byte")
+    mask = np.uint64((1 << base_w) - 1)
+    low = (v & mask).astype(np.uint64)
+
+    out = bytearray()
+    # width-0 special case (all values equal, vint payload) — only taken
+    # with zero exceptions so decode is unambiguous; with exceptions we
+    # fall through to the packed path (the reference's shifted-prefix
+    # variant trades that ambiguity for one quirky byte; we don't need
+    # byte parity, only round-trip semantics).
+    if exc_idx.size == 0 and bool((v == v[0]).all()):
+        out.append(0)
+        write_vint(int(v[0]), out)
+        return bytes(out)
+    # token byte: 3-bit exception count | 5-bit width (reference parity for
+    # widths <= 30); field value 31 escapes to an explicit width byte, since
+    # our payloads may be 64-bit (the reference caps at 32-bit postings ints).
+    if base_w <= 30:
+        out.append((exc_idx.size << 5) | base_w)
+    else:
+        out.append((exc_idx.size << 5) | 31)
+        out.append(base_w)
+    out += pack(low, base_w)
+    for i, h in zip(exc_idx.tolist(), high.tolist()):
+        out.append(i)
+        out.append(h)
+    return bytes(out)
+
+
+def decode(data: bytes, count: int) -> np.ndarray:
+    token = data[0]
+    n_exc = token >> 5
+    base_w = token & 0x1F
+    pos = 1
+    if token == 0:  # all-equal vint special case (no exceptions)
+        common, pos = read_vint(data, pos)
+        return np.full(count, common, dtype=np.uint64)
+    if base_w == 31:  # wide-width escape
+        base_w = data[pos]
+        pos += 1
+    v = unpack(data[pos : pos + packed_size(base_w, count)], base_w, count).astype(np.uint64)
+    pos += packed_size(base_w, count)
+    if n_exc:
+        exc = np.frombuffer(data[pos : pos + 2 * n_exc], dtype=np.uint8).reshape(-1, 2)
+        v[exc[:, 0]] |= exc[:, 1].astype(np.uint64) << np.uint64(base_w)
+    return v
