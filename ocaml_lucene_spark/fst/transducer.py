@@ -1,0 +1,188 @@
+"""Minimal acyclic transducer (FST) construction from sorted input.
+
+Re-implements, from the published algorithm (Daciuk/Mihov "Incremental
+construction of minimal acyclic finite-state automata", cited by the
+reference in doc/constructing_an_acyclic_transducer.md:1-2), the same
+capability as /root/reference/fst/acyclic_transducer.ml:84-107 +
+byte_array_fst_compiler.ml:34-53 + byte_array_fst_writer.ml:37-63:
+
+- words must arrive in ascending byte order (invariant asserted, parity
+  with acyclic_transducer.ml:101-107);
+- arc outputs are redistributed so each arc carries the longest common
+  prefix of everything below it (push_output, acyclic_transducer.ml:17-26);
+- settled suffixes are frozen + hash-consed so equal sub-tries share one
+  serialized node (byte_array_fst_compiler.ml:49-52);
+- frozen nodes serialize to a flat byte array; lookup walks arcs
+  byte-by-byte accumulating outputs (fst_match_term semantics,
+  codec/fst.ml:203-223).
+
+Byte layout is our own (forward arc lists, vint-delta targets) — the
+reference's reversed node layout is an mmap locality trick we don't
+need; lookup semantics and minimality are the contracts.
+
+In the Spark engine this is the per-segment term index: terms ->
+integer block pointer, built inside applyInPandas after
+sortWithinPartitions('term'). The sorted-parquet zone-map dictionary in
+index/segments.py is the default lookup path; the FST is the compact
+in-memory variant for hot segments.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .outputs import IntOutput
+from ..codecs.varint import read_vint, write_vint
+
+
+@dataclass
+class _TempState:
+    arcs: list = field(default_factory=list)  # [label, output, target_addr_or_temp]
+    final: bool = False
+    final_output: int = 0
+
+
+class FstBuilder:
+    """Incremental minimal FST over sorted (bytes key, int output) pairs."""
+
+    def __init__(self, outputs=IntOutput):
+        self.out = outputs
+        self.buf = bytearray(b"\x00")  # address 0 reserved as null
+        self.register: dict[bytes, int] = {}
+        self.path: list[_TempState] = [_TempState()]
+        self.last_key = b""
+        self.root_addr: int | None = None
+
+    # -- freezing -----------------------------------------------------
+    def _serialize(self, st: _TempState) -> bytes:
+        """Node payload: flags, [final_output], n_arcs, arcs (label,
+        output vint, target addr-delta vint)."""
+        body = bytearray()
+        flags = 1 if st.final else 0
+        if st.final and st.final_output != self.out.empty:
+            flags |= 2
+        body.append(flags)
+        if flags & 2:
+            write_vint(st.final_output, body)
+        write_vint(len(st.arcs), body)
+        for label, output, target in st.arcs:
+            body.append(label)
+            write_vint(output, body)
+            write_vint(target, body)
+        return bytes(body)
+
+    def _freeze(self, st: _TempState) -> int:
+        payload = self._serialize(st)
+        addr = self.register.get(payload)
+        if addr is None:
+            addr = len(self.buf)
+            self.buf += payload
+            self.register[payload] = addr
+        return addr
+
+    def _freeze_tail(self, down_to: int) -> None:
+        """Freeze path states below depth ``down_to`` (deepest first)."""
+        while len(self.path) > down_to + 1:
+            st = self.path.pop()
+            addr = self._freeze(st)
+            parent = self.path[-1]
+            parent.arcs[-1][2] = addr
+
+    # -- insertion ----------------------------------------------------
+    def add(self, key: bytes, output: int) -> None:
+        if key <= self.last_key and self.last_key != b"":
+            raise ValueError(f"keys must be inserted in ascending order: {key!r}")
+        if key == b"":
+            raise ValueError("empty key unsupported")
+        # common prefix length with previous key
+        p = 0
+        for a, b in zip(self.last_key, key):
+            if a != b:
+                break
+            p += 1
+        self._freeze_tail(p)
+
+        # push outputs along the shared prefix (push_output semantics)
+        rem = output
+        for i in range(p):
+            st = self.path[i]
+            label, arc_out, target = st.arcs[-1]
+            cp = self.out.common(arc_out, rem)
+            if cp != arc_out:
+                # move the suffix (arc_out - cp) down into the child state,
+                # which is still mutable (it's on the temp path)
+                diff = self.out.subtract(arc_out, cp)
+                child = self.path[i + 1]
+                for arc in child.arcs:
+                    arc[1] = self.out.add(diff, arc[1])
+                if child.final:
+                    child.final_output = self.out.add(diff, child.final_output)
+                st.arcs[-1][1] = cp
+            rem = self.out.subtract(rem, cp)
+
+        # extend the path with the diverged suffix; the whole remaining
+        # output rides on the first new arc
+        assert p < len(key), "ascending-order invariant broken"
+        for i in range(p, len(key)):
+            st = self.path[i]
+            st.arcs.append([key[i], rem if i == p else self.out.empty, 0])
+            self.path.append(_TempState())
+        leaf = self.path[-1]
+        leaf.final = True
+        leaf.final_output = self.out.empty
+        self.last_key = key
+
+    def finish(self) -> "Fst":
+        self._freeze_tail(0)
+        self.root_addr = self._freeze(self.path[0])
+        return Fst(bytes(self.buf), self.root_addr, self.out)
+
+
+class Fst:
+    """Read side: byte-array FST lookup (fst_match_term semantics)."""
+
+    def __init__(self, data: bytes, root: int, outputs=IntOutput):
+        self.data = data
+        self.root = root
+        self.out = outputs
+
+    def _read_node(self, addr: int):
+        flags = self.data[addr]
+        pos = addr + 1
+        final_output = self.out.empty
+        if flags & 2:
+            final_output, pos = read_vint(self.data, pos)
+        n_arcs, pos = read_vint(self.data, pos)
+        arcs = []
+        for _ in range(n_arcs):
+            label = self.data[pos]
+            pos += 1
+            output, pos = read_vint(self.data, pos)
+            target, pos = read_vint(self.data, pos)
+            arcs.append((label, output, target))
+        return bool(flags & 1), final_output, arcs
+
+    def lookup(self, key: bytes):
+        """Exact lookup: accumulated output if key accepted, else None."""
+        addr = self.root
+        acc = self.out.empty
+        for b in key:
+            _, _, arcs = self._read_node(addr)
+            hit = None
+            for label, output, target in arcs:  # arcs sorted by label
+                if label == b:
+                    hit = (output, target)
+                    break
+                if label > b:
+                    break
+            if hit is None:
+                return None
+            acc = self.out.add(acc, hit[0])
+            addr = hit[1]
+        final, final_output, _ = self._read_node(addr)
+        if not final:
+            return None
+        return self.out.add(acc, final_output)
+
+    def num_bytes(self) -> int:
+        return len(self.data)

@@ -1,0 +1,151 @@
+"""BM25 top-k over DataFrames — the *logical* query path.
+
+Declarative plan, Catalyst-optimized end to end (no Python UDFs):
+
+  tokens (codegen) -> filter to query terms BEFORE any shuffle ->
+  per-(doc,term) tf agg -> broadcast-joined per-term df ->
+  broadcast scalar (N, avgdl) -> per-row float64 score ->
+  groupBy(doc).sum -> TakeOrderedAndProject(k)
+
+Scale notes (100 TB): only postings of the *query terms* ever shuffle
+(the term filter sits under the explode, so whole partitions of
+non-matching tokens die map-side); per-term df and corpus stats are
+broadcast (a handful of rows); top-k is Spark's TakeOrderedAndProject
+(per-partition heaps, no global sort). The indexed physical path
+(query/exec.py) replaces the tokenize+agg front end with packed
+segment scans; the scoring tail is identical.
+
+Canonical BM25 constants/formula shared with oracle.py (k1=1.2,
+b=0.75, Lucene idf) — scores derive from integer tf/df/dl, never from
+partial float sums across partitions, so ranks are reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.analysis import tokens_col
+from ..oracle import B, K1
+
+
+def _tokenized(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("toks")
+    ).withColumn("dl", F.size("toks"))
+
+
+def corpus_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row: (n_docs, avgdl) — the per-field stats the reference keeps
+    in field_reader.ml:3-16, computed by a partial+final agg."""
+    return _tokenized(docs, id_col, text_col).agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl") / F.count("*")).alias("avgdl"),
+    )
+
+
+def candidate_tf(
+    docs: DataFrame, terms: list[str], id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, term, dl, tf) for query terms only; the isin filter runs
+    under the explode so non-candidate tokens never reach a shuffle."""
+    base = _tokenized(docs, id_col, text_col)
+    return (
+        base.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term", "dl")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def idf_expr(n_col, df_col):
+    return F.log(F.lit(1.0) + (n_col - df_col + 0.5) / (df_col + 0.5))
+
+
+def tfn_expr(tf_col, dl_col, avgdl_col):
+    return (tf_col * (K1 + 1.0)) / (tf_col + K1 * (1.0 - B + B * dl_col / avgdl_col))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    mode: str = "or",
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Top-k (doc_id, score); tie-break (score desc, doc_id asc).
+
+    mode='and' keeps only docs containing *all* query terms (sorted
+    intersection semantics, SURVEY.md §2.3); 'or' is the score-
+    accumulating union.
+    """
+    terms = list(dict.fromkeys(terms))
+    tf = candidate_tf(docs, terms, id_col, text_col)
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = corpus_stats(docs, id_col, text_col)
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "sc",
+            idf_expr(F.col("n_docs").cast("double"), F.col("df").cast("double"))
+            * tfn_expr(
+                F.col("tf").cast("double"), F.col("dl").cast("double"), F.col("avgdl")
+            ),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("sc").alias("score_raw"), F.count("*").alias("n_terms_hit")
+    )
+    if mode == "and":
+        agg = agg.filter(F.col("n_terms_hit") == len(terms))
+    score = F.round(F.col("score_raw"), round_to) if round_to is not None else F.col("score_raw")
+    return (
+        agg.select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def term_postings(
+    docs: DataFrame, term: str, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, tf) posting list for one term — seek_exact analogue
+    (/root/reference/codec/terms_enumerator.ml:212-277)."""
+    return candidate_tf(docs, [term], id_col, text_col).select("doc_id", "tf")
+
+
+def term_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(term, df, ttf) over the whole corpus — terms-dict stats decode
+    analogue (decode_metadata, terms_enumerator.ml:172-196)."""
+    tf = (
+        _tokenized(docs, id_col, text_col)
+        .select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    return tf.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("ttf")
+    )
+
+
+def phrase_counts(
+    docs: DataFrame, first: str, second: str, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_phrase): adjacent '<first> <second>' occurrences —
+    the positions stream consumer (.pos semantics). Self-join on
+    (doc_id, pos+1); both sides are term-filtered before the join."""
+    pos = (
+        docs.select(F.col(id_col).alias("doc_id"), F.posexplode(tokens_col(text_col)).alias("pos", "term"))
+    )
+    a = pos.filter(F.col("term") == first).select("doc_id", F.col("pos").alias("p1")).alias("a")
+    b = pos.filter(F.col("term") == second).select("doc_id", F.col("pos").alias("p2")).alias("b")
+    return (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("b.p2") == F.col("a.p1") + 1))
+        .groupBy(F.col("a.doc_id").alias("doc_id"))
+        .agg(F.count("*").alias("n_phrase"))
+    )

@@ -1,0 +1,104 @@
+"""DuckDB oracle SQL builders — one per engine query.
+
+Each function returns SQL that DuckDB runs over the same parquet
+tables (views pre-registered by the driver: documents, embeddings, …)
+and that must match the Spark DataFrame result on row count, schema
+(column names!) and order-insensitive value hash. The token grammar
+and BM25 formula are textually mirrored from functions/analysis.py and
+query/bm25.py — keep them in lockstep.
+"""
+
+from __future__ import annotations
+
+TOKS_CTE = """
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents
+),
+base AS (SELECT doc_id, t, len(t) AS dl FROM toks)
+"""
+
+
+def _terms_in(terms: list[str]) -> str:
+    inner = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return f"({inner})"
+
+
+def bm25_topk_sql(terms: list[str], mode: str = "or", k: int = 10, round_to: int = 4) -> str:
+    terms = list(dict.fromkeys(terms))
+    having = f"HAVING count(*) = {len(terms)}" if mode == "and" else ""
+    return f"""
+WITH {TOKS_CTE},
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM base),
+tf AS (
+  SELECT doc_id, term, dl, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(t) AS term FROM base)
+  WHERE term IN {_terms_in(terms)}
+  GROUP BY doc_id, term, dl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n - df + 0.5) / (df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl)) AS sc
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+)
+SELECT doc_id, round(sum(sc), {round_to}) AS score
+FROM scored
+GROUP BY doc_id {having}
+ORDER BY round(sum(sc), {round_to}) DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def term_postings_sql(term: str) -> str:
+    return f"""
+WITH {TOKS_CTE}
+SELECT doc_id, count(*) AS tf
+FROM (SELECT doc_id, unnest(t) AS term FROM base)
+WHERE term = '{term}'
+GROUP BY doc_id
+"""
+
+
+def term_stats_sql(min_df: int = 1) -> str:
+    return f"""
+WITH {TOKS_CTE},
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM base)
+  GROUP BY doc_id, term
+)
+SELECT term, count(*) AS df, sum(tf)::BIGINT AS ttf
+FROM tf GROUP BY term HAVING count(*) >= {min_df}
+"""
+
+
+def corpus_stats_sql() -> str:
+    return f"""
+WITH {TOKS_CTE}
+SELECT count(*) AS n_docs, round(sum(dl)::DOUBLE / count(*), 6) AS avgdl FROM base
+"""
+
+
+def doc_lengths_sql() -> str:
+    return f"""
+WITH {TOKS_CTE}
+SELECT doc_id, dl FROM base
+"""
+
+
+def phrase_counts_sql(first: str, second: str) -> str:
+    return f"""
+WITH {TOKS_CTE},
+pos AS (
+  SELECT doc_id, unnest(t) AS term, unnest(range(len(t))) AS p
+  FROM base
+),
+a AS (SELECT doc_id, p AS p1 FROM pos WHERE term = '{first}'),
+b AS (SELECT doc_id, p AS p2 FROM pos WHERE term = '{second}')
+SELECT a.doc_id AS doc_id, count(*) AS n_phrase
+FROM a JOIN b ON a.doc_id = b.doc_id AND b.p2 = a.p1 + 1
+GROUP BY a.doc_id
+"""
