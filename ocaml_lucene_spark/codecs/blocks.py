@@ -34,9 +34,13 @@ class PostingBlock:
     first_doc: int
     last_doc: int
     max_tf: int
+    sum_tf: int
     min_dl: int
     doc_bytes: bytes
     tf_bytes: bytes
+    dl_bytes: bytes | None  # per-posting doc length (denormalized norms —
+    # Lucene keeps norms in a separate doc-values file; inlining them
+    # makes a block self-scoring, no norms join at query time)
     pos_bytes: bytes | None
 
 
@@ -77,9 +81,15 @@ def encode_posting_blocks(
                 first_doc=int(cid[0]),
                 last_doc=int(cid[-1]),
                 max_tf=int(ctf.max()),
+                sum_tf=int(ctf.sum()),
                 min_dl=int(dls[start:end].min()) if dls is not None else 0,
                 doc_bytes=delta_encode(cid),
                 tf_bytes=pfor.encode(ctf.astype(np.uint64)),
+                dl_bytes=(
+                    pfor.encode(np.asarray(dls[start:end], dtype=np.uint64))
+                    if dls is not None
+                    else None
+                ),
                 pos_bytes=pos_b,
             )
         )

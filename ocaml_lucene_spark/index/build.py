@@ -1,0 +1,238 @@
+"""Index build DAG — the north-rule pipeline.
+
+    read webtext -> assign deterministic global docIDs ->
+    tokenize (JVM codegen; or Arrow UDF from raw html) ->
+    explode -> per-(doc,term) tf [+ positions] (map-side partial agg) ->
+    df-driven hot-term salting -> repartitionByRange(term, salt)
+    [THE one mandatory shuffle] -> applyInPandas pack kernel
+    (numpy delta+FOR/PFOR blocks, term-sorted zstd parquet shard,
+    checkpoint row) -> terms/stats/manifest writes.
+
+Scale design notes (100 TB, 1000 executors):
+- docID assignment is a range-shuffle on url + a driver exchange of
+  per-partition counts (tiny), not a global row_number sort: ids are a
+  pure function of the url set (BASELINE.json north_rule determinism).
+- tf aggregation happens map-side: all tokens of a doc live in one scan
+  partition, so the partial agg collapses (doc,term) before shuffling.
+- salting: terms whose df exceeds ``salt_df_threshold`` are split into
+  ``n_salts`` sub-lists keyed by doc_id hash — a Zipfian "the" posting
+  list lands on n_salts reducers instead of one. The salt is part of
+  the range key, so repartitionByRange spreads the sub-lists; query
+  treats salt shards as extra blocks of the same term (block unions are
+  order-insensitive).
+- the pack kernel writes its shard directly from the executor and
+  returns a checkpoint row: restartable without recompute, per-partition
+  lineage + docs/sec / postings/sec / bytes metrics (north rule).
+- every per-posting byte goes through numpy in Arrow batches. No
+  per-row Python anywhere.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.analysis import tokens_col
+from . import segments as seg
+
+DEFAULT_SALT_DF_THRESHOLD = 50_000
+DEFAULT_N_SALTS = 16
+
+
+def assign_doc_ids(docs: DataFrame, id_partitions: int | None = None) -> DataFrame:
+    """Deterministic dense docIDs: range-partition by url, count per
+    partition, cumulative offsets via a tiny driver exchange, then
+    per-partition enumeration. Pure function of the url set."""
+    spark = docs.sparkSession
+    n = id_partitions or docs.sparkSession.sparkContext.defaultParallelism
+    parted = docs.repartitionByRange(n, "url").sortWithinPartitions("url")
+    parted = parted.withColumn("_pid", F.spark_partition_id())
+    counts = {r._pid: r.c for r in parted.groupBy("_pid").agg(F.count("*").alias("c")).collect()}
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offs = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
+    )
+    w = __import__("pyspark").sql.Window.partitionBy("_pid").orderBy("url")
+    return (
+        parted.join(F.broadcast(offs), "_pid")
+        .withColumn("doc_id", (F.row_number().over(w) - 1 + F.col("_off")).cast("long"))
+        .drop("_pid", "_off")
+    )
+
+
+def build_index(
+    docs: DataFrame,
+    index_dir: str,
+    segment: str | None = None,
+    with_positions: bool = False,
+    n_partitions: int | None = None,
+    salt_df_threshold: int = DEFAULT_SALT_DF_THRESHOLD,
+    n_salts: int = DEFAULT_N_SALTS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    doc_id_base: int | None = None,
+) -> dict:
+    """Build one segment over ``docs`` (which must carry unique global
+    ``id_col``; use assign_doc_ids first if absent). Returns the
+    manifest row (with build metrics)."""
+    spark = docs.sparkSession
+    t0 = time.monotonic()
+    generation = seg.next_generation(index_dir)
+    segment = segment or f"seg{generation:06d}"
+    paths = seg.segment_paths(index_dir, segment)
+    n_parts = n_partitions or spark.sparkContext.defaultParallelism
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("toks")
+    ).withColumn("dl", F.size("toks").cast("long"))
+
+    if with_positions:
+        tf = (
+            base.select("doc_id", "dl", F.posexplode("toks").alias("pos", "term"))
+            .groupBy("doc_id", "term", "dl")
+            .agg(
+                F.count("*").cast("long").alias("tf"),
+                F.sort_array(F.collect_list("pos")).alias("positions"),
+            )
+        )
+    else:
+        tf = (
+            base.select("doc_id", "dl", F.explode("toks").alias("term"))
+            .groupBy("doc_id", "term", "dl")
+            .agg(F.count("*").cast("long").alias("tf"))
+        )
+
+    # hot-term detection from a deterministic sample: a term with true
+    # df > threshold appears in a 1% sample with df_sample ≈ df/100 —
+    # no second full pass over the postings. The list of hot terms is
+    # vocabulary-bounded and broadcast.
+    sample_frac = min(1.0, max(10_000 / max(salt_df_threshold, 1), 0.001))
+    hot = (
+        base.sample(fraction=min(sample_frac, 1.0), seed=7)
+        .select("doc_id", F.explode_outer("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df_s"))
+        .filter(F.col("df_s") > salt_df_threshold * sample_frac)
+        .select("term", F.lit(1).alias("_hot"))
+    )
+    tf = tf.join(F.broadcast(hot), "term", "left")
+    tf = tf.withColumn(
+        "salt",
+        F.when(
+            F.col("_hot").isNotNull(),
+            (F.crc32(F.col("doc_id").cast("string")) % n_salts).cast("int"),
+        ).otherwise(F.lit(0)),
+    ).drop("_hot")
+
+    # THE shuffle: hash-partition on (term, salt). Hash (not range)
+    # because resume requires partition contents to be a pure function
+    # of the data — repartitionByRange samples boundaries with a
+    # run-varying seed, which would invalidate checkpoint fingerprints.
+    # The pack kernel term-sorts within each shard, so parquet row-group
+    # min/max term stats (zone maps) still prune point lookups to ~one
+    # row group per shard; hot terms spread across n_salts partitions.
+    shuffled = tf.repartition(n_parts, "term", "salt").withColumn(
+        "pid", F.spark_partition_id()
+    )
+
+    def pack_iter(batches):
+        import pandas as pd
+
+        chunks = list(batches)  # whole partition (bounded by n_parts sizing)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        yield seg.pack_partition(
+            pdf, segment, paths["postings"], paths["checkpoints"], with_positions
+        )
+
+    ckpts = shuffled.mapInPandas(pack_iter, seg.CHECKPOINT_SCHEMA)
+    ckpt_rows = ckpts.collect()  # small: one row per partition (lineage table)
+
+    # per-term stats (term, df, ttf) — terms dict .tmd analogue, computed
+    # from the packed blocks' METADATA columns (no re-tokenize, and the
+    # binary payload columns are pruned from the scan)
+    (
+        spark.read.parquet(paths["postings"])
+        .groupBy("term")
+        .agg(F.sum("n").alias("df"), F.sum("sum_tf").alias("ttf"))
+        .repartitionByRange(max(n_parts // 4, 1), "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(paths["terms"])
+    )
+    # norms (doc_id, dl); corpus stats re-read from the small norms
+    # parquet instead of a fourth pass over the raw text
+    base.select("doc_id", "dl").write.mode("overwrite").parquet(paths["norms"])
+    agg = (
+        spark.read.parquet(paths["norms"])
+        .agg(F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl"))
+        .collect()[0]
+    )
+
+    stats = {
+        "segment": segment,
+        "n_docs": int(agg.n_docs),
+        "sum_dl": int(agg.sum_dl),
+        "avgdl": agg.sum_dl / agg.n_docs if agg.n_docs else 0.0,
+        "with_positions": with_positions,
+        "index_options": "DOCS_AND_FREQS_AND_POSITIONS" if with_positions else "DOCS_AND_FREQS",
+        "doc_id_base": doc_id_base,
+    }
+    seg.write_stats(index_dir, segment, stats)
+
+    elapsed = time.monotonic() - t0
+    n_postings = sum(r.n_postings or 0 for r in ckpt_rows)
+    bytes_packed = sum(r.bytes_packed or 0 for r in ckpt_rows)
+    manifest_row = {
+        "segment": segment,
+        "generation": generation,
+        "status": "live",
+        "n_docs": int(agg.n_docs),
+        "sum_dl": int(agg.sum_dl),
+        "n_postings": int(n_postings),
+        "bytes_packed": int(bytes_packed),
+        "n_partitions": len(ckpt_rows),
+        "elapsed_sec": elapsed,
+        "docs_per_sec": agg.n_docs / elapsed if elapsed else 0.0,
+        "postings_per_sec": n_postings / elapsed if elapsed else 0.0,
+        "source": "build",
+        "resumed_partitions": sum(
+            1 for r in ckpt_rows if r.status == "skipped_checkpoint"
+        ),
+    }
+    seg.write_manifest_row(index_dir, manifest_row)
+    return manifest_row
+
+
+def add_documents(
+    docs: DataFrame,
+    index_dir: str,
+    url_col: str = "url",
+    text_col: str = "text",
+    **build_kw,
+) -> dict:
+    """Incremental indexing: assign fresh global docIDs above the
+    current max (append-only doc space, Lucene name_counter analogue,
+    codec/segments.ml:22-31) and build a new segment. Existing segments
+    are untouched; queries aggregate stats across all live segments, so
+    results equal a from-scratch single-segment build (tested)."""
+    from . import segments as seg
+
+    base = sum(r["n_docs"] for r in seg.list_segments(index_dir))
+    with_ids = assign_doc_ids(docs.withColumnRenamed(url_col, "url"))
+    with_ids = with_ids.withColumn("doc_id", F.col("doc_id") + F.lit(base))
+    return build_index(
+        with_ids, index_dir, text_col=text_col, doc_id_base=base, **build_kw
+    )
+
+
+def ensure_dir(path: str) -> None:
+    os.makedirs(path, exist_ok=True)

@@ -1,0 +1,196 @@
+"""Segment merge: Lucene-style tiered policy as a bounded shuffle.
+
+The reference only *reads* merged output (multi-segment manifests,
+/root/reference/codec/segments.ml:106-115); the north rule requires the
+merge itself, mirroring Lucene's TieredMergePolicy: segments are
+grouped into size tiers and the smallest ``merge_factor`` segments of
+an over-full tier are merged into one.
+
+Merge = decode candidate segments' blocks (mapInPandas numpy) ->
+one hash shuffle on (term, salt) bounded to the merged segments' data
+-> re-pack with the same kernel as build -> new segment + manifest
+rows marking sources 'merged'. Because docIDs are global and BM25
+stats aggregate across live segments, queries are invariant under
+merge (tested) — merge is purely a layout/locality operation, exactly
+like Lucene's.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from . import segments as seg
+
+
+def select_merges(
+    segments: list[dict],
+    merge_factor: int = 4,
+    max_merged_bytes: int = 10 * 1024**3,
+) -> list[list[str]]:
+    """Tiered selection: sort live segments by packed size; a tier is a
+    run of segments within 8x of each other; any tier with >=
+    merge_factor members yields one merge of its smallest members."""
+    live = sorted(
+        (r for r in segments if r["status"] == "live"),
+        key=lambda r: r["bytes_packed"],
+    )
+    merges: list[list[str]] = []
+    tier: list[dict] = []
+    for r in live:
+        if tier and r["bytes_packed"] > max(8 * tier[0]["bytes_packed"], 1):
+            tier = []
+        tier.append(r)
+        if len(tier) >= merge_factor:
+            total = sum(t["bytes_packed"] for t in tier)
+            if total <= max_merged_bytes:
+                merges.append([t["segment"] for t in tier])
+            tier = []
+    return merges
+
+
+def merge_segments(
+    spark: SparkSession,
+    index_dir: str,
+    segment_names: list[str],
+    n_partitions: int | None = None,
+    n_salts: int = 16,
+) -> dict:
+    """Merge the named segments into one new segment."""
+    t0 = time.monotonic()
+    n_parts = n_partitions or spark.sparkContext.defaultParallelism
+    rows = {r["segment"]: r for r in seg.list_segments(index_dir, live_only=False)}
+    sources = [rows[s] for s in segment_names]
+    with_positions = any(
+        seg.read_stats(index_dir, s).get("with_positions") for s in segment_names
+    )
+
+    posting_paths = [
+        seg.segment_paths(index_dir, s)["postings"] for s in segment_names
+    ]
+    blocks = spark.read.parquet(*posting_paths)
+
+    pos_schema = (
+        "term string, salt int, doc_id long, tf long, dl long"
+        + (", positions array<long>" if with_positions else "")
+    )
+
+    def unpack(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..codecs import pfor
+        from ..codecs.blocks import decode_positions
+        from ..codecs.delta import delta_decode
+
+        for pdf in batches:
+            outs = []
+            for _, r in pdf.iterrows():
+                docs = delta_decode(bytes(r["doc_bytes"]))
+                tf = pfor.decode(bytes(r["tf_bytes"]), int(r["n"])).astype(np.int64)
+                dl = pfor.decode(bytes(r["dl_bytes"]), int(r["n"])).astype(np.int64)
+                d = {
+                    "term": r["term"],
+                    "salt": int(r["block_no"]) // 100_000,
+                    "doc_id": docs,
+                    "tf": tf,
+                    "dl": dl,
+                }
+                if with_positions:
+                    d["positions"] = decode_positions(bytes(r["pos_bytes"]), tf)
+                outs.append(pd.DataFrame(d))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    postings = blocks.mapInPandas(unpack, pos_schema)
+
+    generation = seg.next_generation(index_dir)
+    new_name = f"merged{generation:06d}"
+    paths = seg.segment_paths(index_dir, new_name)
+
+    shuffled = postings.repartition(n_parts, "term", "salt").withColumn(
+        "pid", F.spark_partition_id()
+    )
+
+    def pack_iter(batches):
+        import pandas as pd
+
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        yield seg.pack_partition(
+            pdf, new_name, paths["postings"], paths["checkpoints"], with_positions
+        )
+
+    ckpt_rows = shuffled.mapInPandas(pack_iter, seg.CHECKPOINT_SCHEMA).collect()
+
+    # terms stats from packed metadata; norms = union of source norms
+    (
+        spark.read.parquet(paths["postings"])
+        .groupBy("term")
+        .agg(F.sum("n").alias("df"), F.sum("sum_tf").alias("ttf"))
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(paths["terms"])
+    )
+    norm_paths = [seg.segment_paths(index_dir, s)["norms"] for s in segment_names]
+    spark.read.parquet(*norm_paths).write.mode("overwrite").parquet(paths["norms"])
+
+    n_docs = sum(r["n_docs"] for r in sources)
+    sum_dl = sum(r["sum_dl"] for r in sources)
+    seg.write_stats(
+        index_dir,
+        new_name,
+        {
+            "segment": new_name,
+            "n_docs": n_docs,
+            "sum_dl": sum_dl,
+            "avgdl": sum_dl / n_docs if n_docs else 0.0,
+            "with_positions": with_positions,
+            "index_options": (
+                "DOCS_AND_FREQS_AND_POSITIONS" if with_positions else "DOCS_AND_FREQS"
+            ),
+            "merged_from": segment_names,
+        },
+    )
+    elapsed = time.monotonic() - t0
+    n_postings = sum(r.n_postings or 0 for r in ckpt_rows)
+    manifest_row = {
+        "segment": new_name,
+        "generation": generation,
+        "status": "live",
+        "n_docs": n_docs,
+        "sum_dl": sum_dl,
+        "n_postings": int(n_postings),
+        "bytes_packed": int(sum(r.bytes_packed or 0 for r in ckpt_rows)),
+        "n_partitions": len(ckpt_rows),
+        "elapsed_sec": elapsed,
+        "docs_per_sec": n_docs / elapsed if elapsed else 0.0,
+        "postings_per_sec": n_postings / elapsed if elapsed else 0.0,
+        "source": "merge",
+        "merged_from": segment_names,
+    }
+    seg.write_manifest_row(index_dir, manifest_row)
+    # retire sources (newer generation rows win in list_segments)
+    for s in sources:
+        retired = dict(s)
+        retired["status"] = "merged"
+        retired["generation"] = generation
+        seg.write_manifest_row(index_dir, retired)
+    return manifest_row
+
+
+def maybe_merge(
+    spark: SparkSession, index_dir: str, merge_factor: int = 4, **kw
+) -> list[dict]:
+    """Run the tiered policy until no merge is selected."""
+    done = []
+    while True:
+        merges = select_merges(seg.list_segments(index_dir), merge_factor)
+        if not merges:
+            return done
+        for group in merges:
+            done.append(merge_segments(spark, index_dir, group, **kw))

@@ -1,0 +1,206 @@
+"""Physical query execution over packed segments.
+
+Two plans, same results (tested against each other and the oracle):
+
+1. ``bm25_topk_indexed`` — distributed exhaustive: parquet scan of the
+   query terms' blocks (term predicate pushes to row groups via the
+   term-sorted zone maps; payload columns pruned until needed) ->
+   mapInPandas numpy decode + per-posting float64 score ->
+   groupBy(doc_id) agg -> TakeOrderedAndProject(k). Scales to hot
+   terms whose posting lists span many partitions.
+
+2. ``bm25_topk_wand`` — block-max WAND (query/wand.py) over the same
+   blocks with lazy decode: for the common case (few terms, k small)
+   it decodes a fraction of the blocks. Runs in the driver here; on a
+   cluster the same function is one task per query.
+
+Stats (N, avgdl, df) aggregate across all live segments, so scores are
+identical to a single-segment index over the same docs — which is what
+makes merge a pure layout operation (tested).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..index import segments as seg
+from ..oracle import B, K1
+from .wand import PostingList, block_max_wand, tfn_ub
+
+
+def live_segment_paths(index_dir: str) -> list[str]:
+    return [
+        seg.segment_paths(index_dir, r["segment"])["postings"]
+        for r in seg.list_segments(index_dir)
+    ]
+
+
+def global_stats(index_dir: str) -> dict:
+    rows = seg.list_segments(index_dir)
+    n_docs = sum(r["n_docs"] for r in rows)
+    sum_dl = sum(r["sum_dl"] for r in rows)
+    return {
+        "n_docs": n_docs,
+        "sum_dl": sum_dl,
+        "avgdl": (sum_dl / n_docs) if n_docs else 0.0,
+    }
+
+
+def term_dfs(spark: SparkSession, index_dir: str, terms: list[str]) -> dict[str, int]:
+    """df per query term aggregated across live segments (terms parquet,
+    predicate pushdown on the sorted term column)."""
+    paths = [
+        seg.segment_paths(index_dir, r["segment"])["terms"]
+        for r in seg.list_segments(index_dir)
+    ]
+    if not paths:
+        return {}
+    df = (
+        spark.read.parquet(*paths)
+        .filter(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+    )
+    return {r.term: r.df for r in df.collect()}
+
+
+def idf(n_docs: int, df: int) -> float:
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def _postings_df(spark: SparkSession, index_dir: str, terms: list[str]) -> DataFrame:
+    paths = live_segment_paths(index_dir)
+    return spark.read.parquet(*paths).filter(F.col("term").isin(terms))
+
+
+def bm25_topk_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    mode: str = "or",
+    k: int = 10,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Distributed exhaustive plan. Returns (doc_id, score) DataFrame."""
+    terms = list(dict.fromkeys(terms))
+    stats = global_stats(index_dir)
+    dfs = term_dfs(spark, index_dir, terms)
+    if mode == "and" and (not terms or any(t not in dfs for t in terms)):
+        return spark.createDataFrame([], "doc_id long, score double")
+    idfs = {t: idf(stats["n_docs"], dfs.get(t, 0)) for t in terms}
+    avgdl = stats["avgdl"]
+    n_req = len(terms)
+
+    blocks = _postings_df(spark, index_dir, terms).select(
+        "term", "n", "doc_bytes", "tf_bytes", "dl_bytes"
+    )
+
+    def decode_score(batches):
+        from ..codecs import pfor
+        from ..codecs.delta import delta_decode
+
+        for pdf in batches:
+            outs = []
+            for term, n, db, tb, lb in zip(
+                pdf["term"], pdf["n"], pdf["doc_bytes"], pdf["tf_bytes"], pdf["dl_bytes"]
+            ):
+                docs = delta_decode(bytes(db))
+                tf = pfor.decode(bytes(tb), int(n)).astype(np.float64)
+                dl = pfor.decode(bytes(lb), int(n)).astype(np.float64)
+                sc = idfs[term] * tf * (K1 + 1.0) / (
+                    tf + K1 * (1.0 - B + B * dl / avgdl)
+                )
+                outs.append(pd.DataFrame({"doc_id": docs, "sc": sc}))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    scored = blocks.mapInPandas(decode_score, "doc_id long, sc double")
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("sc").alias("score_raw"), F.count("*").alias("nhit")
+    )
+    if mode == "and":
+        agg = agg.filter(F.col("nhit") == n_req)
+    score = (
+        F.round(F.col("score_raw"), round_to) if round_to is not None else F.col("score_raw")
+    )
+    return (
+        agg.select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def bm25_topk_wand(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    mode: str = "or",
+    k: int = 10,
+) -> tuple[list[tuple[int, float]], dict]:
+    """Block-max WAND plan; returns ([(doc_id, score)], prune metrics)."""
+    terms = list(dict.fromkeys(terms))
+    stats = global_stats(index_dir)
+    dfs = term_dfs(spark, index_dir, terms)
+    if mode == "and" and (not terms or any(t not in dfs for t in terms)):
+        return [], {"decoded_blocks": 0, "total_blocks": 0, "n_lists": 0}
+    avgdl = stats["avgdl"]
+    idfs = {t: idf(stats["n_docs"], dfs.get(t, 0)) for t in terms}
+
+    # fetch candidate blocks (metadata + payloads) — blocks of query
+    # terms only; payload stays packed until WAND decodes it lazily
+    rows = (
+        _postings_df(spark, index_dir, terms)
+        .select(
+            "term", "block_no", "first_doc", "last_doc", "max_tf", "min_dl",
+            "doc_bytes", "tf_bytes", "dl_bytes",
+        )
+        .collect()
+    )
+    lists: list[PostingList] = []
+    by_shard: dict[tuple, list] = {}
+    for r in rows:
+        # (term, segment-run, salt) shard key: blocks with the same
+        # block_no//100000 within one collect group belong to one salted
+        # run; runs from different segments/partitions are separate
+        # doc-disjoint sorted units as well — group by (term, salt) then
+        # split on doc-order violations below
+        by_shard.setdefault((r.term, r.block_no // 100_000), []).append(r)
+    for (term, _salt), rs in by_shard.items():
+        rs.sort(key=lambda r: (r.first_doc, r.block_no))
+        # partition into doc-ascending disjoint runs (first-fit): blocks
+        # of one (term,salt) are globally doc-disjoint (per segment a doc
+        # sits in exactly one block; segments are doc-disjoint), so any
+        # ascending partition is a valid WAND posting unit
+        runs: list[list] = []
+        for r in rs:
+            for run in runs:
+                if run[-1].last_doc < r.first_doc:
+                    run.append(r)
+                    break
+            else:
+                runs.append([r])
+        for run in runs:
+            w = idfs[term]
+            lists.append(
+                PostingList(
+                    term=term,
+                    idf=w,
+                    avgdl=avgdl,
+                    first_doc=np.array([r.first_doc for r in run], dtype=np.int64),
+                    last_doc=np.array([r.last_doc for r in run], dtype=np.int64),
+                    ub=np.array(
+                        [w * tfn_ub(r.max_tf, r.min_dl, avgdl) for r in run]
+                    ),
+                    payloads=[
+                        (bytes(r.doc_bytes), bytes(r.tf_bytes), bytes(r.dl_bytes))
+                        for r in run
+                    ],
+                )
+            )
+    require = set(terms) if mode == "and" else None
+    return block_max_wand(lists, k, require_all_terms=require)

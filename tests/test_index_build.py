@@ -1,0 +1,113 @@
+"""End-to-end segment build + indexed query tests.
+
+- build -> query (exhaustive + WAND) rank-identical vs pure-Python oracle
+- WAND is safe-up-to-k AND actually prunes blocks
+- hot-term salting splits posting lists without changing results
+- resume: re-running the build skips completed partitions
+"""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ocaml_lucene_spark.index.build import assign_doc_ids, build_index
+from ocaml_lucene_spark.oracle import OracleIndex
+from ocaml_lucene_spark.query.exec import bm25_topk_indexed, bm25_topk_wand
+from ocaml_lucene_spark.sources.corpus import generate_query_set
+
+
+@pytest.fixture(scope="module")
+def built(spark, tiny_corpus, tmp_path_factory):
+    index_dir = str(tmp_path_factory.mktemp("index"))
+    docs = assign_doc_ids(spark.read.parquet(tiny_corpus))
+    docs = docs.select("doc_id", "url", "text").cache()
+    row = build_index(
+        docs,
+        index_dir,
+        n_partitions=8,
+        salt_df_threshold=300,  # low threshold: corpus hot terms get salted
+        n_salts=4,
+    )
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    oracle = OracleIndex.from_texts(texts)
+    return index_dir, row, oracle
+
+
+QUERIES = None
+
+
+def _queries():
+    global QUERIES
+    if QUERIES is None:
+        QUERIES = generate_query_set(seed=42, n_queries=20)
+    return QUERIES
+
+
+def test_build_metrics(built):
+    _, row, oracle = built
+    assert row["status"] == "live"
+    assert row["n_docs"] == oracle.n_docs
+    assert row["n_postings"] == sum(df for df, _ in oracle.term_stats().values())
+    assert row["docs_per_sec"] > 0
+    assert row["n_partitions"] >= 1
+
+
+def test_indexed_exhaustive_rank_identity(spark, built):
+    index_dir, _, oracle = built
+    for q in _queries():
+        expected = oracle.query(q["terms"], q["mode"], q["k"])
+        got = [
+            (r.doc_id, r.score)
+            for r in bm25_topk_indexed(spark, index_dir, q["terms"], q["mode"], q["k"]).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in expected], (q, got[:3], expected[:3])
+        for (gd, gs), (_, es) in zip(got, expected):
+            assert math.isclose(gs, es, rel_tol=1e-9), (q, gd, gs, es)
+
+
+def test_wand_rank_identity_and_prunes(spark, built):
+    index_dir, _, oracle = built
+    total_decoded = total_blocks = 0
+    for q in _queries():
+        expected = oracle.query(q["terms"], q["mode"], q["k"])
+        got, metrics = bm25_topk_wand(spark, index_dir, q["terms"], q["mode"], q["k"])
+        assert [d for d, _ in got] == [d for d, _ in expected], (q, got[:3], expected[:3])
+        for (gd, gs), (_, es) in zip(got, expected):
+            assert math.isclose(gs, es, rel_tol=1e-9), (q, gd, gs, es)
+        total_decoded += metrics["decoded_blocks"]
+        total_blocks += metrics["total_blocks"]
+    # pruning evidence: across the query set some blocks were skipped
+    assert total_decoded < total_blocks, (total_decoded, total_blocks)
+
+
+def test_salting_split_hot_terms(spark, built):
+    index_dir, _, oracle = built
+    from ocaml_lucene_spark.query.exec import _postings_df
+
+    # the hottest term must appear as several salt shards (block_no>=100000)
+    hot_term = max(oracle.term_stats().items(), key=lambda kv: kv[1][0])[0]
+    rows = _postings_df(spark, index_dir, [hot_term]).select("block_no").collect()
+    salts = {r.block_no // 100_000 for r in rows}
+    assert len(salts) > 1, f"hot term {hot_term} not salted: {salts}"
+
+
+def test_resume_skips_completed_partitions(spark, tiny_corpus, tmp_path_factory):
+    index_dir = str(tmp_path_factory.mktemp("index_resume"))
+    docs = assign_doc_ids(spark.read.parquet(tiny_corpus)).select("doc_id", "text")
+    r1 = build_index(docs, index_dir, segment="seg1", n_partitions=4)
+    assert r1["resumed_partitions"] == 0
+    # second run of the same segment: all partitions resume from checkpoint
+    r2 = build_index(docs, index_dir, segment="seg1", n_partitions=4)
+    assert r2["resumed_partitions"] == r2["n_partitions"], r2
+    # and the index still answers identically
+    a = bm25_topk_indexed(spark, index_dir, ["the"], "or", 5).collect()
+    assert len(a) > 0
+
+
+def test_docid_assignment_deterministic(spark, tiny_corpus):
+    d1 = {r.url: r.doc_id for r in assign_doc_ids(spark.read.parquet(tiny_corpus)).select("url", "doc_id").collect()}
+    d2 = {r.url: r.doc_id for r in assign_doc_ids(spark.read.parquet(tiny_corpus)).select("url", "doc_id").collect()}
+    assert d1 == d2
+    assert sorted(d1.values()) == list(range(len(d1)))

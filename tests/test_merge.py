@@ -1,0 +1,92 @@
+"""Merge + incremental indexing tests.
+
+- incremental two-batch build answers identically to one-shot build
+  (global stats aggregation across segments)
+- tiered merge preserves query results exactly (merge invariance)
+- tiered policy selects smallest same-tier segments
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocaml_lucene_spark.index.build import add_documents, assign_doc_ids, build_index
+from ocaml_lucene_spark.index.merge import maybe_merge, merge_segments, select_merges
+from ocaml_lucene_spark.index.segments import list_segments
+from ocaml_lucene_spark.oracle import OracleIndex
+from ocaml_lucene_spark.query.exec import bm25_topk_indexed, bm25_topk_wand
+from ocaml_lucene_spark.sources.corpus import generate_query_set
+
+
+@pytest.fixture(scope="module")
+def multi(spark, tiny_corpus, tmp_path_factory):
+    """Index built incrementally in 3 batches; oracle over the whole set."""
+    index_dir = str(tmp_path_factory.mktemp("index_multi"))
+    docs = spark.read.parquet(tiny_corpus).select("url", "text")
+    batches = [
+        docs.filter(F.crc32("url") % 3 == i) for i in range(3)
+    ]
+    for b in batches:
+        add_documents(b, index_dir, n_partitions=4, salt_df_threshold=300, n_salts=4)
+    # oracle over the union with engine-assigned doc ids
+    ids = []
+    base = 0
+    texts = {}
+    for b in batches:
+        with_ids = assign_doc_ids(b)
+        rows = with_ids.select("doc_id", "text").collect()
+        for r in rows:
+            texts[r.doc_id + base] = r.text
+        base += len(rows)
+    return index_dir, OracleIndex.from_texts(texts)
+
+
+def _check(spark, index_dir, oracle, n_queries=12):
+    for q in generate_query_set(seed=42, n_queries=n_queries):
+        expected = oracle.query(q["terms"], q["mode"], q["k"])
+        got = [
+            (r.doc_id, r.score)
+            for r in bm25_topk_indexed(spark, index_dir, q["terms"], q["mode"], q["k"]).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in expected], (q, got[:3], expected[:3])
+        for (_, gs), (_, es) in zip(got, expected):
+            assert math.isclose(gs, es, rel_tol=1e-9)
+
+
+def test_incremental_equals_oracle(spark, multi):
+    index_dir, oracle = multi
+    assert len(list_segments(index_dir)) == 3
+    _check(spark, index_dir, oracle)
+
+
+def test_merge_preserves_results(spark, multi):
+    index_dir, oracle = multi
+    live_before = [r["segment"] for r in list_segments(index_dir)]
+    row = merge_segments(spark, index_dir, live_before[:2], n_partitions=4)
+    live_after = list_segments(index_dir)
+    names_after = {r["segment"] for r in live_after}
+    assert row["segment"] in names_after
+    assert not (set(live_before[:2]) & names_after)
+    _check(spark, index_dir, oracle)
+    # WAND agrees post-merge too
+    got, _ = bm25_topk_wand(spark, index_dir, ["the", "and"], "or", 10)
+    exp = oracle.query(["the", "and"], "or", 10)
+    assert [d for d, _ in got] == [d for d, _ in exp]
+
+
+def test_maybe_merge_to_single_segment(spark, multi):
+    index_dir, oracle = multi
+    maybe_merge(spark, index_dir, merge_factor=2, n_partitions=4)
+    assert len(list_segments(index_dir)) == 1
+    _check(spark, index_dir, oracle, n_queries=8)
+
+
+def test_select_merges_policy():
+    mk = lambda n, b: {"segment": n, "bytes_packed": b, "status": "live"}  # noqa: E731
+    segs = [mk("a", 100), mk("b", 120), mk("c", 110), mk("d", 130),
+            mk("e", 10_000), mk("f", 11_000)]
+    merges = select_merges(segs, merge_factor=4)
+    assert merges == [["a", "c", "b", "d"]]
+    # a lone tier below merge_factor is left alone
+    assert select_merges(segs[:3], merge_factor=4) == []
