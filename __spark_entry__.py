@@ -32,7 +32,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # query registry: each entry returns a DataFrame given (spark, sf_dir)
 # --------------------------------------------------------------------
 
+def _query_vec(sf_dir: str, vec_id: int = 0) -> list[float]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    idx = t.column("vec_id").to_pylist().index(vec_id)
+    return t.column("embedding").to_pylist()[idx]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from ocaml_lucene_spark.functions import textstats
+    from ocaml_lucene_spark.operators import ann, dedup
     from ocaml_lucene_spark.query import bm25
 
     def q_bm25_or(spark, sf):
@@ -69,6 +79,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_phrase_counts(spark, sf):
         return bm25.phrase_counts(_docs(spark, sf), "table", "hash")
 
+    # --- training-data pipeline ops (dedup / ANN / text analysis) ---
+
+    def q_dedup_exact(spark, sf):
+        return dedup.exact_dup_groups(_docs(spark, sf))
+
+    def q_minhash_signatures(spark, sf):
+        return dedup.minhash_signatures(_docs(spark, sf))
+
+    def q_minhash_pairs(spark, sf):
+        return dedup.minhash_candidate_pairs(_docs(spark, sf), min_est_jaccard=0.5)
+
+    def q_ngram_jaccard(spark, sf):
+        return dedup.ngram_jaccard_pairs(_docs(spark, sf), min_jaccard=0.8)
+
+    def q_simhash(spark, sf):
+        return dedup.simhash_signatures(_docs(spark, sf))
+
+    def q_lang_id(spark, sf):
+        return textstats.language_id(_docs(spark, sf))
+
+    def q_quality(spark, sf):
+        return textstats.quality_features(_docs(spark, sf))
+
+    def q_token_counts(spark, sf):
+        return textstats.token_counts(_docs(spark, sf))
+
+    def q_fingerprints(spark, sf):
+        return textstats.fingerprints(_docs(spark, sf))
+
+    def _vecs(spark, sf):
+        return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+    def q_ann_brute(spark, sf):
+        return ann.brute_force_topk(_vecs(spark, sf), _query_vec(sf), k=10, exclude_self=0)
+
+    def q_ann_lsh(spark, sf):
+        return ann.lsh_topk(_vecs(spark, sf), _query_vec(sf), k=10, n_bits=8)
+
+    def q_embed_near_dup(spark, sf):
+        return ann.embedding_near_dup_pairs(_vecs(spark, sf), min_sim=0.9, n_bits=4)
+
     return {
         "bm25_or_top10": q_bm25_or,
         "bm25_and_top10": q_bm25_and,
@@ -80,13 +131,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "doc_lengths": q_doc_lengths,
         "phrase_counts": q_phrase_counts,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_candidate_pairs": q_minhash_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard,
+        "simhash_signatures": q_simhash,
+        "language_id": q_lang_id,
+        "quality_features": q_quality,
+        "token_counts": q_token_counts,
+        "fingerprints": q_fingerprints,
+        "ann_brute_force": q_ann_brute,
+        "ann_lsh": q_ann_lsh,
+        "embedding_near_dup": q_embed_near_dup,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from ocaml_lucene_spark.query import oracle_sql as osql
+    from ocaml_lucene_spark.query import oracle_sql_ops as oops
 
-    return {
+    sf_for_vec = "/root/testdata/sf0.01"
+    qv = _query_vec(sf_for_vec)
+    ops = {
+        "dedup_exact": oops.exact_dup_groups_sql(),
+        "minhash_signatures": oops.minhash_signatures_sql(),
+        "minhash_candidate_pairs": oops.minhash_candidate_pairs_sql(min_est_jaccard=0.5),
+        "ngram_jaccard_pairs": oops.ngram_jaccard_pairs_sql(min_jaccard=0.8),
+        "simhash_signatures": oops.simhash_signatures_sql(),
+        "language_id": oops.language_id_sql(),
+        "quality_features": oops.quality_features_sql(),
+        "token_counts": oops.token_counts_sql(),
+        "fingerprints": oops.fingerprints_sql(),
+        "ann_brute_force": oops.brute_force_topk_sql(qv, k=10, exclude_self=0),
+        "ann_lsh": oops.lsh_topk_sql(qv, k=10, n_bits=8),
+        "embedding_near_dup": oops.embedding_near_dup_pairs_sql(min_sim=0.9, n_bits=4),
+    }
+    return ops | {
         "bm25_or_top10": osql.bm25_topk_sql(["spark", "query", "dup"], "or", 10),
         "bm25_and_top10": osql.bm25_topk_sql(["join", "hash", "scan"], "and", 10),
         "bm25_single_rare": osql.bm25_topk_sql(["dup"], "or", 100),

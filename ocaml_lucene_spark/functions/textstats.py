@@ -1,0 +1,111 @@
+"""Text analysis for training-data pipelines: language ID, quality
+scoring, token counting, document fingerprinting.
+
+All pure Column expressions (codegen) with DuckDB-oracle equivalents —
+the heuristics are deliberately simple/deterministic (n-gram/stopword
+counting, ratio features, md5 fingerprints), the point is the Spark
+plumbing: one pass, no UDFs, pushdown-friendly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .analysis import tokens_col
+
+# tiny deterministic stopword profiles (mirrored in the oracle SQL)
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "was", "for", "with", "that"],
+    "de": ["der", "und", "die", "das", "nicht", "mit", "ist", "von", "ein", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "une", "est", "dans", "pour", "que"],
+}
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, pred_lang, hits): argmax of stopword-profile hits;
+    'und' (undetermined) when no profile matches. Ties broken by
+    profile order en < de < fr via max(struct(hits, rank))."""
+    toks = tokens_col(text_col).alias("toks")
+    base = docs.select(F.col(id_col).alias("doc_id"), toks)
+    cands = []
+    for rank, (lang, words) in enumerate(LANG_PROFILES.items()):
+        arr = F.array(*[F.lit(w) for w in words])
+        hits = F.size(F.filter("toks", lambda t: F.array_contains(arr, t)))
+        cands.append(F.struct(hits.alias("hits"), F.lit(-rank).alias("prio"), F.lit(lang).alias("lang")))
+    best = F.greatest(*cands)
+    return base.select(
+        "doc_id",
+        F.when(best.getField("hits") > 0, best.getField("lang")).otherwise(F.lit("und")).alias("pred_lang"),
+        best.getField("hits").alias("hits"),
+    )
+
+
+def quality_features(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_chars, n_tokens, n_unique, avg_token_len,
+    stopword_ratio, alnum_ratio, quality_score) — the usual cheap
+    quality filters (length, lexical diversity, stopword density,
+    punctuation/noise share), rounded for oracle comparison."""
+    toks = tokens_col(text_col)
+    en = F.array(*[F.lit(w) for w in LANG_PROFILES["en"]])
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        toks.alias("toks"),
+    ).select(
+        "doc_id",
+        "text",
+        "toks",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_unique"),
+    )
+    alnum_chars = F.length(F.regexp_replace(F.lower("text"), "[^a-z0-9]", ""))
+    stop_hits = F.size(F.filter("toks", lambda t: F.array_contains(en, t)))
+    out = base.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        "n_unique",
+        F.round(
+            F.when(F.col("n_tokens") > 0, alnum_chars / F.col("n_tokens")).otherwise(0.0), 4
+        ).alias("avg_token_len"),
+        F.round(
+            F.when(F.col("n_tokens") > 0, stop_hits / F.col("n_tokens")).otherwise(0.0), 4
+        ).alias("stopword_ratio"),
+        F.round(
+            F.when(F.col("n_chars") > 0, alnum_chars / F.col("n_chars")).otherwise(0.0), 4
+        ).alias("alnum_ratio"),
+        F.round(
+            F.when(F.col("n_tokens") > 0, F.col("n_unique") / F.col("n_tokens")).otherwise(0.0), 4
+        ).alias("lexical_diversity"),
+    )
+    return out
+
+
+def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_ws_tokens, n_tokens, n_unique): whitespace split vs
+    the BPE-ish [a-z0-9]+ regex grammar."""
+    toks = tokens_col(text_col)
+    ws = F.filter(F.split(F.col(text_col), "\\s+"), lambda t: t != F.lit(""))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(ws).cast("long").alias("n_ws_tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
+    )
+
+
+def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, exact_fp, min_shingle_fp): exact md5 of text plus the
+    minimum shingle hash (winnowing-style content fingerprint that
+    survives small edits at the ends)."""
+    from ..operators.dedup import shingles_col
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(text_col)).alias("exact_fp"),
+        F.array_min(
+            F.transform(shingles_col(text_col, n), lambda s: F.md5(s))
+        ).alias("min_shingle_fp"),
+    )

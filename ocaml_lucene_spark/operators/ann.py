@@ -1,0 +1,123 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: the exact baseline — JVM-side zip_with /
+  aggregate expressions (no UDF), one TakeOrderedAndProject.
+- LSH-bucketed ANN: sign-bit buckets (axis-aligned random-hyperplane
+  LSH with deterministic planes = the first ``n_bits`` dimensions, so
+  the DuckDB oracle can reproduce buckets exactly); candidates searched
+  within the query's bucket only.
+- embedding cosine near-dup pairs within buckets (dedup by embedding).
+
+Scale notes: brute force is a full scan per query — fine batched (join
+queries x docs co-partitioned), the baseline for recall checks. The
+LSH variant prunes the scan to one bucket (or multi-probe neighbors);
+at 10^12 scale buckets are additionally partition keys so a probe is
+partition-pruned. IVF (k-means coarse quantizer) would slot into the
+same shape; sign-bit LSH keeps the oracle deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    vecs: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: int | None = None,
+) -> DataFrame:
+    """(vec_id, sim) exact cosine top-k; tie-break (sim desc, vec_id)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    df = vecs.select(
+        F.col(id_col).alias("vec_id"),
+        F.round(cosine_col(F.col(vec_col), q), 4).alias("sim"),
+    )
+    if exclude_self is not None:
+        df = df.filter(F.col("vec_id") != exclude_self)
+    return df.orderBy(F.desc("sim"), F.asc("vec_id")).limit(k)
+
+
+def signbit_bucket(vec_col: Column, n_bits: int = 8) -> Column:
+    """Deterministic LSH bucket: sign bits of the first n_bits dims."""
+    bits = F.transform(
+        F.slice(vec_col, 1, n_bits),
+        lambda x: F.when(x >= 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return F.aggregate(
+        bits, F.lit(0), lambda acc, b: acc * 2 + b
+    ).alias("bucket")
+
+
+def lsh_topk(
+    vecs: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: search only the query's sign-bit bucket. Approximate by
+    construction; recall measured against brute_force_topk in tests."""
+    qbucket = 0
+    for x in query_vec[:n_bits]:
+        qbucket = qbucket * 2 + (1 if x >= 0 else 0)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        vecs.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("v"),
+            signbit_bucket(F.col(vec_col), n_bits).alias("bucket"),
+        )
+        .filter(F.col("bucket") == qbucket)
+        .select("vec_id", F.round(cosine_col(F.col("v"), q), 4).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def embedding_near_dup_pairs(
+    vecs: DataFrame,
+    min_sim: float = 0.95,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_a, vec_b, sim) pairs with cosine >= min_sim, candidate-
+    generated inside sign-bit buckets (bucket equi-join, quadratic only
+    within a bucket)."""
+    b = vecs.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        signbit_bucket(F.col(vec_col), n_bits).alias("bucket"),
+    )
+    l, r = b.alias("l"), b.alias("r")
+    return (
+        l.join(r, "bucket")
+        .filter(F.col("l.vec_id") < F.col("r.vec_id"))
+        .select(
+            F.col("l.vec_id").alias("vec_a"),
+            F.col("r.vec_id").alias("vec_b"),
+            F.round(cosine_col(F.col("l.v"), F.col("r.v")), 4).alias("sim"),
+        )
+        .filter(F.col("sim") >= min_sim)
+    )

@@ -1,0 +1,265 @@
+"""DuckDB oracle SQL for the training-data pipeline operators
+(operators/dedup.py, operators/ann.py, functions/textstats.py).
+
+Same md5-based hash functions and token/shingle grammar as the Spark
+plans, so signatures, buckets, and scores agree bit-for-bit (floats
+rounded to 4 on both sides)."""
+
+from __future__ import annotations
+
+TOKS = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+)
+
+
+def _shingles(n: int = 3) -> str:
+    return f"""
+sh_base AS (
+  SELECT doc_id, {TOKS} AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < {n} THEN [array_to_string(t, ' ')]
+              ELSE list_transform(range(len(t) - {n} + 1), i -> array_to_string(t[i+1:i+{n}], ' '))
+         END AS shingles
+  FROM sh_base
+)
+"""
+
+
+def exact_dup_groups_sql() -> str:
+    return """
+SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS canonical_doc_id
+FROM documents GROUP BY md5(text)
+"""
+
+
+def minhash_signatures_sql(n_hashes: int = 16) -> str:
+    sig_cols = ",\n       ".join(
+        f"list_min(list_transform(shingles, s -> md5('{h}|' || s))) AS sig_{h}"
+        for h in range(n_hashes)
+    )
+    return f"""
+WITH {_shingles()}
+SELECT doc_id,
+       {sig_cols}
+FROM sh
+"""
+
+
+def minhash_candidate_pairs_sql(
+    n_hashes: int = 16, bands: int = 4, min_est_jaccard: float = 0.5
+) -> str:
+    rows = n_hashes // bands
+    band_selects = []
+    for b in range(bands):
+        parts = " || '|' || ".join(f"sig_{b * rows + r}" for r in range(rows))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, md5({parts}) AS band_hash FROM sigs"
+        )
+    banded = " UNION ALL ".join(band_selects)
+    eq = " + ".join(
+        f"CASE WHEN a.sig_{h} = b.sig_{h} THEN 1 ELSE 0 END" for h in range(n_hashes)
+    )
+    return f"""
+WITH {_shingles()},
+sigs AS (
+  SELECT doc_id,
+         {", ".join(f"list_min(list_transform(shingles, s -> md5('{h}|' || s))) AS sig_{h}" for h in range(n_hashes))}
+  FROM sh
+),
+banded AS ({banded}),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM banded l JOIN banded r USING (band_id, band_hash)
+  WHERE l.doc_id < r.doc_id
+)
+SELECT doc_a, doc_b, round(({eq}) / {float(n_hashes)}, 4) AS est_jaccard
+FROM pairs JOIN sigs a ON pairs.doc_a = a.doc_id JOIN sigs b ON pairs.doc_b = b.doc_id
+WHERE round(({eq}) / {float(n_hashes)}, 4) >= {min_est_jaccard}
+"""
+
+
+def ngram_jaccard_pairs_sql(min_jaccard: float = 0.8, n: int = 3) -> str:
+    return f"""
+WITH {_shingles(n)},
+ds AS (SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY doc_id),
+inter AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS n_inter
+  FROM ds l JOIN ds r ON l.s = r.s AND l.doc_id < r.doc_id
+  GROUP BY l.doc_id, r.doc_id
+)
+SELECT doc_a, doc_b,
+       round(n_inter / (sa.n_sh + sb.n_sh - n_inter)::DOUBLE, 4) AS jaccard
+FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter)::DOUBLE, 4) >= {min_jaccard}
+"""
+
+
+def simhash_signatures_sql(bits: int = 32) -> str:
+    return f"""
+WITH base AS (SELECT doc_id, {TOKS} AS t FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM base)
+  GROUP BY doc_id, term
+),
+h AS (
+  SELECT doc_id, tf, ('0x' || substr(md5(term), 1, 15))::BIGINT AS hv FROM tf
+),
+bitsum AS (
+  SELECT doc_id, j, sum(CASE WHEN (hv >> j) & 1 = 1 THEN tf ELSE -tf END) AS s
+  FROM h, unnest(range({bits})) AS u(j)
+  GROUP BY doc_id, j
+)
+SELECT doc_id, sum(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END)::BIGINT AS simhash
+FROM bitsum GROUP BY doc_id
+"""
+
+
+def language_id_sql() -> str:
+    # mirrors functions/textstats.py LANG_PROFILES; argmax with ties
+    # resolved by profile order (en < de < fr), same as Spark's
+    # greatest(struct(hits, prio, lang))
+    from ..functions.textstats import LANG_PROFILES
+
+    hit_cols = []
+    langs = list(LANG_PROFILES)
+    for lang, words in LANG_PROFILES.items():
+        arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        hit_cols.append(
+            f"len(list_filter(t, x -> list_contains({arr}, x))) AS h_{lang}"
+        )
+    # CASE chain in profile order: earlier profile wins ties via >=
+    case = "CASE "
+    for i, lang in enumerate(langs):
+        conds = [f"h_{lang} >= h_{other}" for other in langs[i + 1 :]]
+        cond = " AND ".join(conds) if conds else "TRUE"
+        case += f"WHEN {cond} THEN '{lang}' "
+    case += "END"
+    best = "greatest(" + ", ".join(f"h_{la}" for la in langs) + ")"
+    return f"""
+WITH base AS (SELECT doc_id, {TOKS} AS t FROM documents),
+scored AS (
+  SELECT doc_id, {", ".join(hit_cols)} FROM base
+)
+SELECT doc_id,
+       CASE WHEN {best} > 0 THEN {case} ELSE 'und' END AS pred_lang,
+       {best}::INT AS hits
+FROM scored
+"""
+
+
+def quality_features_sql() -> str:
+    from ..functions.textstats import LANG_PROFILES
+
+    en = "[" + ", ".join(f"'{w}'" for w in LANG_PROFILES["en"]) + "]"
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, {TOKS} AS t FROM documents
+),
+m AS (
+  SELECT doc_id,
+         length(text)::BIGINT AS n_chars,
+         len(t)::BIGINT AS n_tokens,
+         len(list_distinct(t))::BIGINT AS n_unique,
+         length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::DOUBLE AS alnum,
+         len(list_filter(t, x -> list_contains({en}, x)))::DOUBLE AS stop_hits
+  FROM base
+)
+SELECT doc_id, n_chars, n_tokens, n_unique,
+       round(CASE WHEN n_tokens > 0 THEN alnum / n_tokens ELSE 0 END, 4) AS avg_token_len,
+       round(CASE WHEN n_tokens > 0 THEN stop_hits / n_tokens ELSE 0 END, 4) AS stopword_ratio,
+       round(CASE WHEN n_chars > 0 THEN alnum / n_chars ELSE 0 END, 4) AS alnum_ratio,
+       round(CASE WHEN n_tokens > 0 THEN n_unique / n_tokens::DOUBLE ELSE 0 END, 4) AS lexical_diversity
+FROM m
+"""
+
+
+def token_counts_sql() -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, {TOKS} AS t FROM documents
+)
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))::BIGINT AS n_ws_tokens,
+       len(t)::BIGINT AS n_tokens,
+       len(list_distinct(t))::BIGINT AS n_unique
+FROM base
+"""
+
+
+def fingerprints_sql(n: int = 3) -> str:
+    return f"""
+WITH {_shingles(n)}
+SELECT s.doc_id,
+       md5(d.text) AS exact_fp,
+       list_min(list_transform(s.shingles, x -> md5(x))) AS min_shingle_fp
+FROM sh s JOIN documents d ON s.doc_id = d.doc_id
+"""
+
+
+# ---- embeddings ------------------------------------------------------
+
+def _cos(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), p -> p[1]::DOUBLE * p[2]::DOUBLE)) / "
+        f"(sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE))) * "
+        f"sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE))))"
+    )
+
+
+def brute_force_topk_sql(query_vec: list[float], k: int = 10, exclude_self: int | None = None) -> str:
+    q = "[" + ", ".join(repr(float(x)) for x in query_vec) + "]::DOUBLE[]"
+    where = f"WHERE vec_id <> {exclude_self}" if exclude_self is not None else ""
+    return f"""
+WITH q AS (SELECT {q} AS qv)
+SELECT vec_id, round({_cos("embedding", "qv")}, 4) AS sim
+FROM embeddings, q {where}
+ORDER BY sim DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
+def _bucket(vec: str, n_bits: int) -> str:
+    return (
+        f"list_aggregate(list_transform({vec}[1:{n_bits}], "
+        f"x -> CASE WHEN x >= 0 THEN 1 ELSE 0 END), 'sum') "
+    )
+
+
+def signbit_bucket_expr(vec: str, n_bits: int) -> str:
+    # base-2 accumulate: fold bits left to right
+    expr = "0"
+    for i in range(1, n_bits + 1):
+        expr = f"({expr}) * 2 + (CASE WHEN {vec}[{i}] >= 0 THEN 1 ELSE 0 END)"
+    return expr
+
+
+def lsh_topk_sql(query_vec: list[float], k: int = 10, n_bits: int = 8) -> str:
+    qbucket = 0
+    for x in query_vec[:n_bits]:
+        qbucket = qbucket * 2 + (1 if x >= 0 else 0)
+    q = "[" + ", ".join(repr(float(x)) for x in query_vec) + "]::DOUBLE[]"
+    return f"""
+WITH q AS (SELECT {q} AS qv)
+SELECT vec_id, round({_cos("embedding", "qv")}, 4) AS sim
+FROM embeddings, q
+WHERE {signbit_bucket_expr("embedding", n_bits)} = {qbucket}
+ORDER BY sim DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
+def embedding_near_dup_pairs_sql(min_sim: float = 0.95, n_bits: int = 8) -> str:
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, {signbit_bucket_expr("embedding", n_bits)} AS bucket
+  FROM embeddings
+)
+SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+       round({_cos("l.embedding", "r.embedding")}, 4) AS sim
+FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+WHERE round({_cos("l.embedding", "r.embedding")}, 4) >= {min_sim}
+"""

