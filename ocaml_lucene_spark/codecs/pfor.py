@@ -24,38 +24,51 @@ MAX_EXCEPTIONS = 7
 
 
 def encode(values: np.ndarray) -> bytes:
-    v = np.asarray(values, dtype=np.uint64)
+    v = np.ascontiguousarray(values, dtype=np.uint64)
     n = v.size
     if n == 0:
         return bytes([0, 0])
-    widths = np.zeros(n, dtype=np.int64)
-    nz = v > 0
-    widths[nz] = np.floor(np.log2(v[nz].astype(np.float64))).astype(np.int64) + 1
-    max_w = int(widths.max())
-    if n > MAX_EXCEPTIONS:
-        eighth_w = int(np.partition(widths, n - (MAX_EXCEPTIONS + 1))[n - (MAX_EXCEPTIONS + 1)])
-    else:
-        eighth_w = 0
-    base_w = max(eighth_w, max_w - 8)
-    exc_idx = np.nonzero(widths > base_w)[0]
-    if exc_idx.size > MAX_EXCEPTIONS:
-        raise AssertionError("exception budget exceeded — base width selection bug")
-    high = (v[exc_idx] >> base_w).astype(np.uint64)
-    if high.size and int(high.max()) > 0xFF:
-        raise AssertionError("exception high bits exceed one byte")
-    mask = np.uint64((1 << base_w) - 1)
-    low = (v & mask).astype(np.uint64)
-
+    vmax = int(v.max())
     out = bytearray()
     # width-0 special case (all values equal, vint payload) — only taken
     # with zero exceptions so decode is unambiguous; with exceptions we
     # fall through to the packed path (the reference's shifted-prefix
     # variant trades that ambiguity for one quirky byte; we don't need
-    # byte parity, only round-trip semantics).
-    if exc_idx.size == 0 and bool((v == v[0]).all()):
+    # byte parity, only round-trip semantics). This is THE hot block
+    # shape (tf=1 runs, dense-delta runs), so it's checked first.
+    if int(v.min()) == vmax:
         out.append(0)
-        write_vint(int(v[0]), out)
+        write_vint(vmax, out)
         return bytes(out)
+    max_w = vmax.bit_length()
+    if n <= MAX_EXCEPTIONS + 1 or max_w <= 8:
+        # exceptions can't pay for themselves: plain FOR at max width
+        # (also skips the per-block widths/partition numpy work — the
+        # kernel encodes ~100k blocks per task, so per-block call count
+        # matters more than a few saved bits)
+        base_w = max_w
+        exc_idx = np.zeros(0, dtype=np.int64)
+        high = exc_idx
+        low = v
+    else:
+        widths = np.zeros(n, dtype=np.int64)
+        nz = v > 0
+        widths[nz] = np.floor(np.log2(v[nz].astype(np.float64))).astype(np.int64) + 1
+        eighth_w = int(
+            np.partition(widths, n - (MAX_EXCEPTIONS + 1))[n - (MAX_EXCEPTIONS + 1)]
+        )
+        base_w = max(eighth_w, max_w - 8)
+        exc_idx = np.nonzero(widths > base_w)[0]
+        if exc_idx.size > MAX_EXCEPTIONS:
+            raise AssertionError("exception budget exceeded — base width selection bug")
+        if base_w == max_w:
+            high = np.zeros(0, dtype=np.uint64)
+            low = v
+        else:
+            high = (v[exc_idx] >> np.uint64(base_w)).astype(np.uint64)
+            if high.size and int(high.max()) > 0xFF:
+                raise AssertionError("exception high bits exceed one byte")
+            low = v & np.uint64((1 << base_w) - 1)
     # token byte: 3-bit exception count | 5-bit width (reference parity for
     # widths <= 30); field value 31 escapes to an explicit width byte, since
     # our payloads may be 64-bit (the reference caps at 32-bit postings ints).

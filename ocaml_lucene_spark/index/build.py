@@ -43,28 +43,45 @@ DEFAULT_N_SALTS = 16
 
 
 def assign_doc_ids(docs: DataFrame, id_partitions: int | None = None) -> DataFrame:
-    """Deterministic dense docIDs: range-partition by url, count per
-    partition, cumulative offsets via a tiny driver exchange, then
-    per-partition enumeration. Pure function of the url set."""
+    """Deterministic dense docIDs, pure function of the url set.
+
+    Hash-partition by url (murmur3 — identical across jobs, unlike
+    repartitionByRange whose sampled boundaries vary run to run and
+    would break the counts/assignment consistency), sort within
+    partitions, count per partition (tiny driver exchange), then
+    enumerate per partition with mapInPandas (no window shuffle)."""
     spark = docs.sparkSession
-    n = id_partitions or docs.sparkSession.sparkContext.defaultParallelism
-    parted = docs.repartitionByRange(n, "url").sortWithinPartitions("url")
-    parted = parted.withColumn("_pid", F.spark_partition_id())
-    counts = {r._pid: r.c for r in parted.groupBy("_pid").agg(F.count("*").alias("c")).collect()}
-    offsets = {}
+    n = id_partitions or spark.sparkContext.defaultParallelism
+    parted = (
+        docs.repartition(n, "url")
+        .sortWithinPartitions("url")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    counts = {
+        r._pid: r.c
+        for r in parted.groupBy("_pid").agg(F.count("*").alias("c")).collect()
+    }
+    offsets: dict[int, int] = {}
     acc = 0
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    offs = spark.createDataFrame(
-        [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
-    )
-    w = __import__("pyspark").sql.Window.partitionBy("_pid").orderBy("url")
-    return (
-        parted.join(F.broadcast(offs), "_pid")
-        .withColumn("doc_id", (F.row_number().over(w) - 1 + F.col("_off")).cast("long"))
-        .drop("_pid", "_off")
-    )
+    out_schema = parted.drop("_pid").schema.add("doc_id", "long")
+
+    def enumerate_partition(batches):
+        rn = 0
+        off = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if off is None:
+                off = offsets[int(pdf["_pid"].iloc[0])]
+            pdf = pdf.drop(columns=["_pid"])
+            pdf["doc_id"] = range(off + rn, off + rn + len(pdf))
+            rn += len(pdf)
+            yield pdf
+
+    return parted.mapInPandas(enumerate_partition, out_schema)
 
 
 def build_index(
@@ -92,6 +109,14 @@ def build_index(
     base = docs.select(
         F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("toks")
     ).withColumn("dl", F.size("toks").cast("long"))
+    # tokenize once: hot-sample, postings, and norms all consume `base`.
+    # MEMORY_AND_DISK in local/bench; on a 100 TB cluster this becomes a
+    # materialized staging table (or recompute, set persist_tokens=0).
+    persist_tokens = os.environ.get("OLSPARK_PERSIST_TOKENS", "1") != "0"
+    if persist_tokens:
+        from pyspark import StorageLevel
+
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
 
     if with_positions:
         tf = (
@@ -109,16 +134,18 @@ def build_index(
             .agg(F.count("*").cast("long").alias("tf"))
         )
 
-    # hot-term detection from a deterministic sample: a term with true
-    # df > threshold appears in a 1% sample with df_sample ≈ df/100 —
-    # no second full pass over the postings. The list of hot terms is
-    # vocabulary-bounded and broadcast.
-    sample_frac = min(1.0, max(10_000 / max(salt_df_threshold, 1), 0.001))
+    # hot-term detection from a small deterministic sample: a term with
+    # true df > threshold shows df_sample ≈ df * frac (threshold scaled
+    # accordingly), so one cheap 2% pass finds the Zipfian head — never
+    # a second full pass over the corpus. The hot list is vocabulary-
+    # bounded and broadcast.
+    sample_frac = float(os.environ.get("OLSPARK_SALT_SAMPLE_FRAC", "0.02"))
     hot = (
-        base.sample(fraction=min(sample_frac, 1.0), seed=7)
+        base.sample(fraction=sample_frac, seed=7)
         .select("doc_id", F.explode_outer("toks").alias("term"))
         .groupBy("term")
-        .agg(F.countDistinct("doc_id").alias("df_s"))
+        .agg(F.approx_count_distinct("doc_id").alias("df_s"))  # HLL: one
+        # pass, no expand — exact counts are wasted on a threshold test
         .filter(F.col("df_s") > salt_df_threshold * sample_frac)
         .select("term", F.lit(1).alias("_hot"))
     )
@@ -138,8 +165,13 @@ def build_index(
     # The pack kernel term-sorts within each shard, so parquet row-group
     # min/max term stats (zone maps) still prune point lookups to ~one
     # row group per shard; hot terms spread across n_salts partitions.
-    shuffled = tf.repartition(n_parts, "term", "salt").withColumn(
-        "pid", F.spark_partition_id()
+    # sort in the JVM (Tungsten sort, radix on the shuffled rows) — a
+    # pandas object-dtype string sort in the kernel costs more than the
+    # packing itself; the kernel verifies order and skips its own sort
+    shuffled = (
+        tf.repartition(n_parts, "term", "salt")
+        .sortWithinPartitions("term", "salt", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
     )
 
     def pack_iter(batches):
@@ -209,6 +241,8 @@ def build_index(
         ),
     }
     seg.write_manifest_row(index_dir, manifest_row)
+    if persist_tokens:
+        base.unpersist()
     return manifest_row
 
 

@@ -105,9 +105,18 @@ def pack_partition(
             row["status"] = "skipped_checkpoint"
             return pd.DataFrame([row])
 
-    pdf = pdf.sort_values(["term", "salt", "doc_id"], kind="mergesort")
+    # input is JVM-sorted by (term, salt, doc_id); verify cheaply and
+    # only fall back to a pandas sort if the invariant is broken
     terms = pdf["term"].to_numpy()
     doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+    salts_arr = pdf["salt"].to_numpy()
+    same_group = (terms[1:] == terms[:-1]) & (salts_arr[1:] == salts_arr[:-1])
+    docs_ok = bool((~same_group | (np.diff(doc_ids) > 0)).all())
+    terms_ok = bool((terms[1:] >= terms[:-1]).all())
+    if not (docs_ok and terms_ok):
+        pdf = pdf.sort_values(["term", "salt", "doc_id"], kind="mergesort")
+        terms = pdf["term"].to_numpy()
+        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
     tfs = pdf["tf"].to_numpy(dtype=np.int64)
     dls = pdf["dl"].to_numpy(dtype=np.int64)
     positions = None
@@ -173,7 +182,10 @@ def pack_partition(
     os.makedirs(postings_dir, exist_ok=True)
     os.makedirs(checkpoint_dir, exist_ok=True)
     tmp = shard + f".tmp-{uuid.uuid4().hex[:8]}"
-    pq.write_table(table, tmp, row_group_size=4096, compression="zstd")
+    # cheap page compression: payload columns are already FOR/PFOR-
+    # packed, so a fast codec wins on build throughput (snappy — the
+    # pyarrow lz4 framing is not readable by Spark's parquet reader)
+    pq.write_table(table, tmp, row_group_size=4096, compression="snappy")
     os.replace(tmp, shard)  # atomic publish
 
     elapsed = time.monotonic() - t0
@@ -189,7 +201,7 @@ def pack_partition(
         "partition_id": pid,
         "min_term": str(terms[0]),
         "max_term": str(terms[-1]),
-        "n_terms": int(len(np.unique(terms))),
+        "n_terms": int((terms[1:] != terms[:-1]).sum()) + 1,
         "n_postings": n_postings,
         "n_blocks": n_blocks,
         "bytes_packed": bytes_packed,

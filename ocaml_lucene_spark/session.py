@@ -43,7 +43,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # split small-file scans across all cores: default 128MB packs a
+        # whole bench corpus into ~2 tasks, serializing every stage that
+        # reads it (at cluster scale input files outnumber cores anyway)
+        .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIR", "/dev/shm/olspark"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

@@ -5,6 +5,10 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# tiny test corpora: use exact (full-scan) hot-term detection so the
+# salting assertions are deterministic
+os.environ.setdefault("OLSPARK_SALT_SAMPLE_FRAC", "1.0")
+
 
 @pytest.fixture(scope="session")
 def spark():
