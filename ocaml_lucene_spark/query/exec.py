@@ -135,6 +135,71 @@ def bm25_topk_indexed(
     )
 
 
+def phrase_counts_indexed(
+    spark: SparkSession, index_dir: str, first: str, second: str
+) -> DataFrame:
+    """(doc_id, n_phrase) for adjacent '<first> <second>' from the packed
+    positions stream (.pos consumer; requires with_positions build).
+
+    Plan: scan blocks of both terms (term pushdown) -> numpy decode of
+    doc/tf/pos streams -> explode to (doc_id, term, positions) ->
+    co-partition by doc_id -> vectorized adjacency via sorted-array
+    membership inside applyInPandas."""
+    import numpy as np
+
+    blocks = _postings_df(spark, index_dir, [first, second]).select(
+        "term", "n", "doc_bytes", "tf_bytes", "pos_bytes"
+    )
+
+    def decode_pos(batches):
+        from ..codecs import pfor
+        from ..codecs.blocks import decode_positions
+        from ..codecs.delta import delta_decode
+
+        for pdf in batches:
+            ids, terms_out, poss = [], [], []
+            for term, n, db, tb, pb in zip(
+                pdf["term"], pdf["n"], pdf["doc_bytes"], pdf["tf_bytes"], pdf["pos_bytes"]
+            ):
+                if pb is None:
+                    raise ValueError("index was built without positions")
+                docs = delta_decode(bytes(db))
+                tf = pfor.decode(bytes(tb), int(n)).astype(np.int64)
+                plists = decode_positions(bytes(pb), tf)
+                ids.extend(int(d) for d in docs)
+                terms_out.extend([term] * len(docs))
+                poss.extend([p.tolist() for p in plists])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "term": pd.Series(terms_out, dtype=object),
+                    "positions": pd.Series(poss, dtype=object),
+                }
+            )
+
+    exploded = blocks.mapInPandas(
+        decode_pos, "doc_id long, term string, positions array<long>"
+    )
+
+    def count_adjacent(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf[pdf["term"] == first]
+        b = pdf[pdf["term"] == second]
+        if a.empty or b.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "n_phrase": pd.Series([], dtype="int64")})
+        p1 = np.asarray(a["positions"].iloc[0], dtype=np.int64)
+        p2 = np.asarray(b["positions"].iloc[0], dtype=np.int64)
+        hits = np.isin(p1 + 1, p2).sum()
+        if hits == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "n_phrase": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"doc_id": [int(pdf["doc_id"].iloc[0])], "n_phrase": [int(hits)]})
+
+    return exploded.groupBy("doc_id").applyInPandas(
+        count_adjacent, "doc_id long, n_phrase long"
+    )
+
+
 def bm25_topk_wand(
     spark: SparkSession,
     index_dir: str,

@@ -1,0 +1,117 @@
+"""Multimodal plumbing + streaming incremental indexing tests."""
+
+import math
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ocaml_lucene_spark.operators import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    rows = [
+        (0, mm.encode_fake_image(0, 32, 16, 1)),
+        (1, mm.encode_fake_image(1, 64, 32, 6)),  # video, 6 frames
+        (2, b"not-a-media-blob"),
+        (3, mm.encode_fake_image(3, 8, 8, 1)),
+    ]
+    return spark.createDataFrame(rows, "media_id long, blob binary")
+
+
+class TestMultimodal:
+    def test_metadata(self, spark, media_df):
+        got = {r.media_id: r for r in mm.media_metadata(media_df).collect()}
+        assert got[0].kind == "image" and (got[0].width, got[0].height) == (32, 16)
+        assert got[1].kind == "video" and got[1].n_frames == 6
+        assert got[2].valid is False and got[2].kind == "unknown"
+
+    def test_frame_sampling(self, spark, media_df):
+        frames = mm.sample_frames(media_df, every_k=2).collect()
+        by_id = {}
+        for r in frames:
+            by_id.setdefault(r.media_id, []).append(r.frame_no)
+        assert sorted(by_id[1]) == [0, 2, 4]
+        # each sampled frame decodes as a single-frame image
+        f0 = next(bytes(r.frame) for r in frames if r.media_id == 1 and r.frame_no == 2)
+        w, h, f, px = mm.decode_fake_image(f0)
+        assert (w, h, f) == (64, 32, 1)
+        # and matches the source frame exactly
+        _, _, _, src = mm.decode_fake_image(mm.encode_fake_image(1, 64, 32, 6))
+        assert (px[0] == src[2]).all()
+
+    def test_resize(self, spark, media_df):
+        out = {r.media_id: bytes(r.blob) for r in mm.resize_stub(media_df, 16, 8).collect()}
+        w, h, f, _ = mm.decode_fake_image(out[0])
+        assert (w, h, f) == (16, 8, 1)
+        assert 2 not in out  # invalid blob dropped
+
+    def test_features(self, spark, media_df):
+        feats = {r.media_id: r.features for r in mm.byte_histogram_features(media_df).collect()}
+        assert len(feats[0]) == 64
+        assert math.isclose(sum(feats[0]), 1.0, rel_tol=1e-5)
+        # deterministic: same blob -> same features
+        again = {r.media_id: r.features for r in mm.byte_histogram_features(media_df).collect()}
+        assert feats[0] == again[0]
+
+    def test_real_decoder_is_marked(self):
+        with pytest.raises(NotImplementedError):
+            mm.decode_real_image(b"\x89PNG...")
+
+
+class TestStreamingIncremental:
+    def test_stream_batches_equal_batch_build(self, spark, tiny_corpus, tmp_path_factory):
+        import glob
+        import shutil
+
+        from ocaml_lucene_spark.index.build import assign_doc_ids
+        from ocaml_lucene_spark.oracle import OracleIndex
+        from ocaml_lucene_spark.query.exec import bm25_topk_indexed
+        from ocaml_lucene_spark.streaming.incremental import (
+            indexed_doc_count,
+            start_incremental_indexer,
+        )
+
+        src = str(tmp_path_factory.mktemp("stream_src"))
+        index_dir = str(tmp_path_factory.mktemp("stream_idx"))
+        shards = sorted(glob.glob(tiny_corpus + "/part-*.parquet"))
+        assert len(shards) >= 4
+
+        # batch 1: first half of shards land, indexer drains
+        for s in shards[: len(shards) // 2]:
+            shutil.copy(s, src)
+        q = start_incremental_indexer(spark, src, index_dir, n_partitions=4)
+        q.awaitTermination(120)
+        n1 = indexed_doc_count(index_dir)
+        assert n1 > 0
+
+        # batch 2: remaining shards land, availableNow restarts drain them
+        for s in shards[len(shards) // 2 :]:
+            shutil.copy(s, src)
+        q = start_incremental_indexer(spark, src, index_dir, n_partitions=4)
+        q.awaitTermination(120)
+        n2 = indexed_doc_count(index_dir)
+        total = spark.read.parquet(tiny_corpus).count()
+        assert n2 == total
+
+        # rank-identity vs oracle over the union (ids are per-batch
+        # deterministic: batch order defines the id space)
+        texts = {}
+        base = 0
+        for group in (shards[: len(shards) // 2], shards[len(shards) // 2 :]):
+            with_ids = assign_doc_ids(spark.read.parquet(*group).select("url", "text"))
+            rows = with_ids.collect()
+            for r in rows:
+                texts[r.doc_id + base] = r.text
+            base += len(rows)
+        oracle = OracleIndex.from_texts(texts)
+        got = [
+            (r.doc_id, r.score)
+            for r in bm25_topk_indexed(spark, index_dir, ["the", "and"], "or", 10).collect()
+        ]
+        exp = oracle.query(["the", "and"], "or", 10)
+        assert [d for d, _ in got] == [d for d, _ in exp]
+        for (_, gs), (_, es) in zip(got, exp):
+            assert math.isclose(gs, es, rel_tol=1e-9)

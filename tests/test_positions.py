@@ -1,0 +1,46 @@
+"""Positional index (with_positions build) end-to-end: phrase counts
+from the packed .pos stream match the oracle exactly."""
+
+import pytest
+
+from ocaml_lucene_spark.index.build import assign_doc_ids, build_index
+from ocaml_lucene_spark.oracle import OracleIndex
+from ocaml_lucene_spark.query.exec import bm25_topk_indexed, phrase_counts_indexed
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, tiny_corpus, tmp_path_factory):
+    index_dir = str(tmp_path_factory.mktemp("index_pos"))
+    docs = assign_doc_ids(spark.read.parquet(tiny_corpus)).select("doc_id", "text").cache()
+    build_index(docs, index_dir, n_partitions=4, with_positions=True)
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    return index_dir, OracleIndex.from_texts(texts)
+
+
+def test_phrase_counts_match_oracle(spark, pos_index):
+    index_dir, oracle = pos_index
+    # pick bigrams that actually occur: scan oracle for a frequent pair
+    pairs = []
+    for t1, docs1 in list(oracle.positions.items())[:50]:
+        for t2 in list(oracle.positions)[:50]:
+            pc = oracle.phrase_count(t1, t2)
+            if len(pc) >= 3:
+                pairs.append((t1, t2, pc))
+            if len(pairs) >= 3:
+                break
+        if len(pairs) >= 3:
+            break
+    assert pairs, "corpus has no repeated bigrams?"
+    for t1, t2, expected in pairs:
+        got = {
+            r.doc_id: r.n_phrase
+            for r in phrase_counts_indexed(spark, index_dir, t1, t2).collect()
+        }
+        assert got == expected, (t1, t2)
+
+
+def test_positional_index_still_scores(spark, pos_index):
+    index_dir, oracle = pos_index
+    got = [(r.doc_id, r.score) for r in bm25_topk_indexed(spark, index_dir, ["the"], "or", 5).collect()]
+    exp = oracle.query(["the"], "or", 5)
+    assert [d for d, _ in got] == [d for d, _ in exp]
