@@ -32,6 +32,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # query registry: each entry returns a DataFrame given (spark, sf_dir)
 # --------------------------------------------------------------------
 
+_INDEX_CACHE: dict[str, str] = {}
+
+
+def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or resume) a packed segment index over the documents table.
+    Checkpoint fingerprints make repeat calls near-free."""
+    import hashlib
+
+    from ocaml_lucene_spark.index.build import build_index
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    index_dir = f"/tmp/olspark_entry_index_{key}"
+    if sf_dir not in _INDEX_CACHE:
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        build_index(docs, index_dir, segment="docs", n_partitions=8)
+        _INDEX_CACHE[sf_dir] = index_dir
+    return index_dir
+
+
 def _query_vec(sf_dir: str, vec_id: int = 0) -> list[float]:
     import pyarrow.parquet as pq
 
@@ -78,6 +97,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_phrase_counts(spark, sf):
         return bm25.phrase_counts(_docs(spark, sf), "table", "hash")
+
+    # --- physical paths: full segment pipeline, checked against the
+    # SAME SQL oracles as the logical path -------------------------------
+
+    def q_bm25_indexed_or(spark, sf):
+        from ocaml_lucene_spark.query.exec import bm25_topk_indexed
+
+        return bm25_topk_indexed(
+            spark, _ensure_index(spark, sf), ["spark", "query", "dup"], "or", 10, round_to=4
+        )
+
+    def q_bm25_indexed_and(spark, sf):
+        from ocaml_lucene_spark.query.exec import bm25_topk_indexed
+
+        return bm25_topk_indexed(
+            spark, _ensure_index(spark, sf), ["join", "hash", "scan"], "and", 10, round_to=4
+        )
+
+    def q_bm25_wand(spark, sf):
+        from ocaml_lucene_spark.query.exec import bm25_topk_wand
+
+        rows, _ = bm25_topk_wand(
+            spark, _ensure_index(spark, sf), ["spark", "query", "dup"], "or", 10
+        )
+        return spark.createDataFrame(
+            [(int(d), round(s, 4)) for d, s in rows], "doc_id long, score double"
+        )
+
+    def q_multimodal_metadata(spark, sf):
+        # rows-only check (no SQL oracle): synthetic media derived
+        # deterministically from doc_ids exercises the binary plumbing
+        from ocaml_lucene_spark.operators import multimodal as mm
+
+        ids = [r.doc_id for r in _docs(spark, sf).select("doc_id").limit(64).collect()]
+        media = spark.createDataFrame(
+            [
+                (int(i), mm.encode_fake_image(int(i), 16 + int(i) % 17, 8 + int(i) % 9,
+                                              1 + int(i) % 4))
+                for i in ids
+            ],
+            "media_id long, blob binary",
+        )
+        return mm.media_metadata(media)
 
     # --- training-data pipeline ops (dedup / ANN / text analysis) ---
 
@@ -131,6 +193,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "doc_lengths": q_doc_lengths,
         "phrase_counts": q_phrase_counts,
+        "bm25_indexed_or": q_bm25_indexed_or,
+        "bm25_indexed_and": q_bm25_indexed_and,
+        "bm25_wand": q_bm25_wand,
+        "multimodal_metadata": q_multimodal_metadata,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "minhash_candidate_pairs": q_minhash_pairs,
@@ -167,6 +233,12 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": oops.embedding_near_dup_pairs_sql(min_sim=0.9, n_bits=4),
     }
     return ops | {
+        # the indexed/WAND physical paths must reproduce the same
+        # oracle results as the logical path ("multimodal_metadata" is
+        # deliberately absent: non-SQL-expressible, rows-only check)
+        "bm25_indexed_or": osql.bm25_topk_sql(["spark", "query", "dup"], "or", 10),
+        "bm25_indexed_and": osql.bm25_topk_sql(["join", "hash", "scan"], "and", 10),
+        "bm25_wand": osql.bm25_topk_sql(["spark", "query", "dup"], "or", 10),
         "bm25_or_top10": osql.bm25_topk_sql(["spark", "query", "dup"], "or", 10),
         "bm25_and_top10": osql.bm25_topk_sql(["join", "hash", "scan"], "and", 10),
         "bm25_single_rare": osql.bm25_topk_sql(["dup"], "or", 100),

@@ -97,21 +97,61 @@ def bm25_topk_indexed(
     n_req = len(terms)
 
     blocks = _postings_df(spark, index_dir, terms).select(
-        "term", "n", "doc_bytes", "tf_bytes", "dl_bytes"
+        "term", "n", "first_doc", "last_doc", "doc_bytes", "tf_bytes", "dl_bytes"
     )
+
+    # conjunctive block-range pruning (the leapfrog/skip-list move at
+    # block granularity): decode the rarest term's docIDs (bounded by
+    # and_prune_max_df), broadcast them, and kill every other term's
+    # blocks whose [first_doc, last_doc] cannot intersect — a rare∧hot
+    # query then touches only the hot blocks overlapping rare docs
+    # instead of the whole hot posting list.
+    cand_docs = None
+    and_prune_max_df = 200_000
+    if mode == "and" and len(terms) > 1:
+        rare = min(terms, key=lambda t: dfs[t])
+        if dfs[rare] <= and_prune_max_df:
+            rare_rows = (
+                _postings_df(spark, index_dir, [rare])
+                .select("n", "doc_bytes")
+                .collect()
+            )
+            from ..codecs.delta import delta_decode as _dd
+
+            cand_docs = np.sort(
+                np.concatenate(
+                    [_dd(bytes(r.doc_bytes)) for r in rare_rows]
+                    or [np.zeros(0, dtype=np.int64)]
+                )
+            )
+            bc_docs = spark.sparkContext.broadcast(cand_docs)
+
+    prune = cand_docs is not None
 
     def decode_score(batches):
         from ..codecs import pfor
         from ..codecs.delta import delta_decode
 
+        cands = bc_docs.value if prune else None
         for pdf in batches:
             outs = []
-            for term, n, db, tb, lb in zip(
-                pdf["term"], pdf["n"], pdf["doc_bytes"], pdf["tf_bytes"], pdf["dl_bytes"]
+            for term, n, fd, ld, db, tb, lb in zip(
+                pdf["term"], pdf["n"], pdf["first_doc"], pdf["last_doc"],
+                pdf["doc_bytes"], pdf["tf_bytes"], pdf["dl_bytes"],
             ):
+                if prune:
+                    # coarse: any candidate inside the block's doc range?
+                    lo = np.searchsorted(cands, fd, side="left")
+                    if lo >= cands.size or cands[lo] > ld:
+                        continue
                 docs = delta_decode(bytes(db))
                 tf = pfor.decode(bytes(tb), int(n)).astype(np.float64)
                 dl = pfor.decode(bytes(lb), int(n)).astype(np.float64)
+                if prune:
+                    keep = np.isin(docs, cands, assume_unique=False)
+                    if not keep.any():
+                        continue
+                    docs, tf, dl = docs[keep], tf[keep], dl[keep]
                 sc = idfs[term] * tf * (K1 + 1.0) / (
                     tf + K1 * (1.0 - B + B * dl / avgdl)
                 )
