@@ -42,7 +42,10 @@ def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
 
     from ocaml_lucene_spark.index.build import build_index
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    import ocaml_lucene_spark as pkg
+
+    # version-keyed so a format change never resumes onto stale shards
+    key = hashlib.md5(f"{pkg.__version__}|{sf_dir}".encode()).hexdigest()[:10]
     index_dir = f"/tmp/olspark_entry_index_{key}"
     if sf_dir not in _INDEX_CACHE:
         docs = _docs(spark, sf_dir).select("doc_id", "text")
@@ -78,6 +81,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_bm25_and_absent_empty(spark, sf):
         return bm25.bm25_topk(_docs(spark, sf), ["spark", "zzzabsent"], "and", 10, round_to=4)
+
+    def q_bm25_lang_filtered(spark, sf):
+        # composition: parquet predicate pushdown (lang='en') under the
+        # scoring pipeline — corpus stats are over the filtered subset
+        docs = _docs(spark, sf).filter(F.col("lang") == "en")
+        return bm25.bm25_topk(docs, ["spark", "query"], "or", 10, round_to=4)
 
     def q_term_postings(spark, sf):
         return bm25.term_postings(_docs(spark, sf), "dup")
@@ -188,6 +197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_single_rare": q_bm25_single_rare,
         "bm25_or_with_absent": q_bm25_or_with_absent,
         "bm25_and_absent_empty": q_bm25_and_absent_empty,
+        "bm25_lang_filtered": q_bm25_lang_filtered,
         "term_postings": q_term_postings,
         "term_stats": q_term_stats,
         "corpus_stats": q_corpus_stats,
@@ -244,6 +254,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_single_rare": osql.bm25_topk_sql(["dup"], "or", 100),
         "bm25_or_with_absent": osql.bm25_topk_sql(["spark", "zzzabsent"], "or", 10),
         "bm25_and_absent_empty": osql.bm25_topk_sql(["spark", "zzzabsent"], "and", 10),
+        "bm25_lang_filtered": osql.bm25_topk_sql(["spark", "query"], "or", 10, lang="en"),
         "term_postings": osql.term_postings_sql("dup"),
         "term_stats": osql.term_stats_sql(),
         "corpus_stats": osql.corpus_stats_sql(),

@@ -25,11 +25,20 @@ def _terms_in(terms: list[str]) -> str:
     return f"({inner})"
 
 
-def bm25_topk_sql(terms: list[str], mode: str = "or", k: int = 10, round_to: int = 4) -> str:
+def bm25_topk_sql(
+    terms: list[str],
+    mode: str = "or",
+    k: int = 10,
+    round_to: int = 4,
+    lang: str | None = None,
+) -> str:
     terms = list(dict.fromkeys(terms))
     having = f"HAVING count(*) = {len(terms)}" if mode == "and" else ""
+    toks_cte = TOKS_CTE
+    if lang is not None:
+        toks_cte = toks_cte.replace("FROM documents", f"FROM documents WHERE lang = '{lang}'")
     return f"""
-WITH {TOKS_CTE},
+WITH {toks_cte},
 stats AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM base),
 tf AS (
   SELECT doc_id, term, dl, count(*) AS tf
