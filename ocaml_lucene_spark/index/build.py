@@ -200,14 +200,19 @@ def build_index(
         .write.mode("overwrite")
         .parquet(paths["terms"])
     )
-    # norms (doc_id, dl); corpus stats re-read from the small norms
-    # parquet instead of a fourth pass over the raw text
-    base.select("doc_id", "dl").write.mode("overwrite").parquet(paths["norms"])
-    agg = (
-        spark.read.parquet(paths["norms"])
-        .agg(F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl"))
-        .collect()[0]
+    # norms (doc_id, dl) with corpus stats observed in the SAME job
+    # (Observation rides the write — no separate stats pass)
+    from pyspark.sql import Observation
+
+    obs = Observation("corpus_stats")
+    (
+        base.select("doc_id", "dl")
+        .observe(obs, F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl"))
+        .write.mode("overwrite")
+        .parquet(paths["norms"])
     )
+    agg_row = obs.get
+    agg = type("S", (), {"n_docs": agg_row["n_docs"], "sum_dl": agg_row["sum_dl"]})
 
     stats = {
         "segment": segment,
