@@ -83,7 +83,7 @@ class TestStreamingIncremental:
         for s in shards[: len(shards) // 2]:
             shutil.copy(s, src)
         q = start_incremental_indexer(spark, src, index_dir, n_partitions=4)
-        q.awaitTermination(120)
+        q.awaitTermination(300)
         n1 = indexed_doc_count(index_dir)
         assert n1 > 0
 
@@ -91,7 +91,7 @@ class TestStreamingIncremental:
         for s in shards[len(shards) // 2 :]:
             shutil.copy(s, src)
         q = start_incremental_indexer(spark, src, index_dir, n_partitions=4)
-        q.awaitTermination(120)
+        q.awaitTermination(300)
         n2 = indexed_doc_count(index_dir)
         total = spark.read.parquet(tiny_corpus).count()
         assert n2 == total
