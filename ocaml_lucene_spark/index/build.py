@@ -94,6 +94,7 @@ def build_index(
     n_salts: int = DEFAULT_N_SALTS,
     id_col: str = "doc_id",
     text_col: str = "text",
+    html_col: str | None = None,
     doc_id_base: int | None = None,
 ) -> dict:
     """Build one segment over ``docs`` (which must carry unique global
@@ -106,6 +107,13 @@ def build_index(
     paths = seg.segment_paths(index_dir, segment)
     n_parts = n_partitions or spark.sparkContext.defaultParallelism
 
+    if html_col is not None:
+        # north-rule ingestion path: extract text from raw html with the
+        # vectorized Arrow UDF (byte-identical per url to the oracle
+        # extractor — tests/test_analysis.py), then tokenize
+        from ..functions.analysis import extract_text_udf
+
+        docs = docs.withColumn(text_col, extract_text_udf(F.col(html_col)))
     base = docs.select(
         F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("toks")
     ).withColumn("dl", F.size("toks").cast("long"))
