@@ -119,7 +119,6 @@ def pack_partition(
         doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
     tfs = pdf["tf"].to_numpy(dtype=np.int64)
     dls = pdf["dl"].to_numpy(dtype=np.int64)
-    positions = None
     pos_flat = None
     if with_positions:
         pos_flat = np.concatenate(
@@ -139,7 +138,6 @@ def pack_partition(
         "term", "block_no", "n", "first_doc", "last_doc", "max_tf", "sum_tf",
         "min_dl", "doc_bytes", "tf_bytes", "dl_bytes", "pos_bytes")}
     n_blocks = 0
-    block_base = 0  # block_no unique per (term) within this shard
     for gi in range(len(bounds) - 1):
         s, e = int(bounds[gi]), int(bounds[gi + 1])
         grp_pos = (
