@@ -20,9 +20,9 @@ each piece:
 
 A segment here is a *generation* of the index: one build (or merge)
 over a set of docs with globally-unique docIDs. Within a segment the
-postings table is range-partitioned by (term, salt) — hot terms split
-across partitions — and term-sorted within files so Catalyst prunes
-row groups on term predicates.
+postings table is hash-partitioned by (term, salt) — deterministic for
+resume, hot terms split across partitions — and term-sorted within
+files so Catalyst prunes row groups on term predicates.
 
 Cited reference semantics: block size 128
 (codec/block_tree_terms_reader.ml:27-28), per-field stats invariants
@@ -73,7 +73,7 @@ def pack_partition(
     checkpoint_dir: str,
     with_positions: bool,
 ) -> pd.DataFrame:
-    """applyInPandas kernel: one shuffle partition of (term, salt,
+    """mapInPandas kernel: one shuffle partition of (term, salt,
     doc_id, tf, dl[, positions]) rows -> packed block rows written as a
     term-sorted parquet shard + one checkpoint/metrics row returned.
 
