@@ -48,7 +48,9 @@ def zigzag_encode(n: int | np.ndarray) -> int | np.ndarray:
     if isinstance(n, np.ndarray):
         s = n.astype(np.int64)
         return ((s << 1) ^ (s >> 63)).astype(np.uint64)
-    return (n << 63 >> 63 ^ (n << 1)) & (2**64 - 1) if n < 0 else n << 1
+    # Python ints are arbitrary precision: arithmetic >> of a negative
+    # gives -1 (all-ones), mirroring the int64 sign extension above.
+    return ((n << 1) ^ (n >> 63)) & (2**64 - 1)
 
 
 def zigzag_decode(u: int | np.ndarray) -> int | np.ndarray:

@@ -63,9 +63,15 @@ def merge_segments(
     n_parts = n_partitions or spark.sparkContext.defaultParallelism
     rows = {r["segment"]: r for r in seg.list_segments(index_dir, live_only=False)}
     sources = [rows[s] for s in segment_names]
-    with_positions = any(
-        seg.read_stats(index_dir, s).get("with_positions") for s in segment_names
-    )
+    # Lucene-style lowest-common index options: a merge group mixing
+    # positions and docs-only segments degrades the merged segment to
+    # DOCS_AND_FREQS explicitly (a docs-only source has no positions to
+    # carry; reading pos_bytes=None rows would otherwise crash mid-job).
+    pos_flags = [
+        bool(seg.read_stats(index_dir, s).get("with_positions"))
+        for s in segment_names
+    ]
+    with_positions = all(pos_flags)
 
     posting_paths = [
         seg.segment_paths(index_dir, s)["postings"] for s in segment_names
@@ -87,19 +93,22 @@ def merge_segments(
 
         for pdf in batches:
             outs = []
-            for _, r in pdf.iterrows():
-                docs = delta_decode(bytes(r["doc_bytes"]))
-                tf = pfor.decode(bytes(r["tf_bytes"]), int(r["n"])).astype(np.int64)
-                dl = pfor.decode(bytes(r["dl_bytes"]), int(r["n"])).astype(np.int64)
+            for term, bno, n, db, tb, lb, pb in zip(
+                pdf["term"], pdf["block_no"], pdf["n"], pdf["doc_bytes"],
+                pdf["tf_bytes"], pdf["dl_bytes"], pdf["pos_bytes"],
+            ):
+                docs = delta_decode(bytes(db))
+                tf = pfor.decode(bytes(tb), int(n)).astype(np.int64)
+                dl = pfor.decode(bytes(lb), int(n)).astype(np.int64)
                 d = {
-                    "term": r["term"],
-                    "salt": int(r["block_no"]) // 100_000,
+                    "term": term,
+                    "salt": int(bno) // 100_000,
                     "doc_id": docs,
                     "tf": tf,
                     "dl": dl,
                 }
                 if with_positions:
-                    d["positions"] = decode_positions(bytes(r["pos_bytes"]), tf)
+                    d["positions"] = decode_positions(bytes(pb), tf)
                 outs.append(pd.DataFrame(d))
             if outs:
                 yield pd.concat(outs, ignore_index=True)

@@ -86,24 +86,14 @@ def pack_partition(
 
     from ..codecs.blocks import encode_posting_blocks
 
+    import hashlib
+
     t0 = time.monotonic()
     if len(pdf) == 0:
         return pd.DataFrame(
             columns=[c.split(" ")[0] for c in CHECKPOINT_SCHEMA.split(", ")]
         )
     pid = int(pdf["pid"].iloc[0])
-    # deterministic content fingerprint: counts + term range + doc-id sum
-    fingerprint = (
-        f"{len(pdf)}-{pdf['tf'].sum()}-{int(np.int64(pdf['doc_id'].sum()))}"
-    )
-    shard = os.path.join(postings_dir, f"part-{pid:05d}.parquet")
-    ckpt = os.path.join(checkpoint_dir, f"part-{pid:05d}.json")
-    if os.path.exists(ckpt) and os.path.exists(shard):
-        with open(ckpt) as f:
-            row = json.load(f)
-        if row.get("fingerprint") == fingerprint:
-            row["status"] = "skipped_checkpoint"
-            return pd.DataFrame([row])
 
     # input is JVM-sorted by (term, salt, doc_id); verify cheaply and
     # only fall back to a pandas sort if the invariant is broken
@@ -117,6 +107,7 @@ def pack_partition(
         pdf = pdf.sort_values(["term", "salt", "doc_id"], kind="mergesort")
         terms = pdf["term"].to_numpy()
         doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        salts_arr = pdf["salt"].to_numpy()
     tfs = pdf["tf"].to_numpy(dtype=np.int64)
     dls = pdf["dl"].to_numpy(dtype=np.int64)
     pos_flat = None
@@ -124,6 +115,28 @@ def pack_partition(
         pos_flat = np.concatenate(
             [np.asarray(p, dtype=np.int64) for p in pdf["positions"]]
         ) if len(pdf) else np.zeros(0, np.int64)
+
+    # deterministic CONTENT fingerprint (vectorized md5 over the actual
+    # column buffers, sort-normalized above): aggregate-sum fingerprints
+    # collide when values swap between rows, which would silently resume
+    # onto a stale shard for different input data
+    h = hashlib.md5()
+    h.update(pd.util.hash_pandas_object(pdf["term"], index=False).to_numpy().tobytes())
+    h.update(np.ascontiguousarray(salts_arr, dtype=np.int64).tobytes())
+    h.update(doc_ids.tobytes())
+    h.update(tfs.tobytes())
+    h.update(dls.tobytes())
+    if pos_flat is not None:
+        h.update(pos_flat.tobytes())
+    fingerprint = f"{len(pdf)}-{h.hexdigest()}"
+    shard = os.path.join(postings_dir, f"part-{pid:05d}.parquet")
+    ckpt = os.path.join(checkpoint_dir, f"part-{pid:05d}.json")
+    if os.path.exists(ckpt) and os.path.exists(shard):
+        with open(ckpt) as f:
+            row = json.load(f)
+        if row.get("fingerprint") == fingerprint:
+            row["status"] = "skipped_checkpoint"
+            return pd.DataFrame([row])
 
     # group boundaries per (term, salt) run
     change = np.nonzero(

@@ -126,14 +126,27 @@ def block_max_wand(
     lists: list[PostingList],
     k: int,
     require_all_terms: set[str] | None = None,
+    round_to: int | None = None,
 ) -> tuple[list[tuple[int, float]], dict]:
     """Exact top-k [(doc_id, score)] over posting lists.
 
     require_all_terms: conjunctive mode — results must hit every term in
     the set (a term may be represented by several salt-shard lists).
+
+    round_to: when set, the heap orders by round(score, round_to) (then
+    doc_id asc) so the k-boundary tie-break matches the exhaustive paths
+    and the SQL oracle, which compare rounded scores. Pruning then uses
+    theta - 0.5*10^-round_to: a pruned doc's raw score is strictly below
+    that, so its rounded score is strictly below theta — no rounded tie
+    at the boundary can be lost.
     """
-    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
-    theta: float | None = None  # kth best score once heap is full
+    heap: list[tuple[float, int]] = []  # (score_key, -doc_id) min-heap
+    theta: float | None = None  # kth best score key once heap is full
+    eps = 0.5 * 10.0 ** (-round_to) if round_to is not None else 0.0
+
+    def score_key(s: float) -> float:
+        return round(s, round_to) if round_to is not None else s
+
     and_mode = require_all_terms is not None
     if and_mode:
         covered = {pl.term for pl in lists}
@@ -158,7 +171,7 @@ def block_max_wand(
             acc = 0.0
             for pl in live:
                 acc += pl.max_ub
-                if theta is None or acc >= theta:  # >= keeps boundary ties
+                if theta is None or acc >= theta - eps:  # >= keeps boundary ties
                     pivot_doc = pl.current_doc()
                     break
         if pivot_doc is None or pivot_doc >= INF_DOC:
@@ -167,8 +180,20 @@ def block_max_wand(
         # block-max refinement (disjunctive only): strict < so ties survive
         if not and_mode and theta is not None:
             bm = sum(pl.current_block_ub() for pl in cand)
-            if bm < theta:
+            if bm < theta - eps:
+                # Safe skip target: past the candidate blocks, but never
+                # past another live list's current doc — docs in
+                # (pivot, jump) may score from non-candidate lists, and
+                # an uncapped jump would advance candidate lists past
+                # them, permanently losing their contributions.
                 jump = min(pl.current_block_last() for pl in cand) + 1
+                nxt = [
+                    pl.current_doc() for pl in live
+                    if pl.current_doc() > pivot_doc
+                ]
+                if nxt:
+                    jump = min(jump, min(nxt))
+                jump = max(jump, pivot_doc + 1)
                 for pl in cand:
                     pl.advance_to(jump)
                 continue
@@ -182,7 +207,7 @@ def block_max_wand(
                 hit.add(pl.term)
         ok = (hit >= require_all_terms) if and_mode else bool(hit)
         if ok:
-            item = (score, -pivot_doc)
+            item = (score_key(score), -pivot_doc)
             if len(heap) < k:
                 heapq.heappush(heap, item)
             elif item > heap[0]:

@@ -208,3 +208,20 @@ class TestPostingBlocks:
         hit = [b for b in blocks if b.first_doc <= 700 <= b.last_doc]
         assert len(hit) == 1
         assert 700 in decode_doc_ids(hit[0].doc_bytes)
+
+
+class TestZigzagScalar:
+    def test_scalar_round_trip_negatives(self):
+        from ocaml_lucene_spark.codecs.varint import zigzag_decode, zigzag_encode
+
+        for n in [0, 1, -1, 2, -2, 63, -64, 123456, -123456, 2**62, -(2**62)]:
+            assert zigzag_decode(zigzag_encode(n)) == n
+        # the canonical mapping 0,-1,1,-2 -> 0,1,2,3
+        assert [zigzag_encode(n) for n in (0, -1, 1, -2)] == [0, 1, 2, 3]
+
+    def test_scalar_matches_ndarray_path(self):
+        from ocaml_lucene_spark.codecs.varint import zigzag_encode
+
+        vals = np.array([0, 1, -1, 2, -2, 10**12, -(10**12)], dtype=np.int64)
+        vec = zigzag_encode(vals)
+        assert [int(v) for v in vec] == [zigzag_encode(int(n)) for n in vals]

@@ -90,3 +90,37 @@ def test_select_merges_policy():
     assert merges == [["a", "c", "b", "d"]]
     # a lone tier below merge_factor is left alone
     assert select_merges(segs[:3], merge_factor=4) == []
+
+
+def test_merge_mixed_positions_degrades(spark, tiny_corpus, tmp_path_factory):
+    """Merging a positions segment with a docs-only one degrades the
+    merged segment to DOCS_AND_FREQS explicitly (lowest-common index
+    options) instead of crashing on pos_bytes=None mid-job."""
+    from ocaml_lucene_spark.index.segments import read_stats
+
+    index_dir = str(tmp_path_factory.mktemp("index_mixed"))
+    docs = spark.read.parquet(tiny_corpus).select("url", "text")
+    a = docs.filter(F.crc32("url") % 2 == 0)
+    b = docs.filter(F.crc32("url") % 2 == 1)
+    add_documents(a, index_dir, n_partitions=4, with_positions=True)
+    add_documents(b, index_dir, n_partitions=4, with_positions=False)
+    names = [r["segment"] for r in list_segments(index_dir)]
+    row = merge_segments(spark, index_dir, names, n_partitions=4)
+    stats = read_stats(index_dir, row["segment"])
+    assert stats["index_options"] == "DOCS_AND_FREQS"
+    assert stats["with_positions"] is False
+    # queries still work over the merged docs-only segment
+    texts = {}
+    base = 0
+    for part in (a, b):
+        rows = assign_doc_ids(part).select("doc_id", "text").collect()
+        for r in rows:
+            texts[r.doc_id + base] = r.text
+        base += len(rows)
+    oracle = OracleIndex.from_texts(texts)
+    exp = oracle.query(["the", "and"], "or", 10)
+    got = [
+        (r.doc_id, r.score)
+        for r in bm25_topk_indexed(spark, index_dir, ["the", "and"], "or", 10).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in exp]

@@ -1,0 +1,117 @@
+"""Multi-block fuzz of block-max WAND against the pure-Python oracle.
+
+Regression for the round-1 unsound skip: when the block-max bound failed
+(bm < theta), the jump target `min(candidate block last_doc)+1` ignored
+non-candidate lists whose current doc lay inside the skipped range —
+candidate lists were advanced past docs that could still score from the
+other lists, permanently losing their contributions (wrong top-k).
+
+The fuzz builds real packed blocks (encode_posting_blocks) from random
+corpora, splits each term into interleaved doc-shards (the adversarial
+layout: shard block ranges overlap heavily, maximizing cross-list skip
+interactions), and compares exact results with the OracleIndex.
+"""
+
+import math
+import random
+
+import numpy as np
+
+from ocaml_lucene_spark.codecs.blocks import encode_posting_blocks
+from ocaml_lucene_spark.oracle import OracleIndex
+from ocaml_lucene_spark.query.exec import idf as idf_fn
+from ocaml_lucene_spark.query.wand import PostingList, block_max_wand, tfn_ub
+
+
+def lists_from_oracle(
+    oracle: OracleIndex, terms: list[str], n_shards: int = 1
+) -> list[PostingList]:
+    """Build PostingLists straight from oracle postings; n_shards > 1
+    splits each term into doc-interleaved sub-lists (old salt layout)."""
+    lists: list[PostingList] = []
+    avgdl = oracle.avgdl
+    for t in dict.fromkeys(terms):
+        post = oracle.postings.get(t, {})
+        if not post:
+            continue
+        w = idf_fn(oracle.n_docs, len(post))
+        for s in range(n_shards):
+            docs = np.array(
+                sorted(d for d in post if d % n_shards == s), dtype=np.int64
+            )
+            if docs.size == 0:
+                continue
+            tfs = np.array([post[int(d)] for d in docs], dtype=np.int64)
+            dls = np.array([oracle.doc_lens[int(d)] for d in docs], dtype=np.int64)
+            blocks = encode_posting_blocks(docs, tfs, None, dls)
+            lists.append(
+                PostingList(
+                    term=t,
+                    idf=w,
+                    avgdl=avgdl,
+                    first_doc=np.array([b.first_doc for b in blocks], dtype=np.int64),
+                    last_doc=np.array([b.last_doc for b in blocks], dtype=np.int64),
+                    ub=np.array([w * tfn_ub(b.max_tf, b.min_dl, avgdl) for b in blocks]),
+                    payloads=[(b.doc_bytes, b.tf_bytes, b.dl_bytes) for b in blocks],
+                )
+            )
+    return lists
+
+
+def random_corpus(rng: random.Random, n_docs: int, vocab: str) -> OracleIndex:
+    texts = {
+        d: " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 30)))
+        for d in range(n_docs)
+    }
+    return OracleIndex.from_texts(texts)
+
+
+def _assert_matches(got, expected, ctx):
+    assert [d for d, _ in got] == [d for d, _ in expected], (
+        ctx, got[:5], expected[:5]
+    )
+    for (_, gs), (_, es) in zip(got, expected):
+        assert math.isclose(gs, es, rel_tol=1e-9), (ctx, gs, es)
+
+
+def test_wand_fuzz_vs_oracle():
+    rng = random.Random(1234)
+    vocab = list("abcdef")
+    for trial in range(60):
+        oracle = random_corpus(rng, rng.randint(200, 450), vocab)
+        terms = rng.sample(vocab, rng.randint(1, 3))
+        mode = rng.choice(["or", "or", "and"])
+        k = rng.choice([5, 10])
+        n_shards = rng.choice([1, 2, 4])
+        lists = lists_from_oracle(oracle, terms, n_shards)
+        require = set(terms) if mode == "and" else None
+        got, metrics = block_max_wand(lists, k, require_all_terms=require)
+        expected = oracle.query(terms, mode, k)
+        _assert_matches(got, expected, (trial, terms, mode, k, n_shards))
+        assert metrics["total_blocks"] >= metrics["decoded_blocks"]
+
+
+def test_wand_advice_repro():
+    """The exact shape the round-1 advisor flagged: or-mode 3-term query,
+    400-doc corpus, sharded lists — runs 20 seeds."""
+    for seed in range(20):
+        rng = random.Random(seed)
+        oracle = random_corpus(rng, 400, list("abcdef"))
+        got, _ = block_max_wand(
+            lists_from_oracle(oracle, ["a", "e", "c"], n_shards=4), 10
+        )
+        _assert_matches(got, oracle.query(["a", "e", "c"], "or", 10), seed)
+
+
+def test_wand_rounded_tieboundary():
+    """round_to orders the heap by rounded score then doc_id — the same
+    k-boundary tie-break as the exhaustive paths and the SQL oracle."""
+    rng = random.Random(7)
+    for trial in range(20):
+        oracle = random_corpus(rng, 300, list("abcd"))
+        lists = lists_from_oracle(oracle, ["a", "b"], n_shards=2)
+        got = block_max_wand(lists, 10, round_to=4)[0]
+        exp = [(d, round(s, 4)) for d, s in oracle.query(["a", "b"], "or", 300)]
+        exp.sort(key=lambda x: (-x[1], x[0]))
+        assert [d for d, _ in got] == [d for d, _ in exp[:10]], trial
+        assert [s for _, s in got] == [s for _, s in exp[:10]], trial
