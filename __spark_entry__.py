@@ -125,13 +125,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_bm25_wand(spark, sf):
-        from ocaml_lucene_spark.query.exec import bm25_topk_wand
+        # cluster plan: candidate blocks -> one executor task -> k rows
+        # (packed payloads never touch the driver)
+        from ocaml_lucene_spark.query.exec import bm25_topk_wand_exec
 
-        rows, _ = bm25_topk_wand(
-            spark, _ensure_index(spark, sf), ["spark", "query", "dup"], "or", 10
-        )
-        return spark.createDataFrame(
-            [(int(d), round(s, 4)) for d, s in rows], "doc_id long, score double"
+        return bm25_topk_wand_exec(
+            spark, _ensure_index(spark, sf), ["spark", "query", "dup"], "or", 10,
+            round_to=4,
         )
 
     def q_multimodal_metadata(spark, sf):

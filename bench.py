@@ -180,7 +180,11 @@ def main() -> None:
 
     import __spark_entry__ as entry
 
-    from ocaml_lucene_spark.query.exec import bm25_topk_indexed, bm25_topk_wand
+    from ocaml_lucene_spark.query.exec import (
+        bm25_topk_indexed,
+        bm25_topk_wand_exec,
+        wand_metrics_value,
+    )
 
     hot_terms = ["the", "and", "of"]
     mixed_terms = ["the", "data", "zipf"]
@@ -217,10 +221,12 @@ def main() -> None:
         fn(spark, sf_dir).collect()
         queries[name] = round(time.monotonic() - t0, 3)
 
-    # WAND latency (returns list, not DataFrame) + prune ratio
+    # WAND latency (executor-side task) + prune ratio via accumulators
+    m: dict = {}
     t0 = time.monotonic()
-    _, m = bm25_topk_wand(spark, index_dir, mixed_terms, "or", 10)
+    bm25_topk_wand_exec(spark, index_dir, mixed_terms, "or", 10, metrics=m).collect()
     queries["bm25_wand_or"] = round(time.monotonic() - t0, 3)
+    wand_metrics_value(m)
     result["wand_decoded_blocks"] = m["decoded_blocks"]
     result["wand_total_blocks"] = m["total_blocks"]
 

@@ -15,11 +15,15 @@ Scale design notes (100 TB, 1000 executors):
 - tf aggregation happens map-side: all tokens of a doc live in one scan
   partition, so the partial agg collapses (doc,term) before shuffling.
 - salting: terms whose df exceeds ``salt_df_threshold`` are split into
-  ``n_salts`` sub-lists keyed by doc_id hash — a Zipfian "the" posting
-  list lands on n_salts reducers instead of one. The salt is part of
-  the range key, so repartitionByRange spreads the sub-lists; query
-  treats salt shards as extra blocks of the same term (block unions are
-  order-insensitive).
+  ``n_salts`` sub-lists keyed by CONTIGUOUS doc_id range (salt 1..n =
+  bucket of the doc-id span; 0 = unsalted) — a Zipfian "the" posting
+  list lands on n_salts reducers instead of one, exactly as with hash
+  salting (docIDs are dense, so range buckets are uniform), but the
+  sub-lists stay doc-disjoint ranges. That makes every term's blocks
+  globally doc-disjoint, which is what lets query-side block-max WAND
+  treat a term as ONE doc-sorted posting list and skip whole blocks;
+  hash-interleaved salts would make every block span the whole doc
+  space and defeat skip pruning.
 - the pack kernel writes its shard directly from the executor and
   returns a checkpoint row: restartable without recompute, per-partition
   lineage + docs/sec / postings/sec / bytes metrics (north rule).
@@ -157,12 +161,31 @@ def build_index(
         .filter(F.col("df_s") > salt_df_threshold * sample_frac)
         .select("term", F.lit(1).alias("_hot"))
     )
+    # doc-id bounds for contiguous range salting: read from the persisted
+    # token cache (already materialized by the hot job) or, unpersisted,
+    # a column-pruned scan of just the id column
+    bounds_src = base if persist_tokens else docs.select(
+        F.col(id_col).alias("doc_id")
+    )
+    b_lo, b_hi = bounds_src.agg(F.min("doc_id"), F.max("doc_id")).first()
+    span = int(b_hi) - int(b_lo) + 1 if b_lo is not None else 1
+
     tf = tf.join(F.broadcast(hot), "term", "left")
     tf = tf.withColumn(
         "salt",
         F.when(
             F.col("_hot").isNotNull(),
-            (F.crc32(F.col("doc_id").cast("string")) % n_salts).cast("int"),
+            F.least(
+                F.lit(n_salts),
+                (
+                    F.lit(1)
+                    + F.floor(
+                        (F.col("doc_id") - F.lit(int(b_lo or 0)))
+                        * F.lit(n_salts)
+                        / F.lit(span)
+                    )
+                ).cast("int"),
+            ),
         ).otherwise(F.lit(0)),
     ).drop("_hot")
 

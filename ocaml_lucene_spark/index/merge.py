@@ -78,6 +78,21 @@ def merge_segments(
     ]
     blocks = spark.read.parquet(*posting_paths)
 
+    # merged doc-id span (cheap column-pruned scan of the norms tables):
+    # salted rows are re-bucketed over it below so the merged segment
+    # keeps the doc-contiguous salt property WAND pruning relies on
+    norm_paths_pre = [
+        seg.segment_paths(index_dir, s)["norms"] for s in segment_names
+    ]
+    m_lo, m_hi = (
+        spark.read.parquet(*norm_paths_pre)
+        .agg(F.min("doc_id"), F.max("doc_id"))
+        .first()
+    )
+    m_lo = int(m_lo or 0)
+    m_span = int(m_hi) - m_lo + 1 if m_hi is not None else 1
+    n_salts_merged = 16
+
     pos_schema = (
         "term string, salt int, doc_id long, tf long, dl long"
         + (", positions array<long>" if with_positions else "")
@@ -100,9 +115,18 @@ def merge_segments(
                 docs = delta_decode(bytes(db))
                 tf = pfor.decode(bytes(tb), int(n)).astype(np.int64)
                 dl = pfor.decode(bytes(lb), int(n)).astype(np.int64)
+                # hot (salted) rows re-bucket over the merged doc span;
+                # unsalted terms stay salt 0 (one run, fewer blocks)
+                if int(bno) // 100_000 > 0:
+                    salt = 1 + np.minimum(
+                        n_salts_merged - 1,
+                        (docs - m_lo) * n_salts_merged // m_span,
+                    ).astype(np.int64)
+                else:
+                    salt = np.zeros(docs.size, dtype=np.int64)
                 d = {
                     "term": term,
-                    "salt": int(bno) // 100_000,
+                    "salt": salt,
                     "doc_id": docs,
                     "tf": tf,
                     "dl": dl,

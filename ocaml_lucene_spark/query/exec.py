@@ -9,10 +9,12 @@ Two plans, same results (tested against each other and the oracle):
    groupBy(doc_id) agg -> TakeOrderedAndProject(k). Scales to hot
    terms whose posting lists span many partitions.
 
-2. ``bm25_topk_wand`` — block-max WAND (query/wand.py) over the same
-   blocks with lazy decode: for the common case (few terms, k small)
-   it decodes a fraction of the blocks. Runs in the driver here; on a
-   cluster the same function is one task per query.
+2. ``bm25_topk_wand_exec`` — block-max WAND (query/wand.py) over the
+   same blocks with lazy decode: for the common case (few terms, k
+   small) it decodes a fraction of the blocks. The candidate blocks
+   shuffle to ONE executor task per query which returns just the k
+   result rows (payloads never touch the driver);
+   ``bm25_topk_wand`` is the driver-local test/debug variant.
 
 Stats (N, avgdl, df) aggregate across all live segments, so scores are
 identical to a single-segment index over the same docs — which is what
@@ -240,47 +242,27 @@ def phrase_counts_indexed(
     )
 
 
-def bm25_topk_wand(
-    spark: SparkSession,
-    index_dir: str,
-    terms: list[str],
-    mode: str = "or",
-    k: int = 10,
-) -> tuple[list[tuple[int, float]], dict]:
-    """Block-max WAND plan; returns ([(doc_id, score)], prune metrics)."""
-    terms = list(dict.fromkeys(terms))
-    stats = global_stats(index_dir)
-    dfs = term_dfs(spark, index_dir, terms)
-    if mode == "and" and (not terms or any(t not in dfs for t in terms)):
-        return [], {"decoded_blocks": 0, "total_blocks": 0, "n_lists": 0}
-    avgdl = stats["avgdl"]
-    idfs = {t: idf(stats["n_docs"], dfs.get(t, 0)) for t in terms}
+def build_posting_lists(
+    rows: list, idfs: dict[str, float], avgdl: float
+) -> list[PostingList]:
+    """Assemble WAND posting lists from block rows (any object with
+    .term/.block_no/.first_doc/.last_doc/.max_tf/.min_dl/.*_bytes).
 
-    # fetch candidate blocks (metadata + payloads) — blocks of query
-    # terms only; payload stays packed until WAND decodes it lazily
-    rows = (
-        _postings_df(spark, index_dir, terms)
-        .select(
-            "term", "block_no", "first_doc", "last_doc", "max_tf", "min_dl",
-            "doc_bytes", "tf_bytes", "dl_bytes",
-        )
-        .collect()
-    )
+    Blocks of one term are globally doc-disjoint (a doc sits in exactly
+    one block per term per segment; salt shards are contiguous doc
+    ranges; segments are doc-disjoint), so sorting all of a term's
+    blocks by first_doc yields ONE valid doc-sorted posting list — the
+    layout block-max pruning needs. The first-fit run partition below
+    is a safety net for layouts where ranges do overlap (e.g. segments
+    merged from hash-salted builds): any partition of doc-disjoint
+    blocks into ascending-range chains is a valid WAND posting unit.
+    """
     lists: list[PostingList] = []
-    by_shard: dict[tuple, list] = {}
+    by_term: dict[str, list] = {}
     for r in rows:
-        # (term, segment-run, salt) shard key: blocks with the same
-        # block_no//100000 within one collect group belong to one salted
-        # run; runs from different segments/partitions are separate
-        # doc-disjoint sorted units as well — group by (term, salt) then
-        # split on doc-order violations below
-        by_shard.setdefault((r.term, r.block_no // 100_000), []).append(r)
-    for (term, _salt), rs in by_shard.items():
-        rs.sort(key=lambda r: (r.first_doc, r.block_no))
-        # partition into doc-ascending disjoint runs (first-fit): blocks
-        # of one (term,salt) are globally doc-disjoint (per segment a doc
-        # sits in exactly one block; segments are doc-disjoint), so any
-        # ascending partition is a valid WAND posting unit
+        by_term.setdefault(r.term, []).append(r)
+    for term, rs in by_term.items():
+        rs.sort(key=lambda r: (r.first_doc, r.last_doc, r.block_no))
         runs: list[list] = []
         for r in rs:
             for run in runs:
@@ -289,8 +271,8 @@ def bm25_topk_wand(
                     break
             else:
                 runs.append([r])
+        w = idfs[term]
         for run in runs:
-            w = idfs[term]
             lists.append(
                 PostingList(
                     term=term,
@@ -307,5 +289,133 @@ def bm25_topk_wand(
                     ],
                 )
             )
+    return lists
+
+
+def bm25_topk_wand(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    mode: str = "or",
+    k: int = 10,
+    round_to: int | None = None,
+) -> tuple[list[tuple[int, float]], dict]:
+    """Driver-local block-max WAND; returns ([(doc_id, score)], prune
+    metrics). Test/debug surface — production queries go through
+    ``bm25_topk_wand_exec``, which runs the same algorithm inside one
+    executor task instead of collecting payloads to the driver."""
+    terms = list(dict.fromkeys(terms))
+    stats = global_stats(index_dir)
+    dfs = term_dfs(spark, index_dir, terms)
+    if mode == "and" and (not terms or any(t not in dfs for t in terms)):
+        return [], {"decoded_blocks": 0, "total_blocks": 0, "n_lists": 0}
+    avgdl = stats["avgdl"]
+    idfs = {t: idf(stats["n_docs"], dfs.get(t, 0)) for t in terms}
+    rows = (
+        _postings_df(spark, index_dir, terms)
+        .select(
+            "term", "block_no", "first_doc", "last_doc", "max_tf", "min_dl",
+            "doc_bytes", "tf_bytes", "dl_bytes",
+        )
+        .collect()
+    )
+    lists = build_posting_lists(rows, idfs, avgdl)
     require = set(terms) if mode == "and" else None
-    return block_max_wand(lists, k, require_all_terms=require)
+    return block_max_wand(lists, k, require_all_terms=require, round_to=round_to)
+
+
+def bm25_topk_wand_exec(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    mode: str = "or",
+    k: int = 10,
+    round_to: int | None = None,
+    metrics: dict | None = None,
+) -> DataFrame:
+    """Cluster-side block-max WAND: one executor task per query.
+
+    The candidate blocks (query terms only — term predicate pushes down
+    to row groups) shuffle to a single task, which runs block_max_wand
+    with lazy decode and returns only the k result rows; packed
+    payloads never touch the driver. This is the production plan for
+    the common case (few query terms, k small). Queries whose term set
+    is too hot for one task use ``bm25_topk_indexed``, the distributed
+    exhaustive plan.
+
+    metrics: optional dict to receive pruning counters (decoded_blocks /
+    total_blocks, via accumulators — populated after the returned
+    DataFrame is acted on).
+    """
+    from collections import namedtuple
+
+    terms = list(dict.fromkeys(terms))
+    stats = global_stats(index_dir)
+    dfs = term_dfs(spark, index_dir, terms)
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    if mode == "and" and (not terms or any(t not in dfs for t in terms)):
+        if metrics is not None:
+            metrics.update(decoded_blocks=0, total_blocks=0)
+        return empty
+    if not terms or all(t not in dfs for t in terms):
+        if metrics is not None:
+            metrics.update(decoded_blocks=0, total_blocks=0)
+        return empty
+    avgdl = stats["avgdl"]
+    idfs = {t: idf(stats["n_docs"], dfs.get(t, 0)) for t in terms}
+    require = set(terms) if mode == "and" else None
+
+    acc_decoded = spark.sparkContext.accumulator(0)
+    acc_total = spark.sparkContext.accumulator(0)
+    if metrics is not None:
+        metrics["_acc"] = (acc_decoded, acc_total)
+
+    Blk = namedtuple(
+        "Blk",
+        "term block_no first_doc last_doc max_tf min_dl "
+        "doc_bytes tf_bytes dl_bytes",
+    )
+
+    blocks = _postings_df(spark, index_dir, terms).select(
+        "term", "block_no", "first_doc", "last_doc", "max_tf", "min_dl",
+        "doc_bytes", "tf_bytes", "dl_bytes",
+    )
+
+    def run(batches):
+        rows = []
+        for pdf in batches:
+            rows.extend(
+                Blk(*t)
+                for t in zip(
+                    pdf["term"], pdf["block_no"], pdf["first_doc"],
+                    pdf["last_doc"], pdf["max_tf"], pdf["min_dl"],
+                    pdf["doc_bytes"], pdf["tf_bytes"], pdf["dl_bytes"],
+                )
+            )
+        lists = build_posting_lists(rows, idfs, avgdl)
+        out, m = block_max_wand(
+            lists, k, require_all_terms=require, round_to=round_to
+        )
+        acc_decoded.add(int(m["decoded_blocks"]))
+        acc_total.add(int(m["total_blocks"]))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series([d for d, _ in out], dtype="int64"),
+                "score": pd.Series([s for _, s in out], dtype="float64"),
+            }
+        )
+
+    return (
+        blocks.repartition(1)
+        .mapInPandas(run, "doc_id long, score double")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def wand_metrics_value(metrics: dict) -> dict:
+    """Resolve accumulator-backed metrics after an action has run."""
+    dec, tot = metrics.pop("_acc", (None, None))
+    if dec is not None:
+        metrics["decoded_blocks"] = dec.value
+        metrics["total_blocks"] = tot.value
+    return metrics

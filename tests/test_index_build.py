@@ -111,3 +111,71 @@ def test_docid_assignment_deterministic(spark, tiny_corpus):
     d2 = {r.url: r.doc_id for r in assign_doc_ids(spark.read.parquet(tiny_corpus)).select("url", "doc_id").collect()}
     assert d1 == d2
     assert sorted(d1.values()) == list(range(len(d1)))
+
+
+def test_wand_exec_rank_identity(spark, built):
+    """Executor-side WAND (one task per query, payloads never on the
+    driver) matches the oracle exactly, incl. rounded tie-break."""
+    from ocaml_lucene_spark.query.exec import bm25_topk_wand_exec, wand_metrics_value
+
+    index_dir, _, oracle = built
+    for q in _queries()[:10]:
+        expected = oracle.query(q["terms"], q["mode"], q["k"])
+        m = {}
+        got = [
+            (r.doc_id, r.score)
+            for r in bm25_topk_wand_exec(
+                spark, index_dir, q["terms"], q["mode"], q["k"], metrics=m
+            ).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in expected], (q, got[:3], expected[:3])
+        for (gd, gs), (_, es) in zip(got, expected):
+            assert math.isclose(gs, es, rel_tol=1e-9), (q, gd, gs, es)
+        wand_metrics_value(m)
+        assert m["total_blocks"] >= m["decoded_blocks"]
+    # absent-term edge cases return empty / partial like the oracle
+    assert bm25_topk_wand_exec(spark, index_dir, ["zzznope"], "or", 5).count() == 0
+    assert bm25_topk_wand_exec(spark, index_dir, ["the", "zzznope"], "and", 5).count() == 0
+
+
+def test_contiguous_salting_prunes_blocks(spark, tiny_corpus, tmp_path_factory):
+    """Doc-contiguous salt ranges keep each term's blocks doc-disjoint,
+    so a rare+hot disjunction decodes a small fraction of the hot
+    term's blocks (the round-1 hash salting decoded ~100%)."""
+    from ocaml_lucene_spark.query.exec import bm25_topk_wand, build_posting_lists
+
+    index_dir = str(tmp_path_factory.mktemp("index_prune"))
+    docs = assign_doc_ids(spark.read.parquet(tiny_corpus)).select("doc_id", "text")
+    build_index(docs, index_dir, n_partitions=8, salt_df_threshold=300, n_salts=4)
+    texts = {r.doc_id: r.text for r in assign_doc_ids(spark.read.parquet(tiny_corpus)).select("doc_id", "text").collect()}
+    oracle = OracleIndex.from_texts(texts)
+    # one posting list per term: contiguous salts -> doc-disjoint blocks
+    from ocaml_lucene_spark.query.exec import _postings_df, global_stats, term_dfs, idf
+
+    hot_term = max(oracle.term_stats().items(), key=lambda kv: kv[1][0])[0]
+    rows = _postings_df(spark, index_dir, [hot_term]).select(
+        "term", "block_no", "first_doc", "last_doc", "max_tf", "min_dl",
+        "doc_bytes", "tf_bytes", "dl_bytes",
+    ).collect()
+    stats = global_stats(index_dir)
+    lists = build_posting_lists(rows, {hot_term: 1.0}, stats["avgdl"])
+    assert len(lists) == 1, f"expected one list for {hot_term}, got {len(lists)}"
+
+    # rare+hot disjunction where the rare docs cluster at the start of
+    # the doc space: once theta locks in from needle docs, every later
+    # hay block has ub << theta and must be skipped without decode
+    idx2 = str(tmp_path_factory.mktemp("index_prune2"))
+    texts2 = {
+        d: ("needle hay" if d < 4 else f"hay filler{d % 50}")
+        for d in range(2000)
+    }
+    sdocs = spark.createDataFrame(
+        [(d, t) for d, t in texts2.items()], "doc_id long, text string"
+    )
+    build_index(sdocs, idx2, n_partitions=8, salt_df_threshold=300, n_salts=4)
+    oracle2 = OracleIndex.from_texts(texts2)
+    got, metrics = bm25_topk_wand(spark, idx2, ["needle", "hay"], "or", 3)
+    expected = oracle2.query(["needle", "hay"], "or", 3)
+    assert [d for d, _ in got] == [d for d, _ in expected]
+    # hay has ~16 blocks; all but the needle-region ones must be skipped
+    assert metrics["decoded_blocks"] <= metrics["total_blocks"] // 2, metrics
