@@ -82,6 +82,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_bm25_and_absent_empty(spark, sf):
         return bm25.bm25_topk(_docs(spark, sf), ["spark", "zzzabsent"], "and", 10, round_to=4)
 
+    def q_bm25_not(spark, sf):
+        # NOT clause, logical path: left_anti on the excluded term's docs
+        return bm25.bm25_topk(
+            _docs(spark, sf), ["spark", "query"], "or", 10, round_to=4,
+            exclude=["dup"],
+        )
+
     def q_bm25_lang_filtered(spark, sf):
         # composition: parquet predicate pushdown (lang='en') under the
         # scoring pipeline — corpus stats are over the filtered subset
@@ -122,6 +129,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return bm25_topk_indexed(
             spark, _ensure_index(spark, sf), ["join", "hash", "scan"], "and", 10, round_to=4
+        )
+
+    def q_bm25_indexed_not(spark, sf):
+        # NOT clause, physical path: anti join against decoded postings
+        from ocaml_lucene_spark.query.exec import bm25_topk_indexed
+
+        return bm25_topk_indexed(
+            spark, _ensure_index(spark, sf), ["spark", "query"], "or", 10,
+            round_to=4, exclude=["dup"],
+        )
+
+    def q_bm25_wand_not(spark, sf):
+        # NOT clause inside the WAND task: docID-sorted leapfrog anti-join
+        from ocaml_lucene_spark.query.exec import bm25_topk_wand_exec
+
+        return bm25_topk_wand_exec(
+            spark, _ensure_index(spark, sf), ["spark", "query"], "or", 10,
+            round_to=4, exclude=["dup"],
         )
 
     def q_bm25_wand(spark, sf):
@@ -198,6 +223,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_or_with_absent": q_bm25_or_with_absent,
         "bm25_and_absent_empty": q_bm25_and_absent_empty,
         "bm25_lang_filtered": q_bm25_lang_filtered,
+        "bm25_not": q_bm25_not,
+        "bm25_indexed_not": q_bm25_indexed_not,
+        "bm25_wand_not": q_bm25_wand_not,
         "term_postings": q_term_postings,
         "term_stats": q_term_stats,
         "corpus_stats": q_corpus_stats,
@@ -255,6 +283,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_or_with_absent": osql.bm25_topk_sql(["spark", "zzzabsent"], "or", 10),
         "bm25_and_absent_empty": osql.bm25_topk_sql(["spark", "zzzabsent"], "and", 10),
         "bm25_lang_filtered": osql.bm25_topk_sql(["spark", "query"], "or", 10, lang="en"),
+        "bm25_not": osql.bm25_topk_sql(["spark", "query"], "or", 10, exclude=["dup"]),
+        "bm25_indexed_not": osql.bm25_topk_sql(["spark", "query"], "or", 10, exclude=["dup"]),
+        "bm25_wand_not": osql.bm25_topk_sql(["spark", "query"], "or", 10, exclude=["dup"]),
         "term_postings": osql.term_postings_sql("dup"),
         "term_stats": osql.term_stats_sql(),
         "corpus_stats": osql.corpus_stats_sql(),

@@ -74,16 +74,34 @@ def bm25_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
     round_to: int | None = None,
+    exclude: list[str] | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score); tie-break (score desc, doc_id asc).
 
     mode='and' keeps only docs containing *all* query terms (sorted
     intersection semantics, SURVEY.md §2.3); 'or' is the score-
     accumulating union.
+
+    exclude: NOT clause — drop docs containing ANY excluded term
+    (SURVEY.md §2.3 anti join; reference semantics: docID-sorted
+    anti-join over postings, /root/reference/codec/terms_enumerator.ml
+    skip data). Lucene semantics: exclusion filters matches only; it
+    does not change N/avgdl/df, so surviving docs score identically.
+    The Spark re-expression is a left_anti join on doc_id — excluded
+    postings are term-filtered under the explode, so only the excluded
+    terms' doc lists ever shuffle.
     """
     terms = list(dict.fromkeys(terms))
     tf = candidate_tf(docs, terms, id_col, text_col)
+    # df/idf over the FULL corpus (before exclusion) — Lucene semantics
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    if exclude:
+        ex_docs = (
+            candidate_tf(docs, list(dict.fromkeys(exclude)), id_col, text_col)
+            .select("doc_id")
+            .distinct()
+        )
+        tf = tf.join(ex_docs, "doc_id", "left_anti")
     stats = corpus_stats(docs, id_col, text_col)
     scored = (
         tf.join(F.broadcast(dfreq), "term")

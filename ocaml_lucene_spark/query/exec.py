@@ -80,6 +80,32 @@ def _postings_df(spark: SparkSession, index_dir: str, terms: list[str]) -> DataF
     return spark.read.parquet(*paths).filter(F.col("term").isin(terms))
 
 
+def excluded_docs_df(
+    spark: SparkSession, index_dir: str, exclude: list[str]
+) -> DataFrame:
+    """Distinct doc_ids containing ANY excluded term, decoded from the
+    excluded terms' postings blocks (term predicate pushes to row
+    groups; only doc_bytes is read — tf/dl/pos columns pruned)."""
+    blocks = _postings_df(spark, index_dir, list(dict.fromkeys(exclude))).select(
+        "doc_bytes"
+    )
+
+    def decode_ids(batches):
+        from ..codecs.delta import delta_decode
+
+        for pdf in batches:
+            outs = [delta_decode(bytes(db)) for db in pdf["doc_bytes"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(
+                        np.concatenate(outs) if outs else [], dtype="int64"
+                    )
+                }
+            )
+
+    return blocks.mapInPandas(decode_ids, "doc_id long").distinct()
+
+
 def bm25_topk_indexed(
     spark: SparkSession,
     index_dir: str,
@@ -87,8 +113,13 @@ def bm25_topk_indexed(
     mode: str = "or",
     k: int = 10,
     round_to: int | None = None,
+    exclude: list[str] | None = None,
 ) -> DataFrame:
-    """Distributed exhaustive plan. Returns (doc_id, score) DataFrame."""
+    """Distributed exhaustive plan. Returns (doc_id, score) DataFrame.
+
+    exclude: NOT clause — left_anti join against the excluded terms'
+    decoded doc lists (the sorted-postings anti-join of SURVEY §2.3,
+    re-expressed as a Spark anti join; df/N/avgdl are unaffected)."""
     terms = list(dict.fromkeys(terms))
     stats = global_stats(index_dir)
     dfs = term_dfs(spark, index_dir, terms)
@@ -167,6 +198,8 @@ def bm25_topk_indexed(
     )
     if mode == "and":
         agg = agg.filter(F.col("nhit") == n_req)
+    if exclude:
+        agg = agg.join(excluded_docs_df(spark, index_dir, exclude), "doc_id", "left_anti")
     score = (
         F.round(F.col("score_raw"), round_to) if round_to is not None else F.col("score_raw")
     )
@@ -299,12 +332,14 @@ def bm25_topk_wand(
     mode: str = "or",
     k: int = 10,
     round_to: int | None = None,
+    exclude: list[str] | None = None,
 ) -> tuple[list[tuple[int, float]], dict]:
     """Driver-local block-max WAND; returns ([(doc_id, score)], prune
     metrics). Test/debug surface — production queries go through
     ``bm25_topk_wand_exec``, which runs the same algorithm inside one
     executor task instead of collecting payloads to the driver."""
     terms = list(dict.fromkeys(terms))
+    exclude = list(dict.fromkeys(exclude or []))
     stats = global_stats(index_dir)
     dfs = term_dfs(spark, index_dir, terms)
     if mode == "and" and (not terms or any(t not in dfs for t in terms)):
@@ -312,16 +347,22 @@ def bm25_topk_wand(
     avgdl = stats["avgdl"]
     idfs = {t: idf(stats["n_docs"], dfs.get(t, 0)) for t in terms}
     rows = (
-        _postings_df(spark, index_dir, terms)
+        _postings_df(spark, index_dir, terms + exclude)
         .select(
             "term", "block_no", "first_doc", "last_doc", "max_tf", "min_dl",
             "doc_bytes", "tf_bytes", "dl_bytes",
         )
         .collect()
     )
-    lists = build_posting_lists(rows, idfs, avgdl)
+    inc = [r for r in rows if r.term in set(terms)]
+    exc = [r for r in rows if r.term in set(exclude) and r.term not in set(terms)]
+    lists = build_posting_lists(inc, idfs, avgdl)
+    xlists = build_posting_lists(exc, {t: 0.0 for t in exclude}, avgdl)
     require = set(terms) if mode == "and" else None
-    return block_max_wand(lists, k, require_all_terms=require, round_to=round_to)
+    return block_max_wand(
+        lists, k, require_all_terms=require, round_to=round_to,
+        exclude_lists=xlists or None,
+    )
 
 
 def bm25_topk_wand_exec(
@@ -332,6 +373,7 @@ def bm25_topk_wand_exec(
     k: int = 10,
     round_to: int | None = None,
     metrics: dict | None = None,
+    exclude: list[str] | None = None,
 ) -> DataFrame:
     """Cluster-side block-max WAND: one executor task per query.
 
@@ -350,6 +392,7 @@ def bm25_topk_wand_exec(
     from collections import namedtuple
 
     terms = list(dict.fromkeys(terms))
+    exclude = list(dict.fromkeys(exclude or []))
     stats = global_stats(index_dir)
     dfs = term_dfs(spark, index_dir, terms)
     empty = spark.createDataFrame([], "doc_id long, score double")
@@ -376,10 +419,11 @@ def bm25_topk_wand_exec(
         "doc_bytes tf_bytes dl_bytes",
     )
 
-    blocks = _postings_df(spark, index_dir, terms).select(
+    blocks = _postings_df(spark, index_dir, terms + exclude).select(
         "term", "block_no", "first_doc", "last_doc", "max_tf", "min_dl",
         "doc_bytes", "tf_bytes", "dl_bytes",
     )
+    inc_set, exc_set = set(terms), set(exclude) - set(terms)
 
     def run(batches):
         rows = []
@@ -392,9 +436,17 @@ def bm25_topk_wand_exec(
                     pdf["doc_bytes"], pdf["tf_bytes"], pdf["dl_bytes"],
                 )
             )
-        lists = build_posting_lists(rows, idfs, avgdl)
+        lists = build_posting_lists(
+            [r for r in rows if r.term in inc_set], idfs, avgdl
+        )
+        xlists = build_posting_lists(
+            [r for r in rows if r.term in exc_set],
+            {t: 0.0 for t in exc_set},
+            avgdl,
+        )
         out, m = block_max_wand(
-            lists, k, require_all_terms=require, round_to=round_to
+            lists, k, require_all_terms=require, round_to=round_to,
+            exclude_lists=xlists or None,
         )
         acc_decoded.add(int(m["decoded_blocks"]))
         acc_total.add(int(m["total_blocks"]))

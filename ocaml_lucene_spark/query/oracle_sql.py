@@ -31,12 +31,22 @@ def bm25_topk_sql(
     k: int = 10,
     round_to: int = 4,
     lang: str | None = None,
+    exclude: list[str] | None = None,
 ) -> str:
     terms = list(dict.fromkeys(terms))
     having = f"HAVING count(*) = {len(terms)}" if mode == "and" else ""
     toks_cte = TOKS_CTE
     if lang is not None:
         toks_cte = toks_cte.replace("FROM documents", f"FROM documents WHERE lang = '{lang}'")
+    not_clause = ""
+    if exclude:
+        # NOT clause: drop docs containing any excluded term; df/N/avgdl
+        # are computed before exclusion (Lucene semantics)
+        not_clause = f"""WHERE doc_id NOT IN (
+    SELECT DISTINCT doc_id
+    FROM (SELECT doc_id, unnest(t) AS term FROM base)
+    WHERE term IN {_terms_in(list(dict.fromkeys(exclude)))}
+  )"""
     return f"""
 WITH {toks_cte},
 stats AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM base),
@@ -55,6 +65,7 @@ scored AS (
 )
 SELECT doc_id, round(sum(sc), {round_to}) AS score
 FROM scored
+{not_clause}
 GROUP BY doc_id {having}
 ORDER BY round(sum(sc), {round_to}) DESC, doc_id ASC
 LIMIT {k}

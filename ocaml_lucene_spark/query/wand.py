@@ -121,17 +121,38 @@ class PostingList:
             return float(self.scores[self.pi])
         return 0.0
 
+    def contains(self, doc: int) -> bool:
+        """Membership probe (advances the iterator): the NOT-clause
+        leapfrog — blocks whose [first_doc, last_doc] cannot hold
+        ``doc`` are skipped via metadata, never decoded."""
+        self.advance_to(doc)
+        if self.exhausted():
+            return False
+        if self.docs is None:
+            if int(self.first_doc[self.bi]) != doc:
+                return False
+            self._decode()
+            self.pi = int(np.searchsorted(self.docs, doc, side="left"))
+        return self.pi < self.docs.size and int(self.docs[self.pi]) == doc
+
 
 def block_max_wand(
     lists: list[PostingList],
     k: int,
     require_all_terms: set[str] | None = None,
     round_to: int | None = None,
+    exclude_lists: list[PostingList] | None = None,
 ) -> tuple[list[tuple[int, float]], dict]:
     """Exact top-k [(doc_id, score)] over posting lists.
 
     require_all_terms: conjunctive mode — results must hit every term in
     the set (a term may be represented by several salt-shard lists).
+
+    exclude_lists: NOT clause — posting lists whose docs are dropped
+    from the results (docID-sorted leapfrog anti-join: each exclusion
+    iterator only advances forward and only decodes blocks that might
+    contain a surviving pivot, reference skip-data semantics,
+    /root/reference/codec/terms_enumerator.ml:154-161).
 
     round_to: when set, the heap orders by round(score, round_to) (then
     doc_id asc) so the k-boundary tie-break matches the exhaustive paths
@@ -206,6 +227,8 @@ def block_max_wand(
                 score += s
                 hit.add(pl.term)
         ok = (hit >= require_all_terms) if and_mode else bool(hit)
+        if ok and exclude_lists:
+            ok = not any(xl.contains(pivot_doc) for xl in exclude_lists)
         if ok:
             item = (score_key(score), -pivot_doc)
             if len(heap) < k:
@@ -219,9 +242,10 @@ def block_max_wand(
                 pl.advance_to(pivot_doc + 1)
 
     out = sorted(((-d, s) for s, d in heap), key=lambda x: (-x[1], x[0]))
+    all_lists = lists + (exclude_lists or [])
     metrics = {
-        "decoded_blocks": sum(pl.decoded_blocks for pl in lists),
-        "total_blocks": sum(len(pl.payloads) for pl in lists),
+        "decoded_blocks": sum(pl.decoded_blocks for pl in all_lists),
+        "total_blocks": sum(len(pl.payloads) for pl in all_lists),
         "n_lists": len(lists),
     }
     return out, metrics

@@ -179,3 +179,37 @@ def test_contiguous_salting_prunes_blocks(spark, tiny_corpus, tmp_path_factory):
     assert [d for d, _ in got] == [d for d, _ in expected]
     # hay has ~16 blocks; all but the needle-region ones must be skipped
     assert metrics["decoded_blocks"] <= metrics["total_blocks"] // 2, metrics
+
+
+def test_not_clause_three_paths_agree(spark, built):
+    """bm25 NOT clause: logical left_anti, indexed anti join, and WAND
+    leapfrog exclusion all return the oracle's filtered top-k."""
+    from ocaml_lucene_spark.query.bm25 import bm25_topk
+    from ocaml_lucene_spark.query.exec import bm25_topk_wand_exec
+
+    index_dir, _, oracle = built
+    stats = oracle.term_stats()
+    ranked = sorted(stats.items(), key=lambda kv: -kv[1][0])
+    inc = [ranked[3][0], ranked[10][0]]
+    exc = [ranked[6][0]]
+    banned = set()
+    for t in exc:
+        banned |= set(oracle.postings.get(t, {}))
+    full = oracle.query(inc, "or", oracle.n_docs)
+    expected = [(d, s) for d, s in full if d not in banned][:10]
+    assert expected, "test query produced no survivors; pick other terms"
+
+    got_idx = [
+        (r.doc_id, r.score)
+        for r in bm25_topk_indexed(spark, index_dir, inc, "or", 10, exclude=exc).collect()
+    ]
+    got_wand = [
+        (r.doc_id, r.score)
+        for r in bm25_topk_wand_exec(spark, index_dir, inc, "or", 10, exclude=exc).collect()
+    ]
+    assert [d for d, _ in got_idx] == [d for d, _ in expected], (got_idx[:3], expected[:3])
+    assert [d for d, _ in got_wand] == [d for d, _ in expected]
+    for (gd, gs), (_, es) in zip(got_idx, expected):
+        assert math.isclose(gs, es, rel_tol=1e-9), (gd, gs, es)
+    for (gd, gs), (_, es) in zip(got_wand, expected):
+        assert math.isclose(gs, es, rel_tol=1e-9), (gd, gs, es)

@@ -115,3 +115,29 @@ def test_wand_rounded_tieboundary():
         exp.sort(key=lambda x: (-x[1], x[0]))
         assert [d for d, _ in got] == [d for d, _ in exp[:10]], trial
         assert [s for _, s in got] == [s for _, s in exp[:10]], trial
+
+
+def oracle_query_not(oracle, terms, exclude, k):
+    banned = set()
+    for t in exclude:
+        banned |= set(oracle.postings.get(t, {}))
+    full = oracle.query(terms, "or", len(oracle.doc_lens))
+    return [(d, s) for d, s in full if d not in banned][:k]
+
+
+def test_wand_exclusion_fuzz():
+    """NOT clause via exclusion posting lists (leapfrog anti-join)
+    matches filtering the oracle's full ranking."""
+    rng = random.Random(99)
+    vocab = list("abcdefgh")
+    for trial in range(40):
+        oracle = random_corpus(rng, rng.randint(150, 400), vocab)
+        inc = rng.sample(vocab, 2)
+        exc = [t for t in rng.sample(vocab, 2) if t not in inc]
+        lists = lists_from_oracle(oracle, inc, rng.choice([1, 2]))
+        xlists = lists_from_oracle(oracle, exc, 1)
+        for xl in xlists:
+            xl.idf = 0.0
+        got, _ = block_max_wand(lists, 8, exclude_lists=xlists or None)
+        expected = oracle_query_not(oracle, inc, exc, 8)
+        _assert_matches(got, expected, (trial, inc, exc))
