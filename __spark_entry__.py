@@ -32,10 +32,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # query registry: each entry returns a DataFrame given (spark, sf_dir)
 # --------------------------------------------------------------------
 
-_INDEX_CACHE: dict[str, str] = {}
+_INDEX_CACHE: dict[tuple[str, bool], str] = {}
 
 
-def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
+def _ensure_index(spark: SparkSession, sf_dir: str, positions: bool = False) -> str:
     """Build (or resume) a packed segment index over the documents table.
     Checkpoint fingerprints make repeat calls near-free."""
     import hashlib
@@ -45,12 +45,18 @@ def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
     import ocaml_lucene_spark as pkg
 
     # version-keyed so a format change never resumes onto stale shards
-    key = hashlib.md5(f"{pkg.__version__}|{sf_dir}".encode()).hexdigest()[:10]
+    key = hashlib.md5(
+        f"{pkg.__version__}|{sf_dir}|pos{int(positions)}".encode()
+    ).hexdigest()[:10]
     index_dir = f"/tmp/olspark_entry_index_{key}"
-    if sf_dir not in _INDEX_CACHE:
+    cache_key = (sf_dir, positions)
+    if cache_key not in _INDEX_CACHE:
         docs = _docs(spark, sf_dir).select("doc_id", "text")
-        build_index(docs, index_dir, segment="docs", n_partitions=8)
-        _INDEX_CACHE[sf_dir] = index_dir
+        build_index(
+            docs, index_dir, segment="docs", n_partitions=8,
+            with_positions=positions,
+        )
+        _INDEX_CACHE[cache_key] = index_dir
     return index_dir
 
 
@@ -159,6 +165,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             round_to=4,
         )
 
+    def q_phrase_counts_indexed(spark, sf):
+        # physical .pos-stream consumer: packed positions -> flat
+        # (doc_id, pos) join; same oracle as the logical phrase path
+        from ocaml_lucene_spark.query.exec import phrase_counts_indexed
+
+        return phrase_counts_indexed(
+            spark, _ensure_index(spark, sf, positions=True), "table", "hash"
+        )
+
     def q_multimodal_metadata(spark, sf):
         # rows-only check (no SQL oracle): synthetic media derived
         # deterministically from doc_ids exercises the binary plumbing
@@ -234,6 +249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_indexed_or": q_bm25_indexed_or,
         "bm25_indexed_and": q_bm25_indexed_and,
         "bm25_wand": q_bm25_wand,
+        "phrase_counts_indexed": q_phrase_counts_indexed,
         "multimodal_metadata": q_multimodal_metadata,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
@@ -291,4 +307,5 @@ def oracle_sql() -> dict[str, str]:
         "corpus_stats": osql.corpus_stats_sql(),
         "doc_lengths": osql.doc_lengths_sql(),
         "phrase_counts": osql.phrase_counts_sql("table", "hash"),
+        "phrase_counts_indexed": osql.phrase_counts_sql("table", "hash"),
     }

@@ -183,8 +183,20 @@ def main() -> None:
     from ocaml_lucene_spark.query.exec import (
         bm25_topk_indexed,
         bm25_topk_wand_exec,
+        phrase_counts_indexed,
         wand_metrics_value,
     )
+
+    # positions index for the .pos-stream phrase query (resume-cached:
+    # rebuilds are checkpoint-skipped across bench runs)
+    from ocaml_lucene_spark.index.build import assign_doc_ids as _aid
+    from ocaml_lucene_spark.index.build import build_index as _bi
+
+    idx_pos = os.path.join(workdir, "idx_pos")
+    if not os.path.isdir(os.path.join(idx_pos, "manifest")):
+        pdocs = _aid(spark.read.parquet(corpus)).select("doc_id", "text")
+        _bi(pdocs, idx_pos, segment="pos", n_partitions=cpus,
+            salt_df_threshold=20_000, n_salts=8, with_positions=True)
 
     hot_terms = ["the", "and", "of"]
     mixed_terms = ["the", "data", "zipf"]
@@ -194,6 +206,14 @@ def main() -> None:
 
     def q_indexed_and(_s, _sf):
         return bm25_topk_indexed(spark, index_dir, hot_terms, "and", 10)
+
+    def q_indexed_not(_s, _sf):
+        return bm25_topk_indexed(
+            spark, index_dir, ["the", "data"], "or", 10, exclude=["zipf"]
+        )
+
+    def q_phrase_indexed(_s, _sf):
+        return phrase_counts_indexed(spark, idx_pos, "of", "the")
 
     registry = entry.queries()
     bench_queries = {
@@ -210,6 +230,8 @@ def main() -> None:
         "ann_lsh": registry["ann_lsh"],
         "bm25_indexed_or": q_indexed_or,
         "bm25_indexed_and": q_indexed_and,
+        "bm25_indexed_not": q_indexed_not,
+        "phrase_indexed": q_phrase_indexed,
     }
 
     # warm up session/JIT/python workers once, untimed

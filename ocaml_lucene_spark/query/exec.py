@@ -214,64 +214,71 @@ def phrase_counts_indexed(
     spark: SparkSession, index_dir: str, first: str, second: str
 ) -> DataFrame:
     """(doc_id, n_phrase) for adjacent '<first> <second>' from the packed
-    positions stream (.pos consumer; requires with_positions build).
+    positions stream (.pos consumer,
+    /root/reference/codec/lucene_84_postings_reader.ml:4-7; requires a
+    with_positions build).
 
-    Plan: scan blocks of both terms (term pushdown) -> numpy decode of
-    doc/tf/pos streams -> explode to (doc_id, term, positions) ->
-    co-partition by doc_id -> vectorized adjacency via sorted-array
-    membership inside applyInPandas."""
-    import numpy as np
-
+    Plan: scan blocks of the two terms (term pushdown) -> one fully
+    vectorized numpy decode per block emitting FLAT (doc_id, term, pos)
+    occurrence rows (per-doc position reconstruction is a cumsum minus a
+    repeated per-doc base — no Python lists, no per-doc loops) -> JVM
+    equi-join of term1's (doc_id, pos+1) with term2's (doc_id, pos) ->
+    groupBy(doc_id) count. Only the two query terms' position
+    occurrences ever shuffle, and the join/agg are whole-stage codegen —
+    no per-doc pandas groups (the round-1 plan shuffled one pandas group
+    per matching document)."""
     blocks = _postings_df(spark, index_dir, [first, second]).select(
         "term", "n", "doc_bytes", "tf_bytes", "pos_bytes"
     )
 
-    def decode_pos(batches):
+    def decode_flat(batches):
         from ..codecs import pfor
-        from ..codecs.blocks import decode_positions
-        from ..codecs.delta import delta_decode
+        from ..codecs.delta import delta_decode, stream_decode
 
         for pdf in batches:
-            ids, terms_out, poss = [], [], []
+            doc_out, pos_out, term_out = [], [], []
             for term, n, db, tb, pb in zip(
-                pdf["term"], pdf["n"], pdf["doc_bytes"], pdf["tf_bytes"], pdf["pos_bytes"]
+                pdf["term"], pdf["n"], pdf["doc_bytes"], pdf["tf_bytes"],
+                pdf["pos_bytes"],
             ):
                 if pb is None:
                     raise ValueError("index was built without positions")
                 docs = delta_decode(bytes(db))
                 tf = pfor.decode(bytes(tb), int(n)).astype(np.int64)
-                plists = decode_positions(bytes(pb), tf)
-                ids.extend(int(d) for d in docs)
-                terms_out.extend([term] * len(docs))
-                poss.extend([p.tolist() for p in plists])
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(ids, dtype="int64"),
-                    "term": pd.Series(terms_out, dtype=object),
-                    "positions": pd.Series(poss, dtype=object),
-                }
-            )
+                deltas = stream_decode(bytes(pb)).astype(np.int64)
+                # per-doc cumsum over the flat delta stream: the first
+                # delta of each doc is its absolute first position, so
+                # positions = running_sum - (running_sum_before_doc)
+                c = np.cumsum(deltas)
+                offsets = np.concatenate([[0], np.cumsum(tf)])
+                starts = offsets[:-1]
+                base = c[starts] - deltas[starts]
+                positions = c - np.repeat(base, tf)
+                doc_out.append(np.repeat(docs, tf))
+                pos_out.append(positions)
+                term_out.append(np.full(positions.size, term, dtype=object))
+            if doc_out:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(np.concatenate(doc_out), dtype="int64"),
+                        "term": pd.Series(
+                            np.concatenate(term_out), dtype=object
+                        ),
+                        "p": pd.Series(np.concatenate(pos_out), dtype="int64"),
+                    }
+                )
 
-    exploded = blocks.mapInPandas(
-        decode_pos, "doc_id long, term string, positions array<long>"
+    flat = blocks.mapInPandas(decode_flat, "doc_id long, term string, p long")
+    a = flat.filter(F.col("term") == first).select(
+        "doc_id", (F.col("p") + 1).alias("pp")
     )
-
-    def count_adjacent(pdf: pd.DataFrame) -> pd.DataFrame:
-        a = pdf[pdf["term"] == first]
-        b = pdf[pdf["term"] == second]
-        if a.empty or b.empty:
-            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                                 "n_phrase": pd.Series([], dtype="int64")})
-        p1 = np.asarray(a["positions"].iloc[0], dtype=np.int64)
-        p2 = np.asarray(b["positions"].iloc[0], dtype=np.int64)
-        hits = np.isin(p1 + 1, p2).sum()
-        if hits == 0:
-            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                                 "n_phrase": pd.Series([], dtype="int64")})
-        return pd.DataFrame({"doc_id": [int(pdf["doc_id"].iloc[0])], "n_phrase": [int(hits)]})
-
-    return exploded.groupBy("doc_id").applyInPandas(
-        count_adjacent, "doc_id long, n_phrase long"
+    b = flat.filter(F.col("term") == second).select(
+        "doc_id", F.col("p").alias("pp")
+    )
+    return (
+        a.join(b, ["doc_id", "pp"])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_phrase"))
     )
 
 
