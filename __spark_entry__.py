@@ -204,6 +204,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_ngram_jaccard(spark, sf):
         return dedup.ngram_jaccard_pairs(_docs(spark, sf), min_jaccard=0.8)
 
+    def q_near_dup(spark, sf):
+        # composed pipeline: LSH candidates -> exact-Jaccard verify
+        return dedup.near_dup_pairs(_docs(spark, sf), min_jaccard=0.8)
+
     def q_simhash(spark, sf):
         return dedup.simhash_signatures(_docs(spark, sf))
 
@@ -255,6 +259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_candidate_pairs": q_minhash_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard,
+        "near_dup_pairs": q_near_dup,
         "simhash_signatures": q_simhash,
         "language_id": q_lang_id,
         "quality_features": q_quality,
@@ -277,6 +282,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": oops.minhash_signatures_sql(),
         "minhash_candidate_pairs": oops.minhash_candidate_pairs_sql(min_est_jaccard=0.5),
         "ngram_jaccard_pairs": oops.ngram_jaccard_pairs_sql(min_jaccard=0.8),
+        "near_dup_pairs": oops.near_dup_pairs_sql(min_jaccard=0.8),
         "simhash_signatures": oops.simhash_signatures_sql(),
         "language_id": oops.language_id_sql(),
         "quality_features": oops.quality_features_sql(),

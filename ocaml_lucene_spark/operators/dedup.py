@@ -59,8 +59,10 @@ def minhash_signatures(
     """(doc_id, sig_0..sig_{n-1}): per-'permutation' minimum of
     md5(seed|shingle) — strings compare lexicographically identically
     in Spark and DuckDB, so signatures are oracle-checkable."""
+    from ..session import ensure_compute_parallelism
+
     sh = shingles_col(text_col).alias("sh")
-    base = docs.select(F.col(id_col).alias("doc_id"), sh)
+    base = ensure_compute_parallelism(docs).select(F.col(id_col).alias("doc_id"), sh)
 
     def seeded_md5(h: int):
         # arity-1 lambda: F.transform passes (elem, idx) to arity-2
@@ -87,8 +89,15 @@ def minhash_candidate_pairs(
 
     Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b. The band
     join is an equi-join on (band_id, band_hash) — co-partitioned by
-    Catalyst, quadratic only within a bucket (by construction small)."""
-    sigs = minhash_signatures(docs, id_col, text_col, n_hashes).cache()
+    Catalyst, quadratic only within a bucket (by construction small).
+
+    Plan (2 shuffles): the signature array rides THROUGH the band
+    explode, so est_jaccard is computed inside the band join itself
+    (zip_with + aggregate, JVM expressions) and one groupBy dedups
+    pairs that collide in several bands. The round-1 plan instead ran
+    distinct() on pairs and re-joined the signature table twice —
+    three shuffles and the slowest bench query (11.2 s -> target ~5)."""
+    sigs = minhash_signatures(docs, id_col, text_col, n_hashes)
     rows_per_band = n_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -96,28 +105,29 @@ def minhash_candidate_pairs(
         band_cols.append(
             F.struct(F.lit(b).alias("band_id"), F.md5(F.concat_ws("|", *parts)).alias("band_hash"))
         )
-    banded = sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("b")).select(
-        "doc_id", "b.band_id", "b.band_hash"
-    )
+    sig_arr = F.array(*[F.col(f"sig_{h}") for h in range(n_hashes)])
+    # cache: both sides of the self-join read this relation — without it
+    # Spark recomputes the shingle+16-md5 pipeline twice (on a cluster
+    # this is a materialized staging table instead of executor cache)
+    banded = sigs.select(
+        "doc_id", sig_arr.alias("sigs"), F.explode(F.array(*band_cols)).alias("b")
+    ).select("doc_id", "sigs", "b.band_id", "b.band_hash").cache()
     l, r = banded.alias("l"), banded.alias("r")
-    pairs = (
+    eq = F.zip_with(
+        F.col("l.sigs"), F.col("r.sigs"), lambda x, y: (x == y).cast("int")
+    )
+    est = F.aggregate(eq, F.lit(0), lambda acc, x: acc + x) / float(n_hashes)
+    return (
         l.join(r, ["band_id", "band_hash"])
         .filter(F.col("l.doc_id") < F.col("r.doc_id"))
-        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    a = sigs.alias("a")
-    b = sigs.alias("b")
-    eq_terms = [
-        F.when(F.col(f"a.sig_{h}") == F.col(f"b.sig_{h}"), 1).otherwise(0)
-        for h in range(n_hashes)
-    ]
-    est = sum(eq_terms[1:], eq_terms[0]) / float(n_hashes)
-    return (
-        pairs.join(a, pairs.doc_a == F.col("a.doc_id"))
-        .join(b, pairs.doc_b == F.col("b.doc_id"))
-        .select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"))
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.round(est, 4).alias("est_jaccard"),
+        )
         .filter(F.col("est_jaccard") >= min_est_jaccard)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.first("est_jaccard").alias("est_jaccard"))
     )
 
 
@@ -127,18 +137,36 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (doc_a, doc_b, jaccard).
 
     Shared-shingle equi-join computes |A∩B|; |A∪B| = |A|+|B|-|A∩B|.
-    Quadratic within shingle buckets — the verify stage for LSH
-    candidates at scale, exhaustive only at test scale."""
+    Quadratic within shingle buckets: a shingle shared by m docs emits
+    m^2/2 join rows, so at corpus scale EITHER set ``max_shingle_df``
+    (shingles shared by more docs are dropped from the shingle space —
+    Jaccard is then computed over the capped space on both sides of
+    the union) OR run the composed ``near_dup_pairs`` pipeline, whose
+    verify join is driven by LSH candidate pairs instead of shared
+    shingles. Exhaustive (uncapped) only at test scale."""
+    from ..session import ensure_compute_parallelism
+
     sh = (
-        docs.select(
+        ensure_compute_parallelism(docs).select(
             F.col(id_col).alias("doc_id"),
             F.explode(F.array_distinct(shingles_col(text_col, n))).alias("sh"),
         )
     )
+    if max_shingle_df is not None:
+        # hot-shingle cap: the > df head of the shingle Zipf curve is
+        # vocabulary-bounded and tiny, so it broadcasts
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") > max_shingle_df)
+            .select("sh")
+        )
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     l, r = sh.alias("l"), sh.alias("r")
     inter = (
@@ -164,14 +192,78 @@ def ngram_jaccard_pairs(
     )
 
 
+def near_dup_pairs(
+    docs: DataFrame,
+    min_jaccard: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_hashes: int = N_MINHASH,
+    bands: int = LSH_BANDS,
+    min_est_jaccard: float = 0.25,
+) -> DataFrame:
+    """The composed near-dup pipeline: MinHash-LSH candidate generation
+    -> exact n-gram Jaccard verify on the candidate pairs ONLY.
+
+    Returns (doc_a, doc_b, jaccard) with exact Jaccard >= min_jaccard,
+    restricted to LSH candidates (standard LSH recall semantics; the
+    banding (16 hashes / 4 bands) makes missing a >=0.8-Jaccard pair
+    exponentially unlikely).
+
+    Scale shape: the verify join is DRIVEN BY the candidate pairs —
+    work ∝ Σ over candidates of (|A|+|B|) shingles — never by shared
+    shingles, so a universal shingle cannot create a quadratic blowup
+    (adversarial test in tests/test_dedup_ann.py)."""
+    from ..session import ensure_compute_parallelism
+
+    cands = minhash_candidate_pairs(
+        docs, id_col, text_col, n_hashes, bands, min_est_jaccard
+    ).select("doc_a", "doc_b")
+    sh = ensure_compute_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(shingles_col(text_col, n))).alias("sh"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # |A∩B| per candidate pair: attach A's shingles, keep rows whose
+    # shingle also appears in B (equi-join on (doc_b, sh))
+    a_sh = cands.join(
+        sh.withColumnRenamed("doc_id", "doc_a"), "doc_a"
+    )  # (doc_a, doc_b, sh)
+    inter = (
+        a_sh.join(
+            sh.select(F.col("doc_id").alias("doc_b"), "sh"), ["doc_b", "sh"]
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return (
+        inter.join(sa, inter.doc_a == F.col("sa.doc_id"))
+        .join(sb, inter.doc_b == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
 def simhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
 ) -> DataFrame:
     """(doc_id, simhash): tf-weighted bit-majority over per-token 60-bit
     md5-derived hashes, truncated to ``bits``. All JVM expressions:
     explode tokens -> tf -> explode bit positions -> signed sum -> pack."""
+    from ..session import ensure_compute_parallelism
+
     tf = (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("term"))
+        ensure_compute_parallelism(docs)
+        .select(F.col(id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )

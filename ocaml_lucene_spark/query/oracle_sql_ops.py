@@ -97,6 +97,62 @@ WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter)::DOUBLE, 4) >= {min_jaccard}
 """
 
 
+def near_dup_pairs_sql(
+    min_jaccard: float = 0.8,
+    n: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+    min_est_jaccard: float = 0.25,
+) -> str:
+    """Composed pipeline: MinHash-LSH candidates -> exact Jaccard verify
+    on candidates only — same composition as operators/dedup.py
+    near_dup_pairs."""
+    rows = n_hashes // bands
+    band_selects = []
+    for b in range(bands):
+        parts = " || '|' || ".join(f"sig_{b * rows + r}" for r in range(rows))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, md5({parts}) AS band_hash FROM sigs"
+        )
+    banded = " UNION ALL ".join(band_selects)
+    eq = " + ".join(
+        f"CASE WHEN a.sig_{h} = b.sig_{h} THEN 1 ELSE 0 END" for h in range(n_hashes)
+    )
+    return f"""
+WITH {_shingles(n)},
+sigs AS (
+  SELECT doc_id,
+         {", ".join(f"list_min(list_transform(shingles, s -> md5('{h}|' || s))) AS sig_{h}" for h in range(n_hashes))}
+  FROM sh
+),
+banded AS ({banded}),
+bpairs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM banded l JOIN banded r USING (band_id, band_hash)
+  WHERE l.doc_id < r.doc_id
+),
+cand AS (
+  SELECT doc_a, doc_b
+  FROM bpairs JOIN sigs a ON bpairs.doc_a = a.doc_id
+              JOIN sigs b ON bpairs.doc_b = b.doc_id
+  WHERE round(({eq}) / {float(n_hashes)}, 4) >= {min_est_jaccard}
+),
+ds AS (SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN ds la ON la.doc_id = c.doc_a
+  JOIN ds rb ON rb.doc_id = c.doc_b AND rb.s = la.s
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b,
+       round(n_inter / (sa.n_sh + sb.n_sh - n_inter)::DOUBLE, 4) AS jaccard
+FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter)::DOUBLE, 4) >= {min_jaccard}
+"""
+
+
 def simhash_signatures_sql(bits: int = 32) -> str:
     return f"""
 WITH base AS (SELECT doc_id, {TOKS} AS t FROM documents),

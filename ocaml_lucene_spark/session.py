@@ -55,3 +55,19 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def ensure_compute_parallelism(df):
+    """Raise a DataFrame's partition count to the session default when
+    the source scan under-splits (e.g. a single-row-group parquet file
+    is one task no matter what maxPartitionBytes says).
+
+    Use ONLY in front of CPU-heavy per-row pipelines (16x md5 per
+    shingle, 32x bit explodes) where compute parallelism must decouple
+    from input splits. At cluster scale input files outnumber cores, so
+    this is a no-op there — it never coalesces down.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -93,3 +93,42 @@ def test_embedding_near_dup_symmetry(spark, vecs):
     for p in pairs:
         assert p.vec_a < p.vec_b
         assert -1.0001 <= p.sim <= 1.0001
+
+
+def test_near_dup_pairs_composed(spark):
+    """LSH candidates -> exact verify finds the planted near-dups with
+    their exact Jaccard values."""
+    from ocaml_lucene_spark.operators.dedup import near_dup_pairs, ngram_jaccard_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(0, base), (1, base), (2, base + " extra"), (3, "totally different words here now")]
+    rows += [(10 + i, f"unrelated text number {i} with its own words {i}") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in near_dup_pairs(docs, min_jaccard=0.5).collect()
+    }
+    # exact duplicates have jaccard 1.0 and must be found
+    assert got.get((0, 1)) == 1.0, got
+    # the verified jaccard equals the exhaustive ngram_jaccard value
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, min_jaccard=0.5).collect()
+    }
+    for pair, j in got.items():
+        assert exact[pair] == j, (pair, j, exact.get(pair))
+
+
+def test_universal_shingle_does_not_blow_up(spark):
+    """Adversarial: every doc shares one shingle. The capped
+    ngram_jaccard and the composed pipeline both stay linear-ish and
+    return no false pairs."""
+    from ocaml_lucene_spark.operators.dedup import near_dup_pairs, ngram_jaccard_pairs
+
+    common = "alpha beta gamma"  # one 3-shingle shared by all docs
+    rows = [(i, f"{common} unique{i} token{i} word{i} extra{i}") for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = ngram_jaccard_pairs(docs, min_jaccard=0.8, max_shingle_df=50)
+    assert capped.count() == 0
+    nd = near_dup_pairs(docs, min_jaccard=0.8)
+    assert nd.count() == 0
