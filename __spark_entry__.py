@@ -60,6 +60,77 @@ def _ensure_index(spark: SparkSession, sf_dir: str, positions: bool = False) -> 
     return index_dir
 
 
+def _ensure_merged_index(spark: SparkSession, sf_dir: str) -> str:
+    """Three doc-disjoint segments -> tiered merge to ONE segment.
+    The gate query over the merged index must match the same SQL oracle
+    as the logical path — merge is a pure layout operation."""
+    import hashlib
+
+    from ocaml_lucene_spark.index.build import build_index
+    from ocaml_lucene_spark.index.merge import maybe_merge
+    from ocaml_lucene_spark.index.segments import list_segments
+
+    import ocaml_lucene_spark as pkg
+
+    key = hashlib.md5(f"{pkg.__version__}|{sf_dir}|merged".encode()).hexdigest()[:10]
+    index_dir = f"/tmp/olspark_entry_merged_{key}"
+    cache_key = (sf_dir, "merged")
+    if cache_key not in _INDEX_CACHE:
+        if not list_segments(index_dir):
+            docs = _docs(spark, sf_dir).select("doc_id", "text")
+            for i in range(3):
+                build_index(
+                    docs.filter(F.col("doc_id") % 3 == i), index_dir,
+                    segment=f"part{i}", n_partitions=4,
+                )
+            maybe_merge(spark, index_dir, merge_factor=3, n_partitions=4)
+        live = list_segments(index_dir)
+        if len(live) != 1 or live[0]["source"] != "merge":
+            raise AssertionError(f"tiered merge did not run: {live}")
+        _INDEX_CACHE[cache_key] = index_dir
+    return index_dir
+
+
+def _ensure_streamed_index(spark: SparkSession, sf_dir: str) -> str:
+    """Structured-Streaming ingestion (availableNow, one file per
+    micro-batch -> one segment per batch). The gate query over the
+    streamed index must match the batch SQL oracle."""
+    import hashlib
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocaml_lucene_spark.index.segments import list_segments
+    from ocaml_lucene_spark.streaming.incremental import start_incremental_indexer
+
+    import ocaml_lucene_spark as pkg
+
+    key = hashlib.md5(f"{pkg.__version__}|{sf_dir}|streamed".encode()).hexdigest()[:10]
+    index_dir = f"/tmp/olspark_entry_streamed_{key}"
+    cache_key = (sf_dir, "streamed")
+    if cache_key not in _INDEX_CACHE:
+        if not list_segments(index_dir):
+            src = f"{index_dir}_src"
+            os.makedirs(src, exist_ok=True)
+            t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+            ids = np.asarray(t.column("doc_id").to_numpy())
+            for i in range(3):
+                part = t.filter(pa.array(ids % 3 == i))
+                pq.write_table(part, os.path.join(src, f"batch{i}.parquet"))
+            q = start_incremental_indexer(
+                spark, src, index_dir, schema="doc_id long, text string",
+                assign_ids=False, max_files_per_trigger=1, n_partitions=4,
+            )
+            q.awaitTermination()
+        live = list_segments(index_dir)
+        if len(live) < 2:
+            raise AssertionError(f"expected multiple streamed segments: {live}")
+        _INDEX_CACHE[cache_key] = index_dir
+    return index_dir
+
+
 def _query_vec(sf_dir: str, vec_id: int = 0) -> list[float]:
     import pyarrow.parquet as pq
 
@@ -165,6 +236,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             round_to=4,
         )
 
+    def q_bm25_after_merge(spark, sf):
+        # full pipeline witness: 3 segments -> tiered merge -> 1 segment;
+        # results must equal the logical path's SQL oracle exactly
+        from ocaml_lucene_spark.query.exec import bm25_topk_indexed
+
+        return bm25_topk_indexed(
+            spark, _ensure_merged_index(spark, sf), ["spark", "query", "dup"],
+            "or", 10, round_to=4,
+        )
+
+    def q_bm25_streamed(spark, sf):
+        # Structured-Streaming ingestion witness: one segment per
+        # micro-batch; stats aggregate across segments so results equal
+        # a batch rebuild (same SQL oracle)
+        from ocaml_lucene_spark.query.exec import bm25_topk_indexed
+
+        return bm25_topk_indexed(
+            spark, _ensure_streamed_index(spark, sf), ["spark", "query", "dup"],
+            "or", 10, round_to=4,
+        )
+
     def q_phrase_counts_indexed(spark, sf):
         # physical .pos-stream consumer: packed positions -> flat
         # (doc_id, pos) join; same oracle as the logical phrase path
@@ -254,6 +346,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_indexed_and": q_bm25_indexed_and,
         "bm25_wand": q_bm25_wand,
         "phrase_counts_indexed": q_phrase_counts_indexed,
+        "bm25_after_merge": q_bm25_after_merge,
+        "bm25_streamed": q_bm25_streamed,
         "multimodal_metadata": q_multimodal_metadata,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
@@ -299,6 +393,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_indexed_or": osql.bm25_topk_sql(["spark", "query", "dup"], "or", 10),
         "bm25_indexed_and": osql.bm25_topk_sql(["join", "hash", "scan"], "and", 10),
         "bm25_wand": osql.bm25_topk_sql(["spark", "query", "dup"], "or", 10),
+        "bm25_after_merge": osql.bm25_topk_sql(["spark", "query", "dup"], "or", 10),
+        "bm25_streamed": osql.bm25_topk_sql(["spark", "query", "dup"], "or", 10),
         "bm25_or_top10": osql.bm25_topk_sql(["spark", "query", "dup"], "or", 10),
         "bm25_and_top10": osql.bm25_topk_sql(["join", "hash", "scan"], "and", 10),
         "bm25_single_rare": osql.bm25_topk_sql(["dup"], "or", 100),

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..index.build import add_documents
+from ..index.build import add_documents, build_index
 from ..index.merge import maybe_merge
 from ..index.segments import list_segments
 
@@ -29,23 +29,39 @@ def start_incremental_indexer(
     index_dir: str,
     schema: str = "url string, warc_ts timestamp, html binary, text string, lang string",
     merge_factor: int = 0,
+    assign_ids: bool = True,
+    max_files_per_trigger: int | None = None,
     **build_kw,
 ):
     """Stream parquet files landing in source_dir into the index.
 
     merge_factor > 0 also runs the tiered merge policy after each batch.
+    assign_ids=False ingests rows that already carry a globally-unique
+    doc_id column (batches must be doc-disjoint). max_files_per_trigger
+    bounds each micro-batch (availableNow still drains everything).
     Returns the StreamingQuery (caller stops it / processAllAvailable)."""
-    stream = spark.readStream.schema(schema).parquet(source_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        add_documents(
-            batch_df.select("url", "text"),
-            index_dir,
-            segment=f"stream{batch_id:06d}",
-            **build_kw,
-        )
+        if assign_ids:
+            add_documents(
+                batch_df.select("url", "text"),
+                index_dir,
+                segment=f"stream{batch_id:06d}",
+                **build_kw,
+            )
+        else:
+            build_index(
+                batch_df.select("doc_id", "text"),
+                index_dir,
+                segment=f"stream{batch_id:06d}",
+                **build_kw,
+            )
         if merge_factor > 0:
             maybe_merge(spark, index_dir, merge_factor=merge_factor)
 
