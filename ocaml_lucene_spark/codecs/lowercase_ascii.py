@@ -2,8 +2,9 @@
 
 Semantic parity with /root/reference/terms-enumerator/
 lowercase_ascii_compression.ml:6-95 (doc/lowercase_ascii_compression.md):
-bytes in (0x1F,0x3F] and (0x5F,0x7F] shrink to 6 bits (high bit = range
-flag), the final quarter of the shrunk bytes is packed 4->3 into the
+bytes in the exact reference ranges (0x1F,0x3F] and (0x5F,0x7F] shrink
+to 6 bits (high bit = range flag), the final quarter of the shrunk
+bytes is packed 4->3 into the
 spare top-2 bits of the first three quarters, and non-compressible bytes
 are recorded as (gap, byte) exception pairs (gap saturates at 255).
 
@@ -18,9 +19,13 @@ import numpy as np
 
 
 def _is_compressible(b: np.ndarray) -> np.ndarray:
-    # half-open ranges [0x1F,0x3F) and [0x5F,0x7F): 0x3F/0x7F do not
-    # survive the +1 shrink (they wrap into the next range flag)
-    return ((b >= 0x1F) & (b < 0x3F)) | ((b >= 0x5F) & (b < 0x7F))
+    # exact reference ranges (lowercase_ascii_compression.ml:31-32):
+    # (0x1F,0x3F] and (0x5F,0x7F]. The +1 shrink wraps the two closed
+    # upper bounds (0x3F -> code 0x20, 0x7F -> code 0x00); both codes
+    # are unambiguous because the open lower bounds exclude the bytes
+    # that would otherwise produce them, and decompress special-cases
+    # the pair.
+    return ((b > 0x1F) & (b <= 0x3F)) | ((b > 0x5F) & (b <= 0x7F))
 
 
 def compress(data: bytes) -> bytes:
@@ -78,6 +83,10 @@ def decompress(data: bytes, original_len: int) -> bytes:
         buf[pack_start:] = ((c1 & 0xC0) >> 2) | ((c2 & 0xC0) >> 4) | (c3 >> 6)
     b = buf & 0x3F
     orig = ((((b & 0x20) << 1) | 0x20 | (b & 0x1F)).astype(np.int16) - 1).astype(np.uint8)
+    # wrapped upper-bound codes: 0x3F -> 0x40 -> code 0x20 (flag only),
+    # 0x7F -> 0x80 -> code 0x00
+    orig[b == 0x20] = 0x3F
+    orig[b == 0x00] = 0x7F
 
     pos = pack_start
     count = data[pos]

@@ -60,25 +60,57 @@ def decode_real_image(blob: bytes):
     )
 
 
+HEADER_LEN = 20  # 8-byte magic + 3x int32 LE dims
+
+
 def media_metadata(df: DataFrame, id_col: str = "media_id", blob_col: str = "blob") -> DataFrame:
     """(media_id, kind, width, height, n_frames, n_bytes, valid) via a
-    streaming mapInPandas pass — header-only parse, no pixel copy."""
+    streaming mapInPandas pass — header-only parse, no pixel copy.
+
+    The fixed-size headers of a whole Arrow batch are stacked into one
+    (n, 20) uint8 matrix and decoded with a single np.frombuffer view +
+    vectorized comparisons — the only per-row Python is slicing 20
+    header bytes per blob."""
+    magic = np.frombuffer(FAKE_MAGIC, dtype=np.uint8)
 
     def op(batches):
         for pdf in batches:
-            rows = []
-            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
-                b = bytes(blob)
-                dec = decode_fake_image(b)
-                if dec is None:
-                    rows.append((int(mid), "unknown", 0, 0, 0, len(b), False))
-                else:
-                    w, h, f, _ = dec
-                    kind = "video" if f > 1 else "image"
-                    rows.append((int(mid), kind, w, h, f, len(b), True))
+            n = len(pdf)
+            heads = b"".join(
+                bytes(b[:HEADER_LEN]).ljust(HEADER_LEN, b"\0") for b in pdf[blob_col]
+            )
+            arr = np.frombuffer(heads, dtype=np.uint8).reshape(n, HEADER_LEN)
+            n_bytes = np.fromiter(
+                (len(b) for b in pdf[blob_col]), dtype=np.int64, count=n
+            )
+            dims = (
+                np.ascontiguousarray(arr[:, 8:HEADER_LEN])
+                .view("<i4")
+                .reshape(n, 3)
+                .astype(np.int64)
+            )
+            magic_ok = (arr[:, :8] == magic).all(axis=1) if n else np.zeros(0, bool)
+            valid = (
+                magic_ok
+                & (n_bytes >= HEADER_LEN)
+                & (n_bytes - HEADER_LEN == dims[:, 0] * dims[:, 1] * dims[:, 2])
+            )
+            w = np.where(valid, dims[:, 0], 0).astype(np.int32)
+            h = np.where(valid, dims[:, 1], 0).astype(np.int32)
+            f = np.where(valid, dims[:, 2], 0).astype(np.int32)
+            kind = np.where(valid, np.where(f > 1, "video", "image"), "unknown")
             yield pd.DataFrame(
-                rows,
-                columns=["media_id", "kind", "width", "height", "n_frames", "n_bytes", "valid"],
+                {
+                    "media_id": pd.Series(
+                        pdf[id_col].to_numpy(dtype=np.int64), dtype="int64"
+                    ),
+                    "kind": pd.Series(kind, dtype=object),
+                    "width": pd.Series(w, dtype="int32"),
+                    "height": pd.Series(h, dtype="int32"),
+                    "n_frames": pd.Series(f, dtype="int32"),
+                    "n_bytes": pd.Series(n_bytes, dtype="int64"),
+                    "valid": pd.Series(valid, dtype=bool),
+                }
             )
 
     return df.mapInPandas(op, MEDIA_SCHEMA)

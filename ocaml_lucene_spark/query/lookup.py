@@ -27,21 +27,38 @@ from pyspark.sql import functions as F
 from ..index import segments as seg
 
 
-def seek_exact(spark: SparkSession, index_dir: str, term: str) -> dict | None:
+def seek_exact(
+    spark: SparkSession, index_dir: str, term: str, use_fst: bool = False
+) -> dict | None:
     """Block_term_state analogue: None if the term is absent (the
-    min/max prune and dictionary walk happen inside the parquet scan)."""
+    min/max prune and dictionary walk happen inside the parquet scan).
+
+    use_fst=True serves the dictionary walk from the in-memory FST term
+    index (query/term_index.py, hot-segment path): absent terms return
+    None with ZERO Spark jobs, and df/ttf come from the aligned stats
+    arrays; only the block-metadata gather still scans parquet."""
     rows = seg.list_segments(index_dir)
     if not rows:
         return None
-    term_paths = [seg.segment_paths(index_dir, r["segment"])["terms"] for r in rows]
-    stats = (
-        spark.read.parquet(*term_paths)
-        .filter(F.col("term") == term)
-        .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
-        .collect()[0]
-    )
-    if stats.df is None:
-        return None
+    if use_fst:
+        from .term_index import seek_exact_mem
+
+        mem = seek_exact_mem(index_dir, term)
+        if mem is None:
+            return None
+        stats = type("S", (), {"df": mem["doc_freq"], "ttf": mem["total_term_freq"]})
+    else:
+        term_paths = [
+            seg.segment_paths(index_dir, r["segment"])["terms"] for r in rows
+        ]
+        stats = (
+            spark.read.parquet(*term_paths)
+            .filter(F.col("term") == term)
+            .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
+            .collect()[0]
+        )
+        if stats.df is None:
+            return None
     post_paths = [seg.segment_paths(index_dir, r["segment"])["postings"] for r in rows]
     blocks = (
         spark.read.parquet(*post_paths)

@@ -225,3 +225,23 @@ class TestZigzagScalar:
         vals = np.array([0, 1, -1, 2, -2, 10**12, -(10**12)], dtype=np.int64)
         vec = zigzag_encode(vals)
         assert [int(v) for v in vec] == [zigzag_encode(int(n)) for n in vals]
+
+
+class TestLowercaseAsciiBoundaries:
+    def test_reference_range_boundaries_compress(self):
+        """Exact reference ranges (0x1F,0x3F] ∪ (0x5F,0x7F]: the closed
+        upper bounds compress; the open lower bounds are exceptions."""
+        from ocaml_lucene_spark.codecs.lowercase_ascii import compress, decompress
+
+        for payload in (
+            bytes([0x1F, 0x20, 0x3F, 0x40, 0x5F, 0x60, 0x7F]),
+            bytes([0x3F] * 16),
+            bytes([0x7F] * 16),
+            bytes(range(256)),
+        ):
+            assert decompress(compress(payload), len(payload)) == payload
+        # 0x3F and 0x7F are in-range (no exception entries needed)
+        blob = compress(bytes([0x3F, 0x7F, 0x61, 0x30]) * 8)
+        n = 32
+        pack_start = n - n // 4
+        assert blob[pack_start] == 0, "expected zero exceptions"

@@ -59,3 +59,46 @@ def test_verify_index_detects_corruption(spark, built):
         with open(shard, "wb") as f:
             f.write(backup)
     assert verify_index(spark, index_dir)["segments"] == 1
+
+
+def test_fst_term_index_matches_oracle(spark, built):
+    """The in-memory FST term dictionary (hot-segment path) agrees with
+    the oracle on every term's (df, ttf) and rejects absent terms with
+    no Spark job."""
+    from ocaml_lucene_spark.index.segments import list_segments
+    from ocaml_lucene_spark.query.lookup import seek_exact
+    from ocaml_lucene_spark.query.term_index import load_term_index, seek_exact_mem
+
+    index_dir, oracle = built
+    segs = list_segments(index_dir)
+    tis = [load_term_index(index_dir, r["segment"]) for r in segs]
+    assert sum(ti.n_terms for ti in tis) >= len(oracle.term_stats())
+    expected = oracle.term_stats()
+    for term, (df, ttf) in list(expected.items()):
+        got = seek_exact_mem(index_dir, term)
+        assert got is not None and (got["doc_freq"], got["total_term_freq"]) == (df, ttf), term
+    assert seek_exact_mem(index_dir, "zzz-not-a-term") is None
+    # the full seek_exact FST path agrees with the scan path
+    some = sorted(expected)[:5] + ["zzz-not-a-term"]
+    for term in some:
+        a = seek_exact(spark, index_dir, term, use_fst=True)
+        b = seek_exact(spark, index_dir, term, use_fst=False)
+        if b is None:
+            assert a is None
+        else:
+            assert a["doc_freq"] == b["doc_freq"] and a["total_term_freq"] == b["total_term_freq"]
+
+
+def test_fst_term_index_dictionary_scale():
+    """FST dictionary at reference test scale (~4.3k keys): minimality
+    (suffix sharing) keeps it far below the raw key bytes."""
+    from ocaml_lucene_spark.fst.transducer import FstBuilder
+
+    keys = sorted({f"pre{i % 40}fix{i}suffix{i % 7}" for i in range(4300)})
+    b = FstBuilder()
+    for i, k in enumerate(keys):
+        b.add(k.encode(), i)
+    fst = b.finish()
+    for i, k in enumerate(keys):
+        assert fst.lookup(k.encode()) == i
+    assert fst.lookup(b"absent") is None

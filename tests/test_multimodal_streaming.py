@@ -115,3 +115,37 @@ class TestStreamingIncremental:
         assert [d for d, _ in got] == [d for d, _ in exp]
         for (_, gs), (_, es) in zip(got, exp):
             assert math.isclose(gs, es, rel_tol=1e-9)
+
+
+def test_media_metadata_matches_pure_python_expected(spark):
+    """The vectorized header decode equals an independent pure-Python
+    struct.unpack oracle over the same blobs (incl. invalid ones)."""
+    import struct
+
+    from ocaml_lucene_spark.operators import multimodal as mm
+
+    blobs = {}
+    for i in range(24):
+        blobs[i] = mm.encode_fake_image(i, 8 + i % 13, 4 + i % 7, 1 + i % 5)
+    blobs[100] = b"NOTMEDIA" + b"\x01" * 40          # bad magic
+    blobs[101] = mm.encode_fake_image(7, 4, 4, 1)[:-3]  # truncated pixels
+    blobs[102] = b"FA"                                  # shorter than magic
+
+    def expected_row(mid, b):
+        if len(b) >= 20 and b[:8] == mm.FAKE_MAGIC:
+            w, h, f = struct.unpack("<iii", b[8:20])
+            if len(b) - 20 == w * h * f:
+                kind = "video" if f > 1 else "image"
+                return (mid, kind, w, h, f, len(b), True)
+        return (mid, "unknown", 0, 0, 0, len(b), False)
+
+    expected = sorted(expected_row(m, b) for m, b in blobs.items())
+    df = spark.createDataFrame(
+        [(int(m), bytearray(b)) for m, b in blobs.items()],
+        "media_id long, blob binary",
+    )
+    got = sorted(
+        (r.media_id, r.kind, r.width, r.height, r.n_frames, r.n_bytes, r.valid)
+        for r in mm.media_metadata(df).collect()
+    )
+    assert got == expected
