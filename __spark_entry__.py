@@ -324,6 +324,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_ann_lsh(spark, sf):
         return ann.lsh_topk(_vecs(spark, sf), _query_vec(sf), k=10, n_bits=8)
 
+    def q_ann_lsh_indexed(spark, sf):
+        # persisted bucket-partitioned layout: the probe reads only its
+        # bucket's partition directory (partition pruning)
+        import hashlib
+        import os
+
+        import ocaml_lucene_spark as pkg
+
+        key = hashlib.md5(f"{pkg.__version__}|{sf}|ann".encode()).hexdigest()[:10]
+        idx = f"/tmp/olspark_entry_ann_{key}"
+        if not os.path.isdir(idx):
+            ann.build_ann_index(_vecs(spark, sf), idx, n_bits=8)
+        return ann.lsh_topk_indexed(spark, idx, _query_vec(sf), k=10, n_bits=8)
+
     def q_embed_near_dup(spark, sf):
         return ann.embedding_near_dup_pairs(_vecs(spark, sf), min_sim=0.9, n_bits=4)
 
@@ -361,6 +375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "ann_brute_force": q_ann_brute,
         "ann_lsh": q_ann_lsh,
+        "ann_lsh_indexed": q_ann_lsh_indexed,
         "embedding_near_dup": q_embed_near_dup,
     }
 
@@ -384,6 +399,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": oops.fingerprints_sql(),
         "ann_brute_force": oops.brute_force_topk_sql(qv, k=10, exclude_self=0),
         "ann_lsh": oops.lsh_topk_sql(qv, k=10, n_bits=8),
+        "ann_lsh_indexed": oops.lsh_topk_sql(qv, k=10, n_bits=8),
         "embedding_near_dup": oops.embedding_near_dup_pairs_sql(min_sim=0.9, n_bits=4),
     }
     return ops | {

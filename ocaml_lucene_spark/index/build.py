@@ -53,7 +53,16 @@ def assign_doc_ids(docs: DataFrame, id_partitions: int | None = None) -> DataFra
     repartitionByRange whose sampled boundaries vary run to run and
     would break the counts/assignment consistency), sort within
     partitions, count per partition (tiny driver exchange), then
-    enumerate per partition with mapInPandas (no window shuffle)."""
+    enumerate per partition with mapInArrow (no window shuffle; record
+    batches pass through as zero-copy Arrow buffers with one appended
+    int64 column — payload columns like html never materialize in
+    Python).
+
+    NOTE: the enumeration UDF is a column-pruning barrier — Catalyst
+    cannot prune columns through it — so SELECT the columns you need
+    BEFORE calling (e.g. ``assign_doc_ids(df.select("url", "text"))``),
+    or every downstream job drags the full row payload through the
+    worker."""
     spark = docs.sparkSession
     n = id_partitions or spark.sparkContext.defaultParallelism
     parted = (
@@ -73,19 +82,25 @@ def assign_doc_ids(docs: DataFrame, id_partitions: int | None = None) -> DataFra
     out_schema = parted.drop("_pid").schema.add("doc_id", "long")
 
     def enumerate_partition(batches):
+        import numpy as np
+        import pyarrow as pa
+
         rn = 0
         off = None
-        for pdf in batches:
-            if len(pdf) == 0:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
             if off is None:
-                off = offsets[int(pdf["_pid"].iloc[0])]
-            pdf = pdf.drop(columns=["_pid"])
-            pdf["doc_id"] = range(off + rn, off + rn + len(pdf))
-            rn += len(pdf)
-            yield pdf
+                off = offsets[int(rb.column(rb.schema.get_field_index("_pid"))[0].as_py())]
+            ids = pa.array(
+                np.arange(off + rn, off + rn + rb.num_rows, dtype=np.int64)
+            )
+            rn += rb.num_rows
+            keep = [f for f in rb.schema.names if f != "_pid"]
+            arrays = [rb.column(rb.schema.get_field_index(f)) for f in keep]
+            yield pa.RecordBatch.from_arrays(arrays + [ids], names=keep + ["doc_id"])
 
-    return parted.mapInPandas(enumerate_partition, out_schema)
+    return parted.mapInArrow(enumerate_partition, out_schema)
 
 
 def build_index(
@@ -106,6 +121,13 @@ def build_index(
     manifest row (with build metrics)."""
     spark = docs.sparkSession
     t0 = time.monotonic()
+    profile = os.environ.get("OLSPARK_BUILD_PROFILE") == "1"
+    marks: list[tuple[str, float]] = []
+
+    def mark(label: str) -> None:
+        if profile:
+            marks.append((label, time.monotonic() - t0))
+
     generation = seg.next_generation(index_dir)
     segment = segment or f"seg{generation:06d}"
     paths = seg.segment_paths(index_dir, segment)
@@ -146,29 +168,53 @@ def build_index(
             .agg(F.count("*").cast("long").alias("tf"))
         )
 
+    # ONE up-front pass: write norms (doc_id, dl) with the Observation
+    # riding the same job collecting corpus stats AND the doc-id bounds
+    # needed for contiguous range salting. With persist on, this pass
+    # also fills the token cache; afterwards no other job tokenizes the
+    # full corpus. (Norms = Lucene's doc-values file; writing it first
+    # is fine — it is independent of the postings layout.)
+    from pyspark.sql import Observation
+
+    obs = Observation("corpus_stats")
+    (
+        base.select("doc_id", "dl")
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("sum_dl"),
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+        )
+        .write.mode("overwrite")
+        .parquet(paths["norms"])
+    )
+    agg_row = obs.get
+    b_lo, b_hi = agg_row["lo"], agg_row["hi"]
+    span = int(b_hi) - int(b_lo) + 1 if b_lo is not None else 1
+    mark("norms+stats+bounds (one tokenize pass)")
+
     # hot-term detection from a small deterministic sample: a term with
     # true df > threshold shows df_sample ≈ df * frac (threshold scaled
     # accordingly), so one cheap 2% pass finds the Zipfian head — never
     # a second full pass over the corpus. The hot list is vocabulary-
-    # bounded and broadcast.
+    # bounded and broadcast. The sample sits BELOW the tokenizer when
+    # the token cache is off, so only the sampled docs tokenize.
     sample_frac = float(os.environ.get("OLSPARK_SALT_SAMPLE_FRAC", "0.02"))
+    if persist_tokens:
+        hot_src = base.sample(fraction=sample_frac, seed=7)
+    else:
+        hot_src = docs.sample(fraction=sample_frac, seed=7).select(
+            F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("toks")
+        )
     hot = (
-        base.sample(fraction=sample_frac, seed=7)
-        .select("doc_id", F.explode_outer("toks").alias("term"))
+        hot_src.select("doc_id", F.explode_outer("toks").alias("term"))
         .groupBy("term")
         .agg(F.approx_count_distinct("doc_id").alias("df_s"))  # HLL: one
         # pass, no expand — exact counts are wasted on a threshold test
         .filter(F.col("df_s") > salt_df_threshold * sample_frac)
         .select("term", F.lit(1).alias("_hot"))
     )
-    # doc-id bounds for contiguous range salting: read from the persisted
-    # token cache (already materialized by the hot job) or, unpersisted,
-    # a column-pruned scan of just the id column
-    bounds_src = base if persist_tokens else docs.select(
-        F.col(id_col).alias("doc_id")
-    )
-    b_lo, b_hi = bounds_src.agg(F.min("doc_id"), F.max("doc_id")).first()
-    span = int(b_hi) - int(b_lo) + 1 if b_lo is not None else 1
 
     tf = tf.join(F.broadcast(hot), "term", "left")
     tf = tf.withColumn(
@@ -206,18 +252,24 @@ def build_index(
     )
 
     def pack_iter(batches):
-        import pandas as pd
+        # Arrow end to end: concat of record batches is buffer reuse,
+        # not a pandas object-string copy (whole partition bounded by
+        # n_parts sizing)
+        import pyarrow as pa
 
-        chunks = list(batches)  # whole partition (bounded by n_parts sizing)
+        chunks = list(batches)
         if not chunks:
             return
-        pdf = pd.concat(chunks, ignore_index=True)
-        yield seg.pack_partition(
-            pdf, segment, paths["postings"], paths["checkpoints"], with_positions
+        rb = seg.pack_table(
+            pa.Table.from_batches(chunks),
+            segment, paths["postings"], paths["checkpoints"], with_positions,
         )
+        if rb is not None:
+            yield rb
 
-    ckpts = shuffled.mapInPandas(pack_iter, seg.CHECKPOINT_SCHEMA)
+    ckpts = shuffled.mapInArrow(pack_iter, seg.CHECKPOINT_SCHEMA)
     ckpt_rows = ckpts.collect()  # small: one row per partition (lineage table)
+    mark("shuffle+pack")
 
     # per-term stats (term, df, ttf) — terms dict .tmd analogue, computed
     # from the packed blocks' METADATA columns (no re-tokenize, and the
@@ -231,19 +283,15 @@ def build_index(
         .write.mode("overwrite")
         .parquet(paths["terms"])
     )
-    # norms (doc_id, dl) with corpus stats observed in the SAME job
-    # (Observation rides the write — no separate stats pass)
-    from pyspark.sql import Observation
-
-    obs = Observation("corpus_stats")
-    (
-        base.select("doc_id", "dl")
-        .observe(obs, F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl"))
-        .write.mode("overwrite")
-        .parquet(paths["norms"])
-    )
-    agg_row = obs.get
+    mark("terms_stats")
     agg = type("S", (), {"n_docs": agg_row["n_docs"], "sum_dl": agg_row["sum_dl"]})
+    if profile:
+        import sys
+
+        prev = 0.0
+        for label, at in marks:
+            print(f"[build-profile] {label}: +{at - prev:.2f}s (t={at:.2f})", file=sys.stderr)
+            prev = at
 
     stats = {
         "segment": segment,
@@ -297,7 +345,12 @@ def add_documents(
     from . import segments as seg
 
     base = sum(r["n_docs"] for r in seg.list_segments(index_dir))
-    with_ids = assign_doc_ids(docs.withColumnRenamed(url_col, "url"))
+    # prune to the needed columns BEFORE the enumeration UDF (column-
+    # pruning barrier, see assign_doc_ids)
+    keep = ["url", text_col] + ([build_kw["html_col"]] if build_kw.get("html_col") else [])
+    with_ids = assign_doc_ids(
+        docs.withColumnRenamed(url_col, "url").select(*dict.fromkeys(keep))
+    )
     with_ids = with_ids.withColumn("doc_id", F.col("doc_id") + F.lit(base))
     return build_index(
         with_ids, index_dir, text_col=text_col, doc_id_base=base, **build_kw

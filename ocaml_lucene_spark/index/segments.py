@@ -66,69 +66,115 @@ def segment_paths(index_dir: str, segment: str) -> dict[str, str]:
     }
 
 
-def pack_partition(
-    pdf: pd.DataFrame,
+def _hash_string_array(h, arr) -> None:
+    """Feed a pyarrow StringArray's content (normalized offsets + data
+    slice) into a hashlib object — no per-row Python strings."""
+    import numpy as np
+    import pyarrow as pa
+
+    n = len(arr)
+    if n == 0:
+        return
+    off_buf = arr.buffers()[1]
+    width = np.int64 if arr.type.equals(pa.large_string()) else np.int32
+    offsets = np.frombuffer(off_buf, dtype=width)[arr.offset : arr.offset + n + 1]
+    data = arr.buffers()[2]
+    h.update(np.ascontiguousarray(offsets - offsets[0]).tobytes())
+    h.update(data[int(offsets[0]) : int(offsets[-1])])
+
+
+def pack_table(
+    table,
     segment: str,
     postings_dir: str,
     checkpoint_dir: str,
     with_positions: bool,
-) -> pd.DataFrame:
-    """mapInPandas kernel: one shuffle partition of (term, salt,
-    doc_id, tf, dl[, positions]) rows -> packed block rows written as a
-    term-sorted parquet shard + one checkpoint/metrics row returned.
+):
+    """Arrow-native pack kernel (runs under mapInArrow): one shuffle
+    partition of (term, salt, doc_id, tf, dl[, positions], pid) rows ->
+    packed block rows written as a term-sorted parquet shard + one
+    checkpoint/metrics RecordBatch returned (None for an empty input).
+
+    Arrow end to end: term strings stay in Arrow buffers (never
+    materialized as Python str objects — the pandas object-string heap
+    was the measured cross-kernel GC/memory-bandwidth contention when 8
+    pack kernels share one local JVM host), numeric columns are
+    zero-copy numpy views, and positions flatten from the ListArray
+    value buffer.
 
     Resumable: if this partition's shard + checkpoint already exist
-    (same fingerprint), the write is skipped and the existing
-    checkpoint row is returned (build DAG restart without recompute).
+    with the same content fingerprint, the write is skipped and the
+    existing checkpoint row is returned (build DAG restart without
+    recompute).
     """
+    import hashlib
+
     import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     from ..codecs.blocks import encode_posting_blocks
 
-    import hashlib
-
     t0 = time.monotonic()
-    if len(pdf) == 0:
-        return pd.DataFrame(
-            columns=[c.split(" ")[0] for c in CHECKPOINT_SCHEMA.split(", ")]
-        )
-    pid = int(pdf["pid"].iloc[0])
+    n = table.num_rows
+    if n == 0:
+        return None
+    table = table.combine_chunks()
 
-    # input is JVM-sorted by (term, salt, doc_id); verify cheaply and
-    # only fall back to a pandas sort if the invariant is broken
-    terms = pdf["term"].to_numpy()
-    doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-    salts_arr = pdf["salt"].to_numpy()
-    same_group = (terms[1:] == terms[:-1]) & (salts_arr[1:] == salts_arr[:-1])
-    docs_ok = bool((~same_group | (np.diff(doc_ids) > 0)).all())
-    terms_ok = bool((terms[1:] >= terms[:-1]).all())
-    if not (docs_ok and terms_ok):
-        pdf = pdf.sort_values(["term", "salt", "doc_id"], kind="mergesort")
-        terms = pdf["term"].to_numpy()
-        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-        salts_arr = pdf["salt"].to_numpy()
-    tfs = pdf["tf"].to_numpy(dtype=np.int64)
-    dls = pdf["dl"].to_numpy(dtype=np.int64)
+    def col(name):
+        c = table.column(name)
+        return c.chunk(0) if isinstance(c, pa.ChunkedArray) else c
+
+    pid = int(col("pid")[0].as_py())
+    terms = col("term")
+    doc_ids = col("doc_id").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    salts = col("salt").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+
+    # input is JVM-sorted by (term, salt, doc_id); verify cheaply in
+    # Arrow/numpy and only fall back to an Arrow sort if broken
+    if n > 1:
+        t_hi, t_lo = terms.slice(1), terms.slice(0, n - 1)
+        term_eq = pc.equal(t_hi, t_lo).to_numpy(zero_copy_only=False)
+        terms_ok = bool(pc.all(pc.greater_equal(t_hi, t_lo)).as_py())
+        same_group = term_eq & (salts[1:] == salts[:-1])
+        docs_ok = bool((~same_group | (np.diff(doc_ids) > 0)).all())
+    else:
+        term_eq = np.zeros(0, dtype=bool)
+        terms_ok = docs_ok = True
+    if not (terms_ok and docs_ok):
+        idx = pc.sort_indices(
+            table,
+            sort_keys=[("term", "ascending"), ("salt", "ascending"), ("doc_id", "ascending")],
+        )
+        table = table.take(idx).combine_chunks()
+        terms = col("term")
+        doc_ids = col("doc_id").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        salts = col("salt").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        term_eq = (
+            pc.equal(terms.slice(1), terms.slice(0, n - 1)).to_numpy(zero_copy_only=False)
+            if n > 1
+            else np.zeros(0, dtype=bool)
+        )
+    tfs = col("tf").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    dls = col("dl").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
     pos_flat = None
     if with_positions:
-        pos_flat = np.concatenate(
-            [np.asarray(p, dtype=np.int64) for p in pdf["positions"]]
-        ) if len(pdf) else np.zeros(0, np.int64)
+        pos_flat = col("positions").flatten().to_numpy(zero_copy_only=False).astype(
+            np.int64, copy=False
+        )
 
-    # deterministic CONTENT fingerprint (vectorized md5 over the actual
-    # column buffers, sort-normalized above): aggregate-sum fingerprints
-    # collide when values swap between rows, which would silently resume
-    # onto a stale shard for different input data
+    # deterministic CONTENT fingerprint (md5 over the sorted column
+    # buffers): aggregate-sum fingerprints collide when values swap
+    # between rows, which would silently resume onto a stale shard
     h = hashlib.md5()
-    h.update(pd.util.hash_pandas_object(pdf["term"], index=False).to_numpy().tobytes())
-    h.update(np.ascontiguousarray(salts_arr, dtype=np.int64).tobytes())
-    h.update(doc_ids.tobytes())
-    h.update(tfs.tobytes())
-    h.update(dls.tobytes())
+    _hash_string_array(h, terms)
+    h.update(np.ascontiguousarray(salts).tobytes())
+    h.update(np.ascontiguousarray(doc_ids).tobytes())
+    h.update(np.ascontiguousarray(tfs).tobytes())
+    h.update(np.ascontiguousarray(dls).tobytes())
     if pos_flat is not None:
-        h.update(pos_flat.tobytes())
-    fingerprint = f"{len(pdf)}-{h.hexdigest()}"
+        h.update(np.ascontiguousarray(pos_flat).tobytes())
+    fingerprint = f"{n}-{h.hexdigest()}"
     shard = os.path.join(postings_dir, f"part-{pid:05d}.parquet")
     ckpt = os.path.join(checkpoint_dir, f"part-{pid:05d}.json")
     if os.path.exists(ckpt) and os.path.exists(shard):
@@ -136,20 +182,19 @@ def pack_partition(
             row = json.load(f)
         if row.get("fingerprint") == fingerprint:
             row["status"] = "skipped_checkpoint"
-            return pd.DataFrame([row])
+            return _checkpoint_batch(row)
 
     # group boundaries per (term, salt) run
-    change = np.nonzero(
-        (terms[1:] != terms[:-1]) | (pdf["salt"].to_numpy()[1:] != pdf["salt"].to_numpy()[:-1])
-    )[0] + 1
-    bounds = np.concatenate([[0], change, [len(pdf)]])
+    change = np.nonzero(~term_eq | (salts[1:] != salts[:-1]))[0] + 1
+    bounds = np.concatenate([[0], change, [n]])
     pos_offsets = (
         np.concatenate([[0], np.cumsum(tfs)]) if with_positions else None
     )
 
     out = {k: [] for k in (
-        "term", "block_no", "n", "first_doc", "last_doc", "max_tf", "sum_tf",
+        "block_no", "n", "first_doc", "last_doc", "max_tf", "sum_tf",
         "min_dl", "doc_bytes", "tf_bytes", "dl_bytes", "pos_bytes")}
+    term_src: list[int] = []  # per-block source row -> term via Arrow take
     n_blocks = 0
     for gi in range(len(bounds) - 1):
         s, e = int(bounds[gi]), int(bounds[gi + 1])
@@ -157,9 +202,9 @@ def pack_partition(
             pos_flat[pos_offsets[s] : pos_offsets[e]] if with_positions else None
         )
         blocks = encode_posting_blocks(doc_ids[s:e], tfs[s:e], grp_pos, dls[s:e])
-        salt = int(pdf["salt"].iloc[s])
+        salt = int(salts[s])
         for b in blocks:
-            out["term"].append(terms[s])
+            term_src.append(s)
             # salt shards of one term get disjoint block_no ranges
             out["block_no"].append(salt * 100_000 + b.block_no)
             out["n"].append(b.n)
@@ -174,9 +219,9 @@ def pack_partition(
             out["pos_bytes"].append(b.pos_bytes)
             n_blocks += 1
 
-    table = pa.table(
+    shard_table = pa.table(
         {
-            "term": pa.array(out["term"], pa.string()),
+            "term": terms.take(pa.array(term_src, type=pa.int64())),
             "block_no": pa.array(out["block_no"], pa.int32()),
             "n": pa.array(out["n"], pa.int32()),
             "first_doc": pa.array(out["first_doc"], pa.int64()),
@@ -196,11 +241,10 @@ def pack_partition(
     # cheap page compression: payload columns are already FOR/PFOR-
     # packed, so a fast codec wins on build throughput (snappy — the
     # pyarrow lz4 framing is not readable by Spark's parquet reader)
-    pq.write_table(table, tmp, row_group_size=4096, compression="snappy")
+    pq.write_table(shard_table, tmp, row_group_size=4096, compression="snappy")
     os.replace(tmp, shard)  # atomic publish
 
     elapsed = time.monotonic() - t0
-    n_postings = int(len(pdf))
     bytes_packed = int(
         sum(len(x) for x in out["doc_bytes"])
         + sum(len(x) for x in out["tf_bytes"])
@@ -210,21 +254,64 @@ def pack_partition(
     row = {
         "segment": segment,
         "partition_id": pid,
-        "min_term": str(terms[0]),
-        "max_term": str(terms[-1]),
-        "n_terms": int((terms[1:] != terms[:-1]).sum()) + 1,
-        "n_postings": n_postings,
+        "min_term": terms[0].as_py(),
+        "max_term": terms[n - 1].as_py(),
+        "n_terms": int((~term_eq).sum()) + 1,
+        "n_postings": int(n),
         "n_blocks": n_blocks,
         "bytes_packed": bytes_packed,
         "elapsed_sec": elapsed,
-        "postings_per_sec": n_postings / elapsed if elapsed > 0 else 0.0,
+        "postings_per_sec": n / elapsed if elapsed > 0 else 0.0,
         "status": "ok",
         "fingerprint": fingerprint,
     }
     with open(ckpt + ".tmp", "w") as f:
         json.dump(row, f)
     os.replace(ckpt + ".tmp", ckpt)
-    return pd.DataFrame([row])
+    return _checkpoint_batch(row)
+
+
+def _checkpoint_batch(row: dict):
+    """One checkpoint row as a RecordBatch matching CHECKPOINT_SCHEMA."""
+    import pyarrow as pa
+
+    schema = pa.schema(
+        [
+            ("segment", pa.string()),
+            ("partition_id", pa.int32()),
+            ("min_term", pa.string()),
+            ("max_term", pa.string()),
+            ("n_terms", pa.int64()),
+            ("n_postings", pa.int64()),
+            ("n_blocks", pa.int64()),
+            ("bytes_packed", pa.int64()),
+            ("elapsed_sec", pa.float64()),
+            ("postings_per_sec", pa.float64()),
+            ("status", pa.string()),
+            ("fingerprint", pa.string()),
+        ]
+    )
+    return pa.RecordBatch.from_pylist([row], schema=schema)
+
+
+def pack_partition(
+    pdf: pd.DataFrame,
+    segment: str,
+    postings_dir: str,
+    checkpoint_dir: str,
+    with_positions: bool,
+) -> pd.DataFrame:
+    """pandas wrapper over ``pack_table`` (mapInPandas callers, e.g.
+    merge). Fingerprints are identical to the Arrow path."""
+    import pyarrow as pa
+
+    if len(pdf) == 0:
+        return pd.DataFrame(
+            columns=[c.split(" ")[0] for c in CHECKPOINT_SCHEMA.split(", ")]
+        )
+    table = pa.Table.from_pandas(pdf, preserve_index=False)
+    rb = pack_table(table, segment, postings_dir, checkpoint_dir, with_positions)
+    return rb.to_pandas()
 
 
 def read_stats(index_dir: str, segment: str) -> dict:

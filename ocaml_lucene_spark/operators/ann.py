@@ -95,6 +95,55 @@ def lsh_topk(
     )
 
 
+def build_ann_index(
+    vecs: DataFrame,
+    index_dir: str,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the scale path for ANN: a parquet layout PARTITIONED BY
+    the sign-bit bucket. At 10^12 vectors a query probe then reads only
+    its bucket's partition directory — Catalyst partition pruning, no
+    full scan (``lsh_topk`` computes buckets on the fly and still scans
+    everything; this is its persisted counterpart)."""
+    (
+        vecs.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+            signbit_bucket(F.col(vec_col), n_bits).alias("bucket"),
+        )
+        .repartition("bucket")  # one writer wave, files co-located per bucket
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(index_dir)
+    )
+
+
+def lsh_topk_indexed(
+    spark,
+    index_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_bits: int = 8,
+) -> DataFrame:
+    """ANN probe over the persisted bucket-partitioned layout: the
+    bucket equality predicate prunes to one partition directory
+    (PartitionFilters in .explain), then exact cosine re-ranks inside
+    the bucket. Results identical to ``lsh_topk`` (same oracle)."""
+    qbucket = 0
+    for x in query_vec[:n_bits]:
+        qbucket = qbucket * 2 + (1 if x >= 0 else 0)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        spark.read.parquet(index_dir)
+        .filter(F.col("bucket") == qbucket)
+        .select("vec_id", F.round(cosine_col(F.col("embedding"), q), 4).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def embedding_near_dup_pairs(
     vecs: DataFrame,
     min_sim: float = 0.95,

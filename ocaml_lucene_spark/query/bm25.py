@@ -27,10 +27,14 @@ from pyspark.sql import functions as F
 
 from ..functions.analysis import tokens_col
 from ..oracle import B, K1
+from ..session import ensure_compute_parallelism
 
 
 def _tokenized(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    return docs.select(
+    # tokenize is the CPU-heavy front end of every logical query:
+    # decouple its parallelism from input splits (a single-row-group
+    # parquet file is one task however small maxPartitionBytes is)
+    return ensure_compute_parallelism(docs).select(
         F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("toks")
     ).withColumn("dl", F.size("toks"))
 
@@ -56,6 +60,22 @@ def candidate_tf(
         .groupBy("doc_id", "term", "dl")
         .agg(F.count("*").alias("tf"))
     )
+
+
+def _query_order_sum(terms: list[str]):
+    """Deterministic per-doc score sum: fold the per-term components in
+    QUERY-TERM order (a left fold over a sorted array), bit-identical to
+    the pure-Python oracle's ``sum(score(t, d) for t in terms)``.
+
+    A plain F.sum's partial-aggregate addition order depends on the
+    physical partitioning, so two docs whose true scores tie can come
+    out one ulp apart and flip the (score desc, doc_id asc) tie-break
+    — reproducible ranks are part of the engine contract."""
+    qi = F.create_map(
+        *[x for i, t in enumerate(terms) for x in (F.lit(t), F.lit(i))]
+    )[F.col("term")]
+    pairs = F.sort_array(F.collect_list(F.struct(qi.alias("qi"), F.col("sc"))))
+    return F.aggregate(pairs, F.lit(0.0), lambda acc, x: acc + x["sc"])
 
 
 def idf_expr(n_col, df_col):
@@ -115,7 +135,8 @@ def bm25_topk(
         )
     )
     agg = scored.groupBy("doc_id").agg(
-        F.sum("sc").alias("score_raw"), F.count("*").alias("n_terms_hit")
+        _query_order_sum(terms).alias("score_raw"),
+        F.count("*").alias("n_terms_hit"),
     )
     if mode == "and":
         agg = agg.filter(F.col("n_terms_hit") == len(terms))
@@ -158,7 +179,10 @@ def phrase_counts(
     the positions stream consumer (.pos semantics). Self-join on
     (doc_id, pos+1); both sides are term-filtered before the join."""
     pos = (
-        docs.select(F.col(id_col).alias("doc_id"), F.posexplode(tokens_col(text_col)).alias("pos", "term"))
+        ensure_compute_parallelism(docs).select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(tokens_col(text_col)).alias("pos", "term"),
+        )
     )
     a = pos.filter(F.col("term") == first).select("doc_id", F.col("pos").alias("p1")).alias("a")
     b = pos.filter(F.col("term") == second).select("doc_id", F.col("pos").alias("p2")).alias("b")

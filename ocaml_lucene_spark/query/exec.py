@@ -188,13 +188,19 @@ def bm25_topk_indexed(
                 sc = idfs[term] * tf * (K1 + 1.0) / (
                     tf + K1 * (1.0 - B + B * dl / avgdl)
                 )
-                outs.append(pd.DataFrame({"doc_id": docs, "sc": sc}))
+                outs.append(pd.DataFrame({"doc_id": docs, "term": term, "sc": sc}))
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 
-    scored = blocks.mapInPandas(decode_score, "doc_id long, sc double")
+    scored = blocks.mapInPandas(decode_score, "doc_id long, term string, sc double")
+    from .bm25 import _query_order_sum
+
+    # deterministic per-doc sum in query-term order (see bm25.py): a
+    # plain F.sum's partial-order varies with partitioning and can flip
+    # tie-breaks by one ulp vs the oracle
     agg = scored.groupBy("doc_id").agg(
-        F.sum("sc").alias("score_raw"), F.count("*").alias("nhit")
+        _query_order_sum(terms).alias("score_raw"),
+        F.count("*").alias("nhit"),
     )
     if mode == "and":
         agg = agg.filter(F.col("nhit") == n_req)

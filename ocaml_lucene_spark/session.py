@@ -51,6 +51,13 @@ def get_spark(
         .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIR", "/dev/shm/olspark"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # shuffle/IO codec: on memory-bandwidth-bound hosts (shuffle to
+        # /dev/shm IS memory traffic) a stronger codec trades spare CPU
+        # for bandwidth; env-overridable for measurement
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("OLSPARK_IO_CODEC", "lz4"),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

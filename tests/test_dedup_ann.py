@@ -132,3 +132,43 @@ def test_universal_shingle_does_not_blow_up(spark):
     assert capped.count() == 0
     nd = near_dup_pairs(docs, min_jaccard=0.8)
     assert nd.count() == 0
+
+
+def test_ann_indexed_partition_prunes(spark, tmp_path_factory):
+    """The persisted bucket-partitioned ANN layout answers identically
+    to the on-the-fly LSH scan, and the probe's scan touches only the
+    query bucket's partition files (Catalyst partition pruning)."""
+    from ocaml_lucene_spark.operators.ann import (
+        build_ann_index, lsh_topk, lsh_topk_indexed,
+    )
+
+    vecs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    import pyarrow.parquet as pq
+
+    t = pq.read_table("/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"])
+    qv = t.column("embedding").to_pylist()[0]
+    idx = str(tmp_path_factory.mktemp("ann_idx"))
+    build_ann_index(vecs, idx, n_bits=6)
+    got = [(r.vec_id, r.sim) for r in lsh_topk_indexed(spark, idx, qv, k=10, n_bits=6).collect()]
+    exp = [(r.vec_id, r.sim) for r in lsh_topk(vecs, qv, k=10, n_bits=6).collect()]
+    assert got == exp and got
+    # partition pruning: the probe's physical plan carries the bucket
+    # equality as a PartitionFilter on the scan (directory-level prune)
+    import contextlib
+    import io
+
+    qbucket = 0
+    for x in qv[:6]:
+        qbucket = qbucket * 2 + (1 if x >= 0 else 0)
+    from pyspark.sql import functions as F
+
+    probe = spark.read.parquet(idx).filter(F.col("bucket") == qbucket)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and f"bucket#" in plan, plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert pf and "bucket" in pf.group(1) and str(qbucket) in pf.group(1), plan
