@@ -303,6 +303,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_simhash(spark, sf):
         return dedup.simhash_signatures(_docs(spark, sf))
 
+    def q_simhash_near(spark, sf):
+        # half-blocking (pigeonhole for d<=3) + exact Hamming verify
+        return dedup.simhash_near_pairs(_docs(spark, sf), max_hamming=3)
+
     def q_lang_id(spark, sf):
         return textstats.language_id(_docs(spark, sf))
 
@@ -369,6 +373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "near_dup_pairs": q_near_dup,
         "simhash_signatures": q_simhash,
+        "simhash_near_pairs": q_simhash_near,
         "language_id": q_lang_id,
         "quality_features": q_quality,
         "token_counts": q_token_counts,
@@ -393,6 +398,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": oops.ngram_jaccard_pairs_sql(min_jaccard=0.8),
         "near_dup_pairs": oops.near_dup_pairs_sql(min_jaccard=0.8),
         "simhash_signatures": oops.simhash_signatures_sql(),
+        "simhash_near_pairs": oops.simhash_near_pairs_sql(max_hamming=3),
         "language_id": oops.language_id_sql(),
         "quality_features": oops.quality_features_sql(),
         "token_counts": oops.token_counts_sql(),

@@ -174,6 +174,42 @@ FROM bitsum GROUP BY doc_id
 """
 
 
+def simhash_near_pairs_sql(max_hamming: int = 3, bits: int = 32) -> str:
+    """16-bit-half blocking (pigeonhole: d<=3 pairs share a half) +
+    exact Hamming verify — mirrors operators/dedup.py simhash_near_pairs."""
+    half = bits // 2
+    return f"""
+WITH base AS (SELECT doc_id, {TOKS} AS t FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM base)
+  GROUP BY doc_id, term
+),
+h AS (
+  SELECT doc_id, tf, ('0x' || substr(md5(term), 1, 15))::BIGINT AS hv FROM tf
+),
+bitsum AS (
+  SELECT doc_id, j, sum(CASE WHEN (hv >> j) & 1 = 1 THEN tf ELSE -tf END) AS s
+  FROM h, unnest(range({bits})) AS u(j)
+  GROUP BY doc_id, j
+),
+sims AS (
+  SELECT doc_id, sum(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END)::BIGINT AS simhash
+  FROM bitsum GROUP BY doc_id
+),
+blocked AS (
+  SELECT doc_id, simhash, 0 AS part, simhash % {1 << half} AS key FROM sims
+  UNION ALL
+  SELECT doc_id, simhash, 1 AS part, simhash // {1 << half} AS key FROM sims
+)
+SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       bit_count(xor(l.simhash, r.simhash))::INT AS hamming
+FROM blocked l JOIN blocked r USING (part, key)
+WHERE l.doc_id < r.doc_id
+  AND bit_count(xor(l.simhash, r.simhash)) <= {max_hamming}
+"""
+
+
 def language_id_sql() -> str:
     # mirrors functions/textstats.py LANG_PROFILES; argmax with ties
     # resolved by profile order (en < de < fr), same as Spark's

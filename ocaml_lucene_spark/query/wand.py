@@ -198,8 +198,12 @@ def block_max_wand(
         if pivot_doc is None or pivot_doc >= INF_DOC:
             break
         cand = [pl for pl in live if pl.current_doc() <= pivot_doc]
-        # block-max refinement (disjunctive only): strict < so ties survive
-        if not and_mode and theta is not None:
+        # block-max refinement, both modes: strict < so ties survive.
+        # Sound in AND mode too: with the jump capped at the next live
+        # list's current doc, any doc in (pivot, jump) can only draw
+        # contributions from the candidate lists' CURRENT blocks, whose
+        # ub sum is exactly the bound tested here.
+        if theta is not None:
             bm = sum(pl.current_block_ub() for pl in cand)
             if bm < theta - eps:
                 # Safe skip target: past the candidate blocks, but never
