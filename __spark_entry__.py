@@ -319,6 +319,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_fingerprints(spark, sf):
         return textstats.fingerprints(_docs(spark, sf))
 
+    def q_bpe_token_counts(spark, sf):
+        return textstats.bpe_token_counts(_docs(spark, sf))
+
     def _vecs(spark, sf):
         return spark.read.parquet(f"{sf}/embeddings.parquet")
 
@@ -377,6 +380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_lang_id,
         "quality_features": q_quality,
         "token_counts": q_token_counts,
+        "bpe_token_counts": q_bpe_token_counts,
         "fingerprints": q_fingerprints,
         "ann_brute_force": q_ann_brute,
         "ann_lsh": q_ann_lsh,
@@ -402,6 +406,7 @@ def oracle_sql() -> dict[str, str]:
         "language_id": oops.language_id_sql(),
         "quality_features": oops.quality_features_sql(),
         "token_counts": oops.token_counts_sql(),
+        "bpe_token_counts": oops.bpe_token_counts_sql(),
         "fingerprints": oops.fingerprints_sql(),
         "ann_brute_force": oops.brute_force_topk_sql(qv, k=10, exclude_self=0),
         "ann_lsh": oops.lsh_topk_sql(qv, k=10, n_bits=8),

@@ -85,7 +85,7 @@ def quality_features(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, n_ws_tokens, n_tokens, n_unique): whitespace split vs
-    the BPE-ish [a-z0-9]+ regex grammar."""
+    the [a-z0-9]+ regex grammar."""
     toks = tokens_col(text_col)
     ws = F.filter(F.split(F.col(text_col), "\\s+"), lambda t: t != F.lit(""))
     return docs.select(
@@ -93,6 +93,32 @@ def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         F.size(ws).cast("long").alias("n_ws_tokens"),
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
+    )
+
+
+# GPT-style pre-tokenizer classes (the BPE input segmentation): runs of
+# letters, runs of digits, runs of other non-space symbols — evaluated
+# over lowercased text; dialect-neutral so Spark (Java regex) and
+# DuckDB (RE2) agree byte-for-byte.
+BPE_ISH_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9\\s]+"
+
+
+def bpe_token_counts(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_bpe_tokens, n_bpe_unique): BPE-ish pre-tokenization
+    counts — the token-budget estimator a training-data pipeline runs
+    before the (proprietary) BPE merge table is applied. One codegen
+    pass, no UDF."""
+    # pattern as a literal Column — embedding it in a SQL string would
+    # eat the \s escape (Spark SQL string literals process backslashes)
+    pieces = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(BPE_ISH_PATTERN), F.lit(0)
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(pieces).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(pieces)).cast("long").alias("n_bpe_unique"),
     )
 
 

@@ -282,6 +282,21 @@ FROM base
 """
 
 
+def bpe_token_counts_sql() -> str:
+    # same dialect-neutral pattern as functions/textstats.BPE_ISH_PATTERN
+    pat = "[a-z]+|[0-9]+|[^a-z0-9\\s]+"
+    return f"""
+WITH p AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{pat}', 0) AS pieces
+  FROM documents
+)
+SELECT doc_id,
+       len(pieces)::BIGINT AS n_bpe_tokens,
+       len(list_distinct(pieces))::BIGINT AS n_bpe_unique
+FROM p
+"""
+
+
 def fingerprints_sql(n: int = 3) -> str:
     return f"""
 WITH {_shingles(n)}
