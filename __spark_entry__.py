@@ -35,7 +35,9 @@ def entry(spark: SparkSession) -> DataFrame:
 _INDEX_CACHE: dict[tuple[str, bool], str] = {}
 
 
-def _ensure_index(spark: SparkSession, sf_dir: str, positions: bool = False) -> str:
+def _ensure_index(
+    spark: SparkSession, sf_dir: str, positions: bool = False, offsets: bool = False
+) -> str:
     """Build (or resume) a packed segment index over the documents table.
     Checkpoint fingerprints make repeat calls near-free."""
     import hashlib
@@ -46,15 +48,15 @@ def _ensure_index(spark: SparkSession, sf_dir: str, positions: bool = False) -> 
 
     # version-keyed so a format change never resumes onto stale shards
     key = hashlib.md5(
-        f"{pkg.__version__}|{sf_dir}|pos{int(positions)}".encode()
+        f"{pkg.__version__}|{sf_dir}|pos{int(positions)}|off{int(offsets)}".encode()
     ).hexdigest()[:10]
     index_dir = f"/tmp/olspark_entry_index_{key}"
-    cache_key = (sf_dir, positions)
+    cache_key = (sf_dir, positions, offsets)
     if cache_key not in _INDEX_CACHE:
         docs = _docs(spark, sf_dir).select("doc_id", "text")
         build_index(
             docs, index_dir, segment="docs", n_partitions=8,
-            with_positions=positions,
+            with_positions=positions, with_offsets=offsets,
         )
         _INDEX_CACHE[cache_key] = index_dir
     return index_dir
@@ -266,6 +268,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, _ensure_index(spark, sf, positions=True), "table", "hash"
         )
 
+    def q_term_offsets(spark, sf):
+        # .pay-stream consumer (highlighting primitive): rows-only gate
+        # (char offsets are not SQL-expressible in DuckDB); exact oracle
+        # in tests/test_positions.py vs the pure-Python tokenizer
+        from ocaml_lucene_spark.query.exec import term_offsets
+
+        return term_offsets(
+            spark, _ensure_index(spark, sf, offsets=True), "table"
+        )
+
     def q_multimodal_metadata(spark, sf):
         # rows-only check (no SQL oracle): synthetic media derived
         # deterministically from doc_ids exercises the binary plumbing
@@ -369,6 +381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_counts_indexed": q_phrase_counts_indexed,
         "bm25_after_merge": q_bm25_after_merge,
         "bm25_streamed": q_bm25_streamed,
+        "term_offsets": q_term_offsets,
         "multimodal_metadata": q_multimodal_metadata,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,

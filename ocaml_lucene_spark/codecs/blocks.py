@@ -42,6 +42,20 @@ class PostingBlock:
     # Lucene keeps norms in a separate doc-values file; inlining them
     # makes a block self-scoring, no norms join at query time)
     pos_bytes: bytes | None
+    off_bytes: bytes | None = None  # .pay analogue: per-occurrence char
+    # start offsets (within-doc deltas, same framing as positions)
+
+
+def _per_doc_delta_stream(
+    values: np.ndarray, tf: np.ndarray, pos_offsets: np.ndarray, start: int, end: int
+) -> bytes:
+    """Pack a flat per-occurrence value stream (ascending within each
+    doc) as within-doc deltas: first value of each doc absolute."""
+    chunk = values[pos_offsets[start] : pos_offsets[end]].astype(np.int64)
+    deltas = np.diff(chunk, prepend=np.int64(0))
+    starts = (pos_offsets[start:end] - pos_offsets[start]).astype(np.int64)
+    deltas[starts] = chunk[starts]
+    return stream_encode(deltas.astype(np.uint64))
 
 
 def encode_posting_blocks(
@@ -49,31 +63,36 @@ def encode_posting_blocks(
     tfs: np.ndarray,
     positions: np.ndarray | None = None,
     dls: np.ndarray | None = None,
+    offsets: np.ndarray | None = None,
 ) -> list[PostingBlock]:
     """Chunk one term's (docID-ascending) postings into packed blocks.
 
     positions: concatenation of every doc's ascending position list
     (lengths given by tfs). dls: doc length per posting row (for the
     min_dl WAND bound); defaults to 0 (bound disabled -> conservative).
+    offsets: per-occurrence char start offsets, same flat layout as
+    positions (.pay stream analogue, highlighting-class features).
     """
     ids = np.asarray(doc_ids, dtype=np.int64)
     tf = np.asarray(tfs, dtype=np.int64)
     blocks: list[PostingBlock] = []
     pos_offsets = None
-    if positions is not None:
+    if positions is not None or offsets is not None:
         pos_offsets = np.concatenate([[0], np.cumsum(tf)])
     for bno, start in enumerate(range(0, ids.size, BLOCK_SIZE)):
         end = min(start + BLOCK_SIZE, ids.size)
         cid = ids[start:end]
         ctf = tf[start:end]
-        pos_b = None
-        if positions is not None:
-            chunk_pos = positions[pos_offsets[start] : pos_offsets[end]].astype(np.int64)
-            # within-doc delta: subtract previous position, reset at doc starts
-            deltas = np.diff(chunk_pos, prepend=np.int64(0))
-            starts = (pos_offsets[start:end] - pos_offsets[start]).astype(np.int64)
-            deltas[starts] = chunk_pos[starts]
-            pos_b = stream_encode(deltas.astype(np.uint64))
+        pos_b = (
+            _per_doc_delta_stream(positions, ctf, pos_offsets, start, end)
+            if positions is not None
+            else None
+        )
+        off_b = (
+            _per_doc_delta_stream(offsets, ctf, pos_offsets, start, end)
+            if offsets is not None
+            else None
+        )
         blocks.append(
             PostingBlock(
                 block_no=bno,
@@ -91,6 +110,7 @@ def encode_posting_blocks(
                     else None
                 ),
                 pos_bytes=pos_b,
+                off_bytes=off_b,
             )
         )
     return blocks
@@ -105,7 +125,20 @@ def decode_tfs(tf_bytes: bytes, n: int) -> np.ndarray:
 
 
 def decode_positions(pos_bytes: bytes, tfs: np.ndarray) -> list[np.ndarray]:
-    """Return per-doc ascending position arrays."""
+    """Return per-doc ascending position arrays (also decodes the
+    offsets stream, which shares the framing)."""
     deltas = stream_decode(pos_bytes).astype(np.int64)
     offsets = np.concatenate([[0], np.cumsum(np.asarray(tfs, dtype=np.int64))])
     return [np.cumsum(deltas[offsets[i] : offsets[i + 1]]) for i in range(len(tfs))]
+
+
+def decode_flat_stream(data: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Vectorized flat decode of a per-doc-delta stream (positions or
+    offsets): one cumsum minus a repeated per-doc base — no Python
+    lists, no per-doc loop."""
+    tf = np.asarray(tfs, dtype=np.int64)
+    deltas = stream_decode(data).astype(np.int64)
+    c = np.cumsum(deltas)
+    starts = np.concatenate([[0], np.cumsum(tf)])[:-1]
+    base = c[starts] - deltas[starts]
+    return c - np.repeat(base, tf)

@@ -48,6 +48,22 @@ def py_tokenize(text: str) -> list[str]:
     return _TOKEN_RE.findall(text.lower())
 
 
+_TOKEN_CI_RE = re.compile(r"[a-z0-9]+", re.IGNORECASE)
+
+
+def py_tokenize_with_offsets(text: str) -> tuple[list[str], list[int]]:
+    """(tokens, char start offsets in the ORIGINAL text). Matching is
+    case-insensitive on the original string (identical token sequence
+    to py_tokenize for any text, since ASCII lowering never changes
+    [a-zA-Z0-9] run boundaries) so offsets stay valid even for inputs
+    whose lowercase differs in length (e.g. ß)."""
+    toks, offs = [], []
+    for m in _TOKEN_CI_RE.finditer(text):
+        toks.append(m.group().lower())
+        offs.append(m.start())
+    return toks, offs
+
+
 # -- executor-side vectorized UDF (Arrow batches, no per-row Python) ---
 @F.pandas_udf(T.StringType())
 def extract_text_udf(html: pd.Series) -> pd.Series:

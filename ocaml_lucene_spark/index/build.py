@@ -108,6 +108,7 @@ def build_index(
     index_dir: str,
     segment: str | None = None,
     with_positions: bool = False,
+    with_offsets: bool = False,
     n_partitions: int | None = None,
     salt_df_threshold: int = DEFAULT_SALT_DF_THRESHOLD,
     n_salts: int = DEFAULT_N_SALTS,
@@ -152,7 +153,55 @@ def build_index(
 
         base = base.persist(StorageLevel.MEMORY_AND_DISK)
 
-    if with_positions:
+    if with_offsets:
+        # .pay-analogue path: per-occurrence char start offsets ride
+        # along with positions. The offsets tokenizer is an Arrow-
+        # batched pandas stage (the analyzer itself is per-doc regex);
+        # token sequence is identical to the JVM grammar.
+        with_positions = True
+        from ..functions.analysis import py_tokenize_with_offsets
+
+        def tok_off(batches):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                ids, terms_o, pos_o, off_o, dl_o = [], [], [], [], []
+                for did, text in zip(pdf["doc_id"], pdf["text"]):
+                    toks, offs = py_tokenize_with_offsets(text)
+                    n = len(toks)
+                    ids.append(np.full(n, did, dtype=np.int64))
+                    dl_o.append(np.full(n, n, dtype=np.int64))
+                    terms_o.extend(toks)
+                    pos_o.append(np.arange(n, dtype=np.int64))
+                    off_o.append(np.asarray(offs, dtype=np.int64))
+                if ids:
+                    yield pd.DataFrame(
+                        {
+                            "doc_id": np.concatenate(ids),
+                            "dl": np.concatenate(dl_o),
+                            "term": pd.Series(terms_o, dtype=object),
+                            "pos": np.concatenate(pos_o),
+                            "start": np.concatenate(off_o),
+                        }
+                    )
+
+        occ = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")).mapInPandas(
+            tok_off, "doc_id long, dl long, term string, pos long, start long"
+        )
+        tf = (
+            occ.groupBy("doc_id", "term", "dl")
+            .agg(
+                F.count("*").cast("long").alias("tf"),
+                F.sort_array(F.collect_list(F.struct("pos", "start"))).alias("occs"),
+            )
+            .select(
+                "doc_id", "term", "dl", "tf",
+                F.transform("occs", lambda x: x["pos"]).alias("positions"),
+                F.transform("occs", lambda x: x["start"]).alias("starts"),
+            )
+        )
+    elif with_positions:
         tf = (
             base.select("doc_id", "dl", F.posexplode("toks").alias("pos", "term"))
             .groupBy("doc_id", "term", "dl")
@@ -263,6 +312,7 @@ def build_index(
         rb = seg.pack_table(
             pa.Table.from_batches(chunks),
             segment, paths["postings"], paths["checkpoints"], with_positions,
+            with_offsets=with_offsets,
         )
         if rb is not None:
             yield rb
@@ -299,7 +349,14 @@ def build_index(
         "sum_dl": int(agg.sum_dl),
         "avgdl": agg.sum_dl / agg.n_docs if agg.n_docs else 0.0,
         "with_positions": with_positions,
-        "index_options": "DOCS_AND_FREQS_AND_POSITIONS" if with_positions else "DOCS_AND_FREQS",
+        "with_offsets": with_offsets,
+        "index_options": (
+            "DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS"
+            if with_offsets
+            else "DOCS_AND_FREQS_AND_POSITIONS"
+            if with_positions
+            else "DOCS_AND_FREQS"
+        ),
         "doc_id_base": doc_id_base,
     }
     seg.write_stats(index_dir, segment, stats)

@@ -67,11 +67,9 @@ def merge_segments(
     # positions and docs-only segments degrades the merged segment to
     # DOCS_AND_FREQS explicitly (a docs-only source has no positions to
     # carry; reading pos_bytes=None rows would otherwise crash mid-job).
-    pos_flags = [
-        bool(seg.read_stats(index_dir, s).get("with_positions"))
-        for s in segment_names
-    ]
-    with_positions = all(pos_flags)
+    src_stats = [seg.read_stats(index_dir, s) for s in segment_names]
+    with_positions = all(bool(st.get("with_positions")) for st in src_stats)
+    with_offsets = all(bool(st.get("with_offsets")) for st in src_stats)
 
     posting_paths = [
         seg.segment_paths(index_dir, s)["postings"] for s in segment_names
@@ -96,6 +94,7 @@ def merge_segments(
     pos_schema = (
         "term string, salt int, doc_id long, tf long, dl long"
         + (", positions array<long>" if with_positions else "")
+        + (", starts array<long>" if with_offsets else "")
     )
 
     def unpack(batches):
@@ -108,9 +107,12 @@ def merge_segments(
 
         for pdf in batches:
             outs = []
-            for term, bno, n, db, tb, lb, pb in zip(
+            ob_col = (
+                pdf["off_bytes"] if "off_bytes" in pdf.columns else [None] * len(pdf)
+            )
+            for term, bno, n, db, tb, lb, pb, ob in zip(
                 pdf["term"], pdf["block_no"], pdf["n"], pdf["doc_bytes"],
-                pdf["tf_bytes"], pdf["dl_bytes"], pdf["pos_bytes"],
+                pdf["tf_bytes"], pdf["dl_bytes"], pdf["pos_bytes"], ob_col,
             ):
                 docs = delta_decode(bytes(db))
                 tf = pfor.decode(bytes(tb), int(n)).astype(np.int64)
@@ -133,6 +135,9 @@ def merge_segments(
                 }
                 if with_positions:
                     d["positions"] = decode_positions(bytes(pb), tf)
+                if with_offsets:
+                    # offsets stream shares the positions framing
+                    d["starts"] = decode_positions(bytes(ob), tf)
                 outs.append(pd.DataFrame(d))
             if outs:
                 yield pd.concat(outs, ignore_index=True)
@@ -155,7 +160,8 @@ def merge_segments(
             return
         pdf = pd.concat(chunks, ignore_index=True)
         yield seg.pack_partition(
-            pdf, new_name, paths["postings"], paths["checkpoints"], with_positions
+            pdf, new_name, paths["postings"], paths["checkpoints"], with_positions,
+            with_offsets=with_offsets,
         )
 
     ckpt_rows = shuffled.mapInPandas(pack_iter, seg.CHECKPOINT_SCHEMA).collect()
@@ -183,8 +189,13 @@ def merge_segments(
             "sum_dl": sum_dl,
             "avgdl": sum_dl / n_docs if n_docs else 0.0,
             "with_positions": with_positions,
+            "with_offsets": with_offsets,
             "index_options": (
-                "DOCS_AND_FREQS_AND_POSITIONS" if with_positions else "DOCS_AND_FREQS"
+                "DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS"
+                if with_offsets
+                else "DOCS_AND_FREQS_AND_POSITIONS"
+                if with_positions
+                else "DOCS_AND_FREQS"
             ),
             "merged_from": segment_names,
         },

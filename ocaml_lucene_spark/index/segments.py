@@ -42,7 +42,7 @@ import pandas as pd
 POSTINGS_SCHEMA = (
     "term string, block_no int, n int, first_doc long, last_doc long, "
     "max_tf int, sum_tf long, min_dl int, doc_bytes binary, tf_bytes binary, "
-    "dl_bytes binary, pos_bytes binary"
+    "dl_bytes binary, pos_bytes binary, off_bytes binary"
 )
 
 CHECKPOINT_SCHEMA = (
@@ -89,6 +89,7 @@ def pack_table(
     postings_dir: str,
     checkpoint_dir: str,
     with_positions: bool,
+    with_offsets: bool = False,
 ):
     """Arrow-native pack kernel (runs under mapInArrow): one shuffle
     partition of (term, salt, doc_id, tf, dl[, positions], pid) rows ->
@@ -162,6 +163,11 @@ def pack_table(
         pos_flat = col("positions").flatten().to_numpy(zero_copy_only=False).astype(
             np.int64, copy=False
         )
+    off_flat = None
+    if with_offsets:
+        off_flat = col("starts").flatten().to_numpy(zero_copy_only=False).astype(
+            np.int64, copy=False
+        )
 
     # deterministic CONTENT fingerprint (md5 over the sorted column
     # buffers): aggregate-sum fingerprints collide when values swap
@@ -174,6 +180,8 @@ def pack_table(
     h.update(np.ascontiguousarray(dls).tobytes())
     if pos_flat is not None:
         h.update(np.ascontiguousarray(pos_flat).tobytes())
+    if off_flat is not None:
+        h.update(np.ascontiguousarray(off_flat).tobytes())
     fingerprint = f"{n}-{h.hexdigest()}"
     shard = os.path.join(postings_dir, f"part-{pid:05d}.parquet")
     ckpt = os.path.join(checkpoint_dir, f"part-{pid:05d}.json")
@@ -193,7 +201,7 @@ def pack_table(
 
     out = {k: [] for k in (
         "block_no", "n", "first_doc", "last_doc", "max_tf", "sum_tf",
-        "min_dl", "doc_bytes", "tf_bytes", "dl_bytes", "pos_bytes")}
+        "min_dl", "doc_bytes", "tf_bytes", "dl_bytes", "pos_bytes", "off_bytes")}
     term_src: list[int] = []  # per-block source row -> term via Arrow take
     n_blocks = 0
     for gi in range(len(bounds) - 1):
@@ -201,7 +209,12 @@ def pack_table(
         grp_pos = (
             pos_flat[pos_offsets[s] : pos_offsets[e]] if with_positions else None
         )
-        blocks = encode_posting_blocks(doc_ids[s:e], tfs[s:e], grp_pos, dls[s:e])
+        grp_off = (
+            off_flat[pos_offsets[s] : pos_offsets[e]] if with_offsets else None
+        )
+        blocks = encode_posting_blocks(
+            doc_ids[s:e], tfs[s:e], grp_pos, dls[s:e], offsets=grp_off
+        )
         salt = int(salts[s])
         for b in blocks:
             term_src.append(s)
@@ -217,6 +230,7 @@ def pack_table(
             out["tf_bytes"].append(b.tf_bytes)
             out["dl_bytes"].append(b.dl_bytes)
             out["pos_bytes"].append(b.pos_bytes)
+            out["off_bytes"].append(b.off_bytes)
             n_blocks += 1
 
     shard_table = pa.table(
@@ -233,6 +247,7 @@ def pack_table(
             "tf_bytes": pa.array(out["tf_bytes"], pa.binary()),
             "dl_bytes": pa.array(out["dl_bytes"], pa.binary()),
             "pos_bytes": pa.array(out["pos_bytes"], pa.binary()),
+            "off_bytes": pa.array(out["off_bytes"], pa.binary()),
         }
     )
     os.makedirs(postings_dir, exist_ok=True)
@@ -250,6 +265,7 @@ def pack_table(
         + sum(len(x) for x in out["tf_bytes"])
         + sum(len(x) for x in out["dl_bytes"])
         + sum(len(x) for x in out["pos_bytes"] if x is not None)
+        + sum(len(x) for x in out["off_bytes"] if x is not None)
     )
     row = {
         "segment": segment,
@@ -300,6 +316,7 @@ def pack_partition(
     postings_dir: str,
     checkpoint_dir: str,
     with_positions: bool,
+    with_offsets: bool = False,
 ) -> pd.DataFrame:
     """pandas wrapper over ``pack_table`` (mapInPandas callers, e.g.
     merge). Fingerprints are identical to the Arrow path."""
@@ -310,7 +327,10 @@ def pack_partition(
             columns=[c.split(" ")[0] for c in CHECKPOINT_SCHEMA.split(", ")]
         )
     table = pa.Table.from_pandas(pdf, preserve_index=False)
-    rb = pack_table(table, segment, postings_dir, checkpoint_dir, with_positions)
+    rb = pack_table(
+        table, segment, postings_dir, checkpoint_dir, with_positions,
+        with_offsets=with_offsets,
+    )
     return rb.to_pandas()
 
 

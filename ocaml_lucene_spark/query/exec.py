@@ -338,6 +338,49 @@ def build_posting_lists(
     return lists
 
 
+def term_offsets(
+    spark: SparkSession, index_dir: str, term: str
+) -> DataFrame:
+    """(doc_id, pos, start): every occurrence of ``term`` with its token
+    position and char start offset in the source text — the .pay-stream
+    consumer (/root/reference/codec/lucene_84_postings_reader.ml:16-49;
+    pay_start_fp in terms_enumerator.ml:21-44), the primitive behind
+    highlighting. Requires a with_offsets build. Fully vectorized: one
+    flat numpy decode per block, term predicate pushed to row groups."""
+    blocks = _postings_df(spark, index_dir, [term]).select(
+        "n", "doc_bytes", "tf_bytes", "pos_bytes", "off_bytes"
+    )
+
+    def decode_occ(batches):
+        from ..codecs import pfor
+        from ..codecs.blocks import decode_flat_stream
+        from ..codecs.delta import delta_decode
+
+        for pdf in batches:
+            doc_out, pos_out, off_out = [], [], []
+            for n, db, tb, pb, ob in zip(
+                pdf["n"], pdf["doc_bytes"], pdf["tf_bytes"], pdf["pos_bytes"],
+                pdf["off_bytes"],
+            ):
+                if ob is None:
+                    raise ValueError("index was built without offsets")
+                docs = delta_decode(bytes(db))
+                tf = pfor.decode(bytes(tb), int(n)).astype(np.int64)
+                doc_out.append(np.repeat(docs, tf))
+                pos_out.append(decode_flat_stream(bytes(pb), tf))
+                off_out.append(decode_flat_stream(bytes(ob), tf))
+            if doc_out:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(np.concatenate(doc_out), dtype="int64"),
+                        "pos": pd.Series(np.concatenate(pos_out), dtype="int64"),
+                        "start": pd.Series(np.concatenate(off_out), dtype="int64"),
+                    }
+                )
+
+    return blocks.mapInPandas(decode_occ, "doc_id long, pos long, start long")
+
+
 def bm25_topk_wand(
     spark: SparkSession,
     index_dir: str,

@@ -124,3 +124,27 @@ def test_merge_mixed_positions_degrades(spark, tiny_corpus, tmp_path_factory):
         for r in bm25_topk_indexed(spark, index_dir, ["the", "and"], "or", 10).collect()
     ]
     assert [d for d, _ in got] == [d for d, _ in exp]
+
+
+def test_merge_carries_offsets(spark, tmp_path_factory):
+    """Merging two with_offsets segments preserves the offsets stream
+    (term_offsets answers identically before and after)."""
+    from ocaml_lucene_spark.index.build import build_index
+    from ocaml_lucene_spark.index.segments import read_stats
+    from ocaml_lucene_spark.query.exec import term_offsets
+
+    index_dir = str(tmp_path_factory.mktemp("index_off_merge"))
+    texts = {i: f"Alpha beta{i % 5} ALPHA gamma alpha" for i in range(200)}
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    build_index(docs.filter("doc_id < 100"), index_dir, segment="a", n_partitions=2, with_offsets=True)
+    build_index(docs.filter("doc_id >= 100"), index_dir, segment="b", n_partitions=2, with_offsets=True)
+    before = {(r.doc_id, r.pos, r.start) for r in term_offsets(spark, index_dir, "alpha").collect()}
+    row = merge_segments(spark, index_dir, ["a", "b"], n_partitions=2)
+    stats = read_stats(index_dir, row["segment"])
+    assert stats["with_offsets"] is True
+    assert stats["index_options"] == "DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS"
+    after = {(r.doc_id, r.pos, r.start) for r in term_offsets(spark, index_dir, "alpha").collect()}
+    assert before == after and before
+    # case-insensitive offsets: 'Alpha' at 0, 'ALPHA' and 'alpha' later
+    doc0 = sorted((p, s) for d, p, s in before if d == 0)
+    assert doc0 == [(0, 0), (2, 12), (4, 24)], doc0

@@ -44,3 +44,43 @@ def test_positional_index_still_scores(spark, pos_index):
     got = [(r.doc_id, r.score) for r in bm25_topk_indexed(spark, index_dir, ["the"], "or", 5).collect()]
     exp = oracle.query(["the"], "or", 5)
     assert [d for d, _ in got] == [d for d, _ in exp]
+
+
+def test_offsets_match_pure_python(spark, tiny_corpus, tmp_path_factory):
+    """with_offsets build: the packed .pay-analogue stream reproduces
+    the pure-Python offsets tokenizer exactly (every occurrence's token
+    position AND char start offset)."""
+    from ocaml_lucene_spark.functions.analysis import py_tokenize_with_offsets
+    from ocaml_lucene_spark.index.build import assign_doc_ids, build_index
+    from ocaml_lucene_spark.index.segments import read_stats
+    from ocaml_lucene_spark.query.exec import term_offsets
+
+    index_dir = str(tmp_path_factory.mktemp("index_off"))
+    docs = assign_doc_ids(spark.read.parquet(tiny_corpus)).select("doc_id", "text").cache()
+    build_index(docs, index_dir, n_partitions=4, with_offsets=True)
+    assert read_stats(index_dir, "seg000001")["index_options"] == (
+        "DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS"
+    )
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    oracle = OracleIndex.from_texts(texts)
+    stats = oracle.term_stats()
+    probe = ["the"] + sorted(stats, key=lambda t: -stats[t][0])[5:7]
+    for term in probe:
+        expected = set()
+        for did, text in texts.items():
+            toks, offs = py_tokenize_with_offsets(text)
+            for p, (t, o) in enumerate(zip(toks, offs)):
+                if t == term:
+                    expected.add((did, p, o))
+        got = {
+            (r.doc_id, r.pos, r.start)
+            for r in term_offsets(spark, index_dir, term).collect()
+        }
+        assert got == expected and got, term
+    # the offsets index still answers BM25 and phrase queries identically
+    got = [
+        (r.doc_id, r.score)
+        for r in bm25_topk_indexed(spark, index_dir, ["the", "and"], "or", 5).collect()
+    ]
+    exp = oracle.query(["the", "and"], "or", 5)
+    assert [d for d, _ in got] == [d for d, _ in exp]
