@@ -141,6 +141,16 @@ def _query_vec(sf_dir: str, vec_id: int = 0) -> list[float]:
     return t.column("embedding").to_pylist()[idx]
 
 
+def _ivf_centroids(sf_dir: str, k: int = 4) -> list[list[float]]:
+    """Deterministic coarse quantizer: embeddings of the k smallest
+    vec_ids (a k-means job supplies these on a real pipeline)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    rows = sorted(zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist()))
+    return [list(v) for _, v in rows[:k]]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ocaml_lucene_spark.functions import textstats
     from ocaml_lucene_spark.operators import ann, dedup
@@ -357,6 +367,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ann.build_ann_index(_vecs(spark, sf), idx, n_bits=8)
         return ann.lsh_topk_indexed(spark, idx, _query_vec(sf), k=10, n_bits=8)
 
+    def q_ann_ivf(spark, sf):
+        # IVF coarse quantizer: probe the 2 nearest of 4 cells
+        return ann.ivf_topk(
+            _vecs(spark, sf), _query_vec(sf), _ivf_centroids(sf), k=10, n_probe=2
+        )
+
     def q_embed_near_dup(spark, sf):
         return ann.embedding_near_dup_pairs(_vecs(spark, sf), min_sim=0.9, n_bits=4)
 
@@ -398,6 +414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_force": q_ann_brute,
         "ann_lsh": q_ann_lsh,
         "ann_lsh_indexed": q_ann_lsh_indexed,
+        "ann_ivf": q_ann_ivf,
         "embedding_near_dup": q_embed_near_dup,
     }
 
@@ -424,6 +441,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_brute_force": oops.brute_force_topk_sql(qv, k=10, exclude_self=0),
         "ann_lsh": oops.lsh_topk_sql(qv, k=10, n_bits=8),
         "ann_lsh_indexed": oops.lsh_topk_sql(qv, k=10, n_bits=8),
+        "ann_ivf": oops.ivf_topk_sql(qv, _ivf_centroids(sf_for_vec), k=10, n_probe=2),
         "embedding_near_dup": oops.embedding_near_dup_pairs_sql(min_sim=0.9, n_bits=4),
     }
     return ops | {

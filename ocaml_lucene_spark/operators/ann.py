@@ -144,6 +144,66 @@ def lsh_topk_indexed(
     )
 
 
+def ivf_cell_expr(vec_col: Column, centroids: list[list[float]]) -> Column:
+    """Coarse-quantizer cell id: argmax over centroids of cosine
+    similarity, ties to the smallest cell id (greatest over
+    (sim, -id) structs — lexicographic, matching the oracle's ordered
+    CASE chain)."""
+    cands = []
+    for i, c in enumerate(centroids):
+        cvec = F.array(*[F.lit(float(x)) for x in c])
+        cands.append(
+            F.struct(
+                cosine_col(vec_col, cvec).alias("s"),
+                F.lit(-i).alias("ni"),
+                F.lit(i).alias("i"),
+            )
+        )
+    return F.greatest(*cands).getField("i")
+
+
+def ivf_topk(
+    vecs: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: coarse-quantize vectors into centroid cells, probe only
+    the query's n_probe nearest cells, exact cosine re-rank inside.
+
+    Centroids are caller-provided (deterministic — e.g. the first K
+    vectors — so the DuckDB oracle reproduces cells exactly; on a real
+    pipeline they come from a k-means job). Scale path: like the LSH
+    layout, cells become partition keys via build_ann_index-style
+    persistence, so a probe is partition-pruned instead of scanned."""
+    import math
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        return num / den
+
+    order = sorted(
+        range(len(centroids)), key=lambda i: (-cos(query_vec, centroids[i]), i)
+    )
+    probes = order[:n_probe]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        vecs.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("v"),
+            ivf_cell_expr(F.col(vec_col), centroids).alias("cell"),
+        )
+        .filter(F.col("cell").isin([int(p) for p in probes]))
+        .select("vec_id", F.round(cosine_col(F.col("v"), q), 4).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def embedding_near_dup_pairs(
     vecs: DataFrame,
     min_sim: float = 0.95,

@@ -359,6 +359,58 @@ LIMIT {k}
 """
 
 
+def ivf_topk_sql(
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+) -> str:
+    """IVF probe mirroring operators/ann.ivf_topk: same centroids, same
+    argmax-with-smallest-id tie-break (ordered CASE chain), probe cells
+    computed at SQL-generation time."""
+    import math
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        return num / den
+
+    order = sorted(
+        range(len(centroids)), key=lambda i: (-cos(query_vec, centroids[i]), i)
+    )
+    probes = ", ".join(str(i) for i in order[:n_probe])
+    cvecs = [
+        "[" + ", ".join(repr(float(x)) for x in c) + "]::DOUBLE[]" for c in centroids
+    ]
+    sim_cols = ", ".join(
+        f"{_cos('embedding', cv)} AS s_{i}" for i, cv in enumerate(cvecs)
+    )
+    # earlier centroid wins ties (>= chain in id order)
+    case = "CASE "
+    n = len(centroids)
+    for i in range(n):
+        conds = [f"s_{i} >= s_{j}" for j in range(n) if j != i and j > i]
+        prior = [f"s_{i} > s_{j}" for j in range(i)]
+        cond = " AND ".join(prior + conds) if (prior or conds) else "TRUE"
+        case += f"WHEN {cond} THEN {i} "
+    case += "END"
+    q = "[" + ", ".join(repr(float(x)) for x in query_vec) + "]::DOUBLE[]"
+    return f"""
+WITH sims AS (
+  SELECT vec_id, embedding, {sim_cols} FROM embeddings
+),
+cells AS (
+  SELECT vec_id, embedding, {case} AS cell FROM sims
+),
+q AS (SELECT {q} AS qv)
+SELECT vec_id, round({_cos("embedding", "qv")}, 4) AS sim
+FROM cells, q
+WHERE cell IN ({probes})
+ORDER BY sim DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
 def embedding_near_dup_pairs_sql(min_sim: float = 0.95, n_bits: int = 8) -> str:
     return f"""
 WITH b AS (

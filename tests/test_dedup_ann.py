@@ -172,3 +172,25 @@ def test_ann_indexed_partition_prunes(spark, tmp_path_factory):
 
     pf = re.search(r"PartitionFilters: \[(.*?)\]", plan)
     assert pf and "bucket" in pf.group(1) and str(qbucket) in pf.group(1), plan
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    """Probing every IVF cell degenerates to the exact scan: results
+    must equal brute force; fewer probes are a recall/latency dial."""
+    import pyarrow.parquet as pq
+
+    from ocaml_lucene_spark.operators.ann import brute_force_topk, ivf_topk
+
+    vecs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    t = pq.read_table(
+        "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    rows = sorted(zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist()))
+    cents = [list(v) for _, v in rows[:4]]
+    qv = list(rows[10][1])
+    full = [(r.vec_id, r.sim) for r in ivf_topk(vecs, qv, cents, k=10, n_probe=4).collect()]
+    exact = [(r.vec_id, r.sim) for r in brute_force_topk(vecs, qv, k=10).collect()]
+    assert full == exact and full
+    # partial probe returns a subset-ranked list of the same size cap
+    part = [(r.vec_id, r.sim) for r in ivf_topk(vecs, qv, cents, k=10, n_probe=1).collect()]
+    assert set(d for d, _ in part) <= set(r.vec_id for r in vecs.select("vec_id").collect())
