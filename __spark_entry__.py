@@ -367,6 +367,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ann.build_ann_index(_vecs(spark, sf), idx, n_bits=8)
         return ann.lsh_topk_indexed(spark, idx, _query_vec(sf), k=10, n_bits=8)
 
+    def q_ann_lsh_multiprobe(spark, sf):
+        # multi-probe: query bucket + nearest-hyperplane flips
+        return ann.lsh_topk(
+            _vecs(spark, sf), _query_vec(sf), k=10, n_bits=8, n_probe=4
+        )
+
     def q_ann_ivf(spark, sf):
         # IVF coarse quantizer: probe the 2 nearest of 4 cells
         return ann.ivf_topk(
@@ -414,6 +420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_force": q_ann_brute,
         "ann_lsh": q_ann_lsh,
         "ann_lsh_indexed": q_ann_lsh_indexed,
+        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "ann_ivf": q_ann_ivf,
         "embedding_near_dup": q_embed_near_dup,
     }
@@ -441,6 +448,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_brute_force": oops.brute_force_topk_sql(qv, k=10, exclude_self=0),
         "ann_lsh": oops.lsh_topk_sql(qv, k=10, n_bits=8),
         "ann_lsh_indexed": oops.lsh_topk_sql(qv, k=10, n_bits=8),
+        "ann_lsh_multiprobe": oops.lsh_topk_sql(qv, k=10, n_bits=8, n_probe=4),
         "ann_ivf": oops.ivf_topk_sql(qv, _ivf_centroids(sf_for_vec), k=10, n_probe=2),
         "embedding_near_dup": oops.embedding_near_dup_pairs_sql(min_sim=0.9, n_bits=4),
     }

@@ -68,19 +68,40 @@ def signbit_bucket(vec_col: Column, n_bits: int = 8) -> Column:
     ).alias("bucket")
 
 
+def lsh_probe_buckets(
+    query_vec: list[float], n_bits: int = 8, n_probe: int = 1
+) -> list[int]:
+    """Multi-probe LSH bucket sequence: the query's own bucket, then
+    buckets with ONE sign bit flipped, least-confident dimension first
+    (smallest |component| = the hyperplane the query sits closest to).
+    Deterministic from the query vector, so the SQL oracle reproduces
+    the probe set exactly."""
+    qbucket = 0
+    for x in query_vec[:n_bits]:
+        qbucket = qbucket * 2 + (1 if x >= 0 else 0)
+    probes = [qbucket]
+    order = sorted(range(n_bits), key=lambda i: (abs(query_vec[i]), i))
+    for i in order:
+        if len(probes) >= n_probe:
+            break
+        probes.append(qbucket ^ (1 << (n_bits - 1 - i)))
+    return probes[:n_probe]
+
+
 def lsh_topk(
     vecs: DataFrame,
     query_vec: list[float],
     k: int = 10,
     n_bits: int = 8,
+    n_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN: search only the query's sign-bit bucket. Approximate by
-    construction; recall measured against brute_force_topk in tests."""
-    qbucket = 0
-    for x in query_vec[:n_bits]:
-        qbucket = qbucket * 2 + (1 if x >= 0 else 0)
+    """ANN: search the query's sign-bit bucket (plus, with n_probe > 1,
+    the buckets across the query's nearest hyperplanes — multi-probe
+    LSH, the standard recall dial that avoids building more tables).
+    Approximate by construction; recall vs brute_force_topk in tests."""
+    probes = lsh_probe_buckets(query_vec, n_bits, n_probe)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         vecs.select(
@@ -88,7 +109,7 @@ def lsh_topk(
             F.col(vec_col).alias("v"),
             signbit_bucket(F.col(vec_col), n_bits).alias("bucket"),
         )
-        .filter(F.col("bucket") == qbucket)
+        .filter(F.col("bucket").isin(probes))
         .select("vec_id", F.round(cosine_col(F.col("v"), q), 4).alias("sim"))
         .orderBy(F.desc("sim"), F.asc("vec_id"))
         .limit(k)

@@ -344,16 +344,18 @@ def signbit_bucket_expr(vec: str, n_bits: int) -> str:
     return expr
 
 
-def lsh_topk_sql(query_vec: list[float], k: int = 10, n_bits: int = 8) -> str:
-    qbucket = 0
-    for x in query_vec[:n_bits]:
-        qbucket = qbucket * 2 + (1 if x >= 0 else 0)
+def lsh_topk_sql(
+    query_vec: list[float], k: int = 10, n_bits: int = 8, n_probe: int = 1
+) -> str:
+    from ..operators.ann import lsh_probe_buckets
+
+    probes = ", ".join(str(b) for b in lsh_probe_buckets(query_vec, n_bits, n_probe))
     q = "[" + ", ".join(repr(float(x)) for x in query_vec) + "]::DOUBLE[]"
     return f"""
 WITH q AS (SELECT {q} AS qv)
 SELECT vec_id, round({_cos("embedding", "qv")}, 4) AS sim
 FROM embeddings, q
-WHERE {signbit_bucket_expr("embedding", n_bits)} = {qbucket}
+WHERE {signbit_bucket_expr("embedding", n_bits)} IN ({probes})
 ORDER BY sim DESC, vec_id ASC
 LIMIT {k}
 """

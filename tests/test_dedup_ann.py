@@ -194,3 +194,23 @@ def test_ivf_full_probe_equals_brute_force(spark):
     # partial probe returns a subset-ranked list of the same size cap
     part = [(r.vec_id, r.sim) for r in ivf_topk(vecs, qv, cents, k=10, n_probe=1).collect()]
     assert set(d for d, _ in part) <= set(r.vec_id for r in vecs.select("vec_id").collect())
+
+
+def test_lsh_multiprobe_improves_recall(spark, vecs):
+    """Multi-probe LSH recall is monotone in n_probe and strictly
+    better than single-probe on average (probing the nearest
+    hyperplanes' buckets recovers borderline neighbors)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table("/root/testdata/sf0.01/embeddings.parquet").to_pylist()
+    r1, r4 = [], []
+    for row in t[:8]:
+        q = row["embedding"]
+        exact = {r.vec_id for r in ann.brute_force_topk(vecs, q, k=10).collect()}
+        a1 = {r.vec_id for r in ann.lsh_topk(vecs, q, k=10, n_bits=6, n_probe=1).collect()}
+        a4 = {r.vec_id for r in ann.lsh_topk(vecs, q, k=10, n_bits=6, n_probe=4).collect()}
+        assert a1 <= a4 or len(a4) == 10  # probes only ADD candidates
+        r1.append(len(exact & a1) / 10)
+        r4.append(len(exact & a4) / 10)
+    assert np.mean(r4) >= np.mean(r1), (r1, r4)
+    assert np.mean(r4) > 0.2, r4
