@@ -78,7 +78,9 @@ def _ensure_merged_index(spark: SparkSession, sf_dir: str) -> str:
     index_dir = f"/tmp/olspark_entry_merged_{key}"
     cache_key = (sf_dir, "merged")
     if cache_key not in _INDEX_CACHE:
-        if not list_segments(index_dir):
+        import shutil
+
+        def build() -> list[dict]:
             docs = _docs(spark, sf_dir).select("doc_id", "text")
             for i in range(3):
                 build_index(
@@ -86,8 +88,14 @@ def _ensure_merged_index(spark: SparkSession, sf_dir: str) -> str:
                     segment=f"part{i}", n_partitions=4,
                 )
             maybe_merge(spark, index_dir, merge_factor=3, n_partitions=4)
-        live = list_segments(index_dir)
-        if len(live) != 1 or live[0]["source"] != "merge":
+            return list_segments(index_dir)
+
+        live = list_segments(index_dir) or build()
+        if len(live) != 1 or live[0].get("source") != "merge":
+            # a previous process died mid-build: wipe and rebuild once
+            shutil.rmtree(index_dir, ignore_errors=True)
+            live = build()
+        if len(live) != 1 or live[0].get("source") != "merge":
             raise AssertionError(f"tiered merge did not run: {live}")
         _INDEX_CACHE[cache_key] = index_dir
     return index_dir
@@ -113,7 +121,9 @@ def _ensure_streamed_index(spark: SparkSession, sf_dir: str) -> str:
     index_dir = f"/tmp/olspark_entry_streamed_{key}"
     cache_key = (sf_dir, "streamed")
     if cache_key not in _INDEX_CACHE:
-        if not list_segments(index_dir):
+        import shutil
+
+        def build() -> list[dict]:
             src = f"{index_dir}_src"
             os.makedirs(src, exist_ok=True)
             t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -126,7 +136,14 @@ def _ensure_streamed_index(spark: SparkSession, sf_dir: str) -> str:
                 assign_ids=False, max_files_per_trigger=1, n_partitions=4,
             )
             q.awaitTermination()
-        live = list_segments(index_dir)
+            return list_segments(index_dir)
+
+        live = list_segments(index_dir) or build()
+        if len(live) < 2:
+            # a previous process died mid-stream: wipe and rebuild once
+            shutil.rmtree(index_dir, ignore_errors=True)
+            shutil.rmtree(f"{index_dir}_src", ignore_errors=True)
+            live = build()
         if len(live) < 2:
             raise AssertionError(f"expected multiple streamed segments: {live}")
         _INDEX_CACHE[cache_key] = index_dir
