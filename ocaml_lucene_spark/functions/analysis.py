@@ -53,10 +53,18 @@ _TOKEN_CI_RE = re.compile(r"[a-z0-9]+", re.IGNORECASE)
 
 def py_tokenize_with_offsets(text: str) -> tuple[list[str], list[int]]:
     """(tokens, char start offsets in the ORIGINAL text). Matching is
-    case-insensitive on the original string (identical token sequence
-    to py_tokenize for any text, since ASCII lowering never changes
-    [a-zA-Z0-9] run boundaries) so offsets stay valid even for inputs
-    whose lowercase differs in length (e.g. ß)."""
+    case-insensitive on the original string so offsets stay valid even
+    for inputs whose lowercase differs in length (e.g. ß).
+
+    Token-sequence identity with ``py_tokenize`` holds for texts whose
+    case mapping is ASCII-stable (all webtext corpora here): ASCII
+    lowering never changes [a-zA-Z0-9] run boundaries. Exotic non-ASCII
+    case mappings CAN diverge — str.lower() maps U+212A (KELVIN SIGN)
+    to 'k' and U+0130 to 'i'+combining-dot, so py_tokenize sees runs
+    this case-insensitive match on the original string does not. A
+    with_offsets build of such text is a documented divergence (the
+    canonical grammar is lower-then-split, shared with the JVM and
+    DuckDB paths, which apply the same Unicode lowering)."""
     toks, offs = [], []
     for m in _TOKEN_CI_RE.finditer(text):
         toks.append(m.group().lower())

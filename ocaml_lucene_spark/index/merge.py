@@ -89,7 +89,7 @@ def merge_segments(
     )
     m_lo = int(m_lo or 0)
     m_span = int(m_hi) - m_lo + 1 if m_hi is not None else 1
-    n_salts_merged = 16
+    n_salts_merged = n_salts
 
     pos_schema = (
         "term string, salt int, doc_id long, tf long, dl long"

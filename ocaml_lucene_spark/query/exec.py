@@ -410,8 +410,11 @@ def bm25_topk_wand(
         )
         .collect()
     )
+    # exclusion is a pure doc filter: a term in BOTH terms and exclude is
+    # scored AND its docs are dropped (matching the SQL oracle's NOT IN),
+    # so the exclusion lists are built from the FULL exclude set
     inc = [r for r in rows if r.term in set(terms)]
-    exc = [r for r in rows if r.term in set(exclude) and r.term not in set(terms)]
+    exc = [r for r in rows if r.term in set(exclude)]
     lists = build_posting_lists(inc, idfs, avgdl)
     xlists = build_posting_lists(exc, {t: 0.0 for t in exclude}, avgdl)
     require = set(terms) if mode == "and" else None
@@ -479,7 +482,9 @@ def bm25_topk_wand_exec(
         "term", "block_no", "first_doc", "last_doc", "max_tf", "min_dl",
         "doc_bytes", "tf_bytes", "dl_bytes",
     )
-    inc_set, exc_set = set(terms), set(exclude) - set(terms)
+    # full exclude set: exclusion is a doc filter, independent of scoring
+    # — a term can be both scored and excluded (oracle NOT IN semantics)
+    inc_set, exc_set = set(terms), set(exclude)
 
     def run(batches):
         rows = []

@@ -18,6 +18,8 @@ per hot segment and consulted by every query task.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..fst.transducer import Fst, FstBuilder
@@ -44,7 +46,23 @@ class TermIndex:
         return self.fst.num_bytes() + self.dfs.nbytes + self.ttfs.nbytes
 
 
-_CACHE: dict[str, TermIndex] = {}
+_CACHE: dict[tuple, TermIndex] = {}
+
+
+def _dir_token(path: str) -> tuple:
+    """Cheap invalidator for the terms directory: (name, size, mtime_ns)
+    of every file. An in-place rebuild (e.g. the wipe-and-rebuild
+    self-heal in __spark_entry__) changes it, so the cache can never
+    serve stale df/ttf for a rewritten segment."""
+    try:
+        entries = []
+        with os.scandir(path) as it:
+            for e in sorted(it, key=lambda e: e.name):
+                st = e.stat()
+                entries.append((e.name, st.st_size, st.st_mtime_ns))
+        return tuple(entries)
+    except OSError:
+        return ("missing",)
 
 
 def load_term_index(index_dir: str, segment: str) -> TermIndex:
@@ -53,12 +71,15 @@ def load_term_index(index_dir: str, segment: str) -> TermIndex:
     Reads the terms parquet with pyarrow (no Spark job), sorts in
     memory (files are range-partitioned and sorted within partitions,
     but cross-file order is re-established defensively), and feeds the
-    FST builder in ascending byte order with the ordinal as output."""
+    FST builder in ascending byte order with the ordinal as output.
+    Cache entries are keyed by (path, dir fingerprint) so an in-place
+    segment rebuild invalidates them."""
     import pyarrow.parquet as pq
 
     path = seg.segment_paths(index_dir, segment)["terms"]
-    if path in _CACHE:
-        return _CACHE[path]
+    key = (path, _dir_token(path))
+    if key in _CACHE:
+        return _CACHE[key]
     t = pq.read_table(path, columns=["term", "df", "ttf"])
     terms = np.asarray(t.column("term").to_pylist(), dtype=object)
     dfs = t.column("df").to_numpy()
@@ -70,7 +91,10 @@ def load_term_index(index_dir: str, segment: str) -> TermIndex:
     for i, k in enumerate(keys):
         builder.add(bytes(k), int(i))
     ti = TermIndex(builder.finish(), dfs, ttfs, len(keys))
-    _CACHE[path] = ti
+    # evict stale entries for the same path (superseded fingerprints)
+    for k in [k for k in _CACHE if k[0] == path]:
+        del _CACHE[k]
+    _CACHE[key] = ti
     return ti
 
 

@@ -213,3 +213,38 @@ def test_not_clause_three_paths_agree(spark, built):
         assert math.isclose(gs, es, rel_tol=1e-9), (gd, gs, es)
     for (gd, gs), (_, es) in zip(got_wand, expected):
         assert math.isclose(gs, es, rel_tol=1e-9), (gd, gs, es)
+
+
+def test_not_clause_overlapping_exclude(spark, built):
+    """terms ∩ exclude non-empty (round-2 ADVICE): all three paths must
+    drop every doc containing the overlapping term — exclusion is a doc
+    filter, independent of scoring."""
+    from ocaml_lucene_spark.query.bm25 import bm25_topk
+    from ocaml_lucene_spark.query.exec import bm25_topk_wand_exec
+
+    index_dir, _, oracle = built
+    ranked = sorted(oracle.term_stats().items(), key=lambda kv: -kv[1][0])
+    inc = [ranked[3][0], ranked[10][0]]
+    exc = [inc[1], ranked[6][0]]  # overlap: inc[1] both scored and excluded
+    banned = set()
+    for t in exc:
+        banned |= set(oracle.postings.get(t, {}))
+    full = oracle.query(inc, "or", oracle.n_docs)
+    expected = [(d, s) for d, s in full if d not in banned][:10]
+    assert expected, "test query produced no survivors; pick other terms"
+
+    got_idx = [
+        (r.doc_id, r.score)
+        for r in bm25_topk_indexed(spark, index_dir, inc, "or", 10, exclude=exc).collect()
+    ]
+    got_wand = [
+        (r.doc_id, r.score)
+        for r in bm25_topk_wand_exec(spark, index_dir, inc, "or", 10, exclude=exc).collect()
+    ]
+    assert [d for d, _ in got_idx] == [d for d, _ in expected], (got_idx[:3], expected[:3])
+    assert [d for d, _ in got_wand] == [d for d, _ in expected], (got_wand[:3], expected[:3])
+    for (gd, gs), (_, es) in zip(got_wand, expected):
+        assert math.isclose(gs, es, rel_tol=1e-9), (gd, gs, es)
+    # and-mode with a required term excluded is provably empty on all paths
+    assert bm25_topk_indexed(spark, index_dir, inc, "and", 10, exclude=[inc[0]]).count() == 0
+    assert bm25_topk_wand_exec(spark, index_dir, inc, "and", 10, exclude=[inc[0]]).count() == 0

@@ -89,6 +89,32 @@ def test_fst_term_index_matches_oracle(spark, built):
             assert a["doc_freq"] == b["doc_freq"] and a["total_term_freq"] == b["total_term_freq"]
 
 
+def test_fst_term_index_cache_invalidates_on_rebuild(spark, tmp_path_factory):
+    """Round-2 ADVICE: rebuilding a segment in place must not serve
+    stale df/ttf from the cached TermIndex (cache key carries a terms-
+    dir fingerprint)."""
+    from ocaml_lucene_spark.query.term_index import seek_exact_mem
+
+    index_dir = str(tmp_path_factory.mktemp("index_ticache"))
+    d1 = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "alpha")], "doc_id long, text string"
+    )
+    build_index(d1, index_dir, segment="s", n_partitions=2)
+    assert seek_exact_mem(index_dir, "alpha")["doc_freq"] == 2
+
+    import shutil
+
+    shutil.rmtree(index_dir)
+    d2 = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "alpha"), (2, "alpha gamma")],
+        "doc_id long, text string",
+    )
+    build_index(d2, index_dir, segment="s", n_partitions=2)
+    got = seek_exact_mem(index_dir, "alpha")
+    assert got["doc_freq"] == 3, got  # stale cache would say 2
+    assert seek_exact_mem(index_dir, "gamma") is not None
+
+
 def test_fst_term_index_dictionary_scale():
     """FST dictionary at reference test scale (~4.3k keys): minimality
     (suffix sharing) keeps it far below the raw key bytes."""

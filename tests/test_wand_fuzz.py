@@ -141,3 +141,32 @@ def test_wand_exclusion_fuzz():
         got, _ = block_max_wand(lists, 8, exclude_lists=xlists or None)
         expected = oracle_query_not(oracle, inc, exc, 8)
         _assert_matches(got, expected, (trial, inc, exc))
+
+
+def test_wand_exclusion_overlapping_terms_fuzz():
+    """inc ∩ exc non-empty (the round-2 ADVICE shape): exclusion is a
+    pure doc filter, so a term that is both scored and excluded must
+    still drop every doc that contains it — matching the SQL oracle's
+    NOT IN over the full exclude set."""
+    rng = random.Random(4242)
+    vocab = list("abcdefgh")
+    for trial in range(40):
+        oracle = random_corpus(rng, rng.randint(150, 400), vocab)
+        inc = rng.sample(vocab, rng.randint(2, 3))
+        # exclude always contains one scored term plus possibly others
+        exc = [inc[0]] + [t for t in rng.sample(vocab, 2) if t != inc[0]]
+        lists = lists_from_oracle(oracle, inc, rng.choice([1, 2]))
+        xlists = lists_from_oracle(oracle, exc, 1)
+        for xl in xlists:
+            xl.idf = 0.0
+        got, _ = block_max_wand(lists, 8, exclude_lists=xlists or None)
+        expected = oracle_query_not(oracle, inc, exc, 8)
+        _assert_matches(got, expected, (trial, inc, exc))
+        # and-mode with a required term excluded -> provably empty
+        got_and, _ = block_max_wand(
+            lists_from_oracle(oracle, inc, 1),
+            8,
+            require_all_terms=set(inc),
+            exclude_lists=lists_from_oracle(oracle, [inc[0]], 1),
+        )
+        assert got_and == [], (trial, inc)
