@@ -27,4 +27,4 @@ Package map:
 - streaming/ incremental indexing via Structured Streaming.
 """
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"

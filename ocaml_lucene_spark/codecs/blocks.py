@@ -44,6 +44,26 @@ class PostingBlock:
     pos_bytes: bytes | None
     off_bytes: bytes | None = None  # .pay analogue: per-occurrence char
     # start offsets (within-doc deltas, same framing as positions)
+    ub_tfs: list[int] | None = None  # pareto frontier of (tf, dl) pairs:
+    ub_dls: list[int] | None = None  # the non-dominated postings (tf max,
+    # dl min). For ANY query-time avgdl, max over the frontier of
+    # tfn(tf_j, dl_j, avgdl) is the EXACT block-max BM25 tf-norm — a far
+    # tighter WAND bound than pairing max_tf with min_dl when the two
+    # come from different postings (the hot+mid pruning headroom).
+
+
+def _pareto_frontier(tf: np.ndarray, dl: np.ndarray) -> tuple[list[int], list[int]]:
+    """Non-dominated (tf, dl) points of one block: no other point has
+    tf' >= tf and dl' <= dl. BM25's tf-norm is increasing in tf and
+    decreasing in dl, so for any avgdl the block-max score is attained
+    on this frontier. Sorted by tf desc / dl asc; strictly-decreasing
+    dl scan keeps it (n <= BLOCK_SIZE, typically a handful of points)."""
+    order = np.lexsort((dl, -tf))
+    tfs, dls = tf[order], dl[order]
+    keep = np.empty(dls.size, dtype=bool)
+    keep[0] = True
+    keep[1:] = dls[1:] < np.minimum.accumulate(dls)[:-1]
+    return tfs[keep].tolist(), dls[keep].tolist()
 
 
 def _per_doc_delta_stream(
@@ -93,6 +113,10 @@ def encode_posting_blocks(
             if offsets is not None
             else None
         )
+        if dls is not None:
+            ub_tfs, ub_dls = _pareto_frontier(ctf, dls[start:end])
+        else:
+            ub_tfs, ub_dls = [int(ctf.max())], [0]
         blocks.append(
             PostingBlock(
                 block_no=bno,
@@ -111,6 +135,8 @@ def encode_posting_blocks(
                 ),
                 pos_bytes=pos_b,
                 off_bytes=off_b,
+                ub_tfs=ub_tfs,
+                ub_dls=ub_dls,
             )
         )
     return blocks

@@ -41,7 +41,8 @@ import pandas as pd
 
 POSTINGS_SCHEMA = (
     "term string, block_no int, n int, first_doc long, last_doc long, "
-    "max_tf int, sum_tf long, min_dl int, doc_bytes binary, tf_bytes binary, "
+    "max_tf int, sum_tf long, min_dl int, ub_tfs array<int>, "
+    "ub_dls array<int>, doc_bytes binary, tf_bytes binary, "
     "dl_bytes binary, pos_bytes binary, off_bytes binary"
 )
 
@@ -201,7 +202,8 @@ def pack_table(
 
     out = {k: [] for k in (
         "block_no", "n", "first_doc", "last_doc", "max_tf", "sum_tf",
-        "min_dl", "doc_bytes", "tf_bytes", "dl_bytes", "pos_bytes", "off_bytes")}
+        "min_dl", "ub_tfs", "ub_dls", "doc_bytes", "tf_bytes", "dl_bytes",
+        "pos_bytes", "off_bytes")}
     term_src: list[int] = []  # per-block source row -> term via Arrow take
     n_blocks = 0
     for gi in range(len(bounds) - 1):
@@ -226,6 +228,8 @@ def pack_table(
             out["max_tf"].append(b.max_tf)
             out["sum_tf"].append(b.sum_tf)
             out["min_dl"].append(b.min_dl)
+            out["ub_tfs"].append(b.ub_tfs)
+            out["ub_dls"].append(b.ub_dls)
             out["doc_bytes"].append(b.doc_bytes)
             out["tf_bytes"].append(b.tf_bytes)
             out["dl_bytes"].append(b.dl_bytes)
@@ -243,6 +247,8 @@ def pack_table(
             "max_tf": pa.array(out["max_tf"], pa.int32()),
             "sum_tf": pa.array(out["sum_tf"], pa.int64()),
             "min_dl": pa.array(out["min_dl"], pa.int32()),
+            "ub_tfs": pa.array(out["ub_tfs"], pa.list_(pa.int32())),
+            "ub_dls": pa.array(out["ub_dls"], pa.list_(pa.int32())),
             "doc_bytes": pa.array(out["doc_bytes"], pa.binary()),
             "tf_bytes": pa.array(out["tf_bytes"], pa.binary()),
             "dl_bytes": pa.array(out["dl_bytes"], pa.binary()),

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from ..index import segments as seg
 from ..oracle import B, K1
-from .wand import PostingList, block_max_wand, tfn_ub
+from .wand import PostingList, block_max_wand, frontier_ub, tfn_ub
 
 
 def live_segment_paths(index_dir: str) -> list[str]:
@@ -288,11 +288,23 @@ def phrase_counts_indexed(
     )
 
 
+def _block_ub(r, w: float, avgdl: float) -> float:
+    """Per-block score upper bound: idf * exact block-max tf-norm from
+    the stored pareto (tf, dl) frontier; rows from a pre-0.4 layout
+    (no frontier columns) fall back to the conservative
+    tfn(max_tf, min_dl) pairing."""
+    tfs = getattr(r, "ub_tfs", None)
+    if tfs is not None and len(tfs):
+        return w * frontier_ub(tfs, r.ub_dls, avgdl)
+    return w * tfn_ub(r.max_tf, r.min_dl, avgdl)
+
+
 def build_posting_lists(
     rows: list, idfs: dict[str, float], avgdl: float
 ) -> list[PostingList]:
     """Assemble WAND posting lists from block rows (any object with
-    .term/.block_no/.first_doc/.last_doc/.max_tf/.min_dl/.*_bytes).
+    .term/.block_no/.first_doc/.last_doc/.max_tf/.min_dl/.*_bytes,
+    plus the optional .ub_tfs/.ub_dls pareto-frontier columns).
 
     Blocks of one term are globally doc-disjoint (a doc sits in exactly
     one block per term per segment; salt shards are contiguous doc
@@ -326,9 +338,7 @@ def build_posting_lists(
                     avgdl=avgdl,
                     first_doc=np.array([r.first_doc for r in run], dtype=np.int64),
                     last_doc=np.array([r.last_doc for r in run], dtype=np.int64),
-                    ub=np.array(
-                        [w * tfn_ub(r.max_tf, r.min_dl, avgdl) for r in run]
-                    ),
+                    ub=np.array([_block_ub(r, w, avgdl) for r in run]),
                     payloads=[
                         (bytes(r.doc_bytes), bytes(r.tf_bytes), bytes(r.dl_bytes))
                         for r in run
@@ -406,7 +416,7 @@ def bm25_topk_wand(
         _postings_df(spark, index_dir, terms + exclude)
         .select(
             "term", "block_no", "first_doc", "last_doc", "max_tf", "min_dl",
-            "doc_bytes", "tf_bytes", "dl_bytes",
+            "ub_tfs", "ub_dls", "doc_bytes", "tf_bytes", "dl_bytes",
         )
         .collect()
     )
@@ -474,13 +484,13 @@ def bm25_topk_wand_exec(
 
     Blk = namedtuple(
         "Blk",
-        "term block_no first_doc last_doc max_tf min_dl "
+        "term block_no first_doc last_doc max_tf min_dl ub_tfs ub_dls "
         "doc_bytes tf_bytes dl_bytes",
     )
 
     blocks = _postings_df(spark, index_dir, terms + exclude).select(
         "term", "block_no", "first_doc", "last_doc", "max_tf", "min_dl",
-        "doc_bytes", "tf_bytes", "dl_bytes",
+        "ub_tfs", "ub_dls", "doc_bytes", "tf_bytes", "dl_bytes",
     )
     # full exclude set: exclusion is a doc filter, independent of scoring
     # — a term can be both scored and excluded (oracle NOT IN semantics)
@@ -494,6 +504,7 @@ def bm25_topk_wand_exec(
                 for t in zip(
                     pdf["term"], pdf["block_no"], pdf["first_doc"],
                     pdf["last_doc"], pdf["max_tf"], pdf["min_dl"],
+                    pdf["ub_tfs"], pdf["ub_dls"],
                     pdf["doc_bytes"], pdf["tf_bytes"], pdf["dl_bytes"],
                 )
             )

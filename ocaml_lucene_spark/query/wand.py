@@ -34,9 +34,32 @@ def tfn_ub(max_tf: float, min_dl: float, avgdl: float) -> float:
     return max_tf * (K1 + 1.0) / (max_tf + K1 * (1.0 - B + B * min_dl / avgdl))
 
 
-@dataclass
+def frontier_ub(tfs, dls, avgdl: float) -> float:
+    """EXACT block-max tf-norm from the stored pareto frontier of
+    (tf, dl) posting pairs: max_j tfn(tf_j, dl_j, avgdl). Strictly
+    tighter than tfn_ub(max_tf, min_dl) whenever the block's max tf and
+    min dl come from different postings (the common case for hot terms,
+    where the naive pairing over-bounds and defeats pruning)."""
+    tf = np.asarray(tfs, dtype=np.float64)
+    dl = np.asarray(dls, dtype=np.float64)
+    return float(
+        (tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))).max()
+    )
+
+
+@dataclass(eq=False)  # identity equality: list.remove on iterator state
 class PostingList:
-    """One doc-sorted posting unit: a (term, salt-shard) block sequence."""
+    """One doc-sorted posting unit: a (term, salt-shard) block sequence.
+
+    Positioning is LAZY at block granularity: advancing to a target that
+    lands inside an undecoded block records a ``pending`` target instead
+    of decoding — ``current_doc`` then reports the lower bound
+    max(first_doc, pending) (the real next doc is >= it). The WAND loop
+    resolves a lazy position (one block decode) only when it matters:
+    for the pivot itself, or to tighten the candidate block-max bound.
+    Without this, every skip-jump that lands mid-block in a hot term's
+    list decodes the block just to reposition — measured ~100% decode on
+    hot+mid queries, the round-2 pruning gap."""
 
     term: str
     idf: float
@@ -48,40 +71,71 @@ class PostingList:
     payloads: list  # (doc_bytes, tf_bytes, dl_bytes) per block, lazily decoded
     bi: int = 0
     pi: int = 0
+    pending: int = 0  # lazy in-block target (0 = exactly positioned)
     docs: np.ndarray | None = None
     scores: np.ndarray | None = None
     decoded_blocks: int = field(default=0)
+    cache: dict | None = None  # block_no -> (docs, scores), shared with
+    # seed-pass clones so a block decodes at most once per query
 
     @property
     def max_ub(self) -> float:
         return float(self.ub.max()) if self.ub.size else 0.0
 
     def _decode(self) -> None:
-        from ..codecs import pfor
-        from ..codecs.delta import delta_decode
+        hit = self.cache.get(self.bi) if self.cache is not None else None
+        if hit is not None:
+            self.docs, self.scores = hit
+        else:
+            from ..codecs import pfor
+            from ..codecs.delta import delta_decode
 
-        db, tb, lb = self.payloads[self.bi]
-        docs = delta_decode(db)
-        tf = pfor.decode(tb, docs.size).astype(np.float64)
-        dl = pfor.decode(lb, docs.size).astype(np.float64)
-        self.docs = docs
-        self.scores = (
-            self.idf * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / self.avgdl))
+            db, tb, lb = self.payloads[self.bi]
+            docs = delta_decode(db)
+            tf = pfor.decode(tb, docs.size).astype(np.float64)
+            dl = pfor.decode(lb, docs.size).astype(np.float64)
+            self.docs = docs
+            self.scores = (
+                self.idf
+                * tf
+                * (K1 + 1.0)
+                / (tf + K1 * (1.0 - B + B * dl / self.avgdl))
+            )
+            if self.cache is not None:
+                self.cache[self.bi] = (self.docs, self.scores)
+            self.decoded_blocks += 1  # cache hits are free, not re-decodes
+        # apply any pending lazy target (pending <= block last_doc is an
+        # advance_to invariant, so pi lands in range)
+        self.pi = (
+            int(np.searchsorted(self.docs, self.pending, side="left"))
+            if self.pending
+            else 0
         )
-        self.pi = 0
-        self.decoded_blocks += 1
+        self.pending = 0
 
     def exhausted(self) -> bool:
         return self.bi >= len(self.payloads)
 
     def current_doc(self) -> int:
-        """Smallest not-yet-consumed docID; decode deferred (metadata
-        gives the block's first_doc exactly)."""
+        """Smallest possibly-not-yet-consumed docID. Exact when decoded
+        or at a block boundary; a LOWER BOUND when lazily positioned
+        inside an undecoded block (see is_exact)."""
         if self.exhausted():
             return INF_DOC
         if self.docs is None:
-            return int(self.first_doc[self.bi])
+            return max(int(self.first_doc[self.bi]), self.pending)
         return int(self.docs[self.pi])
+
+    def is_exact(self) -> bool:
+        """True when current_doc() is a real posting (not a lazy bound)."""
+        if self.exhausted() or self.docs is not None:
+            return True
+        return self.pending <= int(self.first_doc[self.bi])
+
+    def resolve(self) -> None:
+        """Make a lazy position exact (decodes the current block)."""
+        if not self.is_exact():
+            self._decode()
 
     def current_block_last(self) -> int:
         return int(self.last_doc[self.bi])
@@ -90,34 +144,44 @@ class PostingList:
         return float(self.ub[self.bi]) if not self.exhausted() else 0.0
 
     def advance_to(self, target: int) -> None:
-        """Position at the first posting with doc >= target."""
+        """Position at the first posting with doc >= target — lazily:
+        whole blocks are skipped via metadata; a target inside an
+        undecoded block is recorded as ``pending``, not decoded."""
+        if self.pending > target:
+            target = self.pending  # never move backward past a lazy target
         while True:
             while not self.exhausted() and int(self.last_doc[self.bi]) < target:
                 self.bi += 1
                 self.docs = None
+                self.pending = 0
             if self.exhausted():
                 return
             if self.docs is None:
-                if int(self.first_doc[self.bi]) >= target:
-                    return  # metadata position suffices; decode stays lazy
-                self._decode()
+                # last_doc[bi] >= target here (the invariant _decode uses)
+                self.pending = 0 if target <= int(self.first_doc[self.bi]) else target
+                return
             self.pi = int(np.searchsorted(self.docs, target, side="left"))
             if self.pi < self.docs.size:
                 return
             self.bi += 1
             self.docs = None
+            self.pending = 0
 
     def score_at(self, doc: int) -> float:
         """Score if ``doc`` is present (advances the iterator to doc)."""
         self.advance_to(doc)
-        if self.exhausted():
+        if self.exhausted() or self.current_doc() > doc:
             return 0.0
         if self.docs is None:
-            if int(self.first_doc[self.bi]) != doc:
-                return 0.0
+            # current_doc() <= doc <= last_doc: doc may sit in this
+            # block; the score needs the payload either way
             self._decode()
-            self.pi = int(np.searchsorted(self.docs, doc, side="left"))
-        if self.pi < self.docs.size and int(self.docs[self.pi]) == doc:
+            self.pi = max(self.pi, int(np.searchsorted(self.docs, doc, side="left")))
+            if self.pi >= self.docs.size:
+                self.bi += 1
+                self.docs = None
+                return 0.0
+        if int(self.docs[self.pi]) == doc:
             return float(self.scores[self.pi])
         return 0.0
 
@@ -126,14 +190,20 @@ class PostingList:
         leapfrog — blocks whose [first_doc, last_doc] cannot hold
         ``doc`` are skipped via metadata, never decoded."""
         self.advance_to(doc)
-        if self.exhausted():
+        if self.exhausted() or self.current_doc() > doc:
             return False
         if self.docs is None:
-            if int(self.first_doc[self.bi]) != doc:
+            if self.current_doc() != doc:
+                # undecoded and lb < doc cannot happen post-advance;
+                # lb == doc is the only probe needing a decode
                 return False
             self._decode()
-            self.pi = int(np.searchsorted(self.docs, doc, side="left"))
-        return self.pi < self.docs.size and int(self.docs[self.pi]) == doc
+            self.pi = max(self.pi, int(np.searchsorted(self.docs, doc, side="left")))
+            if self.pi >= self.docs.size:
+                self.bi += 1
+                self.docs = None
+                return False
+        return int(self.docs[self.pi]) == doc
 
 
 def block_max_wand(
@@ -174,73 +244,222 @@ def block_max_wand(
         if not (covered >= require_all_terms):
             return [], {"decoded_blocks": 0, "total_blocks": 0, "n_lists": len(lists)}
 
+    # ---- theta seeding -------------------------------------------------
+    # The doc-id-ordered sweep wastes evaluations while theta warms up
+    # (the heap first fills with low-impact docs; the hot list's blocks
+    # all look like contenders until ~k high scores have been seen). So
+    # prime: fully evaluate the first k docs of the highest-impact list
+    # (AND: the rarest required term's list — every result doc is in it)
+    # on CLONED iterators (shared payload refs, fresh positions), push
+    # the valid ones, and have the main sweep skip already-seen docs.
+    # Every heap entry is a real doc's exact score under the same
+    # mode/exclusion rules, so theta stays a valid threshold — seeding
+    # changes which docs are evaluated, never what is returned (fuzzed).
+    def _clone(pl: PostingList) -> PostingList:
+        if pl.cache is None:
+            pl.cache = {}  # share decodes between seed pass and main sweep
+        return PostingList(
+            term=pl.term, idf=pl.idf, avgdl=pl.avgdl, first_doc=pl.first_doc,
+            last_doc=pl.last_doc, ub=pl.ub, payloads=pl.payloads,
+            cache=pl.cache,
+        )
+
+    seen: set[int] = set()
+    seed_lists: list[PostingList] = []
+    if lists and k > 0:
+        if and_mode:
+            blocks_per_term: dict[str, int] = {}
+            for pl in lists:
+                blocks_per_term[pl.term] = blocks_per_term.get(pl.term, 0) + len(
+                    pl.payloads
+                )
+            seed_term = min(
+                require_all_terms, key=lambda t: blocks_per_term.get(t, 1 << 30)
+            )
+            shard = [pl for pl in lists if pl.term == seed_term]
+            seed_src = min(shard, key=lambda pl: int(pl.first_doc[0]))
+        else:
+            seed_src = max(lists, key=lambda pl: pl.max_ub)
+        s_lists = [_clone(pl) for pl in lists]
+        s_exc = [_clone(pl) for pl in (exclude_lists or [])]
+        src = _clone(seed_src)
+        seed_lists = s_lists + s_exc + [src]
+        for _ in range(k):
+            src.resolve()
+            if src.exhausted():
+                break
+            d = src.current_doc()
+            score = 0.0
+            hit = set()
+            for pl in s_lists:
+                s = pl.score_at(d)
+                if s > 0.0:
+                    score += s
+                    hit.add(pl.term)
+            ok = (hit >= require_all_terms) if and_mode else bool(hit)
+            if ok and s_exc:
+                ok = not any(xl.contains(d) for xl in s_exc)
+            seen.add(d)
+            if ok:
+                heapq.heappush(heap, (score_key(score), -d))
+            src.advance_to(d + 1)
+        if len(heap) >= k:
+            theta = heap[0][0]
+
     while True:
         live = [pl for pl in lists if not pl.exhausted()]
         if not live:
             break
         live.sort(key=lambda pl: pl.current_doc())
-        # pivot selection
-        pivot_doc = None
+        # pivot selection (current_doc may be a lazy lower bound — fine
+        # for ordering/accumulation; the chosen pivot is resolved below)
+        pivot_pl = None
         if and_mode:
-            seen = set()
+            coverage = set()
             for pl in live:
-                seen.add(pl.term)
-                if seen >= require_all_terms:
-                    pivot_doc = pl.current_doc()
+                coverage.add(pl.term)
+                if coverage >= require_all_terms:
+                    pivot_pl = pl
                     break
         else:
             acc = 0.0
             for pl in live:
                 acc += pl.max_ub
                 if theta is None or acc >= theta - eps:  # >= keeps boundary ties
-                    pivot_doc = pl.current_doc()
+                    pivot_pl = pl
                     break
-        if pivot_doc is None or pivot_doc >= INF_DOC:
+        if pivot_pl is None:
             break
+        if not pivot_pl.is_exact():
+            # the pivot must be a REAL doc before anything hinges on it:
+            # resolve (one block decode) and re-select — the exact
+            # position may have moved past other lists' bounds
+            pivot_pl.resolve()
+            continue
+        pivot_doc = pivot_pl.current_doc()
+        if pivot_doc >= INF_DOC:
+            break
+        if pivot_doc in seen:
+            # already fully evaluated by the seed pass (same deterministic
+            # mode/exclusion decision): skip straight past it
+            for pl in lists:
+                if not pl.exhausted() and pl.current_doc() <= pivot_doc:
+                    pl.advance_to(pivot_doc + 1)
+            continue
         cand = [pl for pl in live if pl.current_doc() <= pivot_doc]
+        # classic WAND leapfrog: every doc strictly below the pivot is
+        # provably below theta (the sorted-prefix ub sum up to any list
+        # positioned at it is < theta - eps, in both modes), so every
+        # candidate advances TO the pivot — lazily (no decode; a decoded
+        # block advances by searchsorted). A candidate whose real next
+        # doc overshoots leaves the set, tightening the block-max bound:
+        # without this, a mid-term list trailing a few docs behind the
+        # pivot keeps its ub in the bound at every pivot and hot+mid
+        # queries evaluate every mid-term posting (round-2: 514/515
+        # blocks decoded).
+        if theta is not None:
+            for pl in cand:
+                if pl.current_doc() < pivot_doc:
+                    pl.advance_to(pivot_doc)
+            cand = [pl for pl in cand if pl.current_doc() <= pivot_doc]
         # block-max refinement, both modes: strict < so ties survive.
         # Sound in AND mode too: with the jump capped at the next live
         # list's current doc, any doc in (pivot, jump) can only draw
         # contributions from the candidate lists' CURRENT blocks, whose
         # ub sum is exactly the bound tested here.
+        #
+        # Lazily-positioned candidates make the bound CONSERVATIVE (a
+        # lazy list with lb <= pivot may really sit past the pivot), so
+        # when it fails to prune, tighten it: resolve the largest-ub
+        # lazy candidate and eject it if its real position is past the
+        # pivot — this is what lets a hot+mid query skip a mid-term doc
+        # whose mid list does not actually reach it, instead of fully
+        # evaluating every mid-term posting.
         if theta is not None:
-            bm = sum(pl.current_block_ub() for pl in cand)
-            if bm < theta - eps:
-                # Safe skip target: past the candidate blocks, but never
-                # past another live list's current doc — docs in
-                # (pivot, jump) may score from non-candidate lists, and
-                # an uncapped jump would advance candidate lists past
-                # them, permanently losing their contributions.
-                jump = min(pl.current_block_last() for pl in cand) + 1
-                nxt = [
-                    pl.current_doc() for pl in live
-                    if pl.current_doc() > pivot_doc
-                ]
-                if nxt:
-                    jump = min(jump, min(nxt))
-                jump = max(jump, pivot_doc + 1)
-                for pl in cand:
-                    pl.advance_to(jump)
+            skipped = False
+            while True:
+                bm = sum(pl.current_block_ub() for pl in cand)
+                if bm < theta - eps:
+                    # Safe skip target: past the candidate blocks, but
+                    # never past another live list's current doc (for a
+                    # lazy list the bound is <= its real doc — safe) —
+                    # docs in (pivot, jump) may score from non-candidate
+                    # lists, and an uncapped jump would advance candidate
+                    # lists past them, losing their contributions.
+                    jump = min(pl.current_block_last() for pl in cand) + 1
+                    nxt = [
+                        pl.current_doc() for pl in live
+                        if pl.current_doc() > pivot_doc
+                    ]
+                    if nxt:
+                        jump = min(jump, min(nxt))
+                    jump = max(jump, pivot_doc + 1)
+                    for pl in cand:
+                        pl.advance_to(jump)
+                    skipped = True
+                    break
+                lazy = [pl for pl in cand if not pl.is_exact()]
+                exact_bm = sum(
+                    pl.current_block_ub() for pl in cand if pl.is_exact()
+                )
+                if not lazy or exact_bm >= theta - eps:
+                    break  # bound holds on exact members alone: evaluate
+                lazy.sort(key=lambda pl: -pl.current_block_ub())
+                lazy[0].resolve()
+                if lazy[0].current_doc() > pivot_doc:
+                    cand.remove(lazy[0])
+            if skipped:
                 continue
-        # full evaluation at pivot_doc
-        score = 0.0
-        hit = set()
-        for pl in lists:
+        # full evaluation at pivot_doc — with EARLY EXIT: lists are scored
+        # in descending block-ub order, and once the running score plus
+        # the unscored lists' block ubs cannot reach theta the doc is
+        # abandoned (its rounded score is provably below theta, so it
+        # could never enter the heap — exactness preserved). This is what
+        # keeps a hot term's blocks undecoded at pivots that only carry a
+        # mid/rare term: score the informative term first, observe the
+        # total can't reach theta, and never touch the stopword's block.
+        contrib = [
+            pl for pl in lists
+            if not pl.exhausted() and pl.current_doc() <= pivot_doc
+        ]
+        contrib.sort(key=lambda pl: -pl.current_block_ub())
+        rem = sum(pl.current_block_ub() for pl in contrib)
+        running = 0.0
+        parts: dict[str, float] = {}  # term -> its (single) shard's score
+        abandoned = False
+        for pl in contrib:
+            if theta is not None and running + rem < theta - eps:
+                abandoned = True
+                break
+            ub = pl.current_block_ub()
             s = pl.score_at(pivot_doc)
+            rem -= ub
             if s > 0.0:
-                score += s
-                hit.add(pl.term)
-        ok = (hit >= require_all_terms) if and_mode else bool(hit)
-        if ok and exclude_lists:
-            ok = not any(xl.contains(pivot_doc) for xl in exclude_lists)
-        if ok:
-            item = (score_key(score), -pivot_doc)
-            if len(heap) < k:
-                heapq.heappush(heap, item)
-            elif item > heap[0]:
-                heapq.heapreplace(heap, item)
-            if len(heap) >= k:
-                theta = heap[0][0]
+                running += s
+                parts[pl.term] = s  # blocks of one term are doc-disjoint
+        if not abandoned:
+            # fold in the lists' term order — bit-identical to the pre-
+            # early-exit sum (exactly one shard per term contributes)
+            score = 0.0
+            hit = set()
+            for pl in lists:
+                if pl.term in hit:
+                    continue
+                s = parts.get(pl.term)
+                if s is not None:
+                    score += s
+                    hit.add(pl.term)
+            ok = (hit >= require_all_terms) if and_mode else bool(hit)
+            if ok and exclude_lists:
+                ok = not any(xl.contains(pivot_doc) for xl in exclude_lists)
+            if ok:
+                item = (score_key(score), -pivot_doc)
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
+                if len(heap) >= k:
+                    theta = heap[0][0]
         for pl in lists:
             if not pl.exhausted() and pl.current_doc() <= pivot_doc:
                 pl.advance_to(pivot_doc + 1)
@@ -248,7 +467,10 @@ def block_max_wand(
     out = sorted(((-d, s) for s, d in heap), key=lambda x: (-x[1], x[0]))
     all_lists = lists + (exclude_lists or [])
     metrics = {
-        "decoded_blocks": sum(pl.decoded_blocks for pl in all_lists),
+        # seed-pass decodes included: the clones share payloads, so a
+        # block decoded in both passes counts twice (honest cost metric)
+        "decoded_blocks": sum(pl.decoded_blocks for pl in all_lists)
+        + sum(pl.decoded_blocks for pl in seed_lists),
         "total_blocks": sum(len(pl.payloads) for pl in all_lists),
         "n_lists": len(lists),
     }

@@ -20,7 +20,12 @@ import numpy as np
 from ocaml_lucene_spark.codecs.blocks import encode_posting_blocks
 from ocaml_lucene_spark.oracle import OracleIndex
 from ocaml_lucene_spark.query.exec import idf as idf_fn
-from ocaml_lucene_spark.query.wand import PostingList, block_max_wand, tfn_ub
+from ocaml_lucene_spark.query.wand import (
+    PostingList,
+    block_max_wand,
+    frontier_ub,
+    tfn_ub,
+)
 
 
 def lists_from_oracle(
@@ -51,7 +56,9 @@ def lists_from_oracle(
                     avgdl=avgdl,
                     first_doc=np.array([b.first_doc for b in blocks], dtype=np.int64),
                     last_doc=np.array([b.last_doc for b in blocks], dtype=np.int64),
-                    ub=np.array([w * tfn_ub(b.max_tf, b.min_dl, avgdl) for b in blocks]),
+                    ub=np.array(
+                        [w * frontier_ub(b.ub_tfs, b.ub_dls, avgdl) for b in blocks]
+                    ),
                     payloads=[(b.doc_bytes, b.tf_bytes, b.dl_bytes) for b in blocks],
                 )
             )
@@ -115,6 +122,34 @@ def test_wand_rounded_tieboundary():
         exp.sort(key=lambda x: (-x[1], x[0]))
         assert [d for d, _ in got] == [d for d, _ in exp[:10]], trial
         assert [s for _, s in got] == [s for _, s in exp[:10]], trial
+
+
+def test_frontier_ub_exact_and_tighter():
+    """The stored pareto (tf, dl) frontier reproduces the EXACT block-max
+    tf-norm for any avgdl, and is never looser than the naive
+    tfn(max_tf, min_dl) pairing (strictly tighter when max tf and min dl
+    come from different postings)."""
+    rng = random.Random(5)
+    strict_wins = 0
+    for _ in range(60):
+        n = rng.randint(1, 128)
+        # anti-correlated tf/dl (the hot-term shape): big tf in long docs
+        dl = np.array([rng.randint(1, 500) for _ in range(n)], dtype=np.int64)
+        tf = np.maximum(1, dl // rng.randint(10, 50) + np.array(
+            [rng.randint(0, 2) for _ in range(n)]
+        )).astype(np.int64)
+        docs = np.arange(n, dtype=np.int64)
+        b = encode_posting_blocks(docs, tf, None, dl)[0]
+        assert len(b.ub_tfs) == len(b.ub_dls) >= 1
+        for avgdl in (5.0, 50.0, 500.0):
+            exact = max(tfn_ub(t, d, avgdl) for t, d in zip(tf, dl))
+            got = frontier_ub(b.ub_tfs, b.ub_dls, avgdl)
+            naive = tfn_ub(b.max_tf, b.min_dl, avgdl)
+            assert math.isclose(got, exact, rel_tol=1e-12), (got, exact)
+            assert got <= naive + 1e-12
+            if got < naive - 1e-9:
+                strict_wins += 1
+    assert strict_wins > 50  # the anti-correlated shape must actually bite
 
 
 def oracle_query_not(oracle, terms, exclude, k):
