@@ -265,6 +265,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             round_to=4,
         )
 
+    def q_bm25_auto(spark, sf):
+        # automatic physical-plan selection: sum-of-df from the in-memory
+        # FST term dictionary (zero Spark jobs) routes the query to the
+        # single-task WAND plan or the distributed exhaustive plan; both
+        # match the same SQL oracle, so routing is purely physical
+        from ocaml_lucene_spark.query.exec import bm25_topk_auto
+
+        return bm25_topk_auto(
+            spark, _ensure_index(spark, sf), ["table", "dup"], "or", 10,
+            round_to=4,
+        )
+
+    def q_term_stats_fst(spark, sf):
+        # the FST TermIndex as a gate surface: the FULL terms dictionary
+        # (term, df, ttf) enumerated from the in-memory minimal
+        # transducer (fst/transducer.py items()), zero Spark jobs for
+        # the lookup — must equal the tokenize-and-aggregate oracle
+        from ocaml_lucene_spark.query.term_index import all_stats_mem
+
+        stats = all_stats_mem(_ensure_index(spark, sf))
+        return spark.createDataFrame(
+            [(t, int(df), int(ttf)) for t, (df, ttf) in sorted(stats.items())],
+            "term string, df long, ttf long",
+        )
+
     def q_bm25_after_merge(spark, sf):
         # full pipeline witness: 3 segments -> tiered merge -> 1 segment;
         # results must equal the logical path's SQL oracle exactly
@@ -417,6 +442,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_indexed_or": q_bm25_indexed_or,
         "bm25_indexed_and": q_bm25_indexed_and,
         "bm25_wand": q_bm25_wand,
+        "bm25_auto": q_bm25_auto,
+        "term_stats_fst": q_term_stats_fst,
         "phrase_counts_indexed": q_phrase_counts_indexed,
         "bm25_after_merge": q_bm25_after_merge,
         "bm25_streamed": q_bm25_streamed,
@@ -476,6 +503,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_indexed_or": osql.bm25_topk_sql(["spark", "query", "dup"], "or", 10),
         "bm25_indexed_and": osql.bm25_topk_sql(["join", "hash", "scan"], "and", 10),
         "bm25_wand": osql.bm25_topk_sql(["spark", "query", "dup"], "or", 10),
+        "bm25_auto": osql.bm25_topk_sql(["table", "dup"], "or", 10),
+        "term_stats_fst": osql.term_stats_sql(),
         "bm25_after_merge": osql.bm25_topk_sql(["spark", "query", "dup"], "or", 10),
         "bm25_streamed": osql.bm25_topk_sql(["spark", "query", "dup"], "or", 10),
         "bm25_or_top10": osql.bm25_topk_sql(["spark", "query", "dup"], "or", 10),

@@ -184,5 +184,22 @@ class Fst:
             return None
         return self.out.add(acc, final_output)
 
+    def items(self):
+        """In-order (byte-sorted) iteration of (key, output) pairs — the
+        terms-dictionary enumeration surface (arcs are label-sorted, so
+        a DFS yields keys in ascending byte order). Recursion depth is
+        bounded by the longest key."""
+
+        def walk(addr: int, prefix: bytes, acc):
+            final, final_output, arcs = self._read_node(addr)
+            if final:
+                yield prefix, self.out.add(acc, final_output)
+            for label, output, target in arcs:
+                yield from walk(
+                    target, prefix + bytes([label]), self.out.add(acc, output)
+                )
+
+        yield from walk(self.root, b"", self.out.empty)
+
     def num_bytes(self) -> int:
         return len(self.data)

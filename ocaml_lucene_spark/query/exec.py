@@ -536,6 +536,67 @@ def bm25_topk_wand_exec(
     )
 
 
+DEFAULT_WAND_MAX_DF_SUM = 2_000_000
+
+
+def bm25_route(
+    index_dir: str,
+    terms: list[str],
+    exclude: list[str] | None = None,
+    wand_max_df_sum: int = DEFAULT_WAND_MAX_DF_SUM,
+) -> dict:
+    """Physical-plan choice for BM25 top-k, decided from the in-memory
+    FST term dictionaries with ZERO Spark jobs (query/term_index.py).
+
+    The WAND plan ships every candidate block of the query (and
+    exclude) terms to ONE task — the right shape for the common case
+    (few terms, modest df), and a trap for stopword queries at scale: a
+    100 TB corpus's 'the' posting list must never ride through a single
+    executor. So: sum of df across terms+exclude under
+    ``wand_max_df_sum`` (payload ≈ 2.5 bytes/posting packed) routes to
+    ``bm25_topk_wand_exec``; above it, to ``bm25_topk_indexed``, the
+    distributed exhaustive plan. The reference's analogous per-node
+    strategy dispatch: /root/reference/fst/byte_array_fst_reader.ml:330-342.
+    """
+    from .term_index import seek_exact_mem
+
+    df_sum = 0
+    for t in dict.fromkeys(list(terms) + list(exclude or [])):
+        hit = seek_exact_mem(index_dir, t)
+        if hit is not None:
+            df_sum += hit["doc_freq"]
+    plan = "wand" if df_sum <= wand_max_df_sum else "indexed"
+    return {"plan": plan, "df_sum": df_sum}
+
+
+def bm25_topk_auto(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    mode: str = "or",
+    k: int = 10,
+    round_to: int | None = None,
+    exclude: list[str] | None = None,
+    wand_max_df_sum: int = DEFAULT_WAND_MAX_DF_SUM,
+    decision: dict | None = None,
+) -> DataFrame:
+    """One BM25 entry point with automatic physical-plan selection (see
+    bm25_route). Both plans return identical results (each is gated
+    against the same SQL oracle), so routing is purely physical.
+
+    decision: optional dict that receives {"plan", "df_sum"}."""
+    route = bm25_route(index_dir, terms, exclude, wand_max_df_sum)
+    if decision is not None:
+        decision.update(route)
+    if route["plan"] == "wand":
+        return bm25_topk_wand_exec(
+            spark, index_dir, terms, mode, k, round_to=round_to, exclude=exclude
+        )
+    return bm25_topk_indexed(
+        spark, index_dir, terms, mode, k, round_to=round_to, exclude=exclude
+    )
+
+
 def wand_metrics_value(metrics: dict) -> dict:
     """Resolve accumulator-backed metrics after an action has run."""
     dec, tot = metrics.pop("_acc", (None, None))

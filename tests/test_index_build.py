@@ -215,6 +215,43 @@ def test_not_clause_three_paths_agree(spark, built):
         assert math.isclose(gs, es, rel_tol=1e-9), (gd, gs, es)
 
 
+def test_bm25_auto_routing(spark, built):
+    """bm25_topk_auto routes on sum-of-df from the in-memory FST term
+    dictionary: hot term sets (over the threshold) go to the distributed
+    exhaustive plan, small ones to the single-task WAND plan — and both
+    routes return the oracle ranking."""
+    from ocaml_lucene_spark.query.exec import bm25_topk_auto
+
+    index_dir, _, oracle = built
+    ranked = sorted(oracle.term_stats().items(), key=lambda kv: -kv[1][0])
+    hot = [ranked[0][0], ranked[1][0]]
+    rare = [ranked[-1][0]]
+
+    dec: dict = {}
+    got_hot = bm25_topk_auto(
+        spark, index_dir, hot, "or", 10, wand_max_df_sum=10, decision=dec
+    )
+    assert dec["plan"] == "indexed" and dec["df_sum"] > 10, dec
+    expected = oracle.query(hot, "or", 10)
+    assert [r.doc_id for r in got_hot.collect()] == [d for d, _ in expected]
+
+    dec2: dict = {}
+    got_rare = bm25_topk_auto(
+        spark, index_dir, rare, "or", 10, wand_max_df_sum=10**9, decision=dec2
+    )
+    assert dec2["plan"] == "wand", dec2
+    expected2 = oracle.query(rare, "or", 10)
+    assert [r.doc_id for r in got_rare.collect()] == [d for d, _ in expected2]
+
+    # exclude terms count toward the single-task payload
+    dec3: dict = {}
+    bm25_topk_auto(
+        spark, index_dir, rare, "or", 10, exclude=[hot[0]],
+        wand_max_df_sum=10, decision=dec3,
+    ).collect()
+    assert dec3["plan"] == "indexed", dec3
+
+
 def test_not_clause_overlapping_exclude(spark, built):
     """terms ∩ exclude non-empty (round-2 ADVICE): all three paths must
     drop every doc containing the overlapping term — exclusion is a doc

@@ -89,6 +89,28 @@ def test_fst_term_index_matches_oracle(spark, built):
             assert a["doc_freq"] == b["doc_freq"] and a["total_term_freq"] == b["total_term_freq"]
 
 
+def test_fst_all_stats_enumeration_zero_jobs(spark, built):
+    """all_stats_mem enumerates the FULL terms dictionary from the
+    in-memory FST (items() walks arcs in byte order) and matches the
+    oracle exactly — without launching a single Spark job."""
+    from ocaml_lucene_spark.query.term_index import all_stats_mem, load_term_index
+
+    index_dir, oracle = built
+    load_term_index(index_dir, "seg000001")  # warm the cache outside the count
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    stats = all_stats_mem(index_dir)
+    after = set(tracker.getJobIdsForGroup(None))
+    assert after == before, "in-memory dictionary enumeration ran Spark jobs"
+    assert stats == oracle.term_stats()
+    # negative seek is also job-free
+    from ocaml_lucene_spark.query.term_index import seek_exact_mem
+
+    before = set(tracker.getJobIdsForGroup(None))
+    assert seek_exact_mem(index_dir, "zzz-absent") is None
+    assert set(tracker.getJobIdsForGroup(None)) == before
+
+
 def test_fst_term_index_cache_invalidates_on_rebuild(spark, tmp_path_factory):
     """Round-2 ADVICE: rebuilding a segment in place must not serve
     stale df/ttf from the cached TermIndex (cache key carries a terms-
