@@ -80,13 +80,16 @@ def _postings_df(spark: SparkSession, index_dir: str, terms: list[str]) -> DataF
     return spark.read.parquet(*paths).filter(F.col("term").isin(terms))
 
 
-def excluded_docs_df(
-    spark: SparkSession, index_dir: str, exclude: list[str]
+def term_doc_ids_df(
+    spark: SparkSession, index_dir: str, terms: list[str]
 ) -> DataFrame:
-    """Distinct doc_ids containing ANY excluded term, decoded from the
-    excluded terms' postings blocks (term predicate pushes to row
-    groups; only doc_bytes is read — tf/dl/pos columns pruned)."""
-    blocks = _postings_df(spark, index_dir, list(dict.fromkeys(exclude))).select(
+    """doc_ids containing ANY of ``terms`` (with multiplicity across
+    terms), decoded ON EXECUTORS from the terms' postings blocks (term
+    predicate pushes to row groups; only doc_bytes is read — tf/dl/pos
+    columns pruned). The single output column is ``doc_id long``: a
+    driver that collects this holds 8 bytes per posting, never packed
+    payload bytes."""
+    blocks = _postings_df(spark, index_dir, list(dict.fromkeys(terms))).select(
         "doc_bytes"
     )
 
@@ -103,7 +106,15 @@ def excluded_docs_df(
                 }
             )
 
-    return blocks.mapInPandas(decode_ids, "doc_id long").distinct()
+    return blocks.mapInPandas(decode_ids, "doc_id long")
+
+
+def excluded_docs_df(
+    spark: SparkSession, index_dir: str, exclude: list[str]
+) -> DataFrame:
+    """Distinct doc_ids containing ANY excluded term (NOT-clause anti-
+    join side), decoded executor-side."""
+    return term_doc_ids_df(spark, index_dir, exclude).distinct()
 
 
 def bm25_topk_indexed(
@@ -144,19 +155,16 @@ def bm25_topk_indexed(
     if mode == "and" and len(terms) > 1:
         rare = min(terms, key=lambda t: dfs[t])
         if dfs[rare] <= and_prune_max_df:
-            rare_rows = (
-                _postings_df(spark, index_dir, [rare])
-                .select("n", "doc_bytes")
-                .collect()
+            # decode the rare term's doc list ON EXECUTORS (mapInPandas)
+            # and pull back only the int64 ids (~8 bytes/posting,
+            # bounded by and_prune_max_df): packed payload bytes never
+            # transit the driver, matching the 1000-executor shape
+            ids = (
+                term_doc_ids_df(spark, index_dir, [rare])
+                .toPandas()["doc_id"]
+                .to_numpy(dtype=np.int64)
             )
-            from ..codecs.delta import delta_decode as _dd
-
-            cand_docs = np.sort(
-                np.concatenate(
-                    [_dd(bytes(r.doc_bytes)) for r in rare_rows]
-                    or [np.zeros(0, dtype=np.int64)]
-                )
-            )
+            cand_docs = np.sort(ids)
             bc_docs = spark.sparkContext.broadcast(cand_docs)
 
     prune = cand_docs is not None

@@ -215,6 +215,25 @@ def test_not_clause_three_paths_agree(spark, built):
         assert math.isclose(gs, es, rel_tol=1e-9), (gd, gs, es)
 
 
+def test_and_prune_decode_is_driver_free(spark, built):
+    """The conjunctive block-range prune collects only int64 doc ids
+    (decoded executor-side); the single-column plan never carries the
+    packed payload columns to the driver."""
+    from ocaml_lucene_spark.query.exec import term_doc_ids_df
+
+    index_dir, _, oracle = built
+    some_term = sorted(oracle.postings)[0]
+    df = term_doc_ids_df(spark, index_dir, [some_term])
+    assert [f.name for f in df.schema.fields] == ["doc_id"]
+    assert df.schema.fields[0].dataType.simpleString() == "bigint"
+    got = sorted(r.doc_id for r in df.collect())
+    assert got == sorted(oracle.postings[some_term])
+    # the payload column feeds the executor-side decode only: it is
+    # consumed under the mapInPandas boundary, not in the output plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "doc_bytes" not in plan.split("MapInPandas")[0]
+
+
 def test_bm25_auto_routing(spark, built):
     """bm25_topk_auto routes on sum-of-df from the in-memory FST term
     dictionary: hot term sets (over the threshold) go to the distributed
