@@ -91,11 +91,20 @@ def pack_table(
     checkpoint_dir: str,
     with_positions: bool,
     with_offsets: bool = False,
+    vocab=None,
 ):
     """Arrow-native pack kernel (runs under mapInArrow): one shuffle
     partition of (term, salt, doc_id, tf, dl[, positions], pid) rows ->
     packed block rows written as a term-sorted parquet shard + one
     checkpoint/metrics RecordBatch returned (None for an empty input).
+
+    vocab: optional pyarrow StringArray mapping tid -> term. When given
+    (int-term-id build path), the input carries a ``tid`` int column
+    instead of ``term``; tids are ranks in the SORTED vocabulary, so
+    tid order == term order, and the kernel reconstructs the string
+    column with one Arrow take — the written shard (and the content
+    fingerprint, which hashes the reconstructed strings) is
+    byte-identical to a string-shuffle build of the same rows (tested).
 
     Arrow end to end: term strings stay in Arrow buffers (never
     materialized as Python str objects — the pandas object-string heap
@@ -128,35 +137,49 @@ def pack_table(
         return c.chunk(0) if isinstance(c, pa.ChunkedArray) else c
 
     pid = int(col("pid")[0].as_py())
-    terms = col("term")
+    use_tids = vocab is not None and "tid" in table.schema.names
+    term_key = "tid" if use_tids else "term"
     doc_ids = col("doc_id").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
     salts = col("salt").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
 
+    def term_meta():
+        """(terms StringArray, term_eq bool[n-1], terms_ok) for the
+        current table order; int-id inputs compare tids (radix-cheap)
+        and reconstruct the string column with one Arrow take."""
+        if use_tids:
+            tids = col("tid").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+            t = vocab.take(pa.array(tids, type=pa.int64()))
+            eq = tids[1:] == tids[:-1] if n > 1 else np.zeros(0, dtype=bool)
+            ok = bool((np.diff(tids) >= 0).all()) if n > 1 else True
+            return t, eq, ok
+        t = col("term")
+        if n > 1:
+            hi, lo = t.slice(1), t.slice(0, n - 1)
+            eq = pc.equal(hi, lo).to_numpy(zero_copy_only=False)
+            ok = bool(pc.all(pc.greater_equal(hi, lo)).as_py())
+        else:
+            eq, ok = np.zeros(0, dtype=bool), True
+        return t, eq, ok
+
     # input is JVM-sorted by (term, salt, doc_id); verify cheaply in
     # Arrow/numpy and only fall back to an Arrow sort if broken
+    terms, term_eq, terms_ok = term_meta()
     if n > 1:
-        t_hi, t_lo = terms.slice(1), terms.slice(0, n - 1)
-        term_eq = pc.equal(t_hi, t_lo).to_numpy(zero_copy_only=False)
-        terms_ok = bool(pc.all(pc.greater_equal(t_hi, t_lo)).as_py())
         same_group = term_eq & (salts[1:] == salts[:-1])
         docs_ok = bool((~same_group | (np.diff(doc_ids) > 0)).all())
     else:
-        term_eq = np.zeros(0, dtype=bool)
-        terms_ok = docs_ok = True
+        docs_ok = True
     if not (terms_ok and docs_ok):
         idx = pc.sort_indices(
             table,
-            sort_keys=[("term", "ascending"), ("salt", "ascending"), ("doc_id", "ascending")],
+            sort_keys=[
+                (term_key, "ascending"), ("salt", "ascending"), ("doc_id", "ascending"),
+            ],
         )
         table = table.take(idx).combine_chunks()
-        terms = col("term")
         doc_ids = col("doc_id").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
         salts = col("salt").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-        term_eq = (
-            pc.equal(terms.slice(1), terms.slice(0, n - 1)).to_numpy(zero_copy_only=False)
-            if n > 1
-            else np.zeros(0, dtype=bool)
-        )
+        terms, term_eq, _ = term_meta()
     tfs = col("tf").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
     dls = col("dl").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
     pos_flat = None
