@@ -168,6 +168,32 @@ def _ivf_centroids(sf_dir: str, k: int = 4) -> list[list[float]]:
     return [list(v) for _, v in rows[:k]]
 
 
+_KMEANS_CACHE: dict[tuple, list[list[float]]] = {}
+
+
+def _ivf_kmeans_centroids(sf_dir: str, k: int = 4, n_iters: int = 3) -> list[list[float]]:
+    """Trained coarse quantizer: deterministic Lloyd k-means (fixed
+    init, tie-break, per-iteration rounding — see
+    operators/ann.kmeans_centroids_local), so the DuckDB oracle can
+    replay cell assignment from the same centroid literals."""
+    key = (sf_dir, k, n_iters)
+    if key not in _KMEANS_CACHE:
+        import pyarrow.parquet as pq
+
+        from ocaml_lucene_spark.operators.ann import kmeans_centroids_local
+
+        t = pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        _KMEANS_CACHE[key] = kmeans_centroids_local(
+            t.column("embedding").to_pylist(),
+            t.column("vec_id").to_pylist(),
+            k,
+            n_iters,
+        )
+    return _KMEANS_CACHE[key]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ocaml_lucene_spark.functions import textstats
     from ocaml_lucene_spark.operators import ann, dedup
@@ -421,6 +447,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _vecs(spark, sf), _query_vec(sf), _ivf_centroids(sf), k=10, n_probe=2
         )
 
+    def q_ann_ivf_indexed(spark, sf):
+        # the IVF scale path: k-means-trained centroids, persisted
+        # cell-partitioned parquet layout, partition-pruned probe of the
+        # 2 nearest of 4 cells
+        import hashlib
+        import os
+
+        import ocaml_lucene_spark as pkg
+
+        cents = _ivf_kmeans_centroids(sf)
+        key = hashlib.md5(f"{pkg.__version__}|{sf}|ivf".encode()).hexdigest()[:10]
+        idx = f"/tmp/olspark_entry_ivf_{key}"
+        if not os.path.isdir(idx):
+            ann.build_ivf_index(_vecs(spark, sf), idx, cents)
+        return ann.ivf_topk_indexed(spark, idx, _query_vec(sf), cents, k=10, n_probe=2)
+
     def q_embed_near_dup(spark, sf):
         return ann.embedding_near_dup_pairs(_vecs(spark, sf), min_sim=0.9, n_bits=4)
 
@@ -466,6 +508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_indexed": q_ann_lsh_indexed,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_indexed": q_ann_ivf_indexed,
         "embedding_near_dup": q_embed_near_dup,
     }
 
@@ -494,6 +537,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_indexed": oops.lsh_topk_sql(qv, k=10, n_bits=8),
         "ann_lsh_multiprobe": oops.lsh_topk_sql(qv, k=10, n_bits=8, n_probe=4),
         "ann_ivf": oops.ivf_topk_sql(qv, _ivf_centroids(sf_for_vec), k=10, n_probe=2),
+        "ann_ivf_indexed": oops.ivf_topk_sql(
+            qv, _ivf_kmeans_centroids(sf_for_vec), k=10, n_probe=2
+        ),
         "embedding_near_dup": oops.embedding_near_dup_pairs_sql(min_sim=0.9, n_bits=4),
     }
     return ops | {

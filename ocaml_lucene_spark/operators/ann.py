@@ -225,6 +225,143 @@ def ivf_topk(
     )
 
 
+def kmeans_centroids_local(
+    vectors, ids, k: int = 4, n_iters: int = 3, round_to: int = 6
+) -> list[list[float]]:
+    """Deterministic Lloyd k-means over an in-memory matrix (the
+    coarse-quantizer trainer at test/driver scale; ``kmeans_centroids``
+    is the Spark job with identical semantics).
+
+    Determinism contract (what lets the DuckDB oracle replay cell
+    assignment exactly): init = the embeddings of the k smallest ids;
+    assignment = argmax cosine with ties to the smallest cell (same
+    tie-break as ivf_cell_expr); empty cells keep their previous
+    centroid; centroids are ROUNDED to ``round_to`` decimals after
+    every iteration, so sub-ulp float-summation wobble between
+    implementations cannot leak into the next assignment."""
+    import numpy as np
+
+    x = np.asarray(vectors, dtype=np.float64)
+    order = np.argsort(np.asarray(ids))[:k]
+    cent = np.round(x[order], round_to)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    for _ in range(n_iters):
+        cn = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+        cells = np.argmax(xn @ cn.T, axis=1)  # first max = smallest cell
+        nxt = cent.copy()
+        for c in range(k):
+            members = x[cells == c]
+            if len(members):
+                nxt[c] = members.mean(axis=0)
+        cent = np.round(nxt, round_to)
+    return [list(map(float, c)) for c in cent]
+
+
+def kmeans_centroids(
+    vecs: DataFrame,
+    k: int = 4,
+    n_iters: int = 3,
+    round_to: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic k-means as a Spark job (Lloyd iterations over the
+    DataFrame): assignment is a Column expression (ivf_cell_expr), the
+    per-cell mean is one groupBy over posexploded dimensions (k x dim
+    rows collected per iteration — driver traffic is centroid-sized,
+    never data-sized). Same contract as ``kmeans_centroids_local``; the
+    per-iteration rounding absorbs partial-aggregation float wobble."""
+    import numpy as np
+
+    seed_rows = (
+        vecs.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(k)
+        .collect()
+    )
+    cent = np.round(
+        np.array([list(r.v) for r in seed_rows], dtype=np.float64), round_to
+    )
+    for _ in range(n_iters):
+        # two selects: a generator (posexplode) in the same projection
+        # as ivf_cell_expr makes Spark's generator rewrite drop the
+        # aliases inside the nested greatest(struct(...)) expression
+        cells = vecs.select(
+            ivf_cell_expr(F.col(vec_col), [list(c) for c in cent]).alias("cell"),
+            F.col(vec_col).alias("v"),
+        ).select("cell", F.posexplode("v").alias("dim", "x"))
+        rows = (
+            cells.groupBy("cell", "dim")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        nxt = cent.copy()
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cell.setdefault(r.cell, {})[r.dim] = r.m
+        for c, dims in by_cell.items():
+            nxt[c] = [dims[d] for d in range(len(dims))]
+        cent = np.round(nxt, round_to)
+    return [list(map(float, c)) for c in cent]
+
+
+def build_ivf_index(
+    vecs: DataFrame,
+    index_dir: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF layout: parquet PARTITIONED BY the coarse-
+    quantizer cell (mirror of build_ann_index's bucket layout). At
+    10^12 vectors a probe reads only its n_probe cells' partition
+    directories — Catalyst partition pruning, no full scan."""
+    (
+        vecs.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+            ivf_cell_expr(F.col(vec_col), centroids).alias("cell"),
+        )
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(index_dir)
+    )
+
+
+def ivf_topk_indexed(
+    spark,
+    index_dir: str,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF probe over the persisted cell-partitioned layout: the cell
+    membership predicate prunes to n_probe partition directories
+    (PartitionFilters in .explain), exact cosine re-ranks inside.
+    Results identical to ``ivf_topk`` with the same centroids."""
+    import math
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        return num / den
+
+    order = sorted(
+        range(len(centroids)), key=lambda i: (-cos(query_vec, centroids[i]), i)
+    )
+    probes = [int(p) for p in order[:n_probe]]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        spark.read.parquet(index_dir)
+        .filter(F.col("cell").isin(probes))
+        .select("vec_id", F.round(cosine_col(F.col("embedding"), q), 4).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def embedding_near_dup_pairs(
     vecs: DataFrame,
     min_sim: float = 0.95,

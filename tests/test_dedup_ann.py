@@ -174,6 +174,64 @@ def test_ann_indexed_partition_prunes(spark, tmp_path_factory):
     assert pf and "bucket" in pf.group(1) and str(qbucket) in pf.group(1), plan
 
 
+def test_ivf_kmeans_and_persisted_layout(spark, tmp_path_factory):
+    """Deterministic k-means: the Spark job reproduces the local
+    trainer's centroids (per-iteration rounding absorbs float-order
+    wobble); the persisted cell-partitioned layout answers identically
+    to the on-the-fly ivf_topk and its probe is partition-pruned."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ocaml_lucene_spark.operators.ann import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_indexed,
+        kmeans_centroids,
+        kmeans_centroids_local,
+    )
+
+    vecs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    t = pq.read_table(
+        "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cents_local = kmeans_centroids_local(
+        t.column("embedding").to_pylist(), t.column("vec_id").to_pylist(), k=4, n_iters=3
+    )
+    cents_spark = kmeans_centroids(vecs, k=4, n_iters=3)
+    assert np.allclose(cents_local, cents_spark, atol=1e-5), (
+        cents_local, cents_spark,
+    )
+
+    qv = t.column("embedding").to_pylist()[0]
+    idx = str(tmp_path_factory.mktemp("ivf_idx"))
+    build_ivf_index(vecs, idx, cents_local)
+    got = [
+        (r.vec_id, r.sim)
+        for r in ivf_topk_indexed(spark, idx, qv, cents_local, k=10, n_probe=2).collect()
+    ]
+    exp = [
+        (r.vec_id, r.sim)
+        for r in ivf_topk(vecs, qv, cents_local, k=10, n_probe=2).collect()
+    ]
+    assert got == exp and got
+
+    # partition pruning: the probe plan carries the cell membership as
+    # a PartitionFilter (directory-level prune, no full scan)
+    import contextlib
+    import io
+    import re
+
+    from pyspark.sql import functions as F
+
+    probe = spark.read.parquet(idx).filter(F.col("cell").isin([0, 1]))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe.explain(mode="formatted")
+    plan = buf.getvalue()
+    pf = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert pf and "cell" in pf.group(1), plan
+
+
 def test_ivf_full_probe_equals_brute_force(spark):
     """Probing every IVF cell degenerates to the exact scan: results
     must equal brute force; fewer probes are a recall/latency dial."""
