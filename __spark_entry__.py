@@ -384,7 +384,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.minhash_candidate_pairs(_docs(spark, sf), min_est_jaccard=0.5)
 
     def q_ngram_jaccard(spark, sf):
-        return dedup.ngram_jaccard_pairs(_docs(spark, sf), min_jaccard=0.8)
+        # explicit opt-out of the (default-on) hot-shingle cap: the SQL
+        # oracle computes Jaccard over the full shingle space
+        return dedup.ngram_jaccard_pairs(
+            _docs(spark, sf), min_jaccard=0.8, max_shingle_df=None
+        )
 
     def q_near_dup(spark, sf):
         # composed pipeline: LSH candidates -> exact-Jaccard verify

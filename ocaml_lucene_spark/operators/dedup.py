@@ -137,18 +137,20 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 500,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (doc_a, doc_b, jaccard).
 
     Shared-shingle equi-join computes |A∩B|; |A∪B| = |A|+|B|-|A∩B|.
     Quadratic within shingle buckets: a shingle shared by m docs emits
-    m^2/2 join rows, so at corpus scale EITHER set ``max_shingle_df``
-    (shingles shared by more docs are dropped from the shingle space —
-    Jaccard is then computed over the capped space on both sides of
-    the union) OR run the composed ``near_dup_pairs`` pipeline, whose
-    verify join is driven by LSH candidate pairs instead of shared
-    shingles. Exhaustive (uncapped) only at test scale."""
+    m^2/2 join rows, so ``max_shingle_df`` is SAFE BY DEFAULT (500):
+    hotter shingles are dropped from the shingle space — Jaccard is
+    then computed over the capped space on both sides of the union,
+    and a Zipf-head (or adversarial universal) shingle cannot create a
+    quadratic blowup. Pass ``max_shingle_df=None`` to opt out for an
+    exhaustive exact join (test scale only, the loud dangerous call),
+    or run the composed ``near_dup_pairs`` pipeline, whose verify join
+    is driven by LSH candidate pairs instead of shared shingles."""
     from ..session import ensure_compute_parallelism
 
     sh = (

@@ -63,38 +63,60 @@ def decode_real_image(blob: bytes):
 HEADER_LEN = 20  # 8-byte magic + 3x int32 LE dims
 
 
+def _parse_headers(blobs) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(n_bytes, dims (n,3), valid) for a batch of blobs: the fixed-size
+    headers are stacked into one (n, 20) uint8 matrix and decoded with
+    a single np.frombuffer view + vectorized compares — the only
+    per-row Python is slicing 20 header bytes per blob."""
+    n = len(blobs)
+    heads = b"".join(bytes(b[:HEADER_LEN]).ljust(HEADER_LEN, b"\0") for b in blobs)
+    arr = np.frombuffer(heads, dtype=np.uint8).reshape(n, HEADER_LEN)
+    n_bytes = np.fromiter((len(b) for b in blobs), dtype=np.int64, count=n)
+    dims = (
+        np.ascontiguousarray(arr[:, 8:HEADER_LEN]).view("<i4").reshape(n, 3).astype(np.int64)
+    )
+    magic = np.frombuffer(FAKE_MAGIC, dtype=np.uint8)
+    magic_ok = (arr[:, :8] == magic).all(axis=1) if n else np.zeros(0, bool)
+    valid = (
+        magic_ok
+        & (n_bytes >= HEADER_LEN)
+        & (n_bytes - HEADER_LEN == dims[:, 0] * dims[:, 1] * dims[:, 2])
+    )
+    return n_bytes, dims, valid
+
+
+def _stack_by_dims(blobs, dims: np.ndarray, valid: np.ndarray):
+    """Yield (w, h, f, row_indices, pixels (m,f,h,w)) per distinct dim
+    triple among the valid blobs: equal-shaped blobs concatenate into
+    ONE contiguous buffer and reshape — the heavy per-pixel work then
+    runs as a single numpy op per group instead of per row."""
+    if not valid.any():
+        return
+    vidx = np.nonzero(valid)[0]
+    keys = dims[vidx]
+    order = np.lexsort((keys[:, 2], keys[:, 1], keys[:, 0]))
+    vidx = vidx[order]
+    keys = keys[order]
+    change = np.nonzero((np.diff(keys, axis=0) != 0).any(axis=1))[0] + 1
+    for grp in np.split(np.arange(len(vidx)), change):
+        rows = vidx[grp]
+        w, h, f = (int(x) for x in dims[rows[0]])
+        buf = b"".join(bytes(blobs[int(i)])[HEADER_LEN:] for i in rows)
+        px = np.frombuffer(buf, dtype=np.uint8).reshape(len(rows), f, h, w)
+        yield w, h, f, rows, px
+
+
 def media_metadata(df: DataFrame, id_col: str = "media_id", blob_col: str = "blob") -> DataFrame:
     """(media_id, kind, width, height, n_frames, n_bytes, valid) via a
     streaming mapInPandas pass — header-only parse, no pixel copy.
 
     The fixed-size headers of a whole Arrow batch are stacked into one
     (n, 20) uint8 matrix and decoded with a single np.frombuffer view +
-    vectorized comparisons — the only per-row Python is slicing 20
-    header bytes per blob."""
-    magic = np.frombuffer(FAKE_MAGIC, dtype=np.uint8)
+    vectorized comparisons (_parse_headers)."""
 
     def op(batches):
         for pdf in batches:
-            n = len(pdf)
-            heads = b"".join(
-                bytes(b[:HEADER_LEN]).ljust(HEADER_LEN, b"\0") for b in pdf[blob_col]
-            )
-            arr = np.frombuffer(heads, dtype=np.uint8).reshape(n, HEADER_LEN)
-            n_bytes = np.fromiter(
-                (len(b) for b in pdf[blob_col]), dtype=np.int64, count=n
-            )
-            dims = (
-                np.ascontiguousarray(arr[:, 8:HEADER_LEN])
-                .view("<i4")
-                .reshape(n, 3)
-                .astype(np.int64)
-            )
-            magic_ok = (arr[:, :8] == magic).all(axis=1) if n else np.zeros(0, bool)
-            valid = (
-                magic_ok
-                & (n_bytes >= HEADER_LEN)
-                & (n_bytes - HEADER_LEN == dims[:, 0] * dims[:, 1] * dims[:, 2])
-            )
+            n_bytes, dims, valid = _parse_headers(list(pdf[blob_col]))
             w = np.where(valid, dims[:, 0], 0).astype(np.int32)
             h = np.where(valid, dims[:, 1], 0).astype(np.int32)
             f = np.where(valid, dims[:, 2], 0).astype(np.int32)
@@ -121,21 +143,27 @@ def sample_frames(
 ) -> DataFrame:
     """Explode videos into sampled frames: (media_id, frame_no, frame)
     where frame is a re-encoded single-frame blob. Output rows stream
-    per Arrow batch — a partition of video never fully materializes."""
+    per Arrow batch — a partition of video never fully materializes.
+    Vectorized: blobs of identical dims stack into one (m, f, h, w)
+    array and the frame selection is a single strided slice per group;
+    the only per-row Python is the output blob assembly (C-level
+    tobytes of contiguous frame views)."""
 
     def op(batches):
         for pdf in batches:
+            blobs = list(pdf[blob_col])
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            _, dims, valid = _parse_headers(blobs)
             out_ids, out_nos, out_frames = [], [], []
-            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
-                dec = decode_fake_image(bytes(blob))
-                if dec is None:
-                    continue
-                w, h, f, px = dec
-                for fno in range(0, f, every_k):
-                    head = FAKE_MAGIC + np.array([w, h, 1], dtype="<i4").tobytes()
-                    out_ids.append(int(mid))
-                    out_nos.append(fno)
-                    out_frames.append(head + px[fno].tobytes())
+            for w, h, f, rows, px in _stack_by_dims(blobs, dims, valid):
+                sel = np.ascontiguousarray(px[:, ::every_k])  # (m, n_sel, h, w)
+                head = FAKE_MAGIC + np.array([w, h, 1], dtype="<i4").tobytes()
+                frame_nos = range(0, f, every_k)
+                for j, r in enumerate(rows):
+                    for sj, fno in enumerate(frame_nos):
+                        out_ids.append(int(ids[r]))
+                        out_nos.append(fno)
+                        out_frames.append(head + sel[j, sj].tobytes())
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(out_ids, dtype="int64"),
@@ -151,22 +179,24 @@ def resize_stub(
     df: DataFrame, out_w: int, out_h: int, id_col: str = "media_id", blob_col: str = "blob"
 ) -> DataFrame:
     """Nearest-neighbor 'resize' on the fake format (numpy slicing —
-    deterministic stand-in for PIL.resize; same schema contract)."""
+    deterministic stand-in for PIL.resize; same schema contract).
+    Vectorized: one fancy-index per identical-dims group over the
+    stacked (m, f, h, w) array instead of per-row slicing."""
 
     def op(batches):
         for pdf in batches:
+            in_blobs = list(pdf[blob_col])
+            mids = pdf[id_col].to_numpy(dtype=np.int64)
+            _, dims, valid = _parse_headers(in_blobs)
             ids, blobs = [], []
-            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
-                dec = decode_fake_image(bytes(blob))
-                if dec is None:
-                    continue
-                w, h, f, px = dec
+            for w, h, f, rows, px in _stack_by_dims(in_blobs, dims, valid):
                 yi = (np.arange(out_h) * h // out_h).astype(int)
                 xi = (np.arange(out_w) * w // out_w).astype(int)
-                res = px[:, yi][:, :, xi]
+                res = np.ascontiguousarray(px[:, :, yi][:, :, :, xi])
                 head = FAKE_MAGIC + np.array([out_w, out_h, f], dtype="<i4").tobytes()
-                ids.append(int(mid))
-                blobs.append(head + res.tobytes())
+                for j, r in enumerate(rows):
+                    ids.append(int(mids[r]))
+                    blobs.append(head + res[j].tobytes())
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(ids, dtype="int64"),
@@ -182,20 +212,33 @@ def byte_histogram_features(
 ) -> DataFrame:
     """(media_id, features array<float>): normalized byte histogram —
     deterministic stand-in for a vision-encoder embedding, with the
-    real operator's shape (binary in, fixed-dim float vector out)."""
+    real operator's shape (binary in, fixed-dim float vector out).
+    Fully vectorized, no dims grouping needed: all valid blobs' pixels
+    concatenate into one buffer and a single np.bincount over
+    row_index * n_bins + bin computes every histogram at once."""
 
     def op(batches):
         for pdf in batches:
+            blobs = list(pdf[blob_col])
+            mids = pdf[id_col].to_numpy(dtype=np.int64)
+            n_bytes, dims, valid = _parse_headers(blobs)
             ids, feats = [], []
-            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
-                dec = decode_fake_image(bytes(blob))
-                if dec is None:
-                    continue
-                _, _, _, px = dec
-                hist, _ = np.histogram(px.ravel(), bins=n_bins, range=(0, 256))
-                total = hist.sum() or 1
-                ids.append(int(mid))
-                feats.append((hist / total).astype(np.float32).tolist())
+            vidx = np.nonzero(valid)[0]
+            if vidx.size:
+                lens = (n_bytes[vidx] - HEADER_LEN).astype(np.int64)
+                buf = b"".join(bytes(blobs[int(i)])[HEADER_LEN:] for i in vidx)
+                px = np.frombuffer(buf, dtype=np.uint8)
+                rows = np.repeat(np.arange(vidx.size, dtype=np.int64), lens)
+                # bin edges identical to np.histogram(range=(0,256)):
+                # uniform width 256/n_bins -> bin = px * n_bins // 256
+                bins = (px.astype(np.int64) * n_bins) >> 8
+                hist = np.bincount(
+                    rows * n_bins + bins, minlength=vidx.size * n_bins
+                ).reshape(vidx.size, n_bins)
+                totals = np.maximum(hist.sum(axis=1), 1)
+                norm = (hist / totals[:, None]).astype(np.float32)
+                ids = [int(mids[i]) for i in vidx]
+                feats = [norm[j].tolist() for j in range(vidx.size)]
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(ids, dtype="int64"),

@@ -132,6 +132,12 @@ def test_universal_shingle_does_not_blow_up(spark):
     assert capped.count() == 0
     nd = near_dup_pairs(docs, min_jaccard=0.8)
     assert nd.count() == 0
+    # the cap is SAFE BY DEFAULT: with >500 docs sharing the shingle,
+    # the default call drops it (the uncapped join is the explicit
+    # max_shingle_df=None opt-out)
+    rows_big = [(i, f"{common} unique{i} token{i} word{i} extra{i}") for i in range(600)]
+    docs_big = spark.createDataFrame(rows_big, "doc_id long, text string")
+    assert ngram_jaccard_pairs(docs_big, min_jaccard=0.8).count() == 0
 
 
 def test_ann_indexed_partition_prunes(spark, tmp_path_factory):

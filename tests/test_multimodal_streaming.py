@@ -56,6 +56,59 @@ class TestMultimodal:
         again = {r.media_id: r.features for r in mm.byte_histogram_features(media_df).collect()}
         assert feats[0] == again[0]
 
+    def test_vectorized_kernels_equal_per_row_reference(self, spark):
+        """The grouped/batched numpy kernels (frames/resize/features)
+        produce exactly the per-row reference results on a mixed batch
+        (several dim groups, invalid blobs, header-only blob)."""
+        rows = [
+            (0, mm.encode_fake_image(0, 32, 16, 1)),
+            (1, mm.encode_fake_image(1, 64, 32, 6)),
+            (2, b"junk"),
+            (3, mm.encode_fake_image(3, 8, 8, 1)),
+            (4, mm.encode_fake_image(4, 64, 32, 6, seed=7)),  # same dims as 1
+            (5, mm.encode_fake_image(5, 8, 8, 4)),
+        ]
+        # 0-pixel blob: only features handles it (resize/frames cannot
+        # sample an empty axis — same contract as the per-row reference)
+        zero_px = (6, mm.FAKE_MAGIC + np.array([0, 8, 2], dtype="<i4").tobytes())
+        df = spark.createDataFrame(rows, "media_id long, blob binary")
+        df_feat = spark.createDataFrame(rows + [zero_px], "media_id long, blob binary")
+
+        # reference: per-row loops over decode_fake_image
+        ref_frames, ref_resize, ref_feats = [], {}, {}
+        for mid, blob in rows + [zero_px]:
+            dec = mm.decode_fake_image(bytes(blob))
+            if dec is None:
+                continue
+            w, h, f, px = dec
+            hist, _ = np.histogram(px.ravel(), bins=64, range=(0, 256))
+            total = hist.sum() or 1
+            ref_feats[mid] = (hist / total).astype(np.float32).tolist()
+            if px.size == 0:
+                continue
+            for fno in range(0, f, 2):
+                head = mm.FAKE_MAGIC + np.array([w, h, 1], dtype="<i4").tobytes()
+                ref_frames.append((mid, fno, head + px[fno].tobytes()))
+            yi = (np.arange(8) * h // 8).astype(int)
+            xi = (np.arange(16) * w // 16).astype(int)
+            head = mm.FAKE_MAGIC + np.array([16, 8, f], dtype="<i4").tobytes()
+            ref_resize[mid] = head + px[:, yi][:, :, xi].tobytes()
+
+        got_frames = sorted(
+            (r.media_id, r.frame_no, bytes(r.frame))
+            for r in mm.sample_frames(df, every_k=2).collect()
+        )
+        assert got_frames == sorted(ref_frames)
+        got_resize = {
+            r.media_id: bytes(r.blob) for r in mm.resize_stub(df, 16, 8).collect()
+        }
+        assert got_resize == ref_resize
+        got_feats = {
+            r.media_id: r.features
+            for r in mm.byte_histogram_features(df_feat).collect()
+        }
+        assert got_feats == ref_feats
+
     def test_real_decoder_is_marked(self):
         with pytest.raises(NotImplementedError):
             mm.decode_real_image(b"\x89PNG...")
