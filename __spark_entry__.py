@@ -346,6 +346,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, _ensure_index(spark, sf, positions=True), "table", "hash"
         )
 
+    def q_phrase3_counts(spark, sf):
+        # exact 3-word phrase, logical path (chain of co-partitioned
+        # position joins on one key)
+        return bm25.phrase_counts_multi(_docs(spark, sf), ["slow", "hash", "batch"])
+
+    def q_phrase3_counts_indexed(spark, sf):
+        # same phrase over the packed .pos stream
+        from ocaml_lucene_spark.query.exec import phrase_counts_indexed_multi
+
+        return phrase_counts_indexed_multi(
+            spark, _ensure_index(spark, sf, positions=True),
+            ["slow", "hash", "batch"],
+        )
+
     def q_term_offsets(spark, sf):
         # .pay-stream consumer (highlighting primitive): rows-only gate
         # (char offsets are not SQL-expressible in DuckDB); exact oracle
@@ -491,6 +505,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_auto": q_bm25_auto,
         "term_stats_fst": q_term_stats_fst,
         "phrase_counts_indexed": q_phrase_counts_indexed,
+        "phrase3_counts": q_phrase3_counts,
+        "phrase3_counts_indexed": q_phrase3_counts_indexed,
         "bm25_after_merge": q_bm25_after_merge,
         "bm25_streamed": q_bm25_streamed,
         "term_offsets": q_term_offsets,
@@ -572,4 +588,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_lengths": osql.doc_lengths_sql(),
         "phrase_counts": osql.phrase_counts_sql("table", "hash"),
         "phrase_counts_indexed": osql.phrase_counts_sql("table", "hash"),
+        "phrase3_counts": osql.phrase_counts_multi_sql(["slow", "hash", "batch"]),
+        "phrase3_counts_indexed": osql.phrase_counts_multi_sql(
+            ["slow", "hash", "batch"]
+        ),
     }

@@ -176,18 +176,39 @@ def phrase_counts(
     docs: DataFrame, first: str, second: str, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(doc_id, n_phrase): adjacent '<first> <second>' occurrences —
-    the positions stream consumer (.pos semantics). Self-join on
-    (doc_id, pos+1); both sides are term-filtered before the join."""
+    the positions stream consumer (.pos semantics)."""
+    return phrase_counts_multi(docs, [first, second], id_col, text_col)
+
+
+def phrase_counts_multi(
+    docs: DataFrame,
+    words: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_phrase) for an exact n-word phrase: occurrences where
+    words[i] sits at position p+i for every i. A chain of equi-joins on
+    (doc_id, anchor position p): slot i's positions shift down by i, so
+    every join key is (doc_id, p) and Catalyst co-partitions the whole
+    chain on one shuffle key. All sides are term-filtered under the
+    explode — only the query words' occurrences ever shuffle. Repeated
+    words work: slot offsets make the matched occurrences distinct."""
+    assert words, "empty phrase"
+    wset = list(dict.fromkeys(words))
     pos = (
-        ensure_compute_parallelism(docs).select(
+        ensure_compute_parallelism(docs)
+        .select(
             F.col(id_col).alias("doc_id"),
             F.posexplode(tokens_col(text_col)).alias("pos", "term"),
         )
+        .filter(F.col("term").isin(wset))
     )
-    a = pos.filter(F.col("term") == first).select("doc_id", F.col("pos").alias("p1")).alias("a")
-    b = pos.filter(F.col("term") == second).select("doc_id", F.col("pos").alias("p2")).alias("b")
-    return (
-        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("b.p2") == F.col("a.p1") + 1))
-        .groupBy(F.col("a.doc_id").alias("doc_id"))
-        .agg(F.count("*").alias("n_phrase"))
+    cur = pos.filter(F.col("term") == words[0]).select(
+        "doc_id", F.col("pos").alias("p")
     )
+    for i, w in enumerate(words[1:], start=1):
+        nxt = pos.filter(F.col("term") == w).select(
+            "doc_id", (F.col("pos") - i).alias("p")
+        )
+        cur = cur.join(nxt, ["doc_id", "p"])
+    return cur.groupBy("doc_id").agg(F.count("*").alias("n_phrase"))

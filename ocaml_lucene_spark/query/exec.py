@@ -224,24 +224,17 @@ def bm25_topk_indexed(
     )
 
 
-def phrase_counts_indexed(
-    spark: SparkSession, index_dir: str, first: str, second: str
+def flat_positions_df(
+    spark: SparkSession, index_dir: str, terms: list[str]
 ) -> DataFrame:
-    """(doc_id, n_phrase) for adjacent '<first> <second>' from the packed
-    positions stream (.pos consumer,
+    """FLAT (doc_id, term, p) occurrence rows for the given terms from
+    the packed positions stream (.pos consumer,
     /root/reference/codec/lucene_84_postings_reader.ml:4-7; requires a
-    with_positions build).
-
-    Plan: scan blocks of the two terms (term pushdown) -> one fully
-    vectorized numpy decode per block emitting FLAT (doc_id, term, pos)
-    occurrence rows (per-doc position reconstruction is a cumsum minus a
-    repeated per-doc base — no Python lists, no per-doc loops) -> JVM
-    equi-join of term1's (doc_id, pos+1) with term2's (doc_id, pos) ->
-    groupBy(doc_id) count. Only the two query terms' position
-    occurrences ever shuffle, and the join/agg are whole-stage codegen —
-    no per-doc pandas groups (the round-1 plan shuffled one pandas group
-    per matching document)."""
-    blocks = _postings_df(spark, index_dir, [first, second]).select(
+    with_positions build). Term predicate pushes to row groups; one
+    fully vectorized numpy decode per block (per-doc position
+    reconstruction is a cumsum minus a repeated per-doc base — no
+    Python lists, no per-doc loops)."""
+    blocks = _postings_df(spark, index_dir, list(dict.fromkeys(terms))).select(
         "term", "n", "doc_bytes", "tf_bytes", "pos_bytes"
     )
 
@@ -282,18 +275,37 @@ def phrase_counts_indexed(
                     }
                 )
 
-    flat = blocks.mapInPandas(decode_flat, "doc_id long, term string, p long")
-    a = flat.filter(F.col("term") == first).select(
-        "doc_id", (F.col("p") + 1).alias("pp")
-    )
-    b = flat.filter(F.col("term") == second).select(
+    return blocks.mapInPandas(decode_flat, "doc_id long, term string, p long")
+
+
+def phrase_counts_indexed(
+    spark: SparkSession, index_dir: str, first: str, second: str
+) -> DataFrame:
+    """(doc_id, n_phrase) for adjacent '<first> <second>' from the
+    packed positions stream — the 2-word case of
+    ``phrase_counts_indexed_multi``."""
+    return phrase_counts_indexed_multi(spark, index_dir, [first, second])
+
+
+def phrase_counts_indexed_multi(
+    spark: SparkSession, index_dir: str, words: list[str]
+) -> DataFrame:
+    """(doc_id, n_phrase) for an exact n-word phrase over the packed
+    positions stream: flat (doc_id, term, p) emission, then a chain of
+    JVM equi-joins on (doc_id, anchor p) — slot i's positions shift
+    down by i. Only the query words' occurrences ever shuffle; joins
+    and the final agg are whole-stage codegen."""
+    assert words, "empty phrase"
+    flat = flat_positions_df(spark, index_dir, words)
+    cur = flat.filter(F.col("term") == words[0]).select(
         "doc_id", F.col("p").alias("pp")
     )
-    return (
-        a.join(b, ["doc_id", "pp"])
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_phrase"))
-    )
+    for i, w in enumerate(words[1:], start=1):
+        nxt = flat.filter(F.col("term") == w).select(
+            "doc_id", (F.col("p") - i).alias("pp")
+        )
+        cur = cur.join(nxt, ["doc_id", "pp"])
+    return cur.groupBy("doc_id").agg(F.count("*").alias("n_phrase"))
 
 
 def _block_ub(r, w: float, avgdl: float) -> float:

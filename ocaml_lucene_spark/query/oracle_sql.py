@@ -110,15 +110,31 @@ SELECT doc_id, dl FROM base
 
 
 def phrase_counts_sql(first: str, second: str) -> str:
+    return phrase_counts_multi_sql([first, second])
+
+
+def phrase_counts_multi_sql(words: list[str]) -> str:
+    """Exact n-word phrase counts: slot i's positions shift down by i
+    and the chain joins on (doc_id, anchor p) — textual mirror of
+    bm25.phrase_counts_multi / exec.phrase_counts_indexed_multi."""
+    slot_ctes = []
+    for i, w in enumerate(words):
+        wq = w.replace("'", "''")
+        slot_ctes.append(
+            f"s{i} AS (SELECT doc_id, p - {i} AS p FROM pos WHERE term = '{wq}')"
+        )
+    joins = "".join(
+        f" JOIN s{i} ON s0.doc_id = s{i}.doc_id AND s0.p = s{i}.p"
+        for i in range(1, len(words))
+    )
     return f"""
 WITH {TOKS_CTE},
 pos AS (
   SELECT doc_id, unnest(t) AS term, unnest(range(len(t))) AS p
   FROM base
 ),
-a AS (SELECT doc_id, p AS p1 FROM pos WHERE term = '{first}'),
-b AS (SELECT doc_id, p AS p2 FROM pos WHERE term = '{second}')
-SELECT a.doc_id AS doc_id, count(*) AS n_phrase
-FROM a JOIN b ON a.doc_id = b.doc_id AND b.p2 = a.p1 + 1
-GROUP BY a.doc_id
+{", ".join(slot_ctes)}
+SELECT s0.doc_id AS doc_id, count(*) AS n_phrase
+FROM s0{joins}
+GROUP BY s0.doc_id
 """

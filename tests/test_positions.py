@@ -39,6 +39,57 @@ def test_phrase_counts_match_oracle(spark, pos_index):
         assert got == expected, (t1, t2)
 
 
+def test_phrase_multi_matches_reference(spark, tmp_path_factory):
+    """n-word phrases (incl. repeated words) on BOTH paths equal a
+    pure-Python sliding-window count."""
+    from ocaml_lucene_spark.functions.analysis import py_tokenize
+    from ocaml_lucene_spark.query.bm25 import phrase_counts_multi
+    from ocaml_lucene_spark.query.exec import phrase_counts_indexed_multi
+
+    texts = {
+        0: "one two three one two three two",
+        1: "two two two one",
+        2: "one two three",
+        3: "three two one two three one two two",
+        4: "unrelated words only here",
+    }
+
+    def ref(words):
+        out = {}
+        for d, t in texts.items():
+            toks = py_tokenize(t)
+            n = sum(
+                1
+                for i in range(len(toks) - len(words) + 1)
+                if toks[i : i + len(words)] == words
+            )
+            if n:
+                out[d] = n
+        return out
+
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    index_dir = str(tmp_path_factory.mktemp("index_pos_multi"))
+    build_index(docs, index_dir, n_partitions=2, with_positions=True)
+    for words in (
+        ["one", "two", "three"],
+        ["two", "two"],          # repeated word
+        ["two", "two", "two"],   # triple repeat (doc 1)
+        ["three", "one", "two"],
+        ["one", "one"],          # absent phrase
+    ):
+        expected = ref(words)
+        got_logical = {
+            r.doc_id: r.n_phrase
+            for r in phrase_counts_multi(docs, words).collect()
+        }
+        got_indexed = {
+            r.doc_id: r.n_phrase
+            for r in phrase_counts_indexed_multi(spark, index_dir, words).collect()
+        }
+        assert got_logical == expected, (words, got_logical, expected)
+        assert got_indexed == expected, (words, got_indexed, expected)
+
+
 def test_positional_index_still_scores(spark, pos_index):
     index_dir, oracle = pos_index
     got = [(r.doc_id, r.score) for r in bm25_topk_indexed(spark, index_dir, ["the"], "or", 5).collect()]

@@ -178,6 +178,51 @@ def test_wand_exclusion_fuzz():
         _assert_matches(got, expected, (trial, inc, exc))
 
 
+def test_wand_combined_stress_fuzz():
+    """Everything at once — AND/OR x NOT x round_to x shards x k — so
+    the round-3 machinery (theta seeding, lazy positioning, leapfrog
+    ejection, early-exit partial scoring) is exercised in interaction,
+    not just per feature."""
+    rng = random.Random(20260816)
+    vocab = list("abcdefgh")
+    for trial in range(80):
+        oracle = random_corpus(rng, rng.randint(100, 500), vocab)
+        inc = rng.sample(vocab, rng.randint(1, 4))
+        exc = rng.sample(vocab, rng.randint(0, 2))  # may overlap inc
+        mode = rng.choice(["or", "or", "and"])
+        k = rng.choice([1, 3, 10, 1000])  # incl. k >= all results
+        round_to = rng.choice([None, 4, 2])
+        n_shards = rng.choice([1, 2, 4, 8])
+        lists = lists_from_oracle(oracle, inc, n_shards)
+        xlists = lists_from_oracle(oracle, exc, rng.choice([1, 2]))
+        for xl in xlists:
+            xl.idf = 0.0
+        require = set(inc) if mode == "and" else None
+        got, metrics = block_max_wand(
+            lists, k, require_all_terms=require, round_to=round_to,
+            exclude_lists=xlists or None,
+        )
+        assert metrics["total_blocks"] >= metrics["decoded_blocks"]
+        banned = set()
+        for t in exc:
+            banned |= set(oracle.postings.get(t, {}))
+        full = oracle.query(inc, mode, len(oracle.doc_lens))
+        filt = [(d, s) for d, s in full if d not in banned]
+        if round_to is not None:
+            filt = [(d, round(s, round_to)) for d, s in filt]
+            filt.sort(key=lambda x: (-x[1], x[0]))
+            expected = filt[:k]
+            assert [d for d, _ in got] == [d for d, _ in expected], (
+                trial, inc, exc, mode, k, round_to, n_shards, got[:4], expected[:4],
+            )
+            assert [s for _, s in got] == [s for _, s in expected]
+        else:
+            expected = filt[:k]
+            _assert_matches(
+                got, expected, (trial, inc, exc, mode, k, round_to, n_shards)
+            )
+
+
 def test_wand_exclusion_overlapping_terms_fuzz():
     """inc ∩ exc non-empty (the round-2 ADVICE shape): exclusion is a
     pure doc filter, so a term that is both scored and excluded must
