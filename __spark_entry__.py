@@ -360,6 +360,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ["slow", "hash", "batch"],
         )
 
+    def q_proximity_counts(spark, sf):
+        # proximity/sloppy-phrase primitive: RANGE JOIN on positions
+        return bm25.proximity_counts(_docs(spark, sf), "table", "hash", window=5)
+
+    def q_proximity_counts_indexed(spark, sf):
+        from ocaml_lucene_spark.query.exec import proximity_counts_indexed
+
+        return proximity_counts_indexed(
+            spark, _ensure_index(spark, sf, positions=True), "table", "hash",
+            window=5,
+        )
+
     def q_term_offsets(spark, sf):
         # .pay-stream consumer (highlighting primitive): rows-only gate
         # (char offsets are not SQL-expressible in DuckDB); exact oracle
@@ -507,6 +519,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_counts_indexed": q_phrase_counts_indexed,
         "phrase3_counts": q_phrase3_counts,
         "phrase3_counts_indexed": q_phrase3_counts_indexed,
+        "proximity_counts": q_proximity_counts,
+        "proximity_counts_indexed": q_proximity_counts_indexed,
         "bm25_after_merge": q_bm25_after_merge,
         "bm25_streamed": q_bm25_streamed,
         "term_offsets": q_term_offsets,
@@ -591,5 +605,9 @@ def oracle_sql() -> dict[str, str]:
         "phrase3_counts": osql.phrase_counts_multi_sql(["slow", "hash", "batch"]),
         "phrase3_counts_indexed": osql.phrase_counts_multi_sql(
             ["slow", "hash", "batch"]
+        ),
+        "proximity_counts": osql.proximity_counts_sql("table", "hash", window=5),
+        "proximity_counts_indexed": osql.proximity_counts_sql(
+            "table", "hash", window=5
         ),
     }

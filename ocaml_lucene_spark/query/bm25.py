@@ -180,6 +180,45 @@ def phrase_counts(
     return phrase_counts_multi(docs, [first, second], id_col, text_col)
 
 
+def proximity_counts(
+    docs: DataFrame,
+    first: str,
+    second: str,
+    window: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_pairs): occurrences of ``first`` and ``second`` within
+    ``window`` token positions of each other (order-insensitive,
+    excluding identical positions) — the proximity/sloppy-phrase
+    primitive, expressed as a RANGE JOIN: equi-join on doc_id plus a
+    band predicate |p2 - p1| <= window. Both sides are term-filtered
+    under the explode, so only the two terms' occurrences shuffle; the
+    band condition evaluates inside the co-partitioned join."""
+    pos = (
+        ensure_compute_parallelism(docs).select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(tokens_col(text_col)).alias("pos", "term"),
+        )
+    )
+    a = pos.filter(F.col("term") == first).select(
+        "doc_id", F.col("pos").alias("p1")
+    )
+    b = pos.filter(F.col("term") == second).select(
+        F.col("doc_id").alias("doc_id_b"), F.col("pos").alias("p2")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("doc_id") == F.col("doc_id_b"))
+            & (F.abs(F.col("p2") - F.col("p1")) <= window)
+            & (F.col("p1") != F.col("p2")),
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
 def phrase_counts_multi(
     docs: DataFrame,
     words: list[str],

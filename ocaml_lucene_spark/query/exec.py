@@ -319,6 +319,35 @@ def _block_ub(r, w: float, avgdl: float) -> float:
     return w * tfn_ub(r.max_tf, r.min_dl, avgdl)
 
 
+def proximity_counts_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    first: str,
+    second: str,
+    window: int = 5,
+) -> DataFrame:
+    """(doc_id, n_pairs) proximity counts over the packed .pos stream:
+    flat occurrence emission (term pushdown to row groups), then the
+    same doc-co-partitioned range join as the logical path."""
+    flat = flat_positions_df(spark, index_dir, [first, second])
+    a = flat.filter(F.col("term") == first).select(
+        "doc_id", F.col("p").alias("p1")
+    )
+    b = flat.filter(F.col("term") == second).select(
+        F.col("doc_id").alias("doc_id_b"), F.col("p").alias("p2")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("doc_id") == F.col("doc_id_b"))
+            & (F.abs(F.col("p2") - F.col("p1")) <= window)
+            & (F.col("p1") != F.col("p2")),
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
 def build_posting_lists(
     rows: list, idfs: dict[str, float], avgdl: float
 ) -> list[PostingList]:

@@ -113,6 +113,24 @@ def phrase_counts_sql(first: str, second: str) -> str:
     return phrase_counts_multi_sql([first, second])
 
 
+def proximity_counts_sql(first: str, second: str, window: int = 5) -> str:
+    """Range-join proximity counts — textual mirror of
+    bm25.proximity_counts / exec.proximity_counts_indexed."""
+    return f"""
+WITH {TOKS_CTE},
+pos AS (
+  SELECT doc_id, unnest(t) AS term, unnest(range(len(t))) AS p
+  FROM base
+),
+a AS (SELECT doc_id, p AS p1 FROM pos WHERE term = '{first}'),
+b AS (SELECT doc_id, p AS p2 FROM pos WHERE term = '{second}')
+SELECT a.doc_id AS doc_id, count(*) AS n_pairs
+FROM a JOIN b ON a.doc_id = b.doc_id
+             AND abs(b.p2 - a.p1) <= {window} AND a.p1 <> b.p2
+GROUP BY a.doc_id
+"""
+
+
 def phrase_counts_multi_sql(words: list[str]) -> str:
     """Exact n-word phrase counts: slot i's positions shift down by i
     and the chain joins on (doc_id, anchor p) — textual mirror of

@@ -90,6 +90,63 @@ def test_phrase_multi_matches_reference(spark, tmp_path_factory):
         assert got_indexed == expected, (words, got_indexed, expected)
 
 
+def test_proximity_counts_match_reference(spark, tmp_path_factory):
+    """Range-join proximity (|p2-p1| <= window, p1 != p2) on both paths
+    equals a brute-force pair count, incl. first == second (self-pairs
+    at distinct positions count twice: (p1,p2) and (p2,p1))."""
+    from ocaml_lucene_spark.functions.analysis import py_tokenize
+    from ocaml_lucene_spark.query.bm25 import proximity_counts
+    from ocaml_lucene_spark.query.exec import proximity_counts_indexed
+
+    texts = {
+        0: "alpha x x beta alpha beta",
+        1: "alpha x x x x x x beta",
+        2: "beta beta alpha",
+        3: "gamma only here",
+        4: "alpha alpha alpha",
+    }
+
+    def ref(first, second, window):
+        out = {}
+        for d, t in texts.items():
+            toks = py_tokenize(t)
+            p1s = [i for i, w in enumerate(toks) if w == first]
+            p2s = [i for i, w in enumerate(toks) if w == second]
+            n = sum(
+                1
+                for p1 in p1s
+                for p2 in p2s
+                if p1 != p2 and abs(p2 - p1) <= window
+            )
+            if n:
+                out[d] = n
+        return out
+
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    index_dir = str(tmp_path_factory.mktemp("index_prox"))
+    build_index(docs, index_dir, n_partitions=2, with_positions=True)
+    for first, second, window in (
+        ("alpha", "beta", 3),
+        ("alpha", "beta", 1),
+        ("beta", "alpha", 3),
+        ("alpha", "alpha", 2),  # self-proximity
+        ("alpha", "gamma", 10),  # never co-occur
+    ):
+        expected = ref(first, second, window)
+        got_l = {
+            r.doc_id: r.n_pairs
+            for r in proximity_counts(docs, first, second, window).collect()
+        }
+        got_i = {
+            r.doc_id: r.n_pairs
+            for r in proximity_counts_indexed(
+                spark, index_dir, first, second, window
+            ).collect()
+        }
+        assert got_l == expected, (first, second, window, got_l, expected)
+        assert got_i == expected, (first, second, window, got_i, expected)
+
+
 def test_positional_index_still_scores(spark, pos_index):
     index_dir, oracle = pos_index
     got = [(r.doc_id, r.score) for r in bm25_topk_indexed(spark, index_dir, ["the"], "or", 5).collect()]
