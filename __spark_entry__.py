@@ -400,6 +400,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- training-data pipeline ops (dedup / ANN / text analysis) ---
 
+    def q_streamed_dedup(spark, sf):
+        # custom STATEFUL streaming operator (applyInPandasWithState):
+        # first-seen-wins exact dedup across 3 ordered micro-batches
+        # (batch i = docs with doc_id % 3 == i). Deterministic, so the
+        # SQL oracle replays it: canonical = arg-min over
+        # (batch_no, doc_id) per text hash.
+        import hashlib
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocaml_lucene_spark.streaming.dedup_state import streaming_exact_dedup
+
+        import ocaml_lucene_spark as pkg
+
+        key = hashlib.md5(f"{pkg.__version__}|{sf}|sdedup".encode()).hexdigest()[:10]
+        base = f"/tmp/olspark_entry_sdedup_{key}"
+        out = os.path.join(base, "out")
+        if not os.path.isdir(out):
+            src, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
+            os.makedirs(src, exist_ok=True)
+            t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+            ids = t.column("doc_id").to_numpy()
+            for i in range(3):
+                pq.write_table(t.filter(pa.array(ids % 3 == i)), f"{src}/b{i}.parquet")
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            q = (
+                streaming_exact_dedup(stream)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        return spark.read.parquet(out).select("doc_id", "text_hash")
+
     def q_dedup_exact(spark, sf):
         return dedup.exact_dup_groups(_docs(spark, sf))
 
@@ -526,6 +568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_offsets": q_term_offsets,
         "multimodal_metadata": q_multimodal_metadata,
         "dedup_exact": q_dedup_exact,
+        "streamed_dedup": q_streamed_dedup,
         "minhash_signatures": q_minhash_signatures,
         "minhash_candidate_pairs": q_minhash_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard,
@@ -555,6 +598,7 @@ def oracle_sql() -> dict[str, str]:
     qv = _query_vec(sf_for_vec)
     ops = {
         "dedup_exact": oops.exact_dup_groups_sql(),
+        "streamed_dedup": oops.streamed_dedup_sql(n_batches=3),
         "minhash_signatures": oops.minhash_signatures_sql(),
         "minhash_candidate_pairs": oops.minhash_candidate_pairs_sql(min_est_jaccard=0.5),
         "ngram_jaccard_pairs": oops.ngram_jaccard_pairs_sql(min_jaccard=0.8),

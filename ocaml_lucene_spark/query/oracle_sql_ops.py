@@ -27,6 +27,18 @@ sh AS (
 """
 
 
+def streamed_dedup_sql(n_batches: int = 3) -> str:
+    """Replay of the stateful streaming dedup (first-seen-wins across
+    ordered micro-batches where batch i = docs with doc_id % n == i):
+    canonical per text hash = arg-min over (batch_no, doc_id)."""
+    return f"""
+SELECT arg_min(doc_id, (doc_id % {n_batches}) * 10000000000 + doc_id) AS doc_id,
+       md5(text) AS text_hash
+FROM documents
+GROUP BY md5(text)
+"""
+
+
 def exact_dup_groups_sql() -> str:
     return """
 SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS canonical_doc_id

@@ -170,6 +170,65 @@ class TestStreamingIncremental:
             assert math.isclose(gs, es, rel_tol=1e-9)
 
 
+def test_streaming_stateful_dedup_first_seen_wins(spark, tmp_path_factory):
+    """applyInPandasWithState dedup: across 3 ordered micro-batches,
+    each distinct text survives exactly once with the FIRST batch's
+    min doc_id; later re-deliveries are dropped by per-key state."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocaml_lucene_spark.streaming.dedup_state import streaming_exact_dedup
+
+    src = str(tmp_path_factory.mktemp("dedup_src"))
+    out = str(tmp_path_factory.mktemp("dedup_out"))
+    ckpt = str(tmp_path_factory.mktemp("dedup_ckpt"))
+    batches = [
+        [(0, "alpha text"), (1, "beta text"), (2, "alpha text")],   # 2 dups in-batch
+        [(3, "alpha text"), (4, "gamma text")],                     # cross-batch dup
+        [(5, "beta text"), (6, "delta text"), (7, "gamma text")],
+    ]
+    for i, rows in enumerate(batches):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }
+            ),
+            f"{src}/b{i}.parquet",
+        )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.doc_id, r.text_hash)
+        for r in spark.read.parquet(out).collect()
+    }
+    import hashlib
+
+    def h(t):
+        return hashlib.md5(t.encode()).hexdigest()
+
+    expected = {
+        (0, h("alpha text")),  # min of batch-0 dups; batch-1 redelivery dropped
+        (1, h("beta text")),
+        (4, h("gamma text")),
+        (6, h("delta text")),
+    }
+    assert got == expected, got
+
+
 def test_media_metadata_matches_pure_python_expected(spark):
     """The vectorized header decode equals an independent pure-Python
     struct.unpack oracle over the same blobs (incl. invalid ones)."""
