@@ -382,6 +382,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, _ensure_index(spark, sf, offsets=True), "table"
         )
 
+    def q_highlight(spark, sf):
+        # highlighting surface (rows-only gate like term_offsets: char
+        # offsets are not SQL-expressible): auto-routed BM25 top-k
+        # broadcast-joined with the .pay-stream occurrences of the
+        # query terms inside those k docs; exact pytest oracle in
+        # tests/test_positions.py
+        from ocaml_lucene_spark.query.exec import highlight_topk
+
+        return highlight_topk(
+            spark, _ensure_index(spark, sf, offsets=True), ["table", "dup"],
+            k=5, round_to=4,
+        )
+
     def q_multimodal_metadata(spark, sf):
         # rows-only check (no SQL oracle): synthetic media derived
         # deterministically from doc_ids exercises the binary plumbing
@@ -566,6 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_after_merge": q_bm25_after_merge,
         "bm25_streamed": q_bm25_streamed,
         "term_offsets": q_term_offsets,
+        "highlight_topk": q_highlight,
         "multimodal_metadata": q_multimodal_metadata,
         "dedup_exact": q_dedup_exact,
         "streamed_dedup": q_streamed_dedup,

@@ -440,6 +440,37 @@ def term_offsets(
     return blocks.mapInPandas(decode_occ, "doc_id long, pos long, start long")
 
 
+def highlight_topk(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    k: int = 10,
+    round_to: int | None = None,
+) -> DataFrame:
+    """(doc_id, score, term, pos, start) — the highlighting surface the
+    .pay stream exists for: BM25 top-k (auto-routed plan) joined with
+    every query-term occurrence's token position and char start offset
+    in those k docs. Requires a with_offsets build.
+
+    Plan: top-k (k rows) broadcasts into the offsets scan, so only the
+    k result docs' occurrence rows survive the join — at 100 TB the
+    occurrence side is term-pushdown-pruned blocks, and the broadcast
+    side is k rows."""
+    top = bm25_topk_auto(spark, index_dir, terms, "or", k, round_to=round_to)
+    occ_parts = [
+        term_offsets(spark, index_dir, t).withColumn("term", F.lit(t))
+        for t in dict.fromkeys(terms)
+    ]
+    occ = occ_parts[0]
+    for p in occ_parts[1:]:
+        occ = occ.unionByName(p)
+    return (
+        F.broadcast(top)
+        .join(occ, "doc_id")
+        .select("doc_id", "score", "term", "pos", "start")
+    )
+
+
 def bm25_topk_wand(
     spark: SparkSession,
     index_dir: str,

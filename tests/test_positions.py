@@ -147,6 +147,41 @@ def test_proximity_counts_match_reference(spark, tmp_path_factory):
         assert got_i == expected, (first, second, window, got_i, expected)
 
 
+def test_highlight_topk_matches_offsets_oracle(spark, tmp_path_factory):
+    """highlight_topk = auto-routed top-k x .pay occurrences: for each
+    of the k oracle-top docs, every query-term occurrence appears with
+    the pure-Python tokenizer's char start offset."""
+    from ocaml_lucene_spark.functions.analysis import py_tokenize_with_offsets
+    from ocaml_lucene_spark.query.exec import highlight_topk
+
+    texts = {
+        0: "needle in a stack of hay and another needle",
+        1: "hay hay hay needle",
+        2: "nothing relevant here at all",
+        3: "needle needle needle needle",
+        4: "a single needle among much much longer text " + "filler " * 30,
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    index_dir = str(tmp_path_factory.mktemp("index_hl"))
+    build_index(docs, index_dir, n_partitions=2, with_offsets=True)
+    oracle = OracleIndex.from_texts(texts)
+    k = 3
+    top = oracle.query(["needle", "hay"], "or", k)
+    expected = set()
+    for d, s in top:
+        toks, offs = py_tokenize_with_offsets(texts[d])
+        for p, (t, o) in enumerate(zip(toks, offs)):
+            if t in ("needle", "hay"):
+                expected.add((d, round(s, 4), t, p, o))
+    got = {
+        (r.doc_id, r.score, r.term, r.pos, r.start)
+        for r in highlight_topk(
+            spark, index_dir, ["needle", "hay"], k=k, round_to=4
+        ).collect()
+    }
+    assert got == expected, (sorted(got)[:5], sorted(expected)[:5])
+
+
 def test_positional_index_still_scores(spark, pos_index):
     index_dir, oracle = pos_index
     got = [(r.doc_id, r.score) for r in bm25_topk_indexed(spark, index_dir, ["the"], "or", 5).collect()]
