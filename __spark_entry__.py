@@ -551,6 +551,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_embed_near_dup(spark, sf):
         return ann.embedding_near_dup_pairs(_vecs(spark, sf), min_sim=0.9, n_bits=4)
 
+    def q_embed_near_dup_indexed(spark, sf):
+        # dedup-by-embedding over the persisted bucket-partitioned
+        # layout: the self-join key is the partition key
+        import hashlib
+        import os
+
+        import ocaml_lucene_spark as pkg
+
+        key = hashlib.md5(f"{pkg.__version__}|{sf}|ann4".encode()).hexdigest()[:10]
+        idx = f"/tmp/olspark_entry_ann4_{key}"
+        if not os.path.isdir(idx):
+            ann.build_ann_index(_vecs(spark, sf), idx, n_bits=4)
+        return ann.embedding_near_dup_pairs_indexed(spark, idx, min_sim=0.9)
+
     return {
         "bm25_or_top10": q_bm25_or,
         "bm25_and_top10": q_bm25_and,
@@ -601,6 +615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_ivf_indexed": q_ann_ivf_indexed,
         "embedding_near_dup": q_embed_near_dup,
+        "embedding_near_dup_indexed": q_embed_near_dup_indexed,
     }
 
 
@@ -633,6 +648,9 @@ def oracle_sql() -> dict[str, str]:
             qv, _ivf_kmeans_centroids(sf_for_vec), k=10, n_probe=2
         ),
         "embedding_near_dup": oops.embedding_near_dup_pairs_sql(min_sim=0.9, n_bits=4),
+        "embedding_near_dup_indexed": oops.embedding_near_dup_pairs_sql(
+            min_sim=0.9, n_bits=4
+        ),
     }
     return ops | {
         # the indexed/WAND physical paths must reproduce the same

@@ -377,6 +377,12 @@ def embedding_near_dup_pairs(
         F.col(vec_col).alias("v"),
         signbit_bucket(F.col(vec_col), n_bits).alias("bucket"),
     )
+    return _bucketed_pair_join(b, min_sim)
+
+
+def _bucketed_pair_join(b: DataFrame, min_sim: float) -> DataFrame:
+    """(vec_a, vec_b, sim) self-join of a (vec_id, v, bucket) relation
+    on the bucket key; quadratic only within a bucket."""
     l, r = b.alias("l"), b.alias("r")
     return (
         l.join(r, "bucket")
@@ -388,3 +394,17 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("sim") >= min_sim)
     )
+
+
+def embedding_near_dup_pairs_indexed(
+    spark, index_dir: str, min_sim: float = 0.95
+) -> DataFrame:
+    """embedding_near_dup_pairs over a persisted build_ann_index layout:
+    the self-join key IS the partition key, so each join task reads one
+    bucket directory — dedup-by-embedding as a metadata-pruned scan
+    instead of an on-the-fly bucketing pass (results identical for the
+    same n_bits; gated against the same SQL oracle)."""
+    b = spark.read.parquet(index_dir).select(
+        "vec_id", F.col("embedding").alias("v"), "bucket"
+    )
+    return _bucketed_pair_join(b, min_sim)

@@ -238,6 +238,39 @@ def test_ivf_kmeans_and_persisted_layout(spark, tmp_path_factory):
     assert pf and "cell" in pf.group(1), plan
 
 
+def test_embedding_near_dup_indexed_equals_on_the_fly(spark, tmp_path_factory):
+    """The persisted-layout near-dup join finds the same pairs as the
+    on-the-fly bucketing pass, on data with planted near-duplicates."""
+    import numpy as np
+
+    from ocaml_lucene_spark.operators.ann import (
+        build_ann_index,
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_indexed,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(40, 16)).astype(float)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        if i % 5 == 0:  # planted near-dup: tiny perturbation
+            rows.append((1000 + i, [float(x) for x in v + rng.normal(scale=0.01, size=16)]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    fly = {
+        (r.vec_a, r.vec_b, r.sim)
+        for r in embedding_near_dup_pairs(vecs, min_sim=0.98, n_bits=4).collect()
+    }
+    idx = str(tmp_path_factory.mktemp("ann_nd_idx"))
+    build_ann_index(vecs, idx, n_bits=4)
+    indexed = {
+        (r.vec_a, r.vec_b, r.sim)
+        for r in embedding_near_dup_pairs_indexed(spark, idx, min_sim=0.98).collect()
+    }
+    assert fly == indexed
+    assert len(fly) >= 8  # the planted pairs are found
+
+
 def test_ivf_full_probe_equals_brute_force(spark):
     """Probing every IVF cell degenerates to the exact scan: results
     must equal brute force; fewer probes are a recall/latency dial."""
