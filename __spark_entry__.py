@@ -438,7 +438,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
             ids = t.column("doc_id").to_numpy()
             for i in range(3):
-                pq.write_table(t.filter(pa.array(ids % 3 == i)), f"{src}/b{i}.parquet")
+                p = f"{src}/b{i}.parquet"
+                pq.write_table(t.filter(pa.array(ids % 3 == i)), p)
+                # file source orders batches by mtime: pin strictly
+                # increasing stamps so batch order (and the oracle's
+                # first-seen-wins replay) is deterministic
+                os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
             stream = (
                 spark.readStream.schema("doc_id long, text string")
                 .option("maxFilesPerTrigger", 1)

@@ -188,6 +188,7 @@ def test_streaming_stateful_dedup_first_seen_wins(spark, tmp_path_factory):
         [(5, "beta text"), (6, "delta text"), (7, "gamma text")],
     ]
     for i, rows in enumerate(batches):
+        path = f"{src}/b{i}.parquet"
         pq.write_table(
             pa.table(
                 {
@@ -195,8 +196,12 @@ def test_streaming_stateful_dedup_first_seen_wins(spark, tmp_path_factory):
                     "text": pa.array([r[1] for r in rows], pa.string()),
                 }
             ),
-            f"{src}/b{i}.parquet",
+            path,
         )
+        # the file source orders micro-batches by modification time:
+        # pin strictly increasing mtimes or fast writes tie and the
+        # batch order (hence first-seen-wins) becomes nondeterministic
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
     stream = (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", 1)
