@@ -291,6 +291,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             round_to=4,
         )
 
+    def q_bm25_wand_parallel(spark, sf):
+        # doc-range-parallel WAND: each task prunes within its range and
+        # returns a local top-k; the union's top-k is exact
+        from ocaml_lucene_spark.query.exec import bm25_topk_wand_parallel
+
+        return bm25_topk_wand_parallel(
+            spark, _ensure_index(spark, sf), ["spark", "query", "dup"], "or",
+            10, round_to=4, n_tasks=4,
+        )
+
     def q_bm25_auto(spark, sf):
         # automatic physical-plan selection: sum-of-df from the in-memory
         # FST term dictionary (zero Spark jobs) routes the query to the
@@ -588,6 +598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_indexed_or": q_bm25_indexed_or,
         "bm25_indexed_and": q_bm25_indexed_and,
         "bm25_wand": q_bm25_wand,
+        "bm25_wand_parallel": q_bm25_wand_parallel,
         "bm25_auto": q_bm25_auto,
         "term_stats_fst": q_term_stats_fst,
         "phrase_counts_indexed": q_phrase_counts_indexed,
@@ -664,6 +675,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_indexed_or": osql.bm25_topk_sql(["spark", "query", "dup"], "or", 10),
         "bm25_indexed_and": osql.bm25_topk_sql(["join", "hash", "scan"], "and", 10),
         "bm25_wand": osql.bm25_topk_sql(["spark", "query", "dup"], "or", 10),
+        "bm25_wand_parallel": osql.bm25_topk_sql(["spark", "query", "dup"], "or", 10),
         "bm25_auto": osql.bm25_topk_sql(["table", "dup"], "or", 10),
         "term_stats_fst": osql.term_stats_sql(),
         "bm25_after_merge": osql.bm25_topk_sql(["spark", "query", "dup"], "or", 10),

@@ -315,6 +315,12 @@ def main() -> None:
 
         return bm25_topk_auto(spark, index_dir, rare_hot_terms, "or", 10)
 
+    def q_parallel_hot(_s, _sf):
+        # the scale plan for stopword queries: doc-range-parallel WAND
+        from ocaml_lucene_spark.query.exec import bm25_topk_wand_parallel
+
+        return bm25_topk_wand_parallel(spark, index_dir, hot_terms, "or", 10)
+
     registry = entry.queries()
     bench_queries = {
         "bm25_logical_or": registry["bm25_or_top10"],
@@ -333,6 +339,7 @@ def main() -> None:
         "bm25_indexed_not": q_indexed_not,
         "phrase_indexed": q_phrase_indexed,
         "bm25_auto_rare_hot": q_auto_rare,
+        "bm25_parallel_hot": q_parallel_hot,
     }
 
     # warm up session/JIT/python workers once, untimed

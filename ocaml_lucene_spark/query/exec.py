@@ -617,6 +617,8 @@ def bm25_topk_wand_exec(
 
 
 DEFAULT_WAND_MAX_DF_SUM = 2_000_000
+MIN_RANGE_DOCS = 50_000  # parallel-WAND range floor: below this, local
+# thetas are too weak to prune (measured; see bm25_topk_wand_parallel)
 
 
 def bm25_route(
@@ -627,26 +629,45 @@ def bm25_route(
 ) -> dict:
     """Physical-plan choice for BM25 top-k, decided from the in-memory
     FST term dictionaries with ZERO Spark jobs (query/term_index.py).
+    Three plans, identical results:
 
-    The WAND plan ships every candidate block of the query (and
-    exclude) terms to ONE task — the right shape for the common case
-    (few terms, modest df), and a trap for stopword queries at scale: a
-    100 TB corpus's 'the' posting list must never ride through a single
-    executor. So: sum of df across terms+exclude under
-    ``wand_max_df_sum`` (payload ≈ 2.5 bytes/posting packed) routes to
-    ``bm25_topk_wand_exec``; above it, to ``bm25_topk_indexed``, the
-    distributed exhaustive plan. The reference's analogous per-node
-    strategy dispatch: /root/reference/fst/byte_array_fst_reader.ml:330-342.
+    - ``wand`` (bm25_topk_wand_exec): every candidate block to ONE
+      task. Right when the total payload is small: sum of df across
+      terms+exclude <= ``wand_max_df_sum`` (~2.5 bytes/posting packed).
+      A stopword query at 100 TB must never take this route.
+    - ``parallel`` (bm25_topk_wand_parallel): above the threshold when
+      at least one SCORING term is selective (min df over terms <=
+      threshold) — per-range block-max pruning then approaches the
+      global single-task ratio as ranges grow (range size >> k; see
+      the range-sizing note on the plan), with per-task memory bounded
+      to one range's blocks.
+    - ``indexed`` (bm25_topk_indexed): above the threshold with NO
+      selective term (all-stopword query). Pruning is then provably
+      hopeless (every block holds a top-k contender — measured ~100%
+      decode floor), so the vectorized exhaustive scan wins: decode
+      everything with C-speed kernels rather than walk every doc
+      through the pivot loop.
+
+    The reference's analogous per-node strategy dispatch:
+    /root/reference/fst/byte_array_fst_reader.ml:330-342.
     """
     from .term_index import seek_exact_mem
 
     df_sum = 0
+    min_df = None
     for t in dict.fromkeys(list(terms) + list(exclude or [])):
         hit = seek_exact_mem(index_dir, t)
-        if hit is not None:
-            df_sum += hit["doc_freq"]
-    plan = "wand" if df_sum <= wand_max_df_sum else "indexed"
-    return {"plan": plan, "df_sum": df_sum}
+        df = hit["doc_freq"] if hit is not None else 0
+        df_sum += df
+        if t in terms:
+            min_df = df if min_df is None else min(min_df, df)
+    if df_sum <= wand_max_df_sum:
+        plan = "wand"
+    elif min_df is not None and min_df <= wand_max_df_sum:
+        plan = "parallel"
+    else:
+        plan = "indexed"
+    return {"plan": plan, "df_sum": df_sum, "min_df": min_df}
 
 
 def bm25_topk_auto(
@@ -661,10 +682,10 @@ def bm25_topk_auto(
     decision: dict | None = None,
 ) -> DataFrame:
     """One BM25 entry point with automatic physical-plan selection (see
-    bm25_route). Both plans return identical results (each is gated
-    against the same SQL oracle), so routing is purely physical.
-
-    decision: optional dict that receives {"plan", "df_sum"}."""
+    bm25_route: wand / parallel / indexed). All plans return identical
+    results (each is gated against the same SQL oracle), so routing is
+    purely physical. decision: optional dict receiving
+    {"plan", "df_sum", "min_df"}."""
     route = bm25_route(index_dir, terms, exclude, wand_max_df_sum)
     if decision is not None:
         decision.update(route)
@@ -672,9 +693,135 @@ def bm25_topk_auto(
         return bm25_topk_wand_exec(
             spark, index_dir, terms, mode, k, round_to=round_to, exclude=exclude
         )
+    if route["plan"] == "parallel":
+        return bm25_topk_wand_parallel(
+            spark, index_dir, terms, mode, k, round_to=round_to, exclude=exclude
+        )
     return bm25_topk_indexed(
         spark, index_dir, terms, mode, k, round_to=round_to, exclude=exclude
     )
+
+
+def bm25_topk_wand_parallel(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    mode: str = "or",
+    k: int = 10,
+    round_to: int | None = None,
+    exclude: list[str] | None = None,
+    n_tasks: int | None = None,
+    metrics: dict | None = None,
+) -> DataFrame:
+    """Doc-range-PARALLEL block-max WAND: the scale path for hot term
+    sets, sitting between the single-task WAND (best for small
+    candidate sets) and the distributed exhaustive scan (no pruning).
+
+    The doc space is cut into ``n_tasks`` contiguous ranges; every
+    candidate block ships to each range its [first_doc, last_doc]
+    intersects (hot/salted blocks are narrow — ~1 range each; only
+    rare terms' wide blocks replicate). Each task runs the full pruning
+    WAND clipped to its range (min_doc/max_doc: forward-only iterators
+    make the clip exact with no per-posting filtering) and returns its
+    LOCAL top-k; ranges partition the doc space, so every doc is scored
+    by exactly one task and the global top-k is the top-k of the union
+    (one tiny final sort over n_tasks*k rows). Per-task memory is the
+    blocks of one doc range — bounded however hot the query is.
+
+    Range sizing: each range seeds its own theta, so pruning quality
+    scales with docs-per-range (measured on the 100k-doc bench corpus,
+    hot+mid query: 50k-doc ranges decode 55%, 6k-doc ranges 98%, the
+    global single task 37%). Default n_tasks therefore targets at
+    least MIN_RANGE_DOCS docs per range, capped by the cluster's
+    parallelism — at 10^12 docs the cap binds and ranges are huge, so
+    per-range pruning approaches the global ratio."""
+    from collections import namedtuple
+
+    terms = list(dict.fromkeys(terms))
+    exclude = list(dict.fromkeys(exclude or []))
+    stats = global_stats(index_dir)
+    dfs = term_dfs(spark, index_dir, terms)
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    if not terms or all(t not in dfs for t in terms):
+        return empty
+    if mode == "and" and any(t not in dfs for t in terms):
+        return empty
+    avgdl = stats["avgdl"]
+    idfs = {t: idf(stats["n_docs"], dfs.get(t, 0)) for t in terms}
+    require = set(terms) if mode == "and" else None
+
+    blocks = _postings_df(spark, index_dir, terms + exclude).select(
+        "term", "block_no", "first_doc", "last_doc", "max_tf", "min_dl",
+        "ub_tfs", "ub_dls", "doc_bytes", "tf_bytes", "dl_bytes",
+    )
+    # doc-span bounds from block METADATA only (payloads pruned)
+    b_lo, b_hi = blocks.agg(F.min("first_doc"), F.max("last_doc")).first()
+    if b_lo is None:
+        return empty
+    lo, hi = int(b_lo), int(b_hi)
+    span = hi - lo + 1
+    if n_tasks is None:
+        n_tasks = min(
+            spark.sparkContext.defaultParallelism,
+            max(1, span // MIN_RANGE_DOCS),
+        )
+    n_tasks = max(1, min(n_tasks, span))
+    width = -(-span // n_tasks)  # ceil
+    rid_first = F.floor((F.col("first_doc") - lo) / width).cast("int")
+    rid_last = F.floor((F.col("last_doc") - lo) / width).cast("int")
+    fanned = blocks.withColumn(
+        "rid", F.explode(F.sequence(rid_first, rid_last))
+    )
+
+    acc_decoded = spark.sparkContext.accumulator(0)
+    acc_total = spark.sparkContext.accumulator(0)
+    if metrics is not None:
+        metrics["_acc"] = (acc_decoded, acc_total)
+
+    Blk = namedtuple(
+        "Blk",
+        "term block_no first_doc last_doc max_tf min_dl ub_tfs ub_dls "
+        "doc_bytes tf_bytes dl_bytes",
+    )
+    inc_set, exc_set = set(terms), set(exclude)
+
+    def run_range(pdf):
+        rid = int(pdf["rid"].iloc[0])
+        rows = [
+            Blk(*t)
+            for t in zip(
+                pdf["term"], pdf["block_no"], pdf["first_doc"], pdf["last_doc"],
+                pdf["max_tf"], pdf["min_dl"], pdf["ub_tfs"], pdf["ub_dls"],
+                pdf["doc_bytes"], pdf["tf_bytes"], pdf["dl_bytes"],
+            )
+        ]
+        lists = build_posting_lists(
+            [r for r in rows if r.term in inc_set], idfs, avgdl
+        )
+        xlists = build_posting_lists(
+            [r for r in rows if r.term in exc_set],
+            {t: 0.0 for t in exc_set},
+            avgdl,
+        )
+        out, m = block_max_wand(
+            lists, k, require_all_terms=require, round_to=round_to,
+            exclude_lists=xlists or None,
+            min_doc=lo + rid * width,
+            max_doc=min(lo + (rid + 1) * width - 1, hi),
+        )
+        acc_decoded.add(int(m["decoded_blocks"]))
+        acc_total.add(int(m["total_blocks"]))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([d for d, _ in out], dtype="int64"),
+                "score": pd.Series([s for _, s in out], dtype="float64"),
+            }
+        )
+
+    locals_topk = fanned.groupBy("rid").applyInPandas(
+        run_range, "doc_id long, score double"
+    )
+    return locals_topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
 def wand_metrics_value(metrics: dict) -> dict:

@@ -212,8 +212,17 @@ def block_max_wand(
     require_all_terms: set[str] | None = None,
     round_to: int | None = None,
     exclude_lists: list[PostingList] | None = None,
+    min_doc: int = 0,
+    max_doc: int | None = None,
 ) -> tuple[list[tuple[int, float]], dict]:
     """Exact top-k [(doc_id, score)] over posting lists.
+
+    min_doc/max_doc restrict the sweep to docIDs in [min_doc, max_doc]:
+    iterators advance (lazily, no decode) to min_doc up front and the
+    sweep stops at the first pivot beyond max_doc — the doc-range clip
+    behind the parallel WAND plan (exec.bm25_topk_wand_parallel), where
+    each task owns one range of a partition of the doc space and local
+    exactness per range makes the merged union exact.
 
     require_all_terms: conjunctive mode — results must hit every term in
     the set (a term may be represented by several salt-shard lists).
@@ -243,6 +252,10 @@ def block_max_wand(
         covered = {pl.term for pl in lists}
         if not (covered >= require_all_terms):
             return [], {"decoded_blocks": 0, "total_blocks": 0, "n_lists": len(lists)}
+
+    if min_doc:
+        for pl in lists + (exclude_lists or []):
+            pl.advance_to(min_doc)  # lazy: whole-block metadata skips only
 
     # ---- theta seeding -------------------------------------------------
     # The doc-id-ordered sweep wastes evaluations while theta warms up
@@ -284,11 +297,16 @@ def block_max_wand(
         s_exc = [_clone(pl) for pl in (exclude_lists or [])]
         src = _clone(seed_src)
         seed_lists = s_lists + s_exc + [src]
+        if min_doc:
+            for pl in seed_lists:
+                pl.advance_to(min_doc)
         for _ in range(k):
             src.resolve()
             if src.exhausted():
                 break
             d = src.current_doc()
+            if max_doc is not None and d > max_doc:
+                break
             score = 0.0
             hit = set()
             for pl in s_lists:
@@ -330,6 +348,8 @@ def block_max_wand(
                     break
         if pivot_pl is None:
             break
+        if max_doc is not None and pivot_pl.current_doc() > max_doc:
+            break  # even the lazy lower bound is past the range: done
         if not pivot_pl.is_exact():
             # the pivot must be a REAL doc before anything hinges on it:
             # resolve (one block decode) and re-select — the exact
@@ -337,7 +357,7 @@ def block_max_wand(
             pivot_pl.resolve()
             continue
         pivot_doc = pivot_pl.current_doc()
-        if pivot_doc >= INF_DOC:
+        if pivot_doc >= INF_DOC or (max_doc is not None and pivot_doc > max_doc):
             break
         if pivot_doc in seen:
             # already fully evaluated by the seed pass (same deterministic

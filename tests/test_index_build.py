@@ -294,14 +294,17 @@ def test_bm25_auto_routing(spark, built):
     hot = [ranked[0][0], ranked[1][0]]
     rare = [ranked[-1][0]]
 
+    # all terms hot -> pruning provably hopeless -> exhaustive scan
     dec: dict = {}
     got_hot = bm25_topk_auto(
         spark, index_dir, hot, "or", 10, wand_max_df_sum=10, decision=dec
     )
     assert dec["plan"] == "indexed" and dec["df_sum"] > 10, dec
+    assert dec["min_df"] > 10, dec
     expected = oracle.query(hot, "or", 10)
     assert [r.doc_id for r in got_hot.collect()] == [d for d, _ in expected]
 
+    # small total payload -> single-task WAND
     dec2: dict = {}
     got_rare = bm25_topk_auto(
         spark, index_dir, rare, "or", 10, wand_max_df_sum=10**9, decision=dec2
@@ -310,13 +313,67 @@ def test_bm25_auto_routing(spark, built):
     expected2 = oracle.query(rare, "or", 10)
     assert [r.doc_id for r in got_rare.collect()] == [d for d, _ in expected2]
 
-    # exclude terms count toward the single-task payload
+    # over the payload threshold (exclude terms count toward it) but
+    # with a selective scoring term -> doc-range-parallel WAND
     dec3: dict = {}
-    bm25_topk_auto(
-        spark, index_dir, rare, "or", 10, exclude=[hot[0]],
+    got_mix = bm25_topk_auto(
+        spark, index_dir, rare + [hot[0]], "or", 10, exclude=[hot[1]],
         wand_max_df_sum=10, decision=dec3,
-    ).collect()
-    assert dec3["plan"] == "indexed", dec3
+    )
+    assert dec3["plan"] == "parallel", dec3
+    banned = set(oracle.postings.get(hot[1], {}))
+    full = oracle.query(rare + [hot[0]], "or", oracle.n_docs)
+    exp_mix = [(d, s) for d, s in full if d not in banned][:10]
+    assert [r.doc_id for r in got_mix.collect()] == [d for d, _ in exp_mix]
+
+
+def test_wand_parallel_rank_identity(spark, built):
+    """Doc-range-parallel WAND: exact top-k for OR / AND / NOT, for any
+    task count (incl. more tasks than doc span slices)."""
+    from ocaml_lucene_spark.query.exec import bm25_topk_wand_parallel
+
+    index_dir, _, oracle = built
+    ranked = sorted(oracle.term_stats().items(), key=lambda kv: -kv[1][0])
+    hot = [ranked[0][0], ranked[1][0], ranked[5][0]]
+    for n_tasks in (1, 3, 8):
+        got = [
+            (r.doc_id, r.score)
+            for r in bm25_topk_wand_parallel(
+                spark, index_dir, hot, "or", 10, n_tasks=n_tasks
+            ).collect()
+        ]
+        expected = oracle.query(hot, "or", 10)
+        assert [d for d, _ in got] == [d for d, _ in expected], (n_tasks, got[:3])
+        for (_, gs), (_, es) in zip(got, expected):
+            assert math.isclose(gs, es, rel_tol=1e-9)
+    # AND + NOT through the parallel plan
+    inc = [ranked[2][0], ranked[4][0]]
+    exc = [ranked[9][0]]
+    banned = set()
+    for t in exc:
+        banned |= set(oracle.postings.get(t, {}))
+    full = oracle.query(inc, "or", oracle.n_docs)
+    exp_not = [(d, s) for d, s in full if d not in banned][:10]
+    got_not = [
+        (r.doc_id, r.score)
+        for r in bm25_topk_wand_parallel(
+            spark, index_dir, inc, "or", 10, exclude=exc, n_tasks=4
+        ).collect()
+    ]
+    assert [d for d, _ in got_not] == [d for d, _ in exp_not]
+    exp_and = oracle.query(inc, "and", 10)
+    got_and = [
+        (r.doc_id, r.score)
+        for r in bm25_topk_wand_parallel(
+            spark, index_dir, inc, "and", 10, n_tasks=4
+        ).collect()
+    ]
+    assert [d for d, _ in got_and] == [d for d, _ in exp_and]
+    # absent-term edges
+    from ocaml_lucene_spark.query.exec import bm25_topk_wand_parallel as p
+
+    assert p(spark, index_dir, ["zzznope"], "or", 5).count() == 0
+    assert p(spark, index_dir, [inc[0], "zzznope"], "and", 5).count() == 0
 
 
 def test_not_clause_overlapping_exclude(spark, built):

@@ -223,6 +223,37 @@ def test_wand_combined_stress_fuzz():
             )
 
 
+def test_wand_range_split_union_fuzz():
+    """min_doc/max_doc clipping (the parallel-plan primitive): running
+    WAND per doc range over FRESH iterators and merging the local
+    top-ks reproduces the global oracle top-k for any range count."""
+    rng = random.Random(777)
+    vocab = list("abcdef")
+    for trial in range(40):
+        n_docs = rng.randint(150, 450)
+        oracle = random_corpus(rng, n_docs, vocab)
+        terms = rng.sample(vocab, rng.randint(1, 3))
+        mode = rng.choice(["or", "or", "and"])
+        k = rng.choice([5, 10])
+        n_ranges = rng.choice([1, 2, 3, 7])
+        require = set(terms) if mode == "and" else None
+        width = -(-n_docs // n_ranges)
+        merged = []
+        for r in range(n_ranges):
+            lists = lists_from_oracle(oracle, terms, rng.choice([1, 2]))
+            out, m = block_max_wand(
+                lists, k, require_all_terms=require,
+                min_doc=r * width, max_doc=min((r + 1) * width - 1, n_docs - 1),
+            )
+            assert all(
+                r * width <= d <= (r + 1) * width - 1 for d, _ in out
+            ), (trial, r, out)
+            merged.extend(out)
+        merged.sort(key=lambda x: (-x[1], x[0]))
+        expected = oracle.query(terms, mode, k)
+        _assert_matches(merged[:k], expected, (trial, terms, mode, k, n_ranges))
+
+
 def test_wand_exclusion_overlapping_terms_fuzz():
     """inc ∩ exc non-empty (the round-2 ADVICE shape): exclusion is a
     pure doc filter, so a term that is both scored and excluded must
