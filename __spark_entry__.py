@@ -326,6 +326,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "term string, df long, ttf long",
         )
 
+    def q_bm25_prefix(spark, sf):
+        # PrefixQuery: FST prefix scan expands 's' -> matching terms
+        # (zero Spark jobs), then auto-routed disjunctive BM25; the SQL
+        # oracle expands independently via LIKE 's%'
+        from ocaml_lucene_spark.query.exec import bm25_topk_prefix
+
+        return bm25_topk_prefix(
+            spark, _ensure_index(spark, sf), "s", k=10, round_to=4
+        )
+
+    def q_term_stats_prefix(spark, sf):
+        # terms-dict prefix/range read from the in-memory FST
+        from ocaml_lucene_spark.query.exec import term_stats_prefix
+
+        return term_stats_prefix(spark, _ensure_index(spark, sf), "s")
+
     def q_bm25_after_merge(spark, sf):
         # full pipeline witness: 3 segments -> tiered merge -> 1 segment;
         # results must equal the logical path's SQL oracle exactly
@@ -600,7 +616,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_wand": q_bm25_wand,
         "bm25_wand_parallel": q_bm25_wand_parallel,
         "bm25_auto": q_bm25_auto,
+        "bm25_prefix": q_bm25_prefix,
         "term_stats_fst": q_term_stats_fst,
+        "term_stats_prefix": q_term_stats_prefix,
         "phrase_counts_indexed": q_phrase_counts_indexed,
         "phrase3_counts": q_phrase3_counts,
         "phrase3_counts_indexed": q_phrase3_counts_indexed,
@@ -677,7 +695,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_wand": osql.bm25_topk_sql(["spark", "query", "dup"], "or", 10),
         "bm25_wand_parallel": osql.bm25_topk_sql(["spark", "query", "dup"], "or", 10),
         "bm25_auto": osql.bm25_topk_sql(["table", "dup"], "or", 10),
+        "bm25_prefix": osql.bm25_topk_prefix_sql("s", 10),
         "term_stats_fst": osql.term_stats_sql(),
+        "term_stats_prefix": osql.term_stats_prefix_sql("s"),
         "bm25_after_merge": osql.bm25_topk_sql(["spark", "query", "dup"], "or", 10),
         "bm25_streamed": osql.bm25_topk_sql(["spark", "query", "dup"], "or", 10),
         "bm25_or_top10": osql.bm25_topk_sql(["spark", "query", "dup"], "or", 10),

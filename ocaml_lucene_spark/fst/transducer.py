@@ -201,5 +201,37 @@ class Fst:
 
         yield from walk(self.root, b"", self.out.empty)
 
+    def prefix_items(self, prefix: bytes):
+        """(key, output) pairs for every accepted key starting with
+        ``prefix``, in ascending byte order — the terms-dictionary
+        prefix scan (Lucene PrefixQuery's rewrite source): walk the
+        prefix arcs accumulating output, then enumerate the subtree."""
+        addr = self.root
+        acc = self.out.empty
+        for b in prefix:
+            _, _, arcs = self._read_node(addr)
+            hit = None
+            for label, output, target in arcs:  # arcs sorted by label
+                if label == b:
+                    hit = (output, target)
+                    break
+                if label > b:
+                    break
+            if hit is None:
+                return
+            acc = self.out.add(acc, hit[0])
+            addr = hit[1]
+
+        def walk(a: int, suffix: bytes, out_acc):
+            final, final_output, arcs = self._read_node(a)
+            if final:
+                yield prefix + suffix, self.out.add(out_acc, final_output)
+            for label, output, target in arcs:
+                yield from walk(
+                    target, suffix + bytes([label]), self.out.add(out_acc, output)
+                )
+
+        yield from walk(addr, b"", acc)
+
     def num_bytes(self) -> int:
         return len(self.data)

@@ -824,6 +824,46 @@ def bm25_topk_wand_parallel(
     return locals_topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def bm25_topk_prefix(
+    spark: SparkSession,
+    index_dir: str,
+    prefix: str,
+    k: int = 10,
+    round_to: int | None = None,
+    wand_max_df_sum: int = DEFAULT_WAND_MAX_DF_SUM,
+) -> DataFrame:
+    """PrefixQuery: expand ``prefix`` to its matching terms via the
+    in-memory FST prefix scan (zero Spark jobs, like Lucene's
+    MultiTermQuery rewrite against the terms dictionary), then run the
+    auto-routed disjunctive BM25 over the expansion (each matched term
+    keeps its own idf — boolean-rewrite semantics)."""
+    from .term_index import prefix_stats_mem
+
+    terms = sorted(prefix_stats_mem(index_dir, prefix))
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    return bm25_topk_auto(
+        spark, index_dir, terms, "or", k, round_to=round_to,
+        wand_max_df_sum=wand_max_df_sum,
+    )
+
+
+def term_stats_prefix(
+    spark: SparkSession, index_dir: str, prefix: str
+) -> DataFrame:
+    """(term, df, ttf) for every term starting with ``prefix``, served
+    from the in-memory FST prefix scan — the terms-dict range/prefix
+    read (Lucene floor-block walk semantics), zero Spark jobs for the
+    lookup."""
+    from .term_index import prefix_stats_mem
+
+    stats = prefix_stats_mem(index_dir, prefix)
+    return spark.createDataFrame(
+        [(t, int(df), int(ttf)) for t, (df, ttf) in sorted(stats.items())],
+        "term string, df long, ttf long",
+    )
+
+
 def wand_metrics_value(metrics: dict) -> dict:
     """Resolve accumulator-backed metrics after an action has run."""
     dec, tot = metrics.pop("_acc", (None, None))

@@ -72,6 +72,50 @@ LIMIT {k}
 """
 
 
+def bm25_topk_prefix_sql(prefix: str, k: int = 10, round_to: int = 4) -> str:
+    """PrefixQuery oracle: the term filter is LIKE '<prefix>%' — the
+    expansion happens independently inside SQL, checking the engine's
+    FST-driven rewrite end to end."""
+    pq = prefix.replace("'", "''")
+    return f"""
+WITH {TOKS_CTE},
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM base),
+tf AS (
+  SELECT doc_id, term, dl, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(t) AS term FROM base)
+  WHERE term LIKE '{pq}%'
+  GROUP BY doc_id, term, dl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n - df + 0.5) / (df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl)) AS sc
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+)
+SELECT doc_id, round(sum(sc), {round_to}) AS score
+FROM scored
+GROUP BY doc_id
+ORDER BY round(sum(sc), {round_to}) DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def term_stats_prefix_sql(prefix: str) -> str:
+    pq = prefix.replace("'", "''")
+    return f"""
+WITH {TOKS_CTE},
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM base)
+  WHERE term LIKE '{pq}%'
+  GROUP BY doc_id, term
+)
+SELECT term, count(*) AS df, sum(tf)::BIGINT AS ttf
+FROM tf GROUP BY term
+"""
+
+
 def term_postings_sql(term: str) -> str:
     return f"""
 WITH {TOKS_CTE}

@@ -120,6 +120,26 @@ def all_stats_mem(index_dir: str) -> dict[str, tuple[int, int]]:
     return out
 
 
+def prefix_stats_mem(index_dir: str, prefix: str) -> dict[str, tuple[int, int]]:
+    """term -> (df, ttf) for every term starting with ``prefix``,
+    aggregated across live segments — the PrefixQuery expansion, served
+    from the in-memory FSTs with zero Spark jobs (an absent prefix is
+    answered instantly, like absent exact terms)."""
+    out: dict[str, tuple[int, int]] = {}
+    p = prefix.encode("utf-8")
+    for row in seg.list_segments(index_dir):
+        ti = load_term_index(index_dir, row["segment"])
+        for key, ordinal in ti.fst.prefix_items(p):
+            term = key.decode("utf-8")
+            df, ttf = int(ti.dfs[ordinal]), int(ti.ttfs[ordinal])
+            if term in out:
+                pdf, pttf = out[term]
+                out[term] = (pdf + df, pttf + ttf)
+            else:
+                out[term] = (df, ttf)
+    return out
+
+
 def seek_exact_mem(index_dir: str, term: str) -> dict | None:
     """seek_exact served purely from in-memory term dictionaries:
     aggregates (df, ttf) across live segments; None (no Spark job at

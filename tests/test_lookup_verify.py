@@ -111,6 +111,41 @@ def test_fst_all_stats_enumeration_zero_jobs(spark, built):
     assert set(tracker.getJobIdsForGroup(None)) == before
 
 
+def test_fst_prefix_scan(spark, built):
+    """prefix_items enumerates exactly the keys under a prefix in byte
+    order (incl. the prefix itself when it is a term); absent prefixes
+    yield nothing; prefix_stats_mem launches no Spark jobs."""
+    from ocaml_lucene_spark.fst.transducer import FstBuilder
+    from ocaml_lucene_spark.query.term_index import prefix_stats_mem
+
+    keys = sorted(["s", "scan", "scans", "sort", "tab", "table", "tables"])
+    b = FstBuilder()
+    for i, k in enumerate(keys):
+        b.add(k.encode(), i)
+    fst = b.finish()
+    for prefix, want in (
+        (b"s", ["s", "scan", "scans", "sort"]),
+        (b"scan", ["scan", "scans"]),
+        (b"tab", ["tab", "table", "tables"]),
+        (b"tables", ["tables"]),
+        (b"z", []),
+        (b"scanner", []),
+        (b"", keys),
+    ):
+        got = [(k.decode(), o) for k, o in fst.prefix_items(prefix)]
+        assert [k for k, _ in got] == want, (prefix, got)
+        for k, o in got:
+            assert o == keys.index(k)
+
+    index_dir, oracle = built
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    stats = prefix_stats_mem(index_dir, "s")
+    assert set(tracker.getJobIdsForGroup(None)) == before
+    expected = {t: v for t, v in oracle.term_stats().items() if t.startswith("s")}
+    assert stats == expected
+
+
 def test_fst_term_index_cache_invalidates_on_rebuild(spark, tmp_path_factory):
     """Round-2 ADVICE: rebuilding a segment in place must not serve
     stale df/ttf from the cached TermIndex (cache key carries a terms-
