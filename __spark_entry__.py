@@ -168,6 +168,23 @@ def _ivf_centroids(sf_dir: str, k: int = 4) -> list[list[float]]:
     return [list(v) for _, v in rows[:k]]
 
 
+def _needs_build(path: str, marker: str = "_SUCCESS") -> bool:
+    """True if ``path`` must be (re)built: missing, or missing its
+    completion marker — a process killed mid-write leaves a partial
+    directory that would otherwise be served forever. Partial dirs are
+    wiped here (the same wipe-and-rebuild self-heal as
+    _ensure_merged_index). Spark parquet writes commit _SUCCESS;
+    streaming sinks use an explicit marker written after
+    awaitTermination."""
+    import os
+    import shutil
+
+    if os.path.exists(os.path.join(path, marker)):
+        return False
+    shutil.rmtree(path, ignore_errors=True)
+    return True
+
+
 _KMEANS_CACHE: dict[tuple, list[list[float]]] = {}
 
 
@@ -458,7 +475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         key = hashlib.md5(f"{pkg.__version__}|{sf}|sdedup".encode()).hexdigest()[:10]
         base = f"/tmp/olspark_entry_sdedup_{key}"
         out = os.path.join(base, "out")
-        if not os.path.isdir(out):
+        if _needs_build(base, marker="_done"):
             src, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
             os.makedirs(src, exist_ok=True)
             t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
@@ -484,6 +501,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .start()
             )
             q.awaitTermination()
+            with open(os.path.join(base, "_done"), "w") as f:
+                f.write("ok")
         return spark.read.parquet(out).select("doc_id", "text_hash")
 
     def q_dedup_exact(spark, sf):
@@ -547,7 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         key = hashlib.md5(f"{pkg.__version__}|{sf}|ann".encode()).hexdigest()[:10]
         idx = f"/tmp/olspark_entry_ann_{key}"
-        if not os.path.isdir(idx):
+        if _needs_build(idx):
             ann.build_ann_index(_vecs(spark, sf), idx, n_bits=8)
         return ann.lsh_topk_indexed(spark, idx, _query_vec(sf), k=10, n_bits=8)
 
@@ -575,7 +594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cents = _ivf_kmeans_centroids(sf)
         key = hashlib.md5(f"{pkg.__version__}|{sf}|ivf".encode()).hexdigest()[:10]
         idx = f"/tmp/olspark_entry_ivf_{key}"
-        if not os.path.isdir(idx):
+        if _needs_build(idx):
             ann.build_ivf_index(_vecs(spark, sf), idx, cents)
         return ann.ivf_topk_indexed(spark, idx, _query_vec(sf), cents, k=10, n_probe=2)
 
@@ -592,7 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         key = hashlib.md5(f"{pkg.__version__}|{sf}|ann4".encode()).hexdigest()[:10]
         idx = f"/tmp/olspark_entry_ann4_{key}"
-        if not os.path.isdir(idx):
+        if _needs_build(idx):
             ann.build_ann_index(_vecs(spark, sf), idx, n_bits=4)
         return ann.embedding_near_dup_pairs_indexed(spark, idx, min_sim=0.9)
 

@@ -309,14 +309,18 @@ def phrase_counts_indexed_multi(
 
 
 def _block_ub(r, w: float, avgdl: float) -> float:
-    """Per-block score upper bound: idf * exact block-max tf-norm from
-    the stored pareto (tf, dl) frontier; rows from a pre-0.4 layout
-    (no frontier columns) fall back to the conservative
-    tfn(max_tf, min_dl) pairing."""
+    """Per-block score upper bound: exact block-max score from the
+    stored pareto (tf, dl) frontier, computed with the SAME float
+    association as the decoded posting scores (see frontier_ub). Rows
+    constructed without the frontier columns (direct PostingList test
+    fixtures; NOT on-disk pre-0.4 segments — those fail the column
+    select before reaching here) fall back to the conservative
+    tfn(max_tf, min_dl) pairing, padded by one ulp for the same
+    association-safety reason."""
     tfs = getattr(r, "ub_tfs", None)
     if tfs is not None and len(tfs):
-        return w * frontier_ub(tfs, r.ub_dls, avgdl)
-    return w * tfn_ub(r.max_tf, r.min_dl, avgdl)
+        return frontier_ub(tfs, r.ub_dls, avgdl, idf=w)
+    return float(np.nextafter(w * tfn_ub(r.max_tf, r.min_dl, avgdl), np.inf))
 
 
 def proximity_counts_indexed(
@@ -510,7 +514,7 @@ def bm25_topk_wand(
     require = set(terms) if mode == "and" else None
     return block_max_wand(
         lists, k, require_all_terms=require, round_to=round_to,
-        exclude_lists=xlists or None,
+        exclude_lists=xlists or None, term_order=terms,
     )
 
 
@@ -598,7 +602,7 @@ def bm25_topk_wand_exec(
         )
         out, m = block_max_wand(
             lists, k, require_all_terms=require, round_to=round_to,
-            exclude_lists=xlists or None,
+            exclude_lists=xlists or None, term_order=terms,
         )
         acc_decoded.add(int(m["decoded_blocks"]))
         acc_total.add(int(m["total_blocks"]))
@@ -659,7 +663,10 @@ def bm25_route(
         hit = seek_exact_mem(index_dir, t)
         df = hit["doc_freq"] if hit is not None else 0
         df_sum += df
-        if t in terms:
+        # absent scoring terms (df 0) are NOT selective: they seed no
+        # theta, so they must not pull a stopword query onto a pruning
+        # plan whose pruning would be at its floor
+        if t in terms and df > 0:
             min_df = df if min_df is None else min(min_df, df)
     if df_sum <= wand_max_df_sum:
         plan = "wand"
@@ -805,7 +812,7 @@ def bm25_topk_wand_parallel(
         )
         out, m = block_max_wand(
             lists, k, require_all_terms=require, round_to=round_to,
-            exclude_lists=xlists or None,
+            exclude_lists=xlists or None, term_order=terms,
             min_doc=lo + rid * width,
             max_doc=min(lo + (rid + 1) * width - 1, hi),
         )

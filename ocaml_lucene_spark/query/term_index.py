@@ -103,21 +103,9 @@ def all_stats_mem(index_dir: str) -> dict[str, tuple[int, int]]:
     aggregated across live segments — the decode_metadata surface
     (reference terms_enumerator.ml:172-196) answered without a Spark
     job. Vocabulary is Heaps-law bounded, so this is a driver/executor-
-    memory-sized object even for very large corpora."""
-    out: dict[str, tuple[int, int]] = {}
-    for row in seg.list_segments(index_dir):
-        ti = load_term_index(index_dir, row["segment"])
-        # ordinal i corresponds to the i-th key in FST byte order; walk
-        # the aligned arrays via the FST's key iterator
-        for term_bytes, ordinal in ti.fst.items():
-            term = term_bytes.decode("utf-8")
-            df, ttf = int(ti.dfs[ordinal]), int(ti.ttfs[ordinal])
-            if term in out:
-                pdf, pttf = out[term]
-                out[term] = (pdf + df, pttf + ttf)
-            else:
-                out[term] = (df, ttf)
-    return out
+    memory-sized object even for very large corpora. (= the empty-
+    prefix scan: prefix_items(b'') enumerates the whole FST.)"""
+    return prefix_stats_mem(index_dir, "")
 
 
 def prefix_stats_mem(index_dir: str, prefix: str) -> dict[str, tuple[int, int]]:

@@ -34,16 +34,22 @@ def tfn_ub(max_tf: float, min_dl: float, avgdl: float) -> float:
     return max_tf * (K1 + 1.0) / (max_tf + K1 * (1.0 - B + B * min_dl / avgdl))
 
 
-def frontier_ub(tfs, dls, avgdl: float) -> float:
-    """EXACT block-max tf-norm from the stored pareto frontier of
-    (tf, dl) posting pairs: max_j tfn(tf_j, dl_j, avgdl). Strictly
+def frontier_ub(tfs, dls, avgdl: float, idf: float = 1.0) -> float:
+    """EXACT block-max score bound from the stored pareto frontier of
+    (tf, dl) posting pairs: max_j idf·tfn(tf_j, dl_j, avgdl). Strictly
     tighter than tfn_ub(max_tf, min_dl) whenever the block's max tf and
     min dl come from different postings (the common case for hot terms,
-    where the naive pairing over-bounds and defeats pruning)."""
+    where the naive pairing over-bounds and defeats pruning).
+
+    The expression below is ASSOCIATED identically to the decoded
+    per-posting scores in PostingList._decode (idf * tf * (K1+1) / den,
+    left-to-right) — because the frontier bound is frequently EXACTLY
+    equal to a real posting's score, a different float association
+    could land 1 ulp *under* it and prune a boundary-tied doc."""
     tf = np.asarray(tfs, dtype=np.float64)
     dl = np.asarray(dls, dtype=np.float64)
     return float(
-        (tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))).max()
+        (idf * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))).max()
     )
 
 
@@ -214,8 +220,15 @@ def block_max_wand(
     exclude_lists: list[PostingList] | None = None,
     min_doc: int = 0,
     max_doc: int | None = None,
+    term_order: list[str] | None = None,
 ) -> tuple[list[tuple[int, float]], dict]:
     """Exact top-k [(doc_id, score)] over posting lists.
+
+    term_order: the QUERY's term order — per-doc scores fold in this
+    order (default: first appearance in ``lists``), matching the
+    engine-wide _query_order_sum contract so a doc's float sum is
+    bit-identical across every physical plan and tie-breaks agree at
+    rounded k-boundaries.
 
     min_doc/max_doc restrict the sweep to docIDs in [min_doc, max_doc]:
     iterators advance (lazily, no decode) to min_doc up front and the
@@ -252,6 +265,20 @@ def block_max_wand(
         covered = {pl.term for pl in lists}
         if not (covered >= require_all_terms):
             return [], {"decoded_blocks": 0, "total_blocks": 0, "n_lists": len(lists)}
+
+    fold_order = list(
+        dict.fromkeys(term_order if term_order is not None else [pl.term for pl in lists])
+    )
+
+    def fold_score(parts: dict[str, float]) -> float:
+        """Left fold of the per-term contributions in query-term order
+        — the float-determinism contract shared with _query_order_sum."""
+        score = 0.0
+        for t in fold_order:
+            s = parts.get(t)
+            if s is not None:
+                score += s
+        return score
 
     if min_doc:
         for pl in lists + (exclude_lists or []):
@@ -307,19 +334,18 @@ def block_max_wand(
             d = src.current_doc()
             if max_doc is not None and d > max_doc:
                 break
-            score = 0.0
-            hit = set()
+            parts: dict[str, float] = {}
             for pl in s_lists:
                 s = pl.score_at(d)
                 if s > 0.0:
-                    score += s
-                    hit.add(pl.term)
+                    parts[pl.term] = s  # one shard per term contains d
+            hit = set(parts)
             ok = (hit >= require_all_terms) if and_mode else bool(hit)
             if ok and s_exc:
                 ok = not any(xl.contains(d) for xl in s_exc)
             seen.add(d)
             if ok:
-                heapq.heappush(heap, (score_key(score), -d))
+                heapq.heappush(heap, (score_key(fold_score(parts)), -d))
             src.advance_to(d + 1)
         if len(heap) >= k:
             theta = heap[0][0]
@@ -458,17 +484,11 @@ def block_max_wand(
                 running += s
                 parts[pl.term] = s  # blocks of one term are doc-disjoint
         if not abandoned:
-            # fold in the lists' term order — bit-identical to the pre-
-            # early-exit sum (exactly one shard per term contributes)
-            score = 0.0
-            hit = set()
-            for pl in lists:
-                if pl.term in hit:
-                    continue
-                s = parts.get(pl.term)
-                if s is not None:
-                    score += s
-                    hit.add(pl.term)
+            # fold in QUERY-TERM order (fold_score) — bit-identical to
+            # _query_order_sum on the other plans, so rounded k-boundary
+            # tie-breaks agree across every physical path
+            score = fold_score(parts)
+            hit = set(parts)
             ok = (hit >= require_all_terms) if and_mode else bool(hit)
             if ok and exclude_lists:
                 ok = not any(xl.contains(pivot_doc) for xl in exclude_lists)

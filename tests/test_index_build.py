@@ -321,6 +321,15 @@ def test_bm25_auto_routing(spark, built):
         wand_max_df_sum=10, decision=dec3,
     )
     assert dec3["plan"] == "parallel", dec3
+
+    # an ABSENT term (df 0) is not selective: stopwords+typo must still
+    # take the exhaustive plan, not a pruning plan at its floor
+    dec4: dict = {}
+    bm25_topk_auto(
+        spark, index_dir, hot + ["zzzabsent"], "or", 10,
+        wand_max_df_sum=10, decision=dec4,
+    ).collect()
+    assert dec4["plan"] == "indexed", dec4
     banned = set(oracle.postings.get(hot[1], {}))
     full = oracle.query(rare + [hot[0]], "or", oracle.n_docs)
     exp_mix = [(d, s) for d, s in full if d not in banned][:10]

@@ -57,7 +57,7 @@ def lists_from_oracle(
                     first_doc=np.array([b.first_doc for b in blocks], dtype=np.int64),
                     last_doc=np.array([b.last_doc for b in blocks], dtype=np.int64),
                     ub=np.array(
-                        [w * frontier_ub(b.ub_tfs, b.ub_dls, avgdl) for b in blocks]
+                        [frontier_ub(b.ub_tfs, b.ub_dls, avgdl, idf=w) for b in blocks]
                     ),
                     payloads=[(b.doc_bytes, b.tf_bytes, b.dl_bytes) for b in blocks],
                 )
