@@ -353,6 +353,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, _ensure_index(spark, sf), "s", k=10, round_to=4
         )
 
+    def q_bm25_fuzzy(spark, sf):
+        # FuzzyQuery: dictionary-scan expansion within 2 edits of
+        # 'sort' (zero Spark jobs), auto-routed BM25; the oracle
+        # expands independently via DuckDB levenshtein()
+        from ocaml_lucene_spark.query.exec import bm25_topk_fuzzy
+
+        return bm25_topk_fuzzy(
+            spark, _ensure_index(spark, sf), "sort", max_edits=2, k=10,
+            round_to=4,
+        )
+
     def q_term_stats_prefix(spark, sf):
         # terms-dict prefix/range read from the in-memory FST
         from ocaml_lucene_spark.query.exec import term_stats_prefix
@@ -636,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_wand_parallel": q_bm25_wand_parallel,
         "bm25_auto": q_bm25_auto,
         "bm25_prefix": q_bm25_prefix,
+        "bm25_fuzzy": q_bm25_fuzzy,
         "term_stats_fst": q_term_stats_fst,
         "term_stats_prefix": q_term_stats_prefix,
         "phrase_counts_indexed": q_phrase_counts_indexed,
@@ -715,6 +727,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_wand_parallel": osql.bm25_topk_sql(["spark", "query", "dup"], "or", 10),
         "bm25_auto": osql.bm25_topk_sql(["table", "dup"], "or", 10),
         "bm25_prefix": osql.bm25_topk_prefix_sql("s", 10),
+        "bm25_fuzzy": osql.bm25_topk_fuzzy_sql("sort", 2, 10),
         "term_stats_fst": osql.term_stats_sql(),
         "term_stats_prefix": osql.term_stats_prefix_sql("s"),
         "bm25_after_merge": osql.bm25_topk_sql(["spark", "query", "dup"], "or", 10),

@@ -855,6 +855,31 @@ def bm25_topk_prefix(
     )
 
 
+def bm25_topk_fuzzy(
+    spark: SparkSession,
+    index_dir: str,
+    term: str,
+    max_edits: int = 1,
+    k: int = 10,
+    round_to: int | None = None,
+    wand_max_df_sum: int = DEFAULT_WAND_MAX_DF_SUM,
+) -> DataFrame:
+    """FuzzyQuery: expand ``term`` to every dictionary term within
+    ``max_edits`` Levenshtein edits (in-memory dictionary scan, zero
+    Spark jobs), then run the auto-routed disjunctive BM25 over the
+    expansion — each matched term keeps its own idf (boolean-rewrite
+    semantics, like the prefix path)."""
+    from .term_index import fuzzy_stats_mem
+
+    terms = sorted(fuzzy_stats_mem(index_dir, term, max_edits))
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    return bm25_topk_auto(
+        spark, index_dir, terms, "or", k, round_to=round_to,
+        wand_max_df_sum=wand_max_df_sum,
+    )
+
+
 def term_stats_prefix(
     spark: SparkSession, index_dir: str, prefix: str
 ) -> DataFrame:

@@ -101,6 +101,35 @@ LIMIT {k}
 """
 
 
+def bm25_topk_fuzzy_sql(term: str, max_edits: int = 1, k: int = 10, round_to: int = 4) -> str:
+    """FuzzyQuery oracle: DuckDB's levenshtein() expands the term
+    INDEPENDENTLY, checking the engine's dictionary-scan rewrite end to
+    end."""
+    tq = term.replace("'", "''")
+    return f"""
+WITH {TOKS_CTE},
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM base),
+tf AS (
+  SELECT doc_id, term, dl, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(t) AS term FROM base)
+  WHERE levenshtein(term, '{tq}') <= {max_edits}
+  GROUP BY doc_id, term, dl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n - df + 0.5) / (df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl)) AS sc
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+)
+SELECT doc_id, round(sum(sc), {round_to}) AS score
+FROM scored
+GROUP BY doc_id
+ORDER BY round(sum(sc), {round_to}) DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def term_stats_prefix_sql(prefix: str) -> str:
     pq = prefix.replace("'", "''")
     return f"""

@@ -128,6 +128,42 @@ def prefix_stats_mem(index_dir: str, prefix: str) -> dict[str, tuple[int, int]]:
     return out
 
 
+def edit_distance_leq(a: str, b: str, k: int) -> bool:
+    """Levenshtein(a, b) <= k, banded DP with early exit (terms are
+    short; the band keeps this O(len * k))."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return False
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        best = i
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            best = min(best, cur[j])
+        if best > k:
+            return False
+        prev = cur
+    return prev[lb] <= k
+
+
+def fuzzy_stats_mem(
+    index_dir: str, term: str, max_edits: int = 1
+) -> dict[str, tuple[int, int]]:
+    """FuzzyQuery expansion: term -> (df, ttf) for every dictionary
+    term within ``max_edits`` Levenshtein edits, from the in-memory
+    dictionaries with zero Spark jobs. This scans the (Heaps-bounded)
+    vocabulary with a banded DP; a Levenshtein-automaton ∩ FST
+    intersection is the classic sub-linear upgrade if vocabulary scans
+    ever show up in profiles."""
+    return {
+        t: v
+        for t, v in all_stats_mem(index_dir).items()
+        if edit_distance_leq(t, term, max_edits)
+    }
+
+
 def seek_exact_mem(index_dir: str, term: str) -> dict | None:
     """seek_exact served purely from in-memory term dictionaries:
     aggregates (df, ttf) across live segments; None (no Spark job at

@@ -146,6 +146,42 @@ def test_fst_prefix_scan(spark, built):
     assert stats == expected
 
 
+def test_fuzzy_expansion(spark, built):
+    """edit_distance_leq is a correct bounded Levenshtein; the fuzzy
+    dictionary expansion matches a brute-force reference and launches
+    no Spark jobs."""
+    from ocaml_lucene_spark.query.term_index import edit_distance_leq, fuzzy_stats_mem
+
+    def ref(a, b):  # unbounded classic DP
+        la, lb = len(a), len(b)
+        d = [[i + j if i * j == 0 else 0 for j in range(lb + 1)] for i in range(la + 1)]
+        for i in range(1, la + 1):
+            for j in range(1, lb + 1):
+                d[i][j] = min(
+                    d[i - 1][j] + 1, d[i][j - 1] + 1,
+                    d[i - 1][j - 1] + (a[i - 1] != b[j - 1]),
+                )
+        return d[la][lb]
+
+    import random
+
+    rng = random.Random(6)
+    words = ["sort", "short", "s", "", "spark", "park", "sport", "query", "qery"]
+    words += ["".join(rng.choice("abc") for _ in range(rng.randint(0, 6))) for _ in range(40)]
+    for a in words:
+        for b in words:
+            for kk in (0, 1, 2, 3):
+                assert edit_distance_leq(a, b, kk) == (ref(a, b) <= kk), (a, b, kk)
+
+    index_dir, oracle = built
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    got = fuzzy_stats_mem(index_dir, "sort", 2)
+    assert set(tracker.getJobIdsForGroup(None)) == before
+    expected = {t: v for t, v in oracle.term_stats().items() if ref(t, "sort") <= 2}
+    assert got == expected
+
+
 def test_fst_term_index_cache_invalidates_on_rebuild(spark, tmp_path_factory):
     """Round-2 ADVICE: rebuilding a segment in place must not serve
     stale df/ttf from the cached TermIndex (cache key carries a terms-
