@@ -238,6 +238,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             exclude=["dup"],
         )
 
+    def q_bm25_bool(spark, sf):
+        # BooleanQuery: must=[table], should=[dup, spark] — results
+        # contain 'table', optional terms add score (logical path)
+        return bm25.bm25_topk_bool(
+            _docs(spark, sf), must=["table"], should=["dup", "spark"],
+            k=10, round_to=4,
+        )
+
+    def q_bm25_bool_wand(spark, sf):
+        # same BooleanQuery inside the WAND task: coverage pivots on the
+        # must terms, should lists score and bound
+        from ocaml_lucene_spark.query.exec import bm25_topk_wand_exec
+
+        return bm25_topk_wand_exec(
+            spark, _ensure_index(spark, sf), ["table", "dup", "spark"],
+            k=10, round_to=4, must=["table"],
+        )
+
+    def q_bm25_bool_indexed(spark, sf):
+        from ocaml_lucene_spark.query.exec import bm25_topk_indexed
+
+        return bm25_topk_indexed(
+            spark, _ensure_index(spark, sf), ["table", "dup", "spark"],
+            k=10, round_to=4, must=["table"],
+        )
+
     def q_bm25_lang_filtered(spark, sf):
         # composition: parquet predicate pushdown (lang='en') under the
         # scoring pipeline — corpus stats are over the filtered subset
@@ -634,6 +660,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_and_absent_empty": q_bm25_and_absent_empty,
         "bm25_lang_filtered": q_bm25_lang_filtered,
         "bm25_not": q_bm25_not,
+        "bm25_bool": q_bm25_bool,
+        "bm25_bool_wand": q_bm25_bool_wand,
+        "bm25_bool_indexed": q_bm25_bool_indexed,
         "bm25_indexed_not": q_bm25_indexed_not,
         "bm25_wand_not": q_bm25_wand_not,
         "term_postings": q_term_postings,
@@ -739,6 +768,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_and_absent_empty": osql.bm25_topk_sql(["spark", "zzzabsent"], "and", 10),
         "bm25_lang_filtered": osql.bm25_topk_sql(["spark", "query"], "or", 10, lang="en"),
         "bm25_not": osql.bm25_topk_sql(["spark", "query"], "or", 10, exclude=["dup"]),
+        "bm25_bool": osql.bm25_topk_bool_sql(["table"], ["dup", "spark"], 10),
+        "bm25_bool_wand": osql.bm25_topk_bool_sql(["table"], ["dup", "spark"], 10),
+        "bm25_bool_indexed": osql.bm25_topk_bool_sql(["table"], ["dup", "spark"], 10),
         "bm25_indexed_not": osql.bm25_topk_sql(["spark", "query"], "or", 10, exclude=["dup"]),
         "bm25_wand_not": osql.bm25_topk_sql(["spark", "query"], "or", 10, exclude=["dup"]),
         "term_postings": osql.term_postings_sql("dup"),

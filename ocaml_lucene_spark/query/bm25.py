@@ -148,6 +148,61 @@ def bm25_topk(
     )
 
 
+def bm25_topk_bool(
+    docs: DataFrame,
+    must: list[str],
+    should: list[str] | None = None,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int | None = None,
+    exclude: list[str] | None = None,
+) -> DataFrame:
+    """Lucene BooleanQuery semantics: a result doc contains EVERY
+    ``must`` term; ``should`` terms are optional but add to the score;
+    ``exclude`` (must_not) drops docs. Score = BM25 sum over all
+    matched must+should terms, folded in clause order (must first) —
+    the same _query_order_sum determinism contract as the other paths.
+    Plain AND is must-only; plain OR is should-only."""
+    must = list(dict.fromkeys(must))
+    should = [t for t in dict.fromkeys(should or []) if t not in must]
+    terms = must + should
+    tf = candidate_tf(docs, terms, id_col, text_col)
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    if exclude:
+        ex_docs = (
+            candidate_tf(docs, list(dict.fromkeys(exclude)), id_col, text_col)
+            .select("doc_id")
+            .distinct()
+        )
+        tf = tf.join(ex_docs, "doc_id", "left_anti")
+    stats = corpus_stats(docs, id_col, text_col)
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "sc",
+            idf_expr(F.col("n_docs").cast("double"), F.col("df").cast("double"))
+            * tfn_expr(
+                F.col("tf").cast("double"), F.col("dl").cast("double"), F.col("avgdl")
+            ),
+        )
+    )
+    n_must_hit = F.sum(F.when(F.col("term").isin(must), 1).otherwise(0)) if must else F.lit(0)
+    agg = scored.groupBy("doc_id").agg(
+        _query_order_sum(terms).alias("score_raw"),
+        n_must_hit.alias("n_must_hit"),
+    )
+    if must:
+        agg = agg.filter(F.col("n_must_hit") == len(must))
+    score = F.round(F.col("score_raw"), round_to) if round_to is not None else F.col("score_raw")
+    return (
+        agg.select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def term_postings(
     docs: DataFrame, term: str, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -125,20 +125,28 @@ def bm25_topk_indexed(
     k: int = 10,
     round_to: int | None = None,
     exclude: list[str] | None = None,
+    must: list[str] | None = None,
 ) -> DataFrame:
     """Distributed exhaustive plan. Returns (doc_id, score) DataFrame.
 
     exclude: NOT clause — left_anti join against the excluded terms'
     decoded doc lists (the sorted-postings anti-join of SURVEY §2.3,
-    re-expressed as a Spark anti join; df/N/avgdl are unaffected)."""
+    re-expressed as a Spark anti join; df/N/avgdl are unaffected).
+
+    must: BooleanQuery must clauses — results must contain every term
+    in ``must`` (a subset of ``terms``); the rest of ``terms`` are
+    should clauses (score-only). mode='and' is shorthand for
+    must=terms."""
     terms = list(dict.fromkeys(terms))
+    must_set = list(dict.fromkeys(must)) if must else (
+        terms if mode == "and" else []
+    )
     stats = global_stats(index_dir)
     dfs = term_dfs(spark, index_dir, terms)
-    if mode == "and" and (not terms or any(t not in dfs for t in terms)):
+    if must_set and (not terms or any(t not in dfs for t in must_set)):
         return spark.createDataFrame([], "doc_id long, score double")
     idfs = {t: idf(stats["n_docs"], dfs.get(t, 0)) for t in terms}
     avgdl = stats["avgdl"]
-    n_req = len(terms)
 
     blocks = _postings_df(spark, index_dir, terms).select(
         "term", "n", "first_doc", "last_doc", "doc_bytes", "tf_bytes", "dl_bytes"
@@ -152,8 +160,10 @@ def bm25_topk_indexed(
     # instead of the whole hot posting list.
     cand_docs = None
     and_prune_max_df = 200_000
-    if mode == "and" and len(terms) > 1:
-        rare = min(terms, key=lambda t: dfs[t])
+    if must_set and len(terms) > 1:
+        # every result contains every must term: prune block ranges by
+        # the RAREST must term's doc list
+        rare = min(must_set, key=lambda t: dfs[t])
         if dfs[rare] <= and_prune_max_df:
             # decode the rare term's doc list ON EXECUTORS (mapInPandas)
             # and pull back only the int64 ids (~8 bytes/posting,
@@ -206,12 +216,17 @@ def bm25_topk_indexed(
     # deterministic per-doc sum in query-term order (see bm25.py): a
     # plain F.sum's partial-order varies with partitioning and can flip
     # tie-breaks by one ulp vs the oracle
+    n_hit = (
+        F.sum(F.when(F.col("term").isin(must_set), 1).otherwise(0))
+        if must_set
+        else F.count("*")
+    )
     agg = scored.groupBy("doc_id").agg(
         _query_order_sum(terms).alias("score_raw"),
-        F.count("*").alias("nhit"),
+        n_hit.alias("nhit"),
     )
-    if mode == "and":
-        agg = agg.filter(F.col("nhit") == n_req)
+    if must_set:
+        agg = agg.filter(F.col("nhit") == len(must_set))
     if exclude:
         agg = agg.join(excluded_docs_df(spark, index_dir, exclude), "doc_id", "left_anti")
     score = (
@@ -527,6 +542,7 @@ def bm25_topk_wand_exec(
     round_to: int | None = None,
     metrics: dict | None = None,
     exclude: list[str] | None = None,
+    must: list[str] | None = None,
 ) -> DataFrame:
     """Cluster-side block-max WAND: one executor task per query.
 
@@ -537,6 +553,12 @@ def bm25_topk_wand_exec(
     the common case (few query terms, k small). Queries whose term set
     is too hot for one task use ``bm25_topk_indexed``, the distributed
     exhaustive plan.
+
+    must: BooleanQuery must clauses (subset of ``terms``); the rest of
+    ``terms`` are should clauses. mode='and' is shorthand for
+    must=terms. (block_max_wand's require_all_terms handles mixed
+    must+should exactly: coverage-based pivots only consider the must
+    terms, should lists contribute score and bounds.)
 
     metrics: optional dict to receive pruning counters (decoded_blocks /
     total_blocks, via accumulators — populated after the returned
@@ -549,7 +571,10 @@ def bm25_topk_wand_exec(
     stats = global_stats(index_dir)
     dfs = term_dfs(spark, index_dir, terms)
     empty = spark.createDataFrame([], "doc_id long, score double")
-    if mode == "and" and (not terms or any(t not in dfs for t in terms)):
+    require = (
+        set(dict.fromkeys(must)) if must else (set(terms) if mode == "and" else None)
+    )
+    if require and (not terms or any(t not in dfs for t in require)):
         if metrics is not None:
             metrics.update(decoded_blocks=0, total_blocks=0)
         return empty
@@ -559,7 +584,6 @@ def bm25_topk_wand_exec(
         return empty
     avgdl = stats["avgdl"]
     idfs = {t: idf(stats["n_docs"], dfs.get(t, 0)) for t in terms}
-    require = set(terms) if mode == "and" else None
 
     acc_decoded = spark.sparkContext.accumulator(0)
     acc_total = spark.sparkContext.accumulator(0)

@@ -145,6 +145,55 @@ FROM tf GROUP BY term
 """
 
 
+def bm25_topk_bool_sql(
+    must: list[str],
+    should: list[str] | None = None,
+    k: int = 10,
+    round_to: int = 4,
+    exclude: list[str] | None = None,
+) -> str:
+    """BooleanQuery oracle: results contain every must term; should
+    terms add score; must_not drops docs (mirrors bm25_topk_bool)."""
+    must = list(dict.fromkeys(must))
+    should = [t for t in dict.fromkeys(should or []) if t not in must]
+    terms = must + should
+    having = (
+        f"HAVING sum(CASE WHEN term IN {_terms_in(must)} THEN 1 ELSE 0 END) = {len(must)}"
+        if must
+        else ""
+    )
+    not_clause = ""
+    if exclude:
+        not_clause = f"""WHERE doc_id NOT IN (
+    SELECT DISTINCT doc_id
+    FROM (SELECT doc_id, unnest(t) AS term FROM base)
+    WHERE term IN {_terms_in(list(dict.fromkeys(exclude)))}
+  )"""
+    return f"""
+WITH {TOKS_CTE},
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM base),
+tf AS (
+  SELECT doc_id, term, dl, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(t) AS term FROM base)
+  WHERE term IN {_terms_in(terms)}
+  GROUP BY doc_id, term, dl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1.0 + (s.n - df + 0.5) / (df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl)) AS sc
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+)
+SELECT doc_id, round(sum(sc), {round_to}) AS score
+FROM scored
+{not_clause}
+GROUP BY doc_id {having}
+ORDER BY round(sum(sc), {round_to}) DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def term_postings_sql(term: str) -> str:
     return f"""
 WITH {TOKS_CTE}

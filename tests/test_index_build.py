@@ -336,6 +336,51 @@ def test_bm25_auto_routing(spark, built):
     assert [r.doc_id for r in got_mix.collect()] == [d for d, _ in exp_mix]
 
 
+def test_bool_query_three_paths_agree(spark, built):
+    """BooleanQuery (must + should): logical, indexed, and WAND paths
+    all return the oracle's must-filtered, must+should-scored top-k."""
+    from ocaml_lucene_spark.query.bm25 import bm25_topk_bool
+    from ocaml_lucene_spark.query.exec import bm25_topk_wand_exec
+    from tests.test_wand_fuzz import oracle_query_bool
+
+    index_dir, _, oracle = built
+    ranked = sorted(oracle.term_stats().items(), key=lambda kv: -kv[1][0])
+    must = [ranked[8][0]]
+    should = [ranked[2][0], ranked[15][0]]
+    expected = oracle_query_bool(oracle, must, should, 10)
+    assert expected, "bool test query empty; pick other terms"
+    # logical path needs raw docs: reconstruct from the oracle postings
+    rows = [(d, " ".join(
+        t for t, post in oracle.postings.items() for _ in range(post.get(d, 0))
+    )) for d in oracle.doc_lens]
+    # NOTE: reconstructing text from postings loses token ORDER but not
+    # tf/dl, which is all BM25 uses — scores are identical
+    docs_df = spark.createDataFrame(rows, "doc_id long, text string")
+    got_l = [
+        (r.doc_id, r.score)
+        for r in bm25_topk_bool(docs_df, must, should, 10).collect()
+    ]
+    got_i = [
+        (r.doc_id, r.score)
+        for r in bm25_topk_indexed(
+            spark, index_dir, must + should, "or", 10, must=must
+        ).collect()
+    ]
+    got_w = [
+        (r.doc_id, r.score)
+        for r in bm25_topk_wand_exec(
+            spark, index_dir, must + should, "or", 10, must=must
+        ).collect()
+    ]
+    for name, got in (("logical", got_l), ("indexed", got_i), ("wand", got_w)):
+        assert [d for d, _ in got] == [d for d, _ in expected], (name, got[:3], expected[:3])
+        for (_, gs), (_, es) in zip(got, expected):
+            assert math.isclose(gs, es, rel_tol=1e-9), (name, gs, es)
+    # absent must term -> empty on both physical paths
+    assert bm25_topk_indexed(spark, index_dir, ["zzz", should[0]], "or", 5, must=["zzz"]).count() == 0
+    assert bm25_topk_wand_exec(spark, index_dir, ["zzz", should[0]], "or", 5, must=["zzz"]).count() == 0
+
+
 def test_wand_parallel_rank_identity(spark, built):
     """Doc-range-parallel WAND: exact top-k for OR / AND / NOT, for any
     task count (incl. more tasks than doc span slices)."""

@@ -223,6 +223,36 @@ def test_wand_combined_stress_fuzz():
             )
 
 
+def oracle_query_bool(oracle, must, should, k):
+    """Reference BooleanQuery: docs with every must term, scored over
+    must+should."""
+    terms = list(dict.fromkeys(must + [t for t in should if t not in must]))
+    full = oracle.query(terms, "or", len(oracle.doc_lens))
+    keep = []
+    for d, s in full:
+        if all(d in oracle.postings.get(t, {}) for t in must):
+            keep.append((d, s))
+    return keep[:k]
+
+
+def test_wand_bool_must_should_fuzz():
+    """require_all_terms = a SUBSET of the scored terms (BooleanQuery
+    must+should) stays exact under sharding."""
+    rng = random.Random(31337)
+    vocab = list("abcdefgh")
+    for trial in range(50):
+        oracle = random_corpus(rng, rng.randint(150, 400), vocab)
+        terms = rng.sample(vocab, rng.randint(2, 4))
+        n_must = rng.randint(1, len(terms) - 1)
+        must, should = terms[:n_must], terms[n_must:]
+        lists = lists_from_oracle(oracle, terms, rng.choice([1, 2, 4]))
+        got, _ = block_max_wand(
+            lists, 8, require_all_terms=set(must), term_order=terms
+        )
+        expected = oracle_query_bool(oracle, must, should, 8)
+        _assert_matches(got, expected, (trial, must, should))
+
+
 def test_wand_range_split_union_fuzz():
     """min_doc/max_doc clipping (the parallel-plan primitive): running
     WAND per doc range over FRESH iterators and merging the local
