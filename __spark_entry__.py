@@ -581,6 +581,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_fingerprints(spark, sf):
         return textstats.fingerprints(_docs(spark, sf))
 
+    def q_bigram_collocations(spark, sf):
+        # PMI collocation mining (phrase/tokenizer-merge signal)
+        return textstats.bigram_collocations(_docs(spark, sf), min_count=3)
+
     def q_bpe_token_counts(spark, sf):
         return textstats.bpe_token_counts(_docs(spark, sf))
 
@@ -702,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "bpe_token_counts": q_bpe_token_counts,
         "fingerprints": q_fingerprints,
+        "bigram_collocations": q_bigram_collocations,
         "ann_brute_force": q_ann_brute,
         "ann_lsh": q_ann_lsh,
         "ann_lsh_indexed": q_ann_lsh_indexed,
@@ -733,6 +738,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": oops.token_counts_sql(),
         "bpe_token_counts": oops.bpe_token_counts_sql(),
         "fingerprints": oops.fingerprints_sql(),
+        "bigram_collocations": oops.bigram_collocations_sql(min_count=3),
         "ann_brute_force": oops.brute_force_topk_sql(qv, k=10, exclude_self=0),
         "ann_lsh": oops.lsh_topk_sql(qv, k=10, n_bits=8),
         "ann_lsh_indexed": oops.lsh_topk_sql(qv, k=10, n_bits=8),

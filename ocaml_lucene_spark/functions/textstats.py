@@ -122,6 +122,68 @@ def bpe_token_counts(
     )
 
 
+def bigram_collocations(
+    docs: DataFrame,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(w1, w2, n_pairs, pmi): adjacent-bigram collocation strength —
+    pmi = ln((n_pairs/P) / ((c1/T)·(c2/T))) with T = total tokens and
+    P = total adjacent pairs. The phrase-mining / tokenizer-merge
+    signal a training pipeline computes corpus-wide.
+
+    All JVM expressions: bigrams come from zipping the token array with
+    its shift (arrays_zip of two slices — no position join, no UDF);
+    unigram counts from one explode. Two aggregations, each one
+    shuffle. The unigram side is vocabulary-sized (Heaps-bounded): AQE
+    broadcasts it when it fits, else it stays a co-partitioned shuffle
+    join — both scale-safe; the one-row totals are broadcast."""
+    toks = tokens_col(text_col)
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("t"))
+    pairs = base.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, F.greatest(F.size("t") - 1, F.lit(0))).alias("w1"),
+                F.slice("t", 2, F.greatest(F.size("t") - 1, F.lit(0))).alias("w2"),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    uni = (
+        base.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    totals = base.select(
+        F.sum(F.size("t")).alias("T"),
+        F.sum(F.greatest(F.size("t") - 1, F.lit(0))).alias("P"),
+    )
+    pair_counts = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_pairs"))
+        .filter(F.col("n_pairs") >= min_count)
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    return (
+        pair_counts.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "n_pairs",
+            F.round(
+                F.log(
+                    (F.col("n_pairs") / F.col("P"))
+                    / ((F.col("c1") / F.col("T")) * (F.col("c2") / F.col("T")))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+
+
 def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
     """(doc_id, exact_fp, min_shingle_fp): exact md5 of text plus the
     minimum shingle hash (winnowing-style content fingerprint that

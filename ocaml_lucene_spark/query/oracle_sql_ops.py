@@ -309,6 +309,38 @@ FROM p
 """
 
 
+def bigram_collocations_sql(min_count: int = 2) -> str:
+    """PMI collocations mirror of functions/textstats.bigram_collocations."""
+    return """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents
+),
+pos AS (SELECT doc_id, unnest(t) AS w, unnest(range(len(t))) AS p FROM toks),
+pairs AS (
+  SELECT a.w AS w1, b.w AS w2
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+),
+uni AS (SELECT w, count(*) AS c FROM pos GROUP BY w),
+totals AS (
+  SELECT sum(len(t))::DOUBLE AS T,
+         sum(greatest(len(t) - 1, 0))::DOUBLE AS P
+  FROM toks
+),
+pc AS (
+  SELECT w1, w2, count(*) AS n_pairs FROM pairs GROUP BY w1, w2
+  HAVING count(*) >= {mc}
+)
+SELECT pc.w1, pc.w2, pc.n_pairs,
+       round(ln((pc.n_pairs / t.P) / ((u1.c / t.T) * (u2.c / t.T))), 4) AS pmi
+FROM pc
+JOIN uni u1 ON u1.w = pc.w1
+JOIN uni u2 ON u2.w = pc.w2
+CROSS JOIN totals t
+""".replace("{mc}", str(min_count))
+
+
 def fingerprints_sql(n: int = 3) -> str:
     return f"""
 WITH {_shingles(n)}
