@@ -95,12 +95,15 @@ def bm25_topk(
     text_col: str = "text",
     round_to: int | None = None,
     exclude: list[str] | None = None,
+    must: list[str] | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score); tie-break (score desc, doc_id asc).
 
     mode='and' keeps only docs containing *all* query terms (sorted
     intersection semantics, SURVEY.md §2.3); 'or' is the score-
-    accumulating union.
+    accumulating union. must: BooleanQuery must clauses (a subset of
+    ``terms``; the rest are score-only should clauses — mode='and' is
+    shorthand for must=terms).
 
     exclude: NOT clause — drop docs containing ANY excluded term
     (SURVEY.md §2.3 anti join; reference semantics: docID-sorted
@@ -112,6 +115,14 @@ def bm25_topk(
     terms' doc lists ever shuffle.
     """
     terms = list(dict.fromkeys(terms))
+    if must and not set(must) <= set(terms):
+        raise ValueError(
+            f"must clauses {sorted(set(must) - set(terms))} are not in terms; "
+            "must is a subset of the scored terms (add them to terms)"
+        )
+    must_set = list(dict.fromkeys(must)) if must else (
+        terms if mode == "and" else []
+    )
     tf = candidate_tf(docs, terms, id_col, text_col)
     # df/idf over the FULL corpus (before exclusion) — Lucene semantics
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
@@ -134,12 +145,17 @@ def bm25_topk(
             ),
         )
     )
+    n_hit = (
+        F.sum(F.when(F.col("term").isin(must_set), 1).otherwise(0))
+        if must_set
+        else F.count("*")
+    )
     agg = scored.groupBy("doc_id").agg(
         _query_order_sum(terms).alias("score_raw"),
-        F.count("*").alias("n_terms_hit"),
+        n_hit.alias("n_terms_hit"),
     )
-    if mode == "and":
-        agg = agg.filter(F.col("n_terms_hit") == len(terms))
+    if must_set:
+        agg = agg.filter(F.col("n_terms_hit") == len(must_set))
     score = F.round(F.col("score_raw"), round_to) if round_to is not None else F.col("score_raw")
     return (
         agg.select("doc_id", score.alias("score"))
@@ -166,40 +182,9 @@ def bm25_topk_bool(
     Plain AND is must-only; plain OR is should-only."""
     must = list(dict.fromkeys(must))
     should = [t for t in dict.fromkeys(should or []) if t not in must]
-    terms = must + should
-    tf = candidate_tf(docs, terms, id_col, text_col)
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    if exclude:
-        ex_docs = (
-            candidate_tf(docs, list(dict.fromkeys(exclude)), id_col, text_col)
-            .select("doc_id")
-            .distinct()
-        )
-        tf = tf.join(ex_docs, "doc_id", "left_anti")
-    stats = corpus_stats(docs, id_col, text_col)
-    scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "sc",
-            idf_expr(F.col("n_docs").cast("double"), F.col("df").cast("double"))
-            * tfn_expr(
-                F.col("tf").cast("double"), F.col("dl").cast("double"), F.col("avgdl")
-            ),
-        )
-    )
-    n_must_hit = F.sum(F.when(F.col("term").isin(must), 1).otherwise(0)) if must else F.lit(0)
-    agg = scored.groupBy("doc_id").agg(
-        _query_order_sum(terms).alias("score_raw"),
-        n_must_hit.alias("n_must_hit"),
-    )
-    if must:
-        agg = agg.filter(F.col("n_must_hit") == len(must))
-    score = F.round(F.col("score_raw"), round_to) if round_to is not None else F.col("score_raw")
-    return (
-        agg.select("doc_id", score.alias("score"))
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
+    return bm25_topk(
+        docs, must + should, "or", k, id_col, text_col, round_to, exclude,
+        must=must or None,
     )
 
 

@@ -138,6 +138,11 @@ def bm25_topk_indexed(
     should clauses (score-only). mode='and' is shorthand for
     must=terms."""
     terms = list(dict.fromkeys(terms))
+    if must and not set(must) <= set(terms):
+        raise ValueError(
+            f"must clauses {sorted(set(must) - set(terms))} are not in terms; "
+            "must is a subset of the scored terms (add them to terms)"
+        )
     must_set = list(dict.fromkeys(must)) if must else (
         terms if mode == "and" else []
     )
@@ -533,6 +538,61 @@ def bm25_topk_wand(
     )
 
 
+_WAND_BLOCK_COLS = (
+    "term", "block_no", "first_doc", "last_doc", "max_tf", "min_dl",
+    "ub_tfs", "ub_dls", "doc_bytes", "tf_bytes", "dl_bytes",
+)
+
+
+def _make_wand_task(
+    terms: list[str],
+    exclude: list[str],
+    idfs: dict[str, float],
+    avgdl: float,
+    k: int,
+    require: set[str] | None,
+    round_to: int | None,
+    acc_decoded,
+    acc_total,
+):
+    """The executor-side WAND task body shared by the single-task and
+    doc-range-parallel plans: one pandas frame of block rows
+    (_WAND_BLOCK_COLS) -> the local top-k frame, with prune counters
+    accumulated. min_doc/max_doc clip the sweep for range tasks."""
+    from collections import namedtuple
+
+    Blk = namedtuple("Blk", " ".join(_WAND_BLOCK_COLS))
+    # full exclude set: exclusion is a doc filter, independent of scoring
+    # — a term can be both scored and excluded (oracle NOT IN semantics)
+    inc_set, exc_set = set(terms), set(exclude)
+
+    def task(pdf, min_doc: int = 0, max_doc: int | None = None):
+        rows = [Blk(*t) for t in zip(*(pdf[c] for c in _WAND_BLOCK_COLS))]
+        lists = build_posting_lists(
+            [r for r in rows if r.term in inc_set], idfs, avgdl
+        )
+        xlists = build_posting_lists(
+            [r for r in rows if r.term in exc_set],
+            {t: 0.0 for t in exc_set},
+            avgdl,
+        )
+        out, m = block_max_wand(
+            lists, k, require_all_terms=require, round_to=round_to,
+            exclude_lists=xlists or None, term_order=terms,
+            min_doc=min_doc, max_doc=max_doc,
+        )
+        acc_decoded.add(int(m["decoded_blocks"]))
+        acc_total.add(int(m["total_blocks"]))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([d for d, _ in out], dtype="int64"),
+                "score": pd.Series([s for _, s in out], dtype="float64"),
+            }
+        )
+
+    return task
+
+
 def bm25_topk_wand_exec(
     spark: SparkSession,
     index_dir: str,
@@ -564,10 +624,13 @@ def bm25_topk_wand_exec(
     total_blocks, via accumulators — populated after the returned
     DataFrame is acted on).
     """
-    from collections import namedtuple
-
     terms = list(dict.fromkeys(terms))
     exclude = list(dict.fromkeys(exclude or []))
+    if must and not set(must) <= set(terms):
+        raise ValueError(
+            f"must clauses {sorted(set(must) - set(terms))} are not in terms; "
+            "must is a subset of the scored terms (add them to terms)"
+        )
     stats = global_stats(index_dir)
     dfs = term_dfs(spark, index_dir, terms)
     empty = spark.createDataFrame([], "doc_id long, score double")
@@ -590,52 +653,19 @@ def bm25_topk_wand_exec(
     if metrics is not None:
         metrics["_acc"] = (acc_decoded, acc_total)
 
-    Blk = namedtuple(
-        "Blk",
-        "term block_no first_doc last_doc max_tf min_dl ub_tfs ub_dls "
-        "doc_bytes tf_bytes dl_bytes",
-    )
-
     blocks = _postings_df(spark, index_dir, terms + exclude).select(
-        "term", "block_no", "first_doc", "last_doc", "max_tf", "min_dl",
-        "ub_tfs", "ub_dls", "doc_bytes", "tf_bytes", "dl_bytes",
+        *_WAND_BLOCK_COLS
     )
-    # full exclude set: exclusion is a doc filter, independent of scoring
-    # — a term can be both scored and excluded (oracle NOT IN semantics)
-    inc_set, exc_set = set(terms), set(exclude)
+    task = _make_wand_task(
+        terms, exclude, idfs, avgdl, k, require, round_to,
+        acc_decoded, acc_total,
+    )
 
     def run(batches):
-        rows = []
-        for pdf in batches:
-            rows.extend(
-                Blk(*t)
-                for t in zip(
-                    pdf["term"], pdf["block_no"], pdf["first_doc"],
-                    pdf["last_doc"], pdf["max_tf"], pdf["min_dl"],
-                    pdf["ub_tfs"], pdf["ub_dls"],
-                    pdf["doc_bytes"], pdf["tf_bytes"], pdf["dl_bytes"],
-                )
-            )
-        lists = build_posting_lists(
-            [r for r in rows if r.term in inc_set], idfs, avgdl
-        )
-        xlists = build_posting_lists(
-            [r for r in rows if r.term in exc_set],
-            {t: 0.0 for t in exc_set},
-            avgdl,
-        )
-        out, m = block_max_wand(
-            lists, k, require_all_terms=require, round_to=round_to,
-            exclude_lists=xlists or None, term_order=terms,
-        )
-        acc_decoded.add(int(m["decoded_blocks"]))
-        acc_total.add(int(m["total_blocks"]))
-        yield pd.DataFrame(
-            {
-                "doc_id": pd.Series([d for d, _ in out], dtype="int64"),
-                "score": pd.Series([s for _, s in out], dtype="float64"),
-            }
-        )
+        chunks = list(batches)
+        if not chunks:
+            return
+        yield task(pd.concat(chunks, ignore_index=True))
 
     return (
         blocks.repartition(1)
@@ -654,6 +684,7 @@ def bm25_route(
     terms: list[str],
     exclude: list[str] | None = None,
     wand_max_df_sum: int = DEFAULT_WAND_MAX_DF_SUM,
+    dfs: dict[str, int] | None = None,
 ) -> dict:
     """Physical-plan choice for BM25 top-k, decided from the in-memory
     FST term dictionaries with ZERO Spark jobs (query/term_index.py).
@@ -678,14 +709,21 @@ def bm25_route(
 
     The reference's analogous per-node strategy dispatch:
     /root/reference/fst/byte_array_fst_reader.ml:330-342.
+
+    dfs: optional precomputed term -> df (e.g. from a prefix/fuzzy
+    expansion, which already walked the dictionaries) — skips the
+    per-term FST lookups.
     """
     from .term_index import seek_exact_mem
 
     df_sum = 0
     min_df = None
     for t in dict.fromkeys(list(terms) + list(exclude or [])):
-        hit = seek_exact_mem(index_dir, t)
-        df = hit["doc_freq"] if hit is not None else 0
+        if dfs is not None and t in dfs:
+            df = int(dfs[t])
+        else:
+            hit = seek_exact_mem(index_dir, t)
+            df = hit["doc_freq"] if hit is not None else 0
         df_sum += df
         # absent scoring terms (df 0) are NOT selective: they seed no
         # theta, so they must not pull a stopword query onto a pruning
@@ -711,25 +749,31 @@ def bm25_topk_auto(
     exclude: list[str] | None = None,
     wand_max_df_sum: int = DEFAULT_WAND_MAX_DF_SUM,
     decision: dict | None = None,
+    dfs: dict[str, int] | None = None,
+    must: list[str] | None = None,
 ) -> DataFrame:
     """One BM25 entry point with automatic physical-plan selection (see
     bm25_route: wand / parallel / indexed). All plans return identical
     results (each is gated against the same SQL oracle), so routing is
     purely physical. decision: optional dict receiving
-    {"plan", "df_sum", "min_df"}."""
-    route = bm25_route(index_dir, terms, exclude, wand_max_df_sum)
+    {"plan", "df_sum", "min_df"}; dfs: optional precomputed term -> df
+    for the router; must: BooleanQuery must clauses (subset of terms)."""
+    route = bm25_route(index_dir, terms, exclude, wand_max_df_sum, dfs=dfs)
     if decision is not None:
         decision.update(route)
     if route["plan"] == "wand":
         return bm25_topk_wand_exec(
-            spark, index_dir, terms, mode, k, round_to=round_to, exclude=exclude
+            spark, index_dir, terms, mode, k, round_to=round_to,
+            exclude=exclude, must=must,
         )
     if route["plan"] == "parallel":
         return bm25_topk_wand_parallel(
-            spark, index_dir, terms, mode, k, round_to=round_to, exclude=exclude
+            spark, index_dir, terms, mode, k, round_to=round_to,
+            exclude=exclude, must=must,
         )
     return bm25_topk_indexed(
-        spark, index_dir, terms, mode, k, round_to=round_to, exclude=exclude
+        spark, index_dir, terms, mode, k, round_to=round_to,
+        exclude=exclude, must=must,
     )
 
 
@@ -743,6 +787,7 @@ def bm25_topk_wand_parallel(
     exclude: list[str] | None = None,
     n_tasks: int | None = None,
     metrics: dict | None = None,
+    must: list[str] | None = None,
 ) -> DataFrame:
     """Doc-range-PARALLEL block-max WAND: the scale path for hot term
     sets, sitting between the single-task WAND (best for small
@@ -766,29 +811,39 @@ def bm25_topk_wand_parallel(
     least MIN_RANGE_DOCS docs per range, capped by the cluster's
     parallelism — at 10^12 docs the cap binds and ranges are huge, so
     per-range pruning approaches the global ratio."""
-    from collections import namedtuple
-
     terms = list(dict.fromkeys(terms))
     exclude = list(dict.fromkeys(exclude or []))
+    if must and not set(must) <= set(terms):
+        raise ValueError(
+            f"must clauses {sorted(set(must) - set(terms))} are not in terms; "
+            "must is a subset of the scored terms (add them to terms)"
+        )
     stats = global_stats(index_dir)
     dfs = term_dfs(spark, index_dir, terms)
     empty = spark.createDataFrame([], "doc_id long, score double")
+    require = (
+        set(dict.fromkeys(must)) if must else (set(terms) if mode == "and" else None)
+    )
+
+    def empty_with_metrics():
+        if metrics is not None:
+            metrics.update(decoded_blocks=0, total_blocks=0)
+        return empty
+
     if not terms or all(t not in dfs for t in terms):
-        return empty
-    if mode == "and" and any(t not in dfs for t in terms):
-        return empty
+        return empty_with_metrics()
+    if require and any(t not in dfs for t in require):
+        return empty_with_metrics()
     avgdl = stats["avgdl"]
     idfs = {t: idf(stats["n_docs"], dfs.get(t, 0)) for t in terms}
-    require = set(terms) if mode == "and" else None
 
     blocks = _postings_df(spark, index_dir, terms + exclude).select(
-        "term", "block_no", "first_doc", "last_doc", "max_tf", "min_dl",
-        "ub_tfs", "ub_dls", "doc_bytes", "tf_bytes", "dl_bytes",
+        *_WAND_BLOCK_COLS
     )
     # doc-span bounds from block METADATA only (payloads pruned)
     b_lo, b_hi = blocks.agg(F.min("first_doc"), F.max("last_doc")).first()
     if b_lo is None:
-        return empty
+        return empty_with_metrics()
     lo, hi = int(b_lo), int(b_hi)
     span = hi - lo + 1
     if n_tasks is None:
@@ -809,44 +864,17 @@ def bm25_topk_wand_parallel(
     if metrics is not None:
         metrics["_acc"] = (acc_decoded, acc_total)
 
-    Blk = namedtuple(
-        "Blk",
-        "term block_no first_doc last_doc max_tf min_dl ub_tfs ub_dls "
-        "doc_bytes tf_bytes dl_bytes",
+    task = _make_wand_task(
+        terms, exclude, idfs, avgdl, k, require, round_to,
+        acc_decoded, acc_total,
     )
-    inc_set, exc_set = set(terms), set(exclude)
 
     def run_range(pdf):
         rid = int(pdf["rid"].iloc[0])
-        rows = [
-            Blk(*t)
-            for t in zip(
-                pdf["term"], pdf["block_no"], pdf["first_doc"], pdf["last_doc"],
-                pdf["max_tf"], pdf["min_dl"], pdf["ub_tfs"], pdf["ub_dls"],
-                pdf["doc_bytes"], pdf["tf_bytes"], pdf["dl_bytes"],
-            )
-        ]
-        lists = build_posting_lists(
-            [r for r in rows if r.term in inc_set], idfs, avgdl
-        )
-        xlists = build_posting_lists(
-            [r for r in rows if r.term in exc_set],
-            {t: 0.0 for t in exc_set},
-            avgdl,
-        )
-        out, m = block_max_wand(
-            lists, k, require_all_terms=require, round_to=round_to,
-            exclude_lists=xlists or None, term_order=terms,
+        return task(
+            pdf,
             min_doc=lo + rid * width,
             max_doc=min(lo + (rid + 1) * width - 1, hi),
-        )
-        acc_decoded.add(int(m["decoded_blocks"]))
-        acc_total.add(int(m["total_blocks"]))
-        return pd.DataFrame(
-            {
-                "doc_id": pd.Series([d for d, _ in out], dtype="int64"),
-                "score": pd.Series([s for _, s in out], dtype="float64"),
-            }
         )
 
     locals_topk = fanned.groupBy("rid").applyInPandas(
@@ -870,12 +898,13 @@ def bm25_topk_prefix(
     keeps its own idf — boolean-rewrite semantics)."""
     from .term_index import prefix_stats_mem
 
-    terms = sorted(prefix_stats_mem(index_dir, prefix))
-    if not terms:
+    stats = prefix_stats_mem(index_dir, prefix)
+    if not stats:
         return spark.createDataFrame([], "doc_id long, score double")
     return bm25_topk_auto(
-        spark, index_dir, terms, "or", k, round_to=round_to,
+        spark, index_dir, sorted(stats), "or", k, round_to=round_to,
         wand_max_df_sum=wand_max_df_sum,
+        dfs={t: df for t, (df, _) in stats.items()},  # router reuses these
     )
 
 
@@ -895,12 +924,13 @@ def bm25_topk_fuzzy(
     semantics, like the prefix path)."""
     from .term_index import fuzzy_stats_mem
 
-    terms = sorted(fuzzy_stats_mem(index_dir, term, max_edits))
-    if not terms:
+    stats = fuzzy_stats_mem(index_dir, term, max_edits)
+    if not stats:
         return spark.createDataFrame([], "doc_id long, score double")
     return bm25_topk_auto(
-        spark, index_dir, terms, "or", k, round_to=round_to,
+        spark, index_dir, sorted(stats), "or", k, round_to=round_to,
         wand_max_df_sum=wand_max_df_sum,
+        dfs={t: df for t, (df, _) in stats.items()},
     )
 
 

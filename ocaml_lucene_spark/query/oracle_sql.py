@@ -25,6 +25,20 @@ def _terms_in(terms: list[str]) -> str:
     return f"({inner})"
 
 
+def _like_prefix(prefix: str) -> str:
+    """LIKE pattern matching ``prefix`` LITERALLY (the engine's FST
+    prefix walk is byte-literal, so '_'/'%'/'\\' in the prefix must be
+    escaped or the oracle silently matches more than the engine).
+    Use with: term LIKE '<this>' ESCAPE '\\'."""
+    p = (
+        prefix.replace("\\", "\\\\")
+        .replace("%", "\\%")
+        .replace("_", "\\_")
+        .replace("'", "''")
+    )
+    return p + "%"
+
+
 def bm25_topk_sql(
     terms: list[str],
     mode: str = "or",
@@ -73,17 +87,18 @@ LIMIT {k}
 
 
 def bm25_topk_prefix_sql(prefix: str, k: int = 10, round_to: int = 4) -> str:
-    """PrefixQuery oracle: the term filter is LIKE '<prefix>%' — the
-    expansion happens independently inside SQL, checking the engine's
-    FST-driven rewrite end to end."""
-    pq = prefix.replace("'", "''")
+    """PrefixQuery oracle: the term filter is LIKE '<prefix>%' (with
+    metacharacters escaped — the engine's expansion is byte-literal) —
+    the expansion happens independently inside SQL, checking the
+    engine's FST-driven rewrite end to end."""
+    pq = _like_prefix(prefix)
     return f"""
 WITH {TOKS_CTE},
 stats AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM base),
 tf AS (
   SELECT doc_id, term, dl, count(*) AS tf
   FROM (SELECT doc_id, dl, unnest(t) AS term FROM base)
-  WHERE term LIKE '{pq}%'
+  WHERE term LIKE '{pq}' ESCAPE '\\'
   GROUP BY doc_id, term, dl
 ),
 dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
@@ -131,13 +146,13 @@ LIMIT {k}
 
 
 def term_stats_prefix_sql(prefix: str) -> str:
-    pq = prefix.replace("'", "''")
+    pq = _like_prefix(prefix)
     return f"""
 WITH {TOKS_CTE},
 tf AS (
   SELECT doc_id, term, count(*) AS tf
   FROM (SELECT doc_id, unnest(t) AS term FROM base)
-  WHERE term LIKE '{pq}%'
+  WHERE term LIKE '{pq}' ESCAPE '\\'
   GROUP BY doc_id, term
 )
 SELECT term, count(*) AS df, sum(tf)::BIGINT AS ttf

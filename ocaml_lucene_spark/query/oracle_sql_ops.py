@@ -311,11 +311,10 @@ FROM p
 
 def bigram_collocations_sql(min_count: int = 2) -> str:
     """PMI collocations mirror of functions/textstats.bigram_collocations."""
-    return """
+    mc = int(min_count)
+    return f"""
 WITH toks AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
-  FROM documents
+  SELECT doc_id, {TOKS} AS t FROM documents
 ),
 pos AS (SELECT doc_id, unnest(t) AS w, unnest(range(len(t))) AS p FROM toks),
 pairs AS (
@@ -338,7 +337,7 @@ FROM pc
 JOIN uni u1 ON u1.w = pc.w1
 JOIN uni u2 ON u2.w = pc.w2
 CROSS JOIN totals t
-""".replace("{mc}", str(min_count))
+"""
 
 
 def fingerprints_sql(n: int = 3) -> str:

@@ -129,8 +129,9 @@ def prefix_stats_mem(index_dir: str, prefix: str) -> dict[str, tuple[int, int]]:
 
 
 def edit_distance_leq(a: str, b: str, k: int) -> bool:
-    """Levenshtein(a, b) <= k, banded DP with early exit (terms are
-    short; the band keeps this O(len * k))."""
+    """Levenshtein(a, b) <= k: full O(len(a)·len(b)) DP rows with an
+    early exit once a whole row exceeds k (terms are short, so the
+    classic banded-DP / automaton optimizations are not needed here)."""
     la, lb = len(a), len(b)
     if abs(la - lb) > k:
         return False

@@ -146,6 +146,28 @@ def test_fst_prefix_scan(spark, built):
     assert stats == expected
 
 
+def test_prefix_oracle_escapes_like_metachars(spark, built):
+    """A prefix containing LIKE metacharacters ('_'/'%') must match
+    LITERALLY on both sides: the FST expansion finds nothing for 's_'
+    (tokens are [a-z0-9]+), and the escaped SQL oracle agrees instead
+    of treating '_' as a wildcard."""
+    import duckdb
+
+    from ocaml_lucene_spark.query.exec import bm25_topk_prefix
+    from ocaml_lucene_spark.query.oracle_sql import bm25_topk_prefix_sql
+
+    index_dir, _ = built
+    assert bm25_topk_prefix(spark, index_dir, "s_").count() == 0
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    )
+    assert con.execute(bm25_topk_prefix_sql("s_")).fetchall() == []
+    # and a sane prefix still matches on both sides
+    assert con.execute(bm25_topk_prefix_sql("s")).fetchall()
+
+
 def test_fuzzy_expansion(spark, built):
     """edit_distance_leq is a correct bounded Levenshtein; the fuzzy
     dictionary expansion matches a brute-force reference and launches
