@@ -246,6 +246,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             k=10, round_to=4,
         )
 
+    def q_bm25_bool_msm(spark, sf):
+        # minimumNumberShouldMatch: must=[table], at least 1 of the 2
+        # should terms must also hit
+        return bm25.bm25_topk_bool(
+            _docs(spark, sf), must=["table"], should=["dup", "spark"],
+            k=10, round_to=4, min_should_match=1,
+        )
+
     def q_bm25_bool_wand(spark, sf):
         # same BooleanQuery inside the WAND task: coverage pivots on the
         # must terms, should lists score and bound
@@ -665,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_lang_filtered": q_bm25_lang_filtered,
         "bm25_not": q_bm25_not,
         "bm25_bool": q_bm25_bool,
+        "bm25_bool_msm": q_bm25_bool_msm,
         "bm25_bool_wand": q_bm25_bool_wand,
         "bm25_bool_indexed": q_bm25_bool_indexed,
         "bm25_indexed_not": q_bm25_indexed_not,
@@ -775,6 +784,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_lang_filtered": osql.bm25_topk_sql(["spark", "query"], "or", 10, lang="en"),
         "bm25_not": osql.bm25_topk_sql(["spark", "query"], "or", 10, exclude=["dup"]),
         "bm25_bool": osql.bm25_topk_bool_sql(["table"], ["dup", "spark"], 10),
+        "bm25_bool_msm": osql.bm25_topk_bool_sql(
+            ["table"], ["dup", "spark"], 10, min_should_match=1
+        ),
         "bm25_bool_wand": osql.bm25_topk_bool_sql(["table"], ["dup", "spark"], 10),
         "bm25_bool_indexed": osql.bm25_topk_bool_sql(["table"], ["dup", "spark"], 10),
         "bm25_indexed_not": osql.bm25_topk_sql(["spark", "query"], "or", 10, exclude=["dup"]),

@@ -96,6 +96,7 @@ def bm25_topk(
     round_to: int | None = None,
     exclude: list[str] | None = None,
     must: list[str] | None = None,
+    min_should_match: int = 0,
 ) -> DataFrame:
     """Top-k (doc_id, score); tie-break (score desc, doc_id asc).
 
@@ -103,7 +104,8 @@ def bm25_topk(
     intersection semantics, SURVEY.md §2.3); 'or' is the score-
     accumulating union. must: BooleanQuery must clauses (a subset of
     ``terms``; the rest are score-only should clauses — mode='and' is
-    shorthand for must=terms).
+    shorthand for must=terms). min_should_match: results must hit at
+    least this many non-must terms (Lucene minimumNumberShouldMatch).
 
     exclude: NOT clause — drop docs containing ANY excluded term
     (SURVEY.md §2.3 anti join; reference semantics: docID-sorted
@@ -153,9 +155,14 @@ def bm25_topk(
     agg = scored.groupBy("doc_id").agg(
         _query_order_sum(terms).alias("score_raw"),
         n_hit.alias("n_terms_hit"),
+        F.sum(F.when(~F.col("term").isin(must_set), 1).otherwise(0)).alias(
+            "n_should_hit"
+        ),
     )
     if must_set:
         agg = agg.filter(F.col("n_terms_hit") == len(must_set))
+    if min_should_match:
+        agg = agg.filter(F.col("n_should_hit") >= min_should_match)
     score = F.round(F.col("score_raw"), round_to) if round_to is not None else F.col("score_raw")
     return (
         agg.select("doc_id", score.alias("score"))
@@ -173,18 +180,20 @@ def bm25_topk_bool(
     text_col: str = "text",
     round_to: int | None = None,
     exclude: list[str] | None = None,
+    min_should_match: int = 0,
 ) -> DataFrame:
     """Lucene BooleanQuery semantics: a result doc contains EVERY
-    ``must`` term; ``should`` terms are optional but add to the score;
-    ``exclude`` (must_not) drops docs. Score = BM25 sum over all
-    matched must+should terms, folded in clause order (must first) —
-    the same _query_order_sum determinism contract as the other paths.
-    Plain AND is must-only; plain OR is should-only."""
+    ``must`` term; ``should`` terms are optional but add to the score
+    (at least ``min_should_match`` of them must hit); ``exclude``
+    (must_not) drops docs. Score = BM25 sum over all matched
+    must+should terms, folded in clause order (must first) — the same
+    _query_order_sum determinism contract as the other paths. Plain AND
+    is must-only; plain OR is should-only."""
     must = list(dict.fromkeys(must))
     should = [t for t in dict.fromkeys(should or []) if t not in must]
     return bm25_topk(
         docs, must + should, "or", k, id_col, text_col, round_to, exclude,
-        must=must or None,
+        must=must or None, min_should_match=min_should_match,
     )
 
 

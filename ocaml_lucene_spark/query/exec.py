@@ -126,6 +126,7 @@ def bm25_topk_indexed(
     round_to: int | None = None,
     exclude: list[str] | None = None,
     must: list[str] | None = None,
+    min_should_match: int = 0,
 ) -> DataFrame:
     """Distributed exhaustive plan. Returns (doc_id, score) DataFrame.
 
@@ -226,12 +227,18 @@ def bm25_topk_indexed(
         if must_set
         else F.count("*")
     )
+    n_should = F.sum(
+        F.when(~F.col("term").isin(must_set), 1).otherwise(0)
+    )
     agg = scored.groupBy("doc_id").agg(
         _query_order_sum(terms).alias("score_raw"),
         n_hit.alias("nhit"),
+        n_should.alias("n_should"),
     )
     if must_set:
         agg = agg.filter(F.col("nhit") == len(must_set))
+    if min_should_match:
+        agg = agg.filter(F.col("n_should") >= min_should_match)
     if exclude:
         agg = agg.join(excluded_docs_df(spark, index_dir, exclude), "doc_id", "left_anti")
     score = (
@@ -554,6 +561,7 @@ def _make_wand_task(
     round_to: int | None,
     acc_decoded,
     acc_total,
+    min_should_match: int = 0,
 ):
     """The executor-side WAND task body shared by the single-task and
     doc-range-parallel plans: one pandas frame of block rows
@@ -580,6 +588,7 @@ def _make_wand_task(
             lists, k, require_all_terms=require, round_to=round_to,
             exclude_lists=xlists or None, term_order=terms,
             min_doc=min_doc, max_doc=max_doc,
+            min_should_match=min_should_match,
         )
         acc_decoded.add(int(m["decoded_blocks"]))
         acc_total.add(int(m["total_blocks"]))
@@ -603,6 +612,7 @@ def bm25_topk_wand_exec(
     metrics: dict | None = None,
     exclude: list[str] | None = None,
     must: list[str] | None = None,
+    min_should_match: int = 0,
 ) -> DataFrame:
     """Cluster-side block-max WAND: one executor task per query.
 
@@ -658,7 +668,7 @@ def bm25_topk_wand_exec(
     )
     task = _make_wand_task(
         terms, exclude, idfs, avgdl, k, require, round_to,
-        acc_decoded, acc_total,
+        acc_decoded, acc_total, min_should_match=min_should_match,
     )
 
     def run(batches):
@@ -751,6 +761,7 @@ def bm25_topk_auto(
     decision: dict | None = None,
     dfs: dict[str, int] | None = None,
     must: list[str] | None = None,
+    min_should_match: int = 0,
 ) -> DataFrame:
     """One BM25 entry point with automatic physical-plan selection (see
     bm25_route: wand / parallel / indexed). All plans return identical
@@ -764,16 +775,16 @@ def bm25_topk_auto(
     if route["plan"] == "wand":
         return bm25_topk_wand_exec(
             spark, index_dir, terms, mode, k, round_to=round_to,
-            exclude=exclude, must=must,
+            exclude=exclude, must=must, min_should_match=min_should_match,
         )
     if route["plan"] == "parallel":
         return bm25_topk_wand_parallel(
             spark, index_dir, terms, mode, k, round_to=round_to,
-            exclude=exclude, must=must,
+            exclude=exclude, must=must, min_should_match=min_should_match,
         )
     return bm25_topk_indexed(
         spark, index_dir, terms, mode, k, round_to=round_to,
-        exclude=exclude, must=must,
+        exclude=exclude, must=must, min_should_match=min_should_match,
     )
 
 
@@ -788,6 +799,7 @@ def bm25_topk_wand_parallel(
     n_tasks: int | None = None,
     metrics: dict | None = None,
     must: list[str] | None = None,
+    min_should_match: int = 0,
 ) -> DataFrame:
     """Doc-range-PARALLEL block-max WAND: the scale path for hot term
     sets, sitting between the single-task WAND (best for small
@@ -866,7 +878,7 @@ def bm25_topk_wand_parallel(
 
     task = _make_wand_task(
         terms, exclude, idfs, avgdl, k, require, round_to,
-        acc_decoded, acc_total,
+        acc_decoded, acc_total, min_should_match=min_should_match,
     )
 
     def run_range(pdf):

@@ -166,17 +166,27 @@ def bm25_topk_bool_sql(
     k: int = 10,
     round_to: int = 4,
     exclude: list[str] | None = None,
+    min_should_match: int = 0,
 ) -> str:
     """BooleanQuery oracle: results contain every must term; should
-    terms add score; must_not drops docs (mirrors bm25_topk_bool)."""
+    terms add score (>= min_should_match of them must hit); must_not
+    drops docs (mirrors bm25_topk_bool)."""
     must = list(dict.fromkeys(must))
     should = [t for t in dict.fromkeys(should or []) if t not in must]
     terms = must + should
-    having = (
-        f"HAVING sum(CASE WHEN term IN {_terms_in(must)} THEN 1 ELSE 0 END) = {len(must)}"
-        if must
-        else ""
-    )
+    conds = []
+    if must:
+        conds.append(
+            f"sum(CASE WHEN term IN {_terms_in(must)} THEN 1 ELSE 0 END) = {len(must)}"
+        )
+    if min_should_match:
+        conds.append(
+            f"sum(CASE WHEN term NOT IN {_terms_in(must)} THEN 1 ELSE 0 END)"
+            f" >= {min_should_match}"
+            if must
+            else f"count(*) >= {min_should_match}"
+        )
+    having = f"HAVING {' AND '.join(conds)}" if conds else ""
     not_clause = ""
     if exclude:
         not_clause = f"""WHERE doc_id NOT IN (

@@ -221,6 +221,7 @@ def block_max_wand(
     min_doc: int = 0,
     max_doc: int | None = None,
     term_order: list[str] | None = None,
+    min_should_match: int = 0,
 ) -> tuple[list[tuple[int, float]], dict]:
     """Exact top-k [(doc_id, score)] over posting lists.
 
@@ -229,6 +230,12 @@ def block_max_wand(
     engine-wide _query_order_sum contract so a doc's float sum is
     bit-identical across every physical plan and tie-breaks agree at
     rounded k-boundaries.
+
+    min_should_match: Lucene minimumNumberShouldMatch — a result doc
+    must hit at least this many NON-required terms (terms outside
+    require_all_terms). A pure evaluation filter: docs pruned by theta
+    could never displace qualifying heap entries, so pruning soundness
+    is untouched (fuzzed).
 
     min_doc/max_doc restrict the sweep to docIDs in [min_doc, max_doc]:
     iterators advance (lazily, no decode) to min_doc up front and the
@@ -269,6 +276,14 @@ def block_max_wand(
     fold_order = list(
         dict.fromkeys(term_order if term_order is not None else [pl.term for pl in lists])
     )
+    req_set = require_all_terms or set()
+
+    def qualifies(hit: set) -> bool:
+        if and_mode and not (hit >= require_all_terms):
+            return False
+        if min_should_match and len(hit - req_set) < min_should_match:
+            return False
+        return bool(hit)
 
     def fold_score(parts: dict[str, float]) -> float:
         """Left fold of the per-term contributions in query-term order
@@ -340,7 +355,7 @@ def block_max_wand(
                 if s > 0.0:
                     parts[pl.term] = s  # one shard per term contains d
             hit = set(parts)
-            ok = (hit >= require_all_terms) if and_mode else bool(hit)
+            ok = qualifies(hit)
             if ok and s_exc:
                 ok = not any(xl.contains(d) for xl in s_exc)
             seen.add(d)
@@ -489,7 +504,7 @@ def block_max_wand(
             # tie-breaks agree across every physical path
             score = fold_score(parts)
             hit = set(parts)
-            ok = (hit >= require_all_terms) if and_mode else bool(hit)
+            ok = qualifies(hit)
             if ok and exclude_lists:
                 ok = not any(xl.contains(pivot_doc) for xl in exclude_lists)
             if ok:

@@ -223,21 +223,27 @@ def test_wand_combined_stress_fuzz():
             )
 
 
-def oracle_query_bool(oracle, must, should, k):
-    """Reference BooleanQuery: docs with every must term, scored over
-    must+should."""
+def oracle_query_bool(oracle, must, should, k, min_should_match=0):
+    """Reference BooleanQuery: docs with every must term (and at least
+    min_should_match should terms), scored over must+should."""
     terms = list(dict.fromkeys(must + [t for t in should if t not in must]))
     full = oracle.query(terms, "or", len(oracle.doc_lens))
     keep = []
     for d, s in full:
-        if all(d in oracle.postings.get(t, {}) for t in must):
-            keep.append((d, s))
+        if not all(d in oracle.postings.get(t, {}) for t in must):
+            continue
+        n_should = sum(
+            1 for t in terms if t not in must and d in oracle.postings.get(t, {})
+        )
+        if n_should < min_should_match:
+            continue
+        keep.append((d, s))
     return keep[:k]
 
 
 def test_wand_bool_must_should_fuzz():
     """require_all_terms = a SUBSET of the scored terms (BooleanQuery
-    must+should) stays exact under sharding."""
+    must+should, with min_should_match) stays exact under sharding."""
     rng = random.Random(31337)
     vocab = list("abcdefgh")
     for trial in range(50):
@@ -245,12 +251,14 @@ def test_wand_bool_must_should_fuzz():
         terms = rng.sample(vocab, rng.randint(2, 4))
         n_must = rng.randint(1, len(terms) - 1)
         must, should = terms[:n_must], terms[n_must:]
+        msm = rng.choice([0, 0, 1, len(should)])
         lists = lists_from_oracle(oracle, terms, rng.choice([1, 2, 4]))
         got, _ = block_max_wand(
-            lists, 8, require_all_terms=set(must), term_order=terms
+            lists, 8, require_all_terms=set(must), term_order=terms,
+            min_should_match=msm,
         )
-        expected = oracle_query_bool(oracle, must, should, 8)
-        _assert_matches(got, expected, (trial, must, should))
+        expected = oracle_query_bool(oracle, must, should, 8, msm)
+        _assert_matches(got, expected, (trial, must, should, msm))
 
 
 def test_wand_range_split_union_fuzz():
