@@ -134,6 +134,24 @@ def verify_index(spark: SparkSession, index_dir: str) -> dict:
                 f"{name}: manifest n_postings {row['n_postings']} != "
                 f"checkpoint sum {n_postings}"
             )
+        # block skip-metadata invariants (one metadata-only scan): the
+        # pareto frontier must contain the block's max tf and min dl
+        # (by construction — the max-tf point and a min-dl point are
+        # never dominated), and doc ranges must be ordered; WAND
+        # soundness rests on these
+        bstats = (
+            spark.read.parquet(paths["postings"])
+            .agg(
+                F.max(F.col("max_tf") != F.array_max("ub_tfs")).alias("bad_tf"),
+                F.max(F.col("min_dl") != F.array_min("ub_dls")).alias("bad_dl"),
+                F.max(F.col("first_doc") > F.col("last_doc")).alias("bad_rng"),
+            )
+            .collect()[0]
+        )
+        if bool(bstats.bad_tf) or bool(bstats.bad_dl):
+            raise ValueError(f"{name}: block frontier disagrees with max_tf/min_dl")
+        if bool(bstats.bad_rng):
+            raise ValueError(f"{name}: block with first_doc > last_doc")
         # stats invariants from the terms table
         tstats = (
             spark.read.parquet(paths["terms"])
