@@ -399,10 +399,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_term_stats_prefix(spark, sf):
-        # terms-dict prefix/range read from the in-memory FST
+        # terms-dict prefix read from the in-memory FST
         from ocaml_lucene_spark.query.exec import term_stats_prefix
 
         return term_stats_prefix(spark, _ensure_index(spark, sf), "s")
+
+    def q_term_stats_range(spark, sf):
+        # terms-dict range read [f, m): byte-ordered FST enumeration
+        # with early termination
+        from ocaml_lucene_spark.query.exec import term_stats_range
+
+        return term_stats_range(spark, _ensure_index(spark, sf), "f", "m")
 
     def q_bm25_after_merge(spark, sf):
         # full pipeline witness: 3 segments -> tiered merge -> 1 segment;
@@ -692,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_fuzzy": q_bm25_fuzzy,
         "term_stats_fst": q_term_stats_fst,
         "term_stats_prefix": q_term_stats_prefix,
+        "term_stats_range": q_term_stats_range,
         "phrase_counts_indexed": q_phrase_counts_indexed,
         "phrase3_counts": q_phrase3_counts,
         "phrase3_counts_indexed": q_phrase3_counts_indexed,
@@ -774,6 +782,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_fuzzy": osql.bm25_topk_fuzzy_sql("sort", 2, 10),
         "term_stats_fst": osql.term_stats_sql(),
         "term_stats_prefix": osql.term_stats_prefix_sql("s"),
+        "term_stats_range": osql.term_stats_range_sql("f", "m"),
         "bm25_after_merge": osql.bm25_topk_sql(["spark", "query", "dup"], "or", 10),
         "bm25_streamed": osql.bm25_topk_sql(["spark", "query", "dup"], "or", 10),
         "bm25_or_top10": osql.bm25_topk_sql(["spark", "query", "dup"], "or", 10),

@@ -946,6 +946,21 @@ def bm25_topk_fuzzy(
     )
 
 
+def term_stats_range(
+    spark: SparkSession, index_dir: str, lo: str, hi: str
+) -> DataFrame:
+    """(term, df, ttf) for dictionary terms in [lo, hi) — the terms-
+    dict range read, served from the in-memory FST enumeration (early
+    termination at hi; zero Spark jobs for the lookup)."""
+    from .term_index import range_stats_mem
+
+    stats = range_stats_mem(index_dir, lo, hi)
+    return spark.createDataFrame(
+        [(t, int(df), int(ttf)) for t, (df, ttf) in sorted(stats.items())],
+        "term string, df long, ttf long",
+    )
+
+
 def term_stats_prefix(
     spark: SparkSession, index_dir: str, prefix: str
 ) -> DataFrame:

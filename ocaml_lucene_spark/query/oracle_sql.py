@@ -145,6 +145,21 @@ LIMIT {k}
 """
 
 
+def term_stats_range_sql(lo: str, hi: str) -> str:
+    lq, hq = lo.replace("'", "''"), hi.replace("'", "''")
+    return f"""
+WITH {TOKS_CTE},
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM base)
+  WHERE term >= '{lq}' AND term < '{hq}'
+  GROUP BY doc_id, term
+)
+SELECT term, count(*) AS df, sum(tf)::BIGINT AS ttf
+FROM tf GROUP BY term
+"""
+
+
 def term_stats_prefix_sql(prefix: str) -> str:
     pq = _like_prefix(prefix)
     return f"""

@@ -128,6 +128,32 @@ def prefix_stats_mem(index_dir: str, prefix: str) -> dict[str, tuple[int, int]]:
     return out
 
 
+def range_stats_mem(
+    index_dir: str, lo: str, hi: str
+) -> dict[str, tuple[int, int]]:
+    """term -> (df, ttf) for dictionary terms in [lo, hi) — the terms-
+    dict range read (Lucene TermRangeQuery / floor-block walk), served
+    from the in-memory FSTs with zero Spark jobs. items() enumerates in
+    byte order, so each segment's walk stops at the first term >= hi."""
+    out: dict[str, tuple[int, int]] = {}
+    lo_b, hi_b = lo.encode("utf-8"), hi.encode("utf-8")
+    for row in seg.list_segments(index_dir):
+        ti = load_term_index(index_dir, row["segment"])
+        for key, ordinal in ti.fst.items():
+            if key >= hi_b:
+                break  # sorted enumeration: nothing later can match
+            if key < lo_b:
+                continue
+            term = key.decode("utf-8")
+            df, ttf = int(ti.dfs[ordinal]), int(ti.ttfs[ordinal])
+            if term in out:
+                pdf, pttf = out[term]
+                out[term] = (pdf + df, pttf + ttf)
+            else:
+                out[term] = (df, ttf)
+    return out
+
+
 def edit_distance_leq(a: str, b: str, k: int) -> bool:
     """Levenshtein(a, b) <= k: full O(len(a)·len(b)) DP rows with an
     early exit once a whole row exceeds k (terms are short, so the

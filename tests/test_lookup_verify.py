@@ -145,6 +145,14 @@ def test_fst_prefix_scan(spark, built):
     expected = {t: v for t, v in oracle.term_stats().items() if t.startswith("s")}
     assert stats == expected
 
+    # range read [f, m): byte-ordered enumeration with early stop
+    from ocaml_lucene_spark.query.term_index import range_stats_mem
+
+    got_r = range_stats_mem(index_dir, "f", "m")
+    exp_r = {t: v for t, v in oracle.term_stats().items() if "f" <= t < "m"}
+    assert got_r == exp_r
+    assert range_stats_mem(index_dir, "zz", "zza") == {}
+
 
 def test_prefix_oracle_escapes_like_metachars(spark, built):
     """A prefix containing LIKE metacharacters ('_'/'%') must match
