@@ -398,6 +398,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             round_to=4,
         )
 
+    def q_bm25_wildcard(spark, sf):
+        # WildcardQuery 's?a*': FST-subtree expansion (zero Spark jobs),
+        # auto-routed BM25; the oracle translates to LIKE independently
+        from ocaml_lucene_spark.query.exec import bm25_topk_wildcard
+
+        return bm25_topk_wildcard(
+            spark, _ensure_index(spark, sf), "s?a*", k=10, round_to=4
+        )
+
     def q_term_stats_prefix(spark, sf):
         # terms-dict prefix read from the in-memory FST
         from ocaml_lucene_spark.query.exec import term_stats_prefix
@@ -697,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_auto": q_bm25_auto,
         "bm25_prefix": q_bm25_prefix,
         "bm25_fuzzy": q_bm25_fuzzy,
+        "bm25_wildcard": q_bm25_wildcard,
         "term_stats_fst": q_term_stats_fst,
         "term_stats_prefix": q_term_stats_prefix,
         "term_stats_range": q_term_stats_range,
@@ -780,6 +790,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_auto": osql.bm25_topk_sql(["table", "dup"], "or", 10),
         "bm25_prefix": osql.bm25_topk_prefix_sql("s", 10),
         "bm25_fuzzy": osql.bm25_topk_fuzzy_sql("sort", 2, 10),
+        "bm25_wildcard": osql.bm25_topk_wildcard_sql("s?a*", 10),
         "term_stats_fst": osql.term_stats_sql(),
         "term_stats_prefix": osql.term_stats_prefix_sql("s"),
         "term_stats_range": osql.term_stats_range_sql("f", "m"),

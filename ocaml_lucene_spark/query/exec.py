@@ -946,6 +946,30 @@ def bm25_topk_fuzzy(
     )
 
 
+def bm25_topk_wildcard(
+    spark: SparkSession,
+    index_dir: str,
+    pattern: str,
+    k: int = 10,
+    round_to: int | None = None,
+    wand_max_df_sum: int = DEFAULT_WAND_MAX_DF_SUM,
+) -> DataFrame:
+    """WildcardQuery ('*' any run, '?' one char): expand via the
+    in-memory dictionary (literal prefix narrows to an FST subtree,
+    zero Spark jobs), then the auto-routed disjunctive BM25 over the
+    expansion — boolean-rewrite semantics like prefix/fuzzy."""
+    from .term_index import wildcard_stats_mem
+
+    stats = wildcard_stats_mem(index_dir, pattern)
+    if not stats:
+        return spark.createDataFrame([], "doc_id long, score double")
+    return bm25_topk_auto(
+        spark, index_dir, sorted(stats), "or", k, round_to=round_to,
+        wand_max_df_sum=wand_max_df_sum,
+        dfs={t: df for t, (df, _) in stats.items()},
+    )
+
+
 def term_stats_range(
     spark: SparkSession, index_dir: str, lo: str, hi: str
 ) -> DataFrame:

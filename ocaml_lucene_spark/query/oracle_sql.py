@@ -145,6 +145,52 @@ LIMIT {k}
 """
 
 
+def _like_wildcard(pattern: str) -> str:
+    """Translate a Lucene wildcard pattern ('*'/'?') to a LIKE pattern
+    with every literal metacharacter escaped (ESCAPE '\\')."""
+    out = []
+    for c in pattern:
+        if c == "*":
+            out.append("%")
+        elif c == "?":
+            out.append("_")
+        elif c in ("%", "_", "\\"):
+            out.append("\\" + c)
+        elif c == "'":
+            out.append("''")
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+def bm25_topk_wildcard_sql(pattern: str, k: int = 10, round_to: int = 4) -> str:
+    """WildcardQuery oracle: the pattern translates to LIKE wildcards
+    independently of the engine's FST-subtree expansion."""
+    pq = _like_wildcard(pattern)
+    return f"""
+WITH {TOKS_CTE},
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM base),
+tf AS (
+  SELECT doc_id, term, dl, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(t) AS term FROM base)
+  WHERE term LIKE '{pq}' ESCAPE '\\'
+  GROUP BY doc_id, term, dl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n - df + 0.5) / (df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl)) AS sc
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+)
+SELECT doc_id, round(sum(sc), {round_to}) AS score
+FROM scored
+GROUP BY doc_id
+ORDER BY round(sum(sc), {round_to}) DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def term_stats_range_sql(lo: str, hi: str) -> str:
     lq, hq = lo.replace("'", "''"), hi.replace("'", "''")
     return f"""

@@ -154,6 +154,45 @@ def range_stats_mem(
     return out
 
 
+def wildcard_stats_mem(
+    index_dir: str, pattern: str
+) -> dict[str, tuple[int, int]]:
+    """term -> (df, ttf) for dictionary terms matching a Lucene
+    WildcardQuery pattern ('*' = any run, '?' = one char; everything
+    else literal), from the in-memory dictionaries with zero Spark
+    jobs. A literal prefix before the first wildcard narrows the scan
+    to that FST subtree (prefix_items); the tail matches via a
+    translated anchored regex."""
+    import re
+
+    first_wild = min(
+        [i for i, c in enumerate(pattern) if c in "*?"] or [len(pattern)]
+    )
+    prefix = pattern[:first_wild]
+    rx = re.compile(
+        "".join(
+            ".*" if c == "*" else "." if c == "?" else re.escape(c)
+            for c in pattern
+        )
+        + r"\Z"
+    )
+    out: dict[str, tuple[int, int]] = {}
+    p = prefix.encode("utf-8")
+    for row in seg.list_segments(index_dir):
+        ti = load_term_index(index_dir, row["segment"])
+        for key, ordinal in ti.fst.prefix_items(p):
+            term = key.decode("utf-8")
+            if not rx.match(term):
+                continue
+            df, ttf = int(ti.dfs[ordinal]), int(ti.ttfs[ordinal])
+            if term in out:
+                pdf, pttf = out[term]
+                out[term] = (pdf + df, pttf + ttf)
+            else:
+                out[term] = (df, ttf)
+    return out
+
+
 def edit_distance_leq(a: str, b: str, k: int) -> bool:
     """Levenshtein(a, b) <= k: full O(len(a)·len(b)) DP rows with an
     early exit once a whole row exceeds k (terms are short, so the

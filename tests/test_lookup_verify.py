@@ -153,6 +153,20 @@ def test_fst_prefix_scan(spark, built):
     assert got_r == exp_r
     assert range_stats_mem(index_dir, "zz", "zza") == {}
 
+    # wildcard expansion: '*' any run, '?' one char, literals literal
+    import fnmatch
+
+    from ocaml_lucene_spark.query.term_index import wildcard_stats_mem
+
+    for pat in ("s?a*", "*a*", "s*", "q??r?", "*zzz*"):
+        got_w = wildcard_stats_mem(index_dir, pat)
+        exp_w = {
+            t: v
+            for t, v in oracle.term_stats().items()
+            if fnmatch.fnmatchcase(t, pat)
+        }
+        assert got_w == exp_w, (pat, sorted(got_w), sorted(exp_w))
+
 
 def test_prefix_oracle_escapes_like_metachars(spark, built):
     """A prefix containing LIKE metacharacters ('_'/'%') must match
