@@ -1,6 +1,7 @@
 """Physical query execution over packed segments.
 
-Two plans, same results (tested against each other and the oracle):
+Three plans, same results (tested against each other and the oracle;
+bm25_topk_auto routes between them with zero Spark jobs):
 
 1. ``bm25_topk_indexed`` — distributed exhaustive: parquet scan of the
    query terms' blocks (term predicate pushes to row groups via the
@@ -15,6 +16,10 @@ Two plans, same results (tested against each other and the oracle):
    shuffle to ONE executor task per query which returns just the k
    result rows (payloads never touch the driver);
    ``bm25_topk_wand`` is the driver-local test/debug variant.
+
+3. ``bm25_topk_wand_parallel`` — doc-range-parallel WAND: contiguous
+   doc ranges, one clipped pruning sweep per range, exact union merge
+   (bounded per-task memory for hot queries).
 
 Stats (N, avgdl, df) aggregate across all live segments, so scores are
 identical to a single-segment index over the same docs — which is what
