@@ -297,20 +297,49 @@ def simhash_signatures(
     )
 
 
-def simhash_near_pairs(
-    docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+def simhash_slices(bits: int, max_hamming: int) -> list[tuple[int, int]]:
+    """Pigeonhole slice plan: ``max_hamming + 1`` contiguous bit ranges
+    as (offset, width). With d errors spread over d+1 disjoint slices,
+    at least one slice is error-free, so blocking on every slice has
+    FULL recall for Hamming distance <= max_hamming. (Two 16-bit halves
+    — the round-3 scheme — only guarantee d <= 1: 3 flips can split 2+1
+    across the halves so neither half matches.) Widths differ by at
+    most 1 when ``bits`` isn't divisible."""
+    n = max_hamming + 1
+    if n > bits:
+        raise ValueError(f"max_hamming={max_hamming} needs {n} slices > {bits} bits")
+    base, rem = divmod(bits, n)
+    out, off = [], 0
+    for i in range(n):
+        w = base + (1 if i < rem else 0)
+        out.append((off, w))
+        off += w
+    return out
+
+
+def simhash_pairs_from_signatures(
+    sig: DataFrame, max_hamming: int = 3, bits: int = 32
 ) -> DataFrame:
-    """(doc_a, doc_b, hamming) pairs within Hamming distance; blocked by
-    16-bit halves (a pair within distance d<=3 shares at least one half)."""
-    sig = simhash_signatures(docs, id_col, text_col, bits)
-    half = bits // 2
+    """(doc_a, doc_b, hamming) from a (doc_id, simhash) frame. Blocked
+    LSH self-join: explode each signature into max_hamming+1 slice keys
+    (see simhash_slices — exact recall by pigeonhole), equi-join on
+    (part, key), verify exact Hamming with bit_count. Quadratic only
+    within a slice bucket; at 100 TB the join shuffles on (part, key)
+    and never forms cross-bucket pairs."""
     blocked = sig.select(
         "doc_id",
         "simhash",
         F.explode(
             F.array(
-                F.struct(F.lit(0).alias("part"), (F.col("simhash") % (1 << half)).alias("key")),
-                F.struct(F.lit(1).alias("part"), F.shiftright("simhash", half).alias("key")),
+                *[
+                    F.struct(
+                        F.lit(i).alias("part"),
+                        (
+                            F.shiftright("simhash", off).bitwiseAND(F.lit((1 << w) - 1))
+                        ).alias("key"),
+                    )
+                    for i, (off, w) in enumerate(simhash_slices(bits, max_hamming))
+                ]
             )
         ).alias("b"),
     ).select("doc_id", "simhash", "b.part", "b.key")
@@ -328,3 +357,12 @@ def simhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs within Hamming distance; blocked on
+    max_hamming+1 bit slices (exact recall — simhash_slices)."""
+    sig = simhash_signatures(docs, id_col, text_col, bits)
+    return simhash_pairs_from_signatures(sig, max_hamming, bits)

@@ -7,6 +7,8 @@ rounded to 4 on both sides)."""
 
 from __future__ import annotations
 
+from ..operators.dedup import simhash_slices as _simhash_slices
+
 TOKS = (
     "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 )
@@ -187,9 +189,19 @@ FROM bitsum GROUP BY doc_id
 
 
 def simhash_near_pairs_sql(max_hamming: int = 3, bits: int = 32) -> str:
-    """16-bit-half blocking (pigeonhole: d<=3 pairs share a half) +
-    exact Hamming verify — mirrors operators/dedup.py simhash_near_pairs."""
-    half = bits // 2
+    """max_hamming+1-slice pigeonhole blocking (exact recall for
+    d <= max_hamming: d errors over d+1 disjoint slices leave one slice
+    clean) + exact Hamming verify. NOTE on circularity: because the
+    blocking is exact-recall, this oracle is equivalent to the
+    brute-force all-pairs filter — the independent all-pairs check
+    lives in tests/test_dedup_ann.py (planted 2+1-split pair + full
+    numpy brute-force recall)."""
+    slices = _simhash_slices(bits, max_hamming)
+    blocked_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, simhash, {i} AS part,"
+        f" (simhash >> {off}) & {(1 << w) - 1} AS key FROM sims"
+        for i, (off, w) in enumerate(slices)
+    )
     return f"""
 WITH base AS (SELECT doc_id, {TOKS} AS t FROM documents),
 tf AS (
@@ -210,9 +222,7 @@ sims AS (
   FROM bitsum GROUP BY doc_id
 ),
 blocked AS (
-  SELECT doc_id, simhash, 0 AS part, simhash % {1 << half} AS key FROM sims
-  UNION ALL
-  SELECT doc_id, simhash, 1 AS part, simhash // {1 << half} AS key FROM sims
+{blocked_rows}
 )
 SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
        bit_count(xor(l.simhash, r.simhash))::INT AS hamming

@@ -72,6 +72,54 @@ def test_simhash_near_pairs_hit_near_dups(spark, docs):
     assert hits >= max(1, int(0.8 * len(exact_pairs))), (hits, len(exact_pairs))
 
 
+def test_simhash_planted_2plus1_split_pair(spark):
+    """Regression for the round-3 blocking bug: a Hamming-3 pair whose
+    flipped bits split 2+1 across the old 16-bit halves (bits 0, 1 in
+    the low half, bit 17 in the high half) — neither half matches, so
+    2-half blocking silently dropped it. The sound max_hamming+1-slice
+    pigeonhole blocking must find it."""
+    a = 0x12345678
+    b = a ^ 0b11 ^ (1 << 17)  # flips bits 0,1 (low half) + 17 (high half)
+    assert bin(a ^ b).count("1") == 3
+    assert (a & 0xFFFF) != (b & 0xFFFF) and (a >> 16) != (b >> 16)
+    sig = spark.createDataFrame(
+        [(0, a), (1, b), (2, 0x7FEDC001)], "doc_id long, simhash long"
+    )
+    got = dedup.simhash_pairs_from_signatures(sig, max_hamming=3, bits=32).collect()
+    assert {(p.doc_a, p.doc_b, p.hamming) for p in got} == {(0, 1, 3)}
+
+
+def test_simhash_blocking_full_recall_brute_force(spark, docs):
+    """Independent (non-SQL, non-blocked) oracle: numpy all-pairs
+    Hamming over the real corpus signatures must equal the blocked
+    join's output exactly — the pigeonhole blocking loses nothing."""
+    sig_rows = dedup.simhash_signatures(docs).collect()
+    ids = np.array([r.doc_id for r in sig_rows])
+    sigs = np.array([r.simhash for r in sig_rows], dtype=np.uint64)
+    xor = sigs[:, None] ^ sigs[None, :]
+    ham = np.zeros_like(xor, dtype=np.int64)
+    v = xor.copy()
+    while v.any():
+        ham += (v & 1).astype(np.int64)
+        v >>= 1
+    ii, jj = np.where((ham <= 3) & (ids[:, None] < ids[None, :]))
+    expect = {(int(ids[i]), int(ids[j]), int(ham[i, j])) for i, j in zip(ii, jj)}
+    got = {
+        (p.doc_a, p.doc_b, p.hamming)
+        for p in dedup.simhash_near_pairs(docs, max_hamming=3).collect()
+    }
+    assert got == expect
+
+
+def test_simhash_slice_plan():
+    assert dedup.simhash_slices(32, 3) == [(0, 8), (8, 8), (16, 8), (24, 8)]
+    assert dedup.simhash_slices(32, 1) == [(0, 16), (16, 16)]
+    offs = dedup.simhash_slices(32, 6)
+    assert sum(w for _, w in offs) == 32 and len(offs) == 7
+    with pytest.raises(ValueError):
+        dedup.simhash_slices(4, 10)
+
+
 def test_ann_lsh_recall_vs_brute_force(spark, vecs):
     import pyarrow.parquet as pq
 
