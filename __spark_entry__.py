@@ -680,40 +680,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ann.build_ann_index(_vecs(spark, sf), idx, n_bits=4)
         return ann.embedding_near_dup_pairs_indexed(spark, idx, min_sim=0.9)
 
+    # Dict order IS the driver's execution order (CORRECTNESS_r03 shows
+    # the run was cut after the 50th entry, dropping the whole tail).
+    # Defensive ordering: (1) the 11 entries the round-3 run dropped —
+    # including three never driver-checked — go FIRST; (2) the flagship
+    # query surface next; (3) the tail holds entries that passed in all
+    # of rounds 1-3 AND are semantically subsumed by an earlier, stronger
+    # variant (e.g. logical phrase_counts vs phrase_counts_indexed), so
+    # a recurrence of the cut costs the least evidence.
     return {
+        # -- dropped by the round-3 gate run (never checked: ann_ivf_indexed,
+        #    bigram_collocations, embedding_near_dup_indexed) --
+        "ann_ivf_indexed": q_ann_ivf_indexed,
+        "bigram_collocations": q_bigram_collocations,
+        "embedding_near_dup_indexed": q_embed_near_dup_indexed,
+        "ann_brute_force": q_ann_brute,
+        "ann_lsh": q_ann_lsh,
+        "ann_lsh_indexed": q_ann_lsh_indexed,
+        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+        "ann_ivf": q_ann_ivf,
+        "embedding_near_dup": q_embed_near_dup,
+        "bpe_token_counts": q_bpe_token_counts,
+        "fingerprints": q_fingerprints,
+        # -- flagship query surface --
         "bm25_or_top10": q_bm25_or,
         "bm25_and_top10": q_bm25_and,
-        "bm25_single_rare": q_bm25_single_rare,
-        "bm25_or_with_absent": q_bm25_or_with_absent,
-        "bm25_and_absent_empty": q_bm25_and_absent_empty,
-        "bm25_lang_filtered": q_bm25_lang_filtered,
+        "bm25_wand": q_bm25_wand,
+        "bm25_wand_parallel": q_bm25_wand_parallel,
+        "bm25_auto": q_bm25_auto,
+        "bm25_indexed_or": q_bm25_indexed_or,
+        "bm25_indexed_and": q_bm25_indexed_and,
+        "bm25_indexed_not": q_bm25_indexed_not,
+        "bm25_wand_not": q_bm25_wand_not,
         "bm25_not": q_bm25_not,
         "bm25_bool": q_bm25_bool,
         "bm25_bool_msm": q_bm25_bool_msm,
         "bm25_bool_wand": q_bm25_bool_wand,
         "bm25_bool_indexed": q_bm25_bool_indexed,
-        "bm25_indexed_not": q_bm25_indexed_not,
-        "bm25_wand_not": q_bm25_wand_not,
-        "term_postings": q_term_postings,
-        "term_stats": q_term_stats,
-        "corpus_stats": q_corpus_stats,
-        "doc_lengths": q_doc_lengths,
-        "phrase_counts": q_phrase_counts,
-        "bm25_indexed_or": q_bm25_indexed_or,
-        "bm25_indexed_and": q_bm25_indexed_and,
-        "bm25_wand": q_bm25_wand,
-        "bm25_wand_parallel": q_bm25_wand_parallel,
-        "bm25_auto": q_bm25_auto,
+        "bm25_lang_filtered": q_bm25_lang_filtered,
         "bm25_prefix": q_bm25_prefix,
         "bm25_fuzzy": q_bm25_fuzzy,
         "bm25_wildcard": q_bm25_wildcard,
+        "term_postings": q_term_postings,
+        "term_stats": q_term_stats,
         "term_stats_fst": q_term_stats_fst,
-        "term_stats_prefix": q_term_stats_prefix,
-        "term_stats_range": q_term_stats_range,
+        "corpus_stats": q_corpus_stats,
         "phrase_counts_indexed": q_phrase_counts_indexed,
-        "phrase3_counts": q_phrase3_counts,
         "phrase3_counts_indexed": q_phrase3_counts_indexed,
-        "proximity_counts": q_proximity_counts,
         "proximity_counts_indexed": q_proximity_counts_indexed,
         "bm25_after_merge": q_bm25_after_merge,
         "bm25_streamed": q_bm25_streamed,
@@ -722,26 +735,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_metadata": q_multimodal_metadata,
         "dedup_exact": q_dedup_exact,
         "streamed_dedup": q_streamed_dedup,
-        "minhash_signatures": q_minhash_signatures,
         "minhash_candidate_pairs": q_minhash_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "near_dup_pairs": q_near_dup,
-        "simhash_signatures": q_simhash,
         "simhash_near_pairs": q_simhash_near,
         "language_id": q_lang_id,
         "quality_features": q_quality,
         "token_counts": q_token_counts,
-        "bpe_token_counts": q_bpe_token_counts,
-        "fingerprints": q_fingerprints,
-        "bigram_collocations": q_bigram_collocations,
-        "ann_brute_force": q_ann_brute,
-        "ann_lsh": q_ann_lsh,
-        "ann_lsh_indexed": q_ann_lsh_indexed,
-        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
-        "ann_ivf": q_ann_ivf,
-        "ann_ivf_indexed": q_ann_ivf_indexed,
-        "embedding_near_dup": q_embed_near_dup,
-        "embedding_near_dup_indexed": q_embed_near_dup_indexed,
+        # -- triple-checked (green in rounds 1-3) and subsumed by an
+        #    earlier stronger variant: cheapest rows to lose to a cut --
+        "bm25_single_rare": q_bm25_single_rare,
+        "bm25_or_with_absent": q_bm25_or_with_absent,
+        "bm25_and_absent_empty": q_bm25_and_absent_empty,
+        "doc_lengths": q_doc_lengths,
+        "phrase_counts": q_phrase_counts,
+        "phrase3_counts": q_phrase3_counts,
+        "proximity_counts": q_proximity_counts,
+        "term_stats_prefix": q_term_stats_prefix,
+        "term_stats_range": q_term_stats_range,
+        "minhash_signatures": q_minhash_signatures,
+        "simhash_signatures": q_simhash,
     }
 
 
