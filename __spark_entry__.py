@@ -477,9 +477,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_term_offsets(spark, sf):
-        # .pay-stream consumer (highlighting primitive): rows-only gate
-        # (char offsets are not SQL-expressible in DuckDB); exact oracle
-        # in tests/test_positions.py vs the pure-Python tokenizer
+        # .pay-stream consumer (highlighting primitive). Full SQL
+        # oracle: char-run detection over the raw text with lag/lead
+        # windows (oracle_sql.term_offsets_sql) — independent of the
+        # engine's tokenizer; plus the exact pytest oracle in
+        # tests/test_positions.py
         from ocaml_lucene_spark.query.exec import term_offsets
 
         return term_offsets(
@@ -487,11 +489,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_highlight(spark, sf):
-        # highlighting surface (rows-only gate like term_offsets: char
-        # offsets are not SQL-expressible): auto-routed BM25 top-k
-        # broadcast-joined with the .pay-stream occurrences of the
-        # query terms inside those k docs; exact pytest oracle in
-        # tests/test_positions.py
+        # highlighting surface: auto-routed BM25 top-k broadcast-joined
+        # with the .pay-stream occurrences of the query terms inside
+        # those k docs; full SQL oracle (highlight_topk_sql) + exact
+        # pytest oracle in tests/test_positions.py
         from ocaml_lucene_spark.query.exec import highlight_topk
 
         return highlight_topk(
@@ -796,6 +797,10 @@ def oracle_sql() -> dict[str, str]:
         # the indexed/WAND physical paths must reproduce the same
         # oracle results as the logical path ("multimodal_metadata" is
         # deliberately absent: non-SQL-expressible, rows-only check)
+        # char-offset surface: SQL-independent run detection over the
+        # raw text (lag/lead windows), NOT a replay of the tokenizer
+        "term_offsets": osql.term_offsets_sql("table"),
+        "highlight_topk": osql.highlight_topk_sql(["table", "dup"], k=5, round_to=4),
         "bm25_indexed_or": osql.bm25_topk_sql(["spark", "query", "dup"], "or", 10),
         "bm25_indexed_and": osql.bm25_topk_sql(["join", "hash", "scan"], "and", 10),
         "bm25_wand": osql.bm25_topk_sql(["spark", "query", "dup"], "or", 10),

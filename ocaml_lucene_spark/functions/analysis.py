@@ -72,6 +72,91 @@ def py_tokenize_with_offsets(text: str) -> tuple[list[str], list[int]]:
     return toks, offs
 
 
+def batch_tokenize_with_offsets(texts):
+    """Vectorized batch form of ``py_tokenize_with_offsets`` — no
+    per-document (let alone per-token) Python on the hot path.
+
+    All ASCII documents in the batch are processed as ONE numpy pass:
+    join with a '\\x00' separator (a non-token char; document
+    boundaries come from cumulative lengths, so texts containing
+    '\\x00' are still handled correctly), decode to a uint32 codepoint
+    array via UTF-32-LE, compute the [a-zA-Z0-9] run mask, and derive
+    token starts / per-doc positions / doc lengths with boundary
+    arithmetic (searchsorted over document start offsets). Token
+    strings come from a single C-level ``str.split``: lowercase A-Z by
+    +32 on the array, overwrite non-token chars with ' ', decode once.
+    For ASCII text this is exactly the CI-regex grammar ([a-z0-9]+
+    IGNORECASE has no ASCII members beyond [a-zA-Z0-9]).
+
+    Non-ASCII documents (where Unicode casefolding admits exotic
+    members like U+017F/U+212A into the class) take the exact per-doc
+    reference path — rare in webtext, and bit-identical by
+    construction.
+
+    Returns (doc_idx:int64[], tokens:list[str], pos:int64[],
+    start:int64[], dl_per_doc:int64[len(texts)]) where doc_idx indexes
+    into ``texts``; rows are ordered by (doc_idx, pos).
+    """
+    import numpy as np
+
+    texts = list(texts)
+    n_docs = len(texts)
+    dl_per_doc = np.zeros(n_docs, dtype=np.int64)
+    if n_docs == 0:
+        empty = np.empty(0, dtype=np.int64)
+        return empty, [], empty.copy(), empty.copy(), dl_per_doc
+    ascii_mask = np.fromiter(
+        (t.isascii() for t in texts), dtype=bool, count=n_docs
+    )
+    out_doc, out_toks, out_pos, out_start = [], [], [], []
+
+    ascii_idx = np.nonzero(ascii_mask)[0]
+    if ascii_idx.size:
+        sub = [texts[i] for i in ascii_idx]
+        joined = "\x00".join(sub)
+        arr = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+        lens = np.fromiter((len(t) for t in sub), dtype=np.int64, count=len(sub))
+        doc_starts = np.concatenate(([0], np.cumsum(lens + 1)[:-1]))
+        is_tok = (
+            ((arr >= 97) & (arr <= 122))
+            | ((arr >= 65) & (arr <= 90))
+            | ((arr >= 48) & (arr <= 57))
+        )
+        prev = np.concatenate(([False], is_tok[:-1]))
+        tok_starts = np.nonzero(is_tok & ~prev)[0]
+        tok_doc = np.searchsorted(doc_starts, tok_starts, side="right") - 1
+        start_in_doc = tok_starts - doc_starts[tok_doc]
+        first_idx = np.searchsorted(tok_doc, np.arange(len(sub)), side="left")
+        pos = np.arange(tok_doc.size, dtype=np.int64) - first_idx[tok_doc]
+        dl_per_doc[ascii_idx] = np.diff(np.append(first_idx, tok_doc.size))
+        low = np.where((arr >= 65) & (arr <= 90), arr + 32, arr)
+        low = np.where(is_tok, low, np.uint32(32))
+        toks = low.tobytes().decode("utf-32-le").split()
+        assert len(toks) == tok_doc.size
+        out_doc.append(ascii_idx[tok_doc])
+        out_toks.extend(toks)
+        out_pos.append(pos)
+        out_start.append(start_in_doc.astype(np.int64))
+
+    for i in np.nonzero(~ascii_mask)[0]:
+        toks, offs = py_tokenize_with_offsets(texts[i])
+        n = len(toks)
+        dl_per_doc[i] = n
+        out_doc.append(np.full(n, i, dtype=np.int64))
+        out_toks.extend(toks)
+        out_pos.append(np.arange(n, dtype=np.int64))
+        out_start.append(np.asarray(offs, dtype=np.int64))
+
+    doc_idx = np.concatenate(out_doc) if out_doc else np.empty(0, dtype=np.int64)
+    pos_a = np.concatenate(out_pos) if out_pos else np.empty(0, dtype=np.int64)
+    start_a = np.concatenate(out_start) if out_start else np.empty(0, dtype=np.int64)
+    if not ascii_mask.all() and doc_idx.size:
+        order = np.lexsort((pos_a, doc_idx))
+        doc_idx, pos_a, start_a = doc_idx[order], pos_a[order], start_a[order]
+        out_toks = [out_toks[j] for j in order]
+    return doc_idx.astype(np.int64), out_toks, pos_a, start_a, dl_per_doc
+
+
 # -- executor-side vectorized UDF (Arrow batches, no per-row Python) ---
 @F.pandas_udf(T.StringType())
 def extract_text_udf(html: pd.Series) -> pd.Series:

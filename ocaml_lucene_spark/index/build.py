@@ -157,34 +157,35 @@ def build_index(
 
     if with_offsets:
         # .pay-analogue path: per-occurrence char start offsets ride
-        # along with positions. The offsets tokenizer is an Arrow-
-        # batched pandas stage (the analyzer itself is per-doc regex);
-        # token sequence is identical to the JVM grammar.
+        # along with positions. The offsets tokenizer is a whole-batch
+        # numpy pass (batch_tokenize_with_offsets: UTF-32 codepoint
+        # array + run-boundary arithmetic; per-doc Python only for
+        # non-ASCII stragglers); token sequence is identical to the
+        # JVM grammar for ASCII webtext.
         with_positions = True
-        from ..functions.analysis import py_tokenize_with_offsets
+        from ..functions.analysis import batch_tokenize_with_offsets
 
         def tok_off(batches):
             import numpy as np
             import pandas as pd
 
             for pdf in batches:
-                ids, terms_o, pos_o, off_o, dl_o = [], [], [], [], []
-                for did, text in zip(pdf["doc_id"], pdf["text"]):
-                    toks, offs = py_tokenize_with_offsets(text)
-                    n = len(toks)
-                    ids.append(np.full(n, did, dtype=np.int64))
-                    dl_o.append(np.full(n, n, dtype=np.int64))
-                    terms_o.extend(toks)
-                    pos_o.append(np.arange(n, dtype=np.int64))
-                    off_o.append(np.asarray(offs, dtype=np.int64))
-                if ids:
+                if not len(pdf):
+                    continue
+                # whole-batch numpy tokenization (one pass per Arrow
+                # batch; per-doc Python only for non-ASCII stragglers)
+                doc_idx, toks, pos, start, dls = batch_tokenize_with_offsets(
+                    pdf["text"].tolist()
+                )
+                if doc_idx.size:
+                    dids = pdf["doc_id"].to_numpy(dtype=np.int64)
                     yield pd.DataFrame(
                         {
-                            "doc_id": np.concatenate(ids),
-                            "dl": np.concatenate(dl_o),
-                            "term": pd.Series(terms_o, dtype=object),
-                            "pos": np.concatenate(pos_o),
-                            "start": np.concatenate(off_o),
+                            "doc_id": dids[doc_idx],
+                            "dl": dls[doc_idx],
+                            "term": pd.Series(toks, dtype=object),
+                            "pos": pos,
+                            "start": start,
                         }
                     )
 

@@ -364,3 +364,87 @@ SELECT s0.doc_id AS doc_id, count(*) AS n_phrase
 FROM s0{joins}
 GROUP BY s0.doc_id
 """
+
+
+# -- char-offset oracles (the .pay-stream surface) --------------------
+# Token-run detection entirely in SQL: classify every character of the
+# source text ([a-zA-Z0-9] — exactly the CI token grammar for ASCII
+# webtext), find run starts/ends with lag/lead windows, pair them by
+# per-doc rank, slice + lower() the run for the term. Independent of
+# the engine's batch tokenizer (functions/analysis.py), so it checks
+# offsets end to end, not a replay of the same code.
+CHAR_OCC_CTE = """
+chars AS (
+  SELECT d.doc_id, d.text, u.i::BIGINT AS i,
+         regexp_matches(substr(d.text, u.i::INT + 1, 1), '^[a-zA-Z0-9]$') AS tok
+  FROM documents d, unnest(range(length(d.text))) AS u(i)
+),
+marks AS (
+  SELECT doc_id, text, i, tok,
+         tok AND NOT coalesce(lag(tok) OVER w, false) AS is_start,
+         tok AND NOT coalesce(lead(tok) OVER w, false) AS is_end
+  FROM chars WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+starts AS (
+  SELECT doc_id, text, i AS s,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+  FROM marks WHERE is_start
+),
+ends AS (
+  SELECT doc_id, i AS e,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+  FROM marks WHERE is_end
+),
+occ AS (
+  SELECT s.doc_id,
+         lower(substr(s.text, s.s::INT + 1, (e.e - s.s)::INT + 1)) AS term,
+         (s.rn - 1)::BIGINT AS pos,
+         s.s::BIGINT AS start
+  FROM starts s JOIN ends e ON s.doc_id = e.doc_id AND s.rn = e.rn
+)
+"""
+
+
+def term_offsets_sql(term: str) -> str:
+    """(doc_id, pos, start) for every occurrence of ``term`` — oracle
+    for query/exec.py term_offsets (the .pay-stream decode)."""
+    t = term.replace("'", "''")
+    return f"""
+WITH {CHAR_OCC_CTE}
+SELECT doc_id, pos, start FROM occ WHERE term = '{t}'
+"""
+
+
+def highlight_topk_sql(terms: list[str], k: int = 10, round_to: int = 4) -> str:
+    """(doc_id, score, term, pos, start): BM25 top-k joined with each
+    query-term occurrence in those docs — oracle for query/exec.py
+    highlight_topk."""
+    terms = list(dict.fromkeys(terms))
+    return f"""
+WITH {TOKS_CTE},
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM base),
+tf AS (
+  SELECT doc_id, term, dl, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(t) AS term FROM base)
+  WHERE term IN {_terms_in(terms)}
+  GROUP BY doc_id, term, dl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n - df + 0.5) / (df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl)) AS sc
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+),
+top AS (
+  SELECT doc_id, round(sum(sc), {round_to}) AS score
+  FROM scored
+  GROUP BY doc_id
+  ORDER BY round(sum(sc), {round_to}) DESC, doc_id ASC
+  LIMIT {k}
+),
+{CHAR_OCC_CTE.strip().rstrip()}
+SELECT top.doc_id, top.score, occ.term, occ.pos, occ.start
+FROM top JOIN occ ON top.doc_id = occ.doc_id
+WHERE occ.term IN {_terms_in(terms)}
+"""
