@@ -27,4 +27,7 @@ Package map:
 - streaming/ incremental indexing via Structured Streaming.
 """
 
-__version__ = "0.4.0"
+# 0.4.1: IVF cell assignment rounds cosine to 12dp before argmax (tie
+# regions identical across JVM/numpy/DuckDB) — bump invalidates the
+# persisted IVF entry layouts keyed on this version.
+__version__ = "0.4.1"

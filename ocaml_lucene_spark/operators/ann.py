@@ -169,13 +169,19 @@ def ivf_cell_expr(vec_col: Column, centroids: list[list[float]]) -> Column:
     """Coarse-quantizer cell id: argmax over centroids of cosine
     similarity, ties to the smallest cell id (greatest over
     (sim, -id) structs — lexicographic, matching the oracle's ordered
-    CASE chain)."""
+    CASE chain). Similarities are rounded to 12dp BEFORE the argmax —
+    JVM fold order, numpy SIMD dot, and DuckDB list_aggregate associate
+    float sums differently, and an ulp-level wobble at a near-tie would
+    flip a vector's cell (moving the next k-means centroid by far more
+    than the per-iteration 1e-6 rounding absorbs). All three assigners
+    (this expr, kmeans_centroids_local's argmax, ivf_topk_sql's CASE
+    chain) round identically, so tie regions coincide."""
     cands = []
     for i, c in enumerate(centroids):
         cvec = F.array(*[F.lit(float(x)) for x in c])
         cands.append(
             F.struct(
-                cosine_col(vec_col, cvec).alias("s"),
+                F.round(cosine_col(vec_col, cvec), 12).alias("s"),
                 F.lit(-i).alias("ni"),
                 F.lit(i).alias("i"),
             )
@@ -247,7 +253,8 @@ def kmeans_centroids_local(
     xn = x / np.linalg.norm(x, axis=1, keepdims=True)
     for _ in range(n_iters):
         cn = cent / np.linalg.norm(cent, axis=1, keepdims=True)
-        cells = np.argmax(xn @ cn.T, axis=1)  # first max = smallest cell
+        # 12dp rounding before argmax: same tie regions as ivf_cell_expr
+        cells = np.argmax(np.round(xn @ cn.T, 12), axis=1)  # first max = smallest cell
         nxt = cent.copy()
         for c in range(k):
             members = x[cells == c]

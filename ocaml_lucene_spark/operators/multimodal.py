@@ -215,7 +215,14 @@ def byte_histogram_features(
     real operator's shape (binary in, fixed-dim float vector out).
     Fully vectorized, no dims grouping needed: all valid blobs' pixels
     concatenate into one buffer and a single np.bincount over
-    row_index * n_bins + bin computes every histogram at once."""
+    row_index * n_bins + bin computes every histogram at once.
+
+    ``n_bins`` must divide 256: the shift-based binning
+    (px * n_bins >> 8) equals np.histogram(range=(0, 256)) bin edges
+    only for divisor bin counts — np.histogram's float linspace edges
+    can place boundary bytes in the adjacent bin otherwise."""
+    if 256 % n_bins != 0:
+        raise ValueError(f"n_bins must divide 256, got {n_bins}")
 
     def op(batches):
         for pdf in batches:

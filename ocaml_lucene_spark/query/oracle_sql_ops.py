@@ -437,8 +437,10 @@ def ivf_topk_sql(
     cvecs = [
         "[" + ", ".join(repr(float(x)) for x in c) + "]::DOUBLE[]" for c in centroids
     ]
+    # 12dp rounding before the argmax CASE chain: same tie regions as
+    # ivf_cell_expr / kmeans_centroids_local (see ivf_cell_expr docs)
     sim_cols = ", ".join(
-        f"{_cos('embedding', cv)} AS s_{i}" for i, cv in enumerate(cvecs)
+        f"round({_cos('embedding', cv)}, 12) AS s_{i}" for i, cv in enumerate(cvecs)
     )
     # earlier centroid wins ties (>= chain in id order)
     case = "CASE "

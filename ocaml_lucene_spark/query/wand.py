@@ -489,7 +489,15 @@ def block_max_wand(
         parts: dict[str, float] = {}  # term -> its (single) shard's score
         abandoned = False
         for pl in contrib:
-            if theta is not None and running + rem < theta - eps:
+            # `rem` is decrementally updated (rem -= ub), so it can drift
+            # a few ulps BELOW the true sum of the unscored lists' ubs;
+            # with round_to=None eps is 0 and that drift could abandon a
+            # doc whose exact score ties theta. Pad the bound by a
+            # relative margin (~1e-12, >> accumulated 2^-53-scale error
+            # for any realistic query length) to keep it conservative;
+            # with eps > 0 the pad is negligible noise.
+            bound = (running + rem) * (1.0 + 1e-12)
+            if theta is not None and bound < theta - eps:
                 abandoned = True
                 break
             ub = pl.current_block_ub()
