@@ -233,5 +233,62 @@ class Fst:
 
         yield from walk(addr, b"", acc)
 
+    def levenshtein_items(self, query: str, k: int):
+        """(key, output) for every accepted key within ``k`` Levenshtein
+        edits of ``query`` — the FuzzyQuery expansion source (Lucene
+        intersects a Levenshtein automaton with the terms FST; ref
+        terms_enumerator seek surface). Lazy automaton ∩ FST: a DFS
+        carries the banded DP row for the decoded prefix and prunes a
+        whole subtree as soon as every row cell exceeds ``k`` — no
+        per-term distance computation, sub-linear in vocabulary for
+        small k. Edits are UNICODE-CHAR-level (matching DuckDB's
+        levenshtein() and the reference scan): the byte walk decodes
+        UTF-8 incrementally and only steps the DP on codepoint
+        boundaries.
+
+        Yields in ascending byte order (arcs are label-sorted)."""
+        q = query
+        m = len(q)
+
+        def step(row, c):
+            new = [row[0] + 1]
+            for j in range(1, m + 1):
+                new.append(
+                    min(row[j] + 1, new[j - 1] + 1, row[j - 1] + (c != q[j - 1]))
+                )
+            return new
+
+        def utf8_need(b0: int) -> int:
+            if b0 < 0x80:
+                return 1
+            if b0 < 0xE0:
+                return 2
+            if b0 < 0xF0:
+                return 3
+            return 4
+
+        def walk(addr, prefix: bytes, acc, row, pending: bytes):
+            final, final_output, arcs = self._read_node(addr)
+            if final and not pending and row[m] <= k:
+                yield prefix, self.out.add(acc, final_output)
+            for label, output, target in arcs:
+                nb = pending + bytes([label])
+                if len(nb) < utf8_need(nb[0]):
+                    nrow, npending = row, nb  # mid-codepoint: row holds
+                else:
+                    nrow = step(row, nb.decode("utf-8"))
+                    npending = b""
+                    if min(nrow) > k:
+                        continue  # prune the whole subtree
+                yield from walk(
+                    target,
+                    prefix + bytes([label]),
+                    self.out.add(acc, output),
+                    nrow,
+                    npending,
+                )
+
+        yield from walk(self.root, b"", self.out.empty, list(range(m + 1)), b"")
+
     def num_bytes(self) -> int:
         return len(self.data)

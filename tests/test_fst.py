@@ -94,3 +94,72 @@ class TestFstBuild:
         # absent probes
         assert fst.lookup(b"zzzzzzzzzzzzzzzz") is None
         assert fst.lookup(b"a" * 20) is None
+
+
+class TestLevenshteinIntersection:
+    """Fuzzy expansion: automaton ∩ FST must equal the exhaustive
+    per-term DP filter over the FULL dictionary (incl. multi-byte
+    UTF-8 keys, where edits are char-level, not byte-level)."""
+
+    def _build(self, words):
+        b = FstBuilder()
+        for i, w in enumerate(sorted(set(words))):
+            b.add(w.encode("utf-8"), i)
+        return b.finish(), sorted(set(words))
+
+    def _check(self, fst, words, query, k):
+        from ocaml_lucene_spark.query.term_index import edit_distance_leq
+
+        got = {key.decode("utf-8") for key, _ in fst.levenshtein_items(query, k)}
+        expect = {w for w in words if edit_distance_leq(w, query, k)}
+        assert got == expect, (query, k, got ^ expect)
+        # outputs (ordinals) must ride along correctly
+        ords = dict(fst.levenshtein_items(query, k))
+        for key, o in ords.items():
+            assert words[o] == key.decode("utf-8")
+
+    def test_ascii_dictionary(self):
+        import random
+
+        rng = random.Random(11)
+        words = ["sort", "short", "sport", "spark", "park", "query", "qery",
+                 "a", "ab", "abc"]
+        words += ["".join(rng.choice("abcd") for _ in range(rng.randint(1, 7)))
+                  for _ in range(300)]
+        fst, words = self._build(words)
+        for q in ["sort", "abc", "dddd", "xyz", "", "qqq", "abcd"]:
+            for k in (0, 1, 2, 3):
+                self._check(fst, words, q, k)
+
+    def test_multibyte_utf8_char_level_edits(self):
+        words = ["cafe", "café", "caffé", "naive", "naïve", "żółć", "zolc",
+                 "über", "uber", "日本", "日本語"]
+        fst, words = self._build(words)
+        for q in ["cafe", "café", "naïve", "żółć", "日本語", "uber"]:
+            for k in (0, 1, 2):
+                self._check(fst, words, q, k)
+
+    def test_automaton_prunes(self):
+        """The walk must visit far fewer nodes than the whole trie for
+        a small k (sub-linearity witness)."""
+        words = [f"{a}{b}{c}{d}" for a in "abcdefgh" for b in "abcdefgh"
+                 for c in "abcdefgh" for d in "abcdefgh"]  # 4096 keys
+        fst, words = self._build(words)
+        visits = 0
+        orig = fst._read_node
+
+        def counting(addr):
+            nonlocal visits
+            visits += 1
+            return orig(addr)
+
+        fst._read_node = counting
+        hits = list(fst.levenshtein_items("aaaa", 1))
+        fst._read_node = orig
+        assert {k.decode() for k, _ in hits} == {
+            w for w in words
+            if sum(x != y for x, y in zip(w, "aaaa")) <= 1
+        }
+        # full enumeration would visit every node (~4681); k=1 must
+        # prune the overwhelming majority
+        assert visits < 1500, visits
