@@ -196,7 +196,11 @@ def bm25_topk_indexed(
 
         cands = bc_docs.value if prune else None
         for pdf in batches:
-            outs = []
+            # accumulate numpy arrays and build ONE frame per Arrow
+            # batch: a pandas DataFrame per 128-posting block costs 3x
+            # the whole decode (measured on the 105k-block bench index:
+            # 36.7 s per-block frames vs 11.7 s this shape)
+            doc_l, sc_l, term_l, size_l = [], [], [], []
             for term, n, fd, ld, db, tb, lb in zip(
                 pdf["term"], pdf["n"], pdf["first_doc"], pdf["last_doc"],
                 pdf["doc_bytes"], pdf["tf_bytes"], pdf["dl_bytes"],
@@ -217,9 +221,20 @@ def bm25_topk_indexed(
                 sc = idfs[term] * tf * (K1 + 1.0) / (
                     tf + K1 * (1.0 - B + B * dl / avgdl)
                 )
-                outs.append(pd.DataFrame({"doc_id": docs, "term": term, "sc": sc}))
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+                doc_l.append(docs)
+                sc_l.append(sc)
+                term_l.append(term)
+                size_l.append(docs.size)
+            if doc_l:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(doc_l),
+                        "term": pd.Series(
+                            np.repeat(np.asarray(term_l, dtype=object), size_l)
+                        ),
+                        "sc": np.concatenate(sc_l),
+                    }
+                )
 
     scored = blocks.mapInPandas(decode_score, "doc_id long, term string, sc double")
     from .bm25 import _query_order_sum
