@@ -134,10 +134,26 @@ def build_at(cores: int, corpus: str, workdir: str) -> dict:
     # independent of cluster size — the 100 TB rule: partition by data
     # volume, let the scheduler wave tasks over however many cores exist
     n_docs_est = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
-    n_parts = max(cores, n_docs_est // 12_500)
+    # ~4.2k docs (~530k postings) per pack partition: measured better
+    # than the round-3 12.5k default at BOTH parallelism levels (3
+    # interleaved reps: local[2] 40.9-45.3s vs 41.4-46.8s, local[8]
+    # 14.2-15.8s vs 15.8-19.9s; window-paired eff 0.65-0.75 vs
+    # 0.59-0.69) — 3 scheduling waves at 8 slots smooth load imbalance
+    # and the smaller pack kernels stay cache-resident. At cluster
+    # scale the same rule is "partition by data volume"; absolute
+    # sizes there follow the 100-250 MB packed-shard guidance.
+    docs_per_part = int(os.environ.get("OLSPARK_BENCH_DOCS_PER_PART", "4200"))
+    n_parts = max(cores, n_docs_est // docs_per_part)
     cpu0 = _proc_tree_cpu()
     t0 = time.monotonic()
-    row = build_index(docs, idx, n_partitions=n_parts, salt_df_threshold=20_000, n_salts=8)
+    # OLSPARK_INT_TERM_IDS=1 shuffles integer term ids instead of term
+    # strings (byte-identical output; targets shuffle bytes — the
+    # measured single-host bottleneck is DRAM bandwidth)
+    int_ids = os.environ.get("OLSPARK_INT_TERM_IDS", "0") == "1"
+    row = build_index(
+        docs, idx, n_partitions=n_parts, salt_df_threshold=20_000, n_salts=8,
+        int_term_ids=int_ids,
+    )
     elapsed = time.monotonic() - t0
     cpu_sec = max(_proc_tree_cpu() - cpu0, 0.0)
     out = {
@@ -345,11 +361,19 @@ def main() -> None:
     # warm up session/JIT/python workers once, untimed
     spark.read.parquet(f"{sf_dir}/documents.parquet").count()
 
+    # min-of-k per query (default k=2): same ambient-load estimator as
+    # the scaling phase — a single co-tenant burst on a one-shot timing
+    # reads as a phantom regression (round 3's 3.6x phrase_indexed
+    # "regression" was exactly this)
+    reps = int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "2"))
     queries: dict[str, float] = {}
     for name, fn in bench_queries.items():
-        t0 = time.monotonic()
-        fn(spark, sf_dir).collect()
-        queries[name] = round(time.monotonic() - t0, 3)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.monotonic()
+            fn(spark, sf_dir).collect()
+            best = min(best, time.monotonic() - t0)
+        queries[name] = round(best, 3)
 
     # WAND latency (executor-side task) + prune ratios via accumulators:
     # three query shapes — rare∨hot (skips should dominate), hot+mid
@@ -363,11 +387,14 @@ def main() -> None:
     total_dec = total_blk = 0
     detail = {}
     for name, terms in wand_specs.items():
-        m: dict = {}
-        t0 = time.monotonic()
-        bm25_topk_wand_exec(spark, index_dir, terms, "or", 10, metrics=m).collect()
-        queries[name] = round(time.monotonic() - t0, 3)
-        wand_metrics_value(m)
+        best = float("inf")
+        for _ in range(reps):
+            m: dict = {}
+            t0 = time.monotonic()
+            bm25_topk_wand_exec(spark, index_dir, terms, "or", 10, metrics=m).collect()
+            best = min(best, time.monotonic() - t0)
+            wand_metrics_value(m)
+        queries[name] = round(best, 3)
         detail[name] = [m["decoded_blocks"], m["total_blocks"]]
         total_dec += m["decoded_blocks"]
         total_blk += m["total_blocks"]
