@@ -66,8 +66,18 @@ class DataInput:
                 return acc
             shift += 7
 
-    read_vint = _read_v
-    read_vlong = _read_v
+    def read_vint(self) -> int:
+        """7-bit groups LSB-first; wrapped through Int32 like the
+        reference (its test expects the 0x80000000 vint to read as
+        -2147483648)."""
+        v = self._read_v()
+        return ((v + (1 << 31)) % (1 << 32)) - (1 << 31)
+
+    def read_vlong(self) -> int:
+        """Like read_vint but wrapped to OCaml's 63-bit native int
+        (Int64 accumulation then Int64.to_int in the reference)."""
+        v = self._read_v()
+        return ((v + (1 << 62)) % (1 << 63)) - (1 << 62)
 
     def read_string(self) -> bytes:
         return self.read_bytes(self.read_vint())

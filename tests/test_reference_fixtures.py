@@ -267,3 +267,37 @@ def test_fst5_binary_search_node_arcs():
         (109, 16, 12, 0),
         (122, 13, 16, 0),
     ]
+
+
+def test_data_input_bytes_primitives():
+    """data/data-input.bytes vs test-data-input-2/test_data_input.ml:
+    every primitive at its fixture offset, including the reference's
+    wrap quirks (vint 0x80000000 -> -2147483648 via Int32; longs/vlongs
+    through OCaml's 63-bit native int) and both list orderings (plain
+    lists reverse read order, assoc lists preserve it)."""
+    from ocaml_lucene_spark.interop import DataInput
+
+    data = (DATA / "data-input.bytes").read_bytes()
+    di = DataInput(data)
+    assert [di.read_int() for _ in range(4)] == [
+        24, 98237, 2147483647, -2147483648
+    ]
+    assert di.pos == 16
+    assert [di.read_long() for _ in range(6)] == [
+        24, 98237, 2147483647, -2147483648,
+        4611686018427387903, -4611686018427387904,
+    ]
+    assert di.pos == 64
+    assert [di.read_vint() for _ in range(4)] == [
+        24, 98237, 2147483647, -2147483648
+    ]
+    assert di.pos == 78
+    assert [di.read_vlong() for _ in range(4)] == [
+        24, 98237, 2147483647, 4611686018427387903
+    ]
+    assert di.pos == 96
+    assert di.read_string() == b"hello world" and di.pos == 108
+    assert di.read_list_of_strings() == [b"hello", b"world"] and di.pos == 121
+    assert di.read_assoc_list_of_strings() == [
+        (b"world", b"mundo"), (b"hello", b"hola")
+    ]
