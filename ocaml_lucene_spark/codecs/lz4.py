@@ -104,8 +104,14 @@ def decompress(data: bytes, max_len: int | None = None) -> bytes:
                     break
         out += data[i : i + lit_len]
         i += lit_len
-        if i >= n:
-            break  # last sequence has no match part
+        # the last sequence has no match part: stop on end-of-input OR
+        # on reaching the target length (the reference decompressor is
+        # length-driven — lz4_compression.ml Make_reader.decompress
+        # checks the buffer against uncompressed_length before reading
+        # the offset, which is what lets it stop cleanly on golden
+        # streams whose final literals land exactly on the target)
+        if i >= n or (max_len is not None and len(out) >= max_len):
+            break
         offset = int.from_bytes(data[i : i + 2], "little")
         i += 2
         match_len = (token & 0xF) + MIN_MATCH

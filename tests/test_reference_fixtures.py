@@ -301,3 +301,21 @@ def test_data_input_bytes_primitives():
     assert di.read_assoc_list_of_strings() == [
         (b"world", b"mundo"), (b"hello", b"hola")
     ]
+
+
+def test_lz4_compressed_bytes_golden_stream():
+    """data/lz4-compressed.bytes vs
+    test-terms-enumerator/test_lz4_compression.ml:14-19: our LZ4 block
+    decoder must decompress the reference's golden compressed stream to
+    the exact 245-byte suffix-block payload its test asserts."""
+    from ocaml_lucene_spark.codecs import lz4
+
+    data = (DATA / "lz4-compressed.bytes").read_bytes()
+    expected = (
+        "1-04-011-05-011-08-011-10-011-12-012-02-012-03-012-04-012-06-01"
+        "2-08-012-09-012-10-013-01-013-02-013-03-013-04-013-05-013-06-01"
+        "3-07-013-08-013-09-013-10-013-11-013-12-014-01-014-02-014-03-01"
+        "4-04-014-05-014-06-014-07-014-08-014-09-014-10-014-11-01"
+    ).encode()
+    assert len(expected) == 245
+    assert lz4.decompress(data, 245) == expected
