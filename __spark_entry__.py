@@ -278,6 +278,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _docs(spark, sf).filter(F.col("lang") == "en")
         return bm25.bm25_topk(docs, ["spark", "query"], "or", 10, round_to=4)
 
+    def q_docs_matching_filter(spark, sf):
+        # ConstantScoreQuery / filter context: the unscored match set
+        # (must=table, must_not=dup) — tf/dl columns pruned at the scan
+        from ocaml_lucene_spark.query.exec import matching_docs_indexed
+
+        return matching_docs_indexed(
+            spark, _ensure_index(spark, sf), must=["table"], must_not=["dup"]
+        )
+
+    def q_total_hits(spark, sf):
+        # TotalHitCountCollector: count docs matching table OR dup
+        from ocaml_lucene_spark.query.exec import count_matching_indexed
+
+        return count_matching_indexed(
+            spark, _ensure_index(spark, sf), should=["table", "dup"]
+        )
+
+    def q_bm25_search_after(spark, sf):
+        # search_after pagination: page 2 of the flagship OR query.
+        # The Spark side runs page 1 and paginates with the cursor
+        # filter; the oracle uses OFFSET — two independent mechanisms
+        # that must agree on the deterministic total order.
+        from ocaml_lucene_spark.query.exec import bm25_topk_indexed
+
+        idx = _ensure_index(spark, sf)
+        page1 = bm25_topk_indexed(
+            spark, idx, ["spark", "query", "dup"], "or", 10, round_to=4
+        ).collect()
+        cursor = (page1[-1].score, page1[-1].doc_id)
+        return bm25_topk_indexed(
+            spark, idx, ["spark", "query", "dup"], "or", 10, round_to=4,
+            after=cursor,
+        )
+
     def q_term_postings(spark, sf):
         return bm25.term_postings(_docs(spark, sf), "dup")
 
@@ -703,6 +737,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embed_near_dup,
         "bpe_token_counts": q_bpe_token_counts,
         "fingerprints": q_fingerprints,
+        # -- new this round (never driver-checked): filter context,
+        #    hit counting, search_after pagination --
+        "docs_matching_filter": q_docs_matching_filter,
+        "total_hits": q_total_hits,
+        "bm25_search_after": q_bm25_search_after,
         # -- flagship query surface --
         "bm25_or_top10": q_bm25_or,
         "bm25_and_top10": q_bm25_and,
@@ -801,6 +840,15 @@ def oracle_sql() -> dict[str, str]:
         # raw text (lag/lead windows), NOT a replay of the tokenizer
         "term_offsets": osql.term_offsets_sql("table"),
         "highlight_topk": osql.highlight_topk_sql(["table", "dup"], k=5, round_to=4),
+        # filter context / counting / pagination (pagination oracle is
+        # OFFSET-based — an independent mechanism vs the engine cursor)
+        "docs_matching_filter": osql.matching_docs_sql(
+            must=["table"], must_not=["dup"]
+        ),
+        "total_hits": osql.count_matching_sql(should=["table", "dup"]),
+        "bm25_search_after": osql.bm25_topk_page_sql(
+            ["spark", "query", "dup"], "or", 10, page=1
+        ),
         "bm25_indexed_or": osql.bm25_topk_sql(["spark", "query", "dup"], "or", 10),
         "bm25_indexed_and": osql.bm25_topk_sql(["join", "hash", "scan"], "and", 10),
         "bm25_wand": osql.bm25_topk_sql(["spark", "query", "dup"], "or", 10),

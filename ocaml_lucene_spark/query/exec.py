@@ -122,6 +122,91 @@ def excluded_docs_df(
     return term_doc_ids_df(spark, index_dir, exclude).distinct()
 
 
+def term_doc_ids_with_term_df(
+    spark: SparkSession, index_dir: str, terms: list[str]
+) -> DataFrame:
+    """(doc_id, term) pairs for every posting of ``terms`` — already
+    distinct (a term's blocks are doc-disjoint). Like term_doc_ids_df,
+    only doc_bytes is read: tf/dl/pos columns are pruned at the scan,
+    so filter-context queries never touch scoring payload."""
+    blocks = _postings_df(spark, index_dir, list(dict.fromkeys(terms))).select(
+        "term", "doc_bytes"
+    )
+
+    def decode(batches):
+        from ..codecs.delta import delta_decode
+
+        for pdf in batches:
+            ids, term_l, sizes = [], [], []
+            for term, db in zip(pdf["term"], pdf["doc_bytes"]):
+                d = delta_decode(bytes(db))
+                ids.append(d)
+                term_l.append(term)
+                sizes.append(d.size)
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(np.concatenate(ids), dtype="int64"),
+                        "term": pd.Series(
+                            np.repeat(np.asarray(term_l, dtype=object), sizes)
+                        ),
+                    }
+                )
+
+    return blocks.mapInPandas(decode, "doc_id long, term string")
+
+
+def matching_docs_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    must: list[str] | None = None,
+    should: list[str] | None = None,
+    must_not: list[str] | None = None,
+    min_should_match: int = 0,
+) -> DataFrame:
+    """Filter context / ConstantScoreQuery: the MATCHING DOC SET with
+    no scoring at all (Lucene's BooleanQuery in filter context, the
+    source for TotalHitCountCollector and for cached filters). Returns
+    (doc_id) rows.
+
+    Plan shape: postings scan reads ONLY the doc-id stream (tf/dl/pos
+    pruned — .explain shows the 2-column ReadSchema), one
+    groupBy(doc_id) counts must/should hits per doc, must_not is a
+    left_anti join. One shuffle on doc_id; no float math anywhere."""
+    must = list(dict.fromkeys(must or []))
+    should = list(dict.fromkeys(should or []))
+    must_not = list(dict.fromkeys(must_not or []))
+    if not must and not should:
+        raise ValueError("need at least one must or should term")
+    hits = term_doc_ids_with_term_df(spark, index_dir, must + should)
+    n_must = F.sum(F.when(F.col("term").isin(must), 1).otherwise(0))
+    n_should = F.sum(F.when(F.col("term").isin(should), 1).otherwise(0))
+    agg = hits.groupBy("doc_id").agg(
+        n_must.alias("nm"), n_should.alias("ns")
+    )
+    cond = F.col("nm") == len(must)
+    if should and (min_should_match > 0 or not must):
+        cond = cond & (F.col("ns") >= max(min_should_match, 0 if must else 1))
+    out = agg.filter(cond).select("doc_id")
+    if must_not:
+        out = out.join(excluded_docs_df(spark, index_dir, must_not), "doc_id", "left_anti")
+    return out.orderBy("doc_id")
+
+
+def count_matching_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    must: list[str] | None = None,
+    should: list[str] | None = None,
+    must_not: list[str] | None = None,
+) -> DataFrame:
+    """TotalHitCountCollector: (n_hits) in one row — the count of the
+    filter-context match set, never materializing scores."""
+    return matching_docs_indexed(spark, index_dir, must, should, must_not).agg(
+        F.count("*").alias("n_hits")
+    )
+
+
 def bm25_topk_indexed(
     spark: SparkSession,
     index_dir: str,
@@ -132,6 +217,7 @@ def bm25_topk_indexed(
     exclude: list[str] | None = None,
     must: list[str] | None = None,
     min_should_match: int = 0,
+    after: tuple[float, int] | None = None,
 ) -> DataFrame:
     """Distributed exhaustive plan. Returns (doc_id, score) DataFrame.
 
@@ -142,7 +228,11 @@ def bm25_topk_indexed(
     must: BooleanQuery must clauses — results must contain every term
     in ``must`` (a subset of ``terms``); the rest of ``terms`` are
     should clauses (score-only). mode='and' is shorthand for
-    must=terms."""
+    must=terms.
+
+    after: search_after cursor (score, doc_id) from the previous page's
+    last row — returns the NEXT k results in (score DESC, doc_id ASC)
+    order."""
     terms = list(dict.fromkeys(terms))
     if must and not set(must) <= set(terms):
         raise ValueError(
@@ -264,11 +354,21 @@ def bm25_topk_indexed(
     score = (
         F.round(F.col("score_raw"), round_to) if round_to is not None else F.col("score_raw")
     )
-    return (
-        agg.select("doc_id", score.alias("score"))
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
-    )
+    out = agg.select("doc_id", score.alias("score"))
+    if after is not None:
+        # search_after pagination (Lucene IndexSearcher.searchAfter):
+        # keep rows STRICTLY after the (score, doc_id) cursor in the
+        # result order (score DESC, doc_id ASC). A collector-level
+        # filter — orthogonal to the scoring plan, so page 2 reuses
+        # all of this plan's pruning. Compare on the ROUNDED score
+        # (the cursor comes from a rounded page), so the predicate is
+        # exact, not float-fuzzy.
+        s0, d0 = float(after[0]), int(after[1])
+        out = out.filter(
+            (F.col("score") < s0)
+            | ((F.col("score") == s0) & (F.col("doc_id") > d0))
+        )
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
 def flat_positions_df(

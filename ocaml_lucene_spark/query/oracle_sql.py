@@ -448,3 +448,66 @@ SELECT top.doc_id, top.score, occ.term, occ.pos, occ.start
 FROM top JOIN occ ON top.doc_id = occ.doc_id
 WHERE occ.term IN {_terms_in(terms)}
 """
+
+
+# -- filter context / counting / pagination ---------------------------
+def matching_docs_sql(
+    must: list[str] | None = None,
+    should: list[str] | None = None,
+    must_not: list[str] | None = None,
+    min_should_match: int = 0,
+) -> str:
+    """(doc_id) rows of the unscored boolean match set — oracle for
+    query/exec.py matching_docs_indexed (ConstantScoreQuery)."""
+    must = list(dict.fromkeys(must or []))
+    should = list(dict.fromkeys(should or []))
+    must_not = list(dict.fromkeys(must_not or []))
+    conds = []
+    if must:
+        conds.append(
+            f"(SELECT count(DISTINCT term) FROM (SELECT unnest(t) AS term) u"
+            f" WHERE term IN {_terms_in(must)}) = {len(must)}"
+        )
+    msm = max(min_should_match, 0 if must else 1)
+    if should and msm > 0:
+        conds.append(
+            f"(SELECT count(DISTINCT term) FROM (SELECT unnest(t) AS term) u"
+            f" WHERE term IN {_terms_in(should)}) >= {msm}"
+        )
+    if must_not:
+        conds.append(
+            f"NOT EXISTS (SELECT 1 FROM (SELECT unnest(t) AS term) u"
+            f" WHERE term IN {_terms_in(must_not)})"
+        )
+    where = " AND ".join(conds)
+    return f"""
+WITH {TOKS_CTE}
+SELECT doc_id FROM base WHERE {where}
+"""
+
+
+def count_matching_sql(
+    must: list[str] | None = None,
+    should: list[str] | None = None,
+    must_not: list[str] | None = None,
+) -> str:
+    """(n_hits) single row — oracle for count_matching_indexed
+    (TotalHitCountCollector)."""
+    inner = matching_docs_sql(must, should, must_not)
+    return f"SELECT count(*)::BIGINT AS n_hits FROM ({inner})"
+
+
+def bm25_topk_page_sql(
+    terms: list[str], mode: str = "or", k: int = 10, page: int = 0,
+    round_to: int = 4,
+) -> str:
+    """Page ``page`` of the BM25 ranking via OFFSET — deliberately a
+    DIFFERENT formulation than the engine's search_after cursor filter
+    (given the total order score DESC, doc_id ASC, cursor-after and
+    OFFSET agree), so pagination is checked against an independent
+    mechanism."""
+    base = bm25_topk_sql(terms, mode, 10**9, round_to).rstrip().rstrip("\n")
+    # swap the LIMIT: bm25_topk_sql ends with "LIMIT <huge>"
+    assert base.endswith(f"LIMIT {10**9}")
+    base = base[: -len(f"LIMIT {10**9}")]
+    return f"{base}LIMIT {k} OFFSET {page * k}"

@@ -265,3 +265,66 @@ def test_fst_term_index_dictionary_scale():
     for i, k in enumerate(keys):
         assert fst.lookup(k.encode()) == i
     assert fst.lookup(b"absent") is None
+
+
+def test_matching_docs_filter_context(spark, built):
+    """ConstantScoreQuery semantics vs the pure-Python oracle: exact
+    boolean set algebra, no scores; min_should_match honored."""
+    from ocaml_lucene_spark.query.exec import (
+        count_matching_indexed,
+        matching_docs_indexed,
+    )
+
+    index_dir, oracle = built
+    terms = sorted(oracle.term_stats(), key=lambda t: -oracle.term_stats()[t][0])
+    a, b, c = terms[0], terms[1], terms[10]
+    docs_a = set(oracle.postings[a])
+    docs_b = set(oracle.postings[b])
+    docs_c = set(oracle.postings[c])
+
+    got = {r.doc_id for r in matching_docs_indexed(
+        spark, index_dir, must=[a, b]).collect()}
+    assert got == docs_a & docs_b
+
+    got = {r.doc_id for r in matching_docs_indexed(
+        spark, index_dir, should=[a, c]).collect()}
+    assert got == docs_a | docs_c
+
+    got = {r.doc_id for r in matching_docs_indexed(
+        spark, index_dir, must=[a], must_not=[b]).collect()}
+    assert got == docs_a - docs_b
+
+    got = {r.doc_id for r in matching_docs_indexed(
+        spark, index_dir, should=[a, b, c], min_should_match=2).collect()}
+    expect = {d for d in docs_a | docs_b | docs_c
+              if (d in docs_a) + (d in docs_b) + (d in docs_c) >= 2}
+    assert got == expect
+
+    n = count_matching_indexed(spark, index_dir, should=[a, c]).collect()[0].n_hits
+    assert n == len(docs_a | docs_c)
+
+
+def test_search_after_pagination_walks_full_ranking(spark, built):
+    """Paging with the cursor must reproduce the full ranking exactly
+    (incl. crossing score-tie boundaries), with no dup/skip between
+    pages."""
+    from ocaml_lucene_spark.query.exec import bm25_topk_indexed
+
+    index_dir, oracle = built
+    terms = sorted(oracle.term_stats(), key=lambda t: -oracle.term_stats()[t][0])[:2]
+    full = bm25_topk_indexed(
+        spark, index_dir, terms, "or", 25, round_to=4
+    ).collect()
+    assert len(full) > 20
+    k = 5
+    paged, cursor = [], None
+    for _ in range(4):  # 4 pages == full[:20], crossing tie boundaries
+        rows = bm25_topk_indexed(
+            spark, index_dir, terms, "or", k, round_to=4, after=cursor
+        ).collect()
+        assert rows
+        paged.extend(rows)
+        cursor = (rows[-1].score, rows[-1].doc_id)
+    assert [(r.doc_id, r.score) for r in paged] == [
+        (r.doc_id, r.score) for r in full[:20]
+    ]
