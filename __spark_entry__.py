@@ -150,6 +150,34 @@ def _ensure_streamed_index(spark: SparkSession, sf_dir: str) -> str:
     return index_dir
 
 
+def _ensure_title_index(spark: SparkSession, sf_dir: str, title_len: int = 8) -> str:
+    """Per-field index for the derived 'title' field (first
+    ``title_len`` tokens) — a Lucene field is its own posting space,
+    so it gets its own segment directory with its own df/avgdl."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from ocaml_lucene_spark.functions.analysis import tokens_col
+    from ocaml_lucene_spark.index.build import build_index
+
+    import ocaml_lucene_spark as pkg
+
+    key = hashlib.md5(
+        f"{pkg.__version__}|{sf_dir}|title{title_len}".encode()
+    ).hexdigest()[:10]
+    index_dir = f"/tmp/olspark_entry_title_{key}"
+    cache_key = (sf_dir, "title", title_len)
+    if cache_key not in _INDEX_CACHE:
+        docs = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.array_join(F.slice(tokens_col("text"), 1, title_len), " ").alias("text"),
+        )
+        build_index(docs, index_dir, segment="title", n_partitions=8)
+        _INDEX_CACHE[cache_key] = index_dir
+    return index_dir
+
+
 def _query_vec(sf_dir: str, vec_id: int = 0) -> list[float]:
     import pyarrow.parquet as pq
 
@@ -310,6 +338,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return bm25_topk_indexed(
             spark, idx, ["spark", "query", "dup"], "or", 10, round_to=4,
             after=cursor,
+        )
+
+    def q_bm25_dismax(spark, sf):
+        # multi-field search: Lucene fields map to per-field index
+        # dirs (title = first 8 tokens, body = full text — each with
+        # its own df/avgdl), combined by DisjunctionMaxQuery with
+        # tie_breaker
+        from ocaml_lucene_spark.query.exec import bm25_topk_dismax
+
+        return bm25_topk_dismax(
+            spark,
+            {"title": _ensure_title_index(spark, sf), "body": _ensure_index(spark, sf)},
+            ["spark", "query", "dup"],
+            k=10, tie_breaker=0.3, round_to=4,
         )
 
     def q_term_postings(spark, sf):
@@ -742,6 +784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_matching_filter": q_docs_matching_filter,
         "total_hits": q_total_hits,
         "bm25_search_after": q_bm25_search_after,
+        "bm25_dismax_fields": q_bm25_dismax,
         # -- flagship query surface --
         "bm25_or_top10": q_bm25_or,
         "bm25_and_top10": q_bm25_and,
@@ -848,6 +891,9 @@ def oracle_sql() -> dict[str, str]:
         "total_hits": osql.count_matching_sql(should=["table", "dup"]),
         "bm25_search_after": osql.bm25_topk_page_sql(
             ["spark", "query", "dup"], "or", 10, page=1
+        ),
+        "bm25_dismax_fields": osql.bm25_topk_dismax_sql(
+            ["spark", "query", "dup"], k=10, tie_breaker=0.3
         ),
         "bm25_indexed_or": osql.bm25_topk_sql(["spark", "query", "dup"], "or", 10),
         "bm25_indexed_and": osql.bm25_topk_sql(["join", "hash", "scan"], "and", 10),

@@ -232,7 +232,8 @@ def bm25_topk_indexed(
 
     after: search_after cursor (score, doc_id) from the previous page's
     last row — returns the NEXT k results in (score DESC, doc_id ASC)
-    order."""
+    order. k=None returns the full unordered scored frame (combiner
+    input, e.g. DisMax)."""
     terms = list(dict.fromkeys(terms))
     if must and not set(must) <= set(terms):
         raise ValueError(
@@ -355,6 +356,10 @@ def bm25_topk_indexed(
         F.round(F.col("score_raw"), round_to) if round_to is not None else F.col("score_raw")
     )
     out = agg.select("doc_id", score.alias("score"))
+    if k is None:
+        # unlimited scored frame (no collector): the field-score input
+        # to multi-field combiners like bm25_topk_dismax
+        return out
     if after is not None:
         # search_after pagination (Lucene IndexSearcher.searchAfter):
         # keep rows STRICTLY after the (score, doc_id) cursor in the
@@ -867,6 +872,52 @@ def bm25_route(
     else:
         plan = "indexed"
     return {"plan": plan, "df_sum": df_sum, "min_df": min_df}
+
+
+def bm25_topk_dismax(
+    spark: SparkSession,
+    field_dirs: dict[str, str],
+    terms: list[str],
+    k: int = 10,
+    tie_breaker: float = 0.0,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Multi-field search: Lucene DisjunctionMaxQuery over per-field
+    indexes. A Lucene field is its own posting space (per-field
+    postings readers, separate df/avgdl — the reference's .tmd carries
+    8 independent field_metas); this engine maps a field to its own
+    index directory, so ``field_dirs`` is {field_name: index_dir}.
+
+    score(doc) = max_f s_f + tie_breaker * sum_{f != argmax} s_f
+    (Lucene DisMax semantics; tie_breaker=0 is pure dismax, 1.0 sums).
+
+    Plan: each field contributes its full scored frame (k=None — the
+    per-field exhaustive plan with that field's own stats), combined
+    with a full outer join on doc_id; fields fold in the caller's dict
+    order so float sums are deterministic. At cluster scale the field
+    frames are term-pruned scans (bounded by the query terms' df in
+    each field), never corpus-wide."""
+    if not field_dirs:
+        raise ValueError("need at least one field")
+    fields = list(field_dirs)
+    joined = None
+    for fname in fields:
+        fr = bm25_topk_indexed(
+            spark, field_dirs[fname], terms, "or", k=None
+        ).select("doc_id", F.col("score").alias(f"s_{fname}"))
+        joined = fr if joined is None else joined.join(fr, "doc_id", "full_outer")
+    cols = [F.coalesce(F.col(f"s_{f}"), F.lit(0.0)) for f in fields]
+    mx = F.greatest(*cols) if len(cols) > 1 else cols[0]
+    total = cols[0]
+    for c in cols[1:]:
+        total = total + c
+    raw = mx + F.lit(float(tie_breaker)) * (total - mx)
+    score = F.round(raw, round_to) if round_to is not None else raw
+    return (
+        joined.select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
 
 
 def bm25_topk_auto(

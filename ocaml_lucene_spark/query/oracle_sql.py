@@ -511,3 +511,54 @@ def bm25_topk_page_sql(
     assert base.endswith(f"LIMIT {10**9}")
     base = base[: -len(f"LIMIT {10**9}")]
     return f"{base}LIMIT {k} OFFSET {page * k}"
+
+
+def bm25_topk_dismax_sql(
+    terms: list[str],
+    k: int = 10,
+    tie_breaker: float = 0.0,
+    round_to: int = 4,
+    title_len: int = 8,
+) -> str:
+    """DisjunctionMaxQuery oracle over two derived fields — title =
+    the first ``title_len`` tokens, body = all tokens — each scored
+    with its OWN df/avgdl (per-field posting spaces, like Lucene's
+    per-field readers); combined max + tie_breaker * rest."""
+    terms = list(dict.fromkeys(terms))
+    tin = _terms_in(terms)
+
+    def field_cte(name: str, tcol: str) -> str:
+        return f"""
+{name}_base AS (SELECT doc_id, {tcol} AS t, len({tcol}) AS dl FROM toks),
+{name}_stats AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM {name}_base),
+{name}_tf AS (
+  SELECT doc_id, term, dl, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(t) AS term FROM {name}_base)
+  WHERE term IN {tin}
+  GROUP BY doc_id, term, dl
+),
+{name}_df AS (SELECT term, count(*) AS df FROM {name}_tf GROUP BY term),
+{name}_sc AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (s.n - df + 0.5) / (df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl))) AS sc
+  FROM {name}_tf tf JOIN {name}_df USING (term) CROSS JOIN {name}_stats s
+  GROUP BY tf.doc_id
+)"""
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents
+),{field_cte("title", f"t[1:{title_len}]")},{field_cte("body", "t")}
+SELECT coalesce(ti.doc_id, bo.doc_id) AS doc_id,
+       round(
+         greatest(coalesce(ti.sc, 0), coalesce(bo.sc, 0))
+         + {float(tie_breaker)} * (coalesce(ti.sc, 0) + coalesce(bo.sc, 0)
+            - greatest(coalesce(ti.sc, 0), coalesce(bo.sc, 0))),
+         {round_to}) AS score
+FROM title_sc ti FULL JOIN body_sc bo ON ti.doc_id = bo.doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""

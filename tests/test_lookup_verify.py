@@ -328,3 +328,36 @@ def test_search_after_pagination_walks_full_ranking(spark, built):
     assert [(r.doc_id, r.score) for r in paged] == [
         (r.doc_id, r.score) for r in full[:20]
     ]
+
+
+def test_dismax_combines_per_field_scores(spark, built, tiny_corpus, tmp_path_factory):
+    """DisMax over two per-field indexes == the python combination of
+    the two fields' own BM25 scores (tie_breaker 0, 0.3, and 1.0)."""
+    from pyspark.sql import functions as F
+
+    from ocaml_lucene_spark.functions.analysis import tokens_col
+    from ocaml_lucene_spark.query.exec import bm25_topk_dismax, bm25_topk_indexed
+
+    index_dir, oracle = built
+    title_dir = str(tmp_path_factory.mktemp("index_title"))
+    tdocs = assign_doc_ids(spark.read.parquet(tiny_corpus)).select(
+        "doc_id", F.array_join(F.slice(tokens_col("text"), 1, 8), " ").alias("text")
+    )
+    build_index(tdocs, title_dir, segment="title", n_partitions=4)
+
+    terms = sorted(oracle.term_stats(), key=lambda t: -oracle.term_stats()[t][0])[:2]
+    sb = {r.doc_id: r.score for r in bm25_topk_indexed(
+        spark, index_dir, terms, "or", k=None).collect()}
+    st = {r.doc_id: r.score for r in bm25_topk_indexed(
+        spark, title_dir, terms, "or", k=None).collect()}
+    assert sb and st and sb != st  # the fields genuinely differ
+    for tie in (0.0, 0.3, 1.0):
+        got = [(r.doc_id, r.score) for r in bm25_topk_dismax(
+            spark, {"title": title_dir, "body": index_dir}, terms,
+            k=10, tie_breaker=tie, round_to=4).collect()]
+        comb = {}
+        for d in set(sb) | set(st):
+            a, b = st.get(d, 0.0), sb.get(d, 0.0)
+            comb[d] = round(max(a, b) + tie * (a + b - max(a, b)), 4)
+        expect = sorted(comb.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        assert got == [(d, s) for d, s in expect], tie
