@@ -118,10 +118,26 @@ def build_index(
     doc_id_base: int | None = None,
     int_term_ids: bool = False,
     max_int_id_vocab: int = 2_000_000,
+    tf_agg: str | None = None,
 ) -> dict:
     """Build one segment over ``docs`` (which must carry unique global
     ``id_col``; use assign_doc_ids first if absent). Returns the
-    manifest row (with build metrics)."""
+    manifest row (with build metrics).
+
+    tf_agg: how per-(doc,term) tfs are computed on the plain path
+    (positions/offsets builds always use the shuffle agg).
+    - "shuffle" (default): JVM explode + hash aggregate — map-side
+      partial agg collapses duplicates, then ONE exchange on
+      (doc_id, term, dl) feeds the final agg. Two posting-volume
+      shuffles total (this one + the pack repartition).
+    - "local": an Arrow-batched pandas kernel — every token of a doc
+      lives in the doc's partition BY CONSTRUCTION (a doc is one row),
+      so per-doc tf needs NO exchange; Catalyst can't see that
+      invariant, the kernel can. ONE posting-volume shuffle total (the
+      pack repartition). The tokens DO cross the JVM->Python Arrow
+      boundary once, so this trades local serialization for shuffle
+      bytes — the right trade on a network-shuffle cluster; measured
+      locally in BASELINE.md. Env default: OLSPARK_TF_AGG."""
     spark = docs.sparkSession
     t0 = time.monotonic()
     profile = os.environ.get("OLSPARK_BUILD_PROFILE") == "1"
@@ -214,11 +230,51 @@ def build_index(
             )
         )
     else:
-        tf = (
-            base.select("doc_id", "dl", F.explode("toks").alias("term"))
-            .groupBy("doc_id", "term", "dl")
-            .agg(F.count("*").cast("long").alias("tf"))
-        )
+        tf_agg = tf_agg or os.environ.get("OLSPARK_TF_AGG", "shuffle")
+        if tf_agg == "local":
+            # partition-local tf: zero-exchange aggregation (see the
+            # build_index docstring). Vectorized: one np.repeat for
+            # ids/dls, itertools.chain for the flat term stream, one
+            # C-level pandas groupby per Arrow batch.
+            def tf_part(batches):
+                from itertools import chain
+
+                import numpy as np
+                import pandas as pd
+
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    toks = pdf["toks"]
+                    sizes = pdf["dl"].to_numpy(dtype=np.int64)
+                    flat = np.array(list(chain.from_iterable(toks)), dtype=object)
+                    if not flat.size:
+                        continue
+                    g = (
+                        pd.DataFrame(
+                            {
+                                "doc_id": np.repeat(
+                                    pdf["doc_id"].to_numpy(dtype=np.int64), sizes
+                                ),
+                                "term": flat,
+                                "dl": np.repeat(sizes, sizes),
+                            }
+                        )
+                        .groupby(["doc_id", "term", "dl"], sort=False)
+                        .size()
+                        .reset_index(name="tf")
+                    )
+                    yield g
+
+            tf = base.mapInPandas(
+                tf_part, "doc_id long, term string, dl long, tf long"
+            )
+        else:
+            tf = (
+                base.select("doc_id", "dl", F.explode("toks").alias("term"))
+                .groupBy("doc_id", "term", "dl")
+                .agg(F.count("*").cast("long").alias("tf"))
+            )
 
     # ONE up-front pass: write norms (doc_id, dl) with the Observation
     # riding the same job collecting corpus stats AND the doc-id bounds

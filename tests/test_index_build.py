@@ -463,3 +463,31 @@ def test_not_clause_overlapping_exclude(spark, built):
     # and-mode with a required term excluded is provably empty on all paths
     assert bm25_topk_indexed(spark, index_dir, inc, "and", 10, exclude=[inc[0]]).count() == 0
     assert bm25_topk_wand_exec(spark, index_dir, inc, "and", 10, exclude=[inc[0]]).count() == 0
+
+
+def test_tf_agg_local_byte_identical(spark, tiny_corpus, tmp_path_factory):
+    """tf_agg='local' (zero-exchange partition-local tf kernel) must be
+    a pure plan optimization: every packed block row — including binary
+    payloads — identical to the shuffle-agg build's, with salting on."""
+    docs = assign_doc_ids(spark.read.parquet(tiny_corpus)).select("doc_id", "text").cache()
+    dirs = {}
+    for mode in ("shuffle", "local"):
+        d = str(tmp_path_factory.mktemp(f"idx_tfa_{mode}"))
+        build_index(
+            docs, d, segment="s", n_partitions=4, salt_df_threshold=300,
+            n_salts=4, tf_agg=mode,
+        )
+        dirs[mode] = d
+
+    def rows(d):
+        df = spark.read.parquet(f"{d}/segments/s/postings")
+        return sorted(
+            (
+                r.term, r.block_no, r.n, r.first_doc, r.last_doc, r.max_tf,
+                r.sum_tf, r.min_dl, tuple(r.ub_tfs), tuple(r.ub_dls),
+                bytes(r.doc_bytes), bytes(r.tf_bytes), bytes(r.dl_bytes),
+            )
+            for r in df.collect()
+        )
+
+    assert rows(dirs["shuffle"]) == rows(dirs["local"])

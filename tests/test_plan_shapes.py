@@ -1,0 +1,208 @@
+"""Physical-plan shape regressions: the 100 TB design claims in
+README ("Designing for 100 TB") as CI-checked assertions, not prose.
+
+Each test captures .explain(mode="formatted") and asserts the
+STRUCTURAL property that makes the operator scale: predicate pushdown
+to the parquet scan, payload-column pruning, broadcast of the small
+side, and the shuffle shape. A refactor that silently loses one of
+these still passes every result-equality test — these are the tests
+that catch it.
+"""
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from ocaml_lucene_spark.index.build import assign_doc_ids, build_index
+
+
+@pytest.fixture(scope="module")
+def built(spark, tiny_corpus, tmp_path_factory):
+    index_dir = str(tmp_path_factory.mktemp("index_plans"))
+    docs = assign_doc_ids(spark.read.parquet(tiny_corpus)).select("doc_id", "text")
+    build_index(docs, index_dir, n_partitions=4)
+    return index_dir
+
+
+@pytest.fixture(scope="module")
+def built_offsets(spark, tiny_corpus, tmp_path_factory):
+    index_dir = str(tmp_path_factory.mktemp("index_plans_off"))
+    docs = assign_doc_ids(spark.read.parquet(tiny_corpus)).select("doc_id", "text")
+    build_index(docs, index_dir, n_partitions=4, with_offsets=True)
+    return index_dir
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def _read_schema_cols(plan: str) -> set[str]:
+    schema = re.search(r"ReadSchema: struct<(.*?)>", plan)
+    assert schema, plan
+    return {c.split(":")[0] for c in schema.group(1).split(",")}
+
+
+def test_postings_scan_pushes_term_predicate(spark, built):
+    """The term filter must reach the parquet scan (PushedFilters: In)
+    — at 100 TB this is what turns a query into a few row groups
+    instead of a full-index read (term-sorted shards make row-group
+    min/max stats the zone maps)."""
+    from ocaml_lucene_spark.query.exec import _postings_df
+
+    plan = _plan(_postings_df(spark, built, ["zipf", "data"]))
+    pushed = re.search(r"PushedFilters: \[(.*?)\]", plan)
+    assert pushed, plan
+    assert "In(term" in pushed.group(1), pushed.group(1)
+
+
+def test_filter_context_prunes_payload_columns(spark, built):
+    """matching_docs_indexed reads ONLY (term, doc_bytes): the
+    unscored filter path never pays for tf/dl/pos bytes."""
+    from ocaml_lucene_spark.query.exec import matching_docs_indexed
+
+    cols = _read_schema_cols(_plan(matching_docs_indexed(spark, built, must=["zipf"])))
+    assert cols == {"term", "doc_bytes"}, cols
+
+
+def test_not_clause_scan_prunes_payload_columns(spark, built):
+    """term_doc_ids_df (the NOT-clause anti-join side) reads only the
+    doc-id stream."""
+    from ocaml_lucene_spark.query.exec import term_doc_ids_df
+
+    cols = _read_schema_cols(_plan(term_doc_ids_df(spark, built, ["zipf"])))
+    assert "tf_bytes" not in cols and "dl_bytes" not in cols, cols
+
+
+def test_exhaustive_plan_never_reads_position_streams(spark, built_offsets):
+    """bm25_topk_indexed on an offsets-bearing index must still prune
+    pos_bytes/off_bytes at the scan — scoring never pays for the .pos
+    and .pay analogues."""
+    from ocaml_lucene_spark.query.exec import bm25_topk_indexed
+
+    plan = _plan(bm25_topk_indexed(spark, built_offsets, ["zipf", "data"], "or", 10))
+    for m in re.finditer(r"ReadSchema: struct<(.*?)>", plan):
+        cols = {c.split(":")[0] for c in m.group(1).split(",")}
+        assert "pos_bytes" not in cols and "off_bytes" not in cols, cols
+
+
+def test_wand_metadata_projection_prunes_payloads(spark, built):
+    """WAND block selection (skip metadata only) must not read the
+    packed payload columns."""
+    from ocaml_lucene_spark.query.exec import _postings_df
+
+    df = _postings_df(spark, built, ["zipf"]).select(
+        "term", "block_no", "first_doc", "last_doc", "max_tf", "min_dl"
+    )
+    cols = _read_schema_cols(_plan(df))
+    assert "doc_bytes" not in cols and "tf_bytes" not in cols, cols
+
+
+def test_highlight_broadcasts_the_topk_side(spark, built_offsets):
+    """highlight_topk joins k rows against the offsets occurrence
+    stream: the k-row side must broadcast — a sort-merge join here
+    would shuffle every occurrence of the query terms."""
+    from ocaml_lucene_spark.query.exec import highlight_topk
+
+    plan = _plan(highlight_topk(spark, built_offsets, ["zipf", "data"], k=5))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_logical_bm25_broadcasts_term_stats(spark, tiny_corpus):
+    """The logical plan's term->df join must broadcast the (tiny)
+    per-term stats side, not shuffle the postings."""
+    from ocaml_lucene_spark.query.bm25 import bm25_topk
+
+    docs = assign_doc_ids(spark.read.parquet(tiny_corpus)).select("doc_id", "text")
+    plan = _plan(bm25_topk(docs, ["zipf", "data"], "or", 10))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_topk_is_take_ordered_not_global_sort(spark, built):
+    """The k=10 collector must plan as TakeOrderedAndProject (partial
+    per-partition top-k + merge), never a full Sort + Limit — a global
+    sort of scores is a corpus-wide shuffle at 100 TB."""
+    from ocaml_lucene_spark.query.exec import bm25_topk_indexed
+
+    plan = _plan(bm25_topk_indexed(spark, built, ["zipf", "data"], "or", 10))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_build_shuffle_shapes(spark, tiny_corpus):
+    """The build's shuffle boundary, both tf-agg modes (build.py):
+
+    - tf_agg='shuffle' (default): JVM hash agg — a PARTIAL
+      HashAggregate collapses (doc,term) duplicates before its
+      exchange, so both exchanges carry aggregated-posting volume,
+      never raw tokens; the pack exchange is keyed on term; no range
+      partitioning anywhere (repartitionByRange is banned for
+      determinism — CLAUDE.md).
+    - tf_agg='local': ZERO aggregation exchanges — the pandas kernel
+      exploits the all-tokens-of-a-doc-in-one-partition invariant, so
+      the ONLY hashpartitioning in the whole pack input is the
+      explicit (term) repartition. This is the literally-one-shuffle
+      build."""
+    from pyspark.sql import functions as F
+
+    from ocaml_lucene_spark.functions.analysis import tokens_col
+
+    docs = assign_doc_ids(spark.read.parquet(tiny_corpus)).select("doc_id", "text")
+    base = docs.select(
+        "doc_id", tokens_col("text").alias("toks")
+    ).withColumn("dl", F.size("toks").cast("long"))
+
+    # -- shuffle mode: partial agg before the exchange, term-keyed pack
+    tf = (
+        base.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term", "dl")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .repartition(4, "term")
+        .sortWithinPartitions("term", "doc_id")
+    )
+    plan = _plan(tf)
+    exchanges = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert exchanges and "term" in exchanges[-1], exchanges
+    assert re.search(r"Functions \[1\]: \[partial_count", plan), plan
+    assert "rangepartitioning" not in plan, plan
+
+    # -- local mode: the pack input has exactly ONE hashpartitioning
+    from itertools import chain
+
+    import numpy as np
+    import pandas as pd
+
+    def tf_part(batches):
+        for pdf in batches:
+            sizes = pdf["dl"].to_numpy(dtype=np.int64)
+            flat = np.array(list(chain.from_iterable(pdf["toks"])), dtype=object)
+            if not flat.size:
+                continue
+            yield (
+                pd.DataFrame(
+                    {
+                        "doc_id": np.repeat(pdf["doc_id"].to_numpy(np.int64), sizes),
+                        "term": flat,
+                        "dl": np.repeat(sizes, sizes),
+                    }
+                )
+                .groupby(["doc_id", "term", "dl"], sort=False)
+                .size()
+                .reset_index(name="tf")
+            )
+
+    tf_local = (
+        base.mapInPandas(tf_part, "doc_id long, term string, dl long, tf long")
+        .repartition(4, "term")
+        .sortWithinPartitions("term", "doc_id")
+    )
+    plan = _plan(tf_local)
+    exchanges = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    # the url exchange belongs to docID assignment (a separate,
+    # once-per-ingest stage carrying (url, text) rows); the BUILD
+    # itself contributes exactly one: the term-keyed pack repartition
+    build_exchanges = [e for e in exchanges if "url" not in e]
+    assert len(build_exchanges) == 1 and "term" in build_exchanges[0], exchanges
