@@ -354,6 +354,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             k=10, tie_breaker=0.3, round_to=4,
         )
 
+    def q_bm25_regexp(spark, sf):
+        # RegexpQuery: anchored whole-term regex expanded via the
+        # in-memory dictionary (leading literal narrows the FST walk);
+        # oracle expands independently with RE2 regexp_full_match
+        from ocaml_lucene_spark.query.exec import bm25_topk_regexp
+
+        return bm25_topk_regexp(
+            spark, _ensure_index(spark, sf), "s.a.*", k=10, round_to=4
+        )
+
     def q_term_postings(spark, sf):
         return bm25.term_postings(_docs(spark, sf), "dup")
 
@@ -785,6 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "total_hits": q_total_hits,
         "bm25_search_after": q_bm25_search_after,
         "bm25_dismax_fields": q_bm25_dismax,
+        "bm25_regexp": q_bm25_regexp,
         # -- flagship query surface --
         "bm25_or_top10": q_bm25_or,
         "bm25_and_top10": q_bm25_and,
@@ -895,6 +906,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_dismax_fields": osql.bm25_topk_dismax_sql(
             ["spark", "query", "dup"], k=10, tie_breaker=0.3
         ),
+        "bm25_regexp": osql.bm25_topk_regexp_sql("s.a.*", k=10),
         "bm25_indexed_or": osql.bm25_topk_sql(["spark", "query", "dup"], "or", 10),
         "bm25_indexed_and": osql.bm25_topk_sql(["join", "hash", "scan"], "and", 10),
         "bm25_wand": osql.bm25_topk_sql(["spark", "query", "dup"], "or", 10),

@@ -1179,3 +1179,30 @@ def wand_metrics_value(metrics: dict) -> dict:
         metrics["decoded_blocks"] = dec.value
         metrics["total_blocks"] = tot.value
     return metrics
+
+
+def bm25_topk_regexp(
+    spark: SparkSession,
+    index_dir: str,
+    pattern: str,
+    k: int = 10,
+    round_to: int | None = None,
+    wand_max_df_sum: int = DEFAULT_WAND_MAX_DF_SUM,
+) -> DataFrame:
+    """RegexpQuery (whole-term anchored regex): expand via the
+    in-memory dictionary (leading literal run narrows to an FST
+    subtree, zero Spark jobs), then the auto-routed disjunctive BM25
+    over the expansion — the same boolean-rewrite shape as
+    prefix/wildcard/fuzzy. The engine accepts Python-re syntax; gate
+    oracles stick to the Python∩RE2 common subset so DuckDB's
+    regexp_full_match can check the expansion independently."""
+    from .term_index import regexp_stats_mem
+
+    stats = regexp_stats_mem(index_dir, pattern)
+    if not stats:
+        return spark.createDataFrame([], "doc_id long, score double")
+    return bm25_topk_auto(
+        spark, index_dir, sorted(stats), "or", k, round_to=round_to,
+        wand_max_df_sum=wand_max_df_sum,
+        dfs={t: df for t, (df, _) in stats.items()},
+    )

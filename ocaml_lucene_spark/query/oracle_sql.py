@@ -562,3 +562,31 @@ FROM title_sc ti FULL JOIN body_sc bo ON ti.doc_id = bo.doc_id
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def bm25_topk_regexp_sql(pattern: str, k: int = 10, round_to: int = 4) -> str:
+    """RegexpQuery oracle: the expansion happens INDEPENDENTLY inside
+    SQL via RE2's regexp_full_match over the unnested dictionary."""
+    p = pattern.replace("'", "''")
+    return f"""
+WITH {TOKS_CTE},
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM base),
+tf AS (
+  SELECT doc_id, term, dl, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(t) AS term FROM base)
+  WHERE regexp_full_match(term, '{p}')
+  GROUP BY doc_id, term, dl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n - df + 0.5) / (df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl)) AS sc
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+)
+SELECT doc_id, round(sum(sc), {round_to}) AS score
+FROM scored
+GROUP BY doc_id
+ORDER BY round(sum(sc), {round_to}) DESC, doc_id ASC
+LIMIT {k}
+"""

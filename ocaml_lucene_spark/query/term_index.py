@@ -261,3 +261,38 @@ def seek_exact_mem(index_dir: str, term: str) -> dict | None:
     if total_df == 0:
         return None
     return {"term": term, "doc_freq": total_df, "total_term_freq": total_ttf}
+
+
+def regexp_stats_mem(index_dir: str, pattern: str) -> dict[str, tuple[int, int]]:
+    """term -> (df, ttf) for dictionary terms fully matching ``pattern``
+    (Lucene RegexpQuery: the regex is anchored at both ends), from the
+    in-memory dictionaries with zero Spark jobs. A leading literal run
+    in the pattern narrows the scan to that FST subtree (same trick as
+    wildcard_stats_mem); the automaton∩FST generalization (Lucene
+    compiles the regex to a DFA and intersects) is the sub-linear
+    upgrade if unanchored regexes over huge vocabularies matter."""
+    import re
+
+    meta = set(".^$*+?{}[]|()\\")
+    lit = []
+    for ch in pattern:
+        if ch in meta:
+            break
+        lit.append(ch)
+    prefix = "".join(lit)
+    rx = re.compile(pattern)
+    out: dict[str, tuple[int, int]] = {}
+    p = prefix.encode("utf-8")
+    for row in seg.list_segments(index_dir):
+        ti = load_term_index(index_dir, row["segment"])
+        for key, ordinal in ti.fst.prefix_items(p):
+            term = key.decode("utf-8")
+            if not rx.fullmatch(term):
+                continue
+            df, ttf = int(ti.dfs[ordinal]), int(ti.ttfs[ordinal])
+            if term in out:
+                pdf, pttf = out[term]
+                out[term] = (pdf + df, pttf + ttf)
+            else:
+                out[term] = (df, ttf)
+    return out

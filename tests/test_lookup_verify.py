@@ -361,3 +361,22 @@ def test_dismax_combines_per_field_scores(spark, built, tiny_corpus, tmp_path_fa
             comb[d] = round(max(a, b) + tie * (a + b - max(a, b)), 4)
         expect = sorted(comb.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
         assert got == [(d, s) for d, s in expect], tie
+
+
+def test_regexp_expansion_matches_python_re(spark, built):
+    """regexp_stats_mem == fullmatch filter over the oracle dictionary
+    (incl. patterns with no literal prefix and no matches); zero Spark
+    jobs."""
+    import re
+
+    from ocaml_lucene_spark.query.term_index import regexp_stats_mem
+
+    index_dir, oracle = built
+    stats = oracle.term_stats()
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    for pat in (r"s[aeiou].*", r".*ing", r"zz.*", r"[a-f]{3,5}", r"data[0-9]?"):
+        got = regexp_stats_mem(index_dir, pat)
+        expect = {t: v for t, v in stats.items() if re.fullmatch(pat, t)}
+        assert got == expect, pat
+    assert set(tracker.getJobIdsForGroup(None)) == before
