@@ -364,6 +364,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, _ensure_index(spark, sf), "s.a.*", k=10, round_to=4
         )
 
+    def q_more_like_this(spark, sf):
+        # Lucene MoreLikeThis: top-5 tf·idf terms of doc 7, then the
+        # auto-routed disjunction; the oracle reselects independently
+        from ocaml_lucene_spark.query.exec import more_like_this
+
+        return more_like_this(
+            spark, _ensure_index(spark, sf), _docs(spark, sf), doc_id=7,
+            k=10, max_query_terms=5, round_to=4,
+        )
+
     def q_term_postings(spark, sf):
         return bm25.term_postings(_docs(spark, sf), "dup")
 
@@ -796,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search_after": q_bm25_search_after,
         "bm25_dismax_fields": q_bm25_dismax,
         "bm25_regexp": q_bm25_regexp,
+        "more_like_this": q_more_like_this,
         # -- flagship query surface --
         "bm25_or_top10": q_bm25_or,
         "bm25_and_top10": q_bm25_and,
@@ -907,6 +918,7 @@ def oracle_sql() -> dict[str, str]:
             ["spark", "query", "dup"], k=10, tie_breaker=0.3
         ),
         "bm25_regexp": osql.bm25_topk_regexp_sql("s.a.*", k=10),
+        "more_like_this": osql.more_like_this_sql(doc_id=7, k=10, max_query_terms=5),
         "bm25_indexed_or": osql.bm25_topk_sql(["spark", "query", "dup"], "or", 10),
         "bm25_indexed_and": osql.bm25_topk_sql(["join", "hash", "scan"], "and", 10),
         "bm25_wand": osql.bm25_topk_sql(["spark", "query", "dup"], "or", 10),

@@ -1206,3 +1206,52 @@ def bm25_topk_regexp(
         wand_max_df_sum=wand_max_df_sum,
         dfs={t: df for t, (df, _) in stats.items()},
     )
+
+
+def more_like_this(
+    spark: SparkSession,
+    index_dir: str,
+    docs: DataFrame,
+    doc_id: int,
+    k: int = 10,
+    max_query_terms: int = 5,
+    round_to: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Lucene MoreLikeThis: select the source doc's most informative
+    terms (top ``max_query_terms`` by tf·idf — idf from the INDEX's
+    corpus stats, tf from the source row) and run the auto-routed
+    disjunctive BM25 over that selection.
+
+    Determinism contract (what the SQL oracle replays): selection
+    ranks by (round(tf * idf, 6) DESC, term ASC) — the rounding makes
+    float ties identical across engines. Term dfs come from the
+    in-memory dictionaries (zero Spark jobs); the only job before the
+    final query fetches ONE source row."""
+    from ..functions.analysis import tokens_col
+    from .term_index import seek_exact_mem
+
+    row = (
+        docs.filter(F.col(id_col) == doc_id)
+        .select(tokens_col(text_col).alias("toks"))
+        .collect()
+    )
+    if not row:
+        return spark.createDataFrame([], "doc_id long, score double")
+    from collections import Counter
+
+    tfs = Counter(row[0].toks)
+    stats = global_stats(index_dir)
+    scored_terms = []
+    for term, tf in tfs.items():
+        hit = seek_exact_mem(index_dir, term)
+        if hit is None:
+            continue
+        w = round(tf * idf(stats["n_docs"], hit["doc_freq"]), 6)
+        scored_terms.append((-w, term))
+    scored_terms.sort()
+    sel = [t for _, t in scored_terms[:max_query_terms]]
+    if not sel:
+        return spark.createDataFrame([], "doc_id long, score double")
+    return bm25_topk_auto(spark, index_dir, sorted(sel), "or", k, round_to=round_to)

@@ -590,3 +590,46 @@ GROUP BY doc_id
 ORDER BY round(sum(sc), {round_to}) DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def more_like_this_sql(
+    doc_id: int, k: int = 10, max_query_terms: int = 5, round_to: int = 4
+) -> str:
+    """MoreLikeThis oracle: the informative-term selection happens
+    INDEPENDENTLY in SQL — top max_query_terms by
+    (round(tf·idf, 6) DESC, term ASC) from the source doc — then the
+    standard BM25 disjunction over the selected set."""
+    return f"""
+WITH {TOKS_CTE},
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM base),
+src_tf AS (
+  SELECT term, count(*) AS tf
+  FROM (SELECT unnest(t) AS term FROM base WHERE doc_id = {doc_id})
+  GROUP BY term
+),
+all_tf AS (
+  SELECT doc_id, term, dl, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(t) AS term FROM base)
+  WHERE term IN (SELECT term FROM src_tf)
+  GROUP BY doc_id, term, dl
+),
+dfreq AS (SELECT term, count(*) AS df FROM all_tf GROUP BY term),
+sel AS (
+  SELECT s.term
+  FROM src_tf s JOIN dfreq USING (term) CROSS JOIN stats st
+  ORDER BY round(s.tf * ln(1.0 + (st.n - df + 0.5) / (df + 0.5)), 6) DESC, s.term ASC
+  LIMIT {max_query_terms}
+),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n - df + 0.5) / (df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl)) AS sc
+  FROM all_tf tf JOIN dfreq USING (term) CROSS JOIN stats s
+  WHERE tf.term IN (SELECT term FROM sel)
+)
+SELECT doc_id, round(sum(sc), {round_to}) AS score
+FROM scored
+GROUP BY doc_id
+ORDER BY round(sum(sc), {round_to}) DESC, doc_id ASC
+LIMIT {k}
+"""

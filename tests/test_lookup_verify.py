@@ -380,3 +380,40 @@ def test_regexp_expansion_matches_python_re(spark, built):
         expect = {t: v for t, v in stats.items() if re.fullmatch(pat, t)}
         assert got == expect, pat
     assert set(tracker.getJobIdsForGroup(None)) == before
+
+
+def test_more_like_this_selects_informative_terms(spark, built, tiny_corpus):
+    """MLT's term selection = top tf·idf of the source doc (rounded-6
+    tie contract), and its result equals a plain BM25 over exactly that
+    selection."""
+    import math
+    from collections import Counter
+
+    from ocaml_lucene_spark.query.exec import bm25_topk_indexed, more_like_this
+
+    index_dir, oracle = built
+    docs = assign_doc_ids(spark.read.parquet(tiny_corpus)).select("doc_id", "text")
+    src_tokens = None
+    did = 3
+    for d, toks in ((r.doc_id, r.text) for r in docs.collect()):
+        if d == did:
+            src_tokens = toks
+    assert src_tokens is not None
+    from ocaml_lucene_spark.functions.analysis import py_tokenize
+
+    tfs = Counter(py_tokenize(src_tokens))
+    n = oracle.n_docs
+    stats = oracle.term_stats()
+    weights = sorted(
+        (
+            (-round(tf * math.log(1.0 + (n - stats[t][0] + 0.5) / (stats[t][0] + 0.5)), 6), t)
+            for t, tf in tfs.items()
+            if t in stats
+        )
+    )
+    sel = sorted(t for _, t in weights[:5])
+    got = [(r.doc_id, r.score) for r in more_like_this(
+        spark, index_dir, docs, did, k=10, max_query_terms=5, round_to=4).collect()]
+    expect = [(r.doc_id, r.score) for r in bm25_topk_indexed(
+        spark, index_dir, sel, "or", 10, round_to=4).collect()]
+    assert got == expect and got
