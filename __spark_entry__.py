@@ -393,6 +393,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_phrase_counts(spark, sf):
         return bm25.phrase_counts(_docs(spark, sf), "table", "hash")
 
+    def q_bm25_phrase(spark, sf):
+        # Lucene PhraseQuery WITH scoring: phrase-frequency BM25
+        # (tf = exact-phrase count from the .pos stream, weight =
+        # summed term idfs, dl from norms)
+        from ocaml_lucene_spark.query.exec import bm25_topk_phrase
+
+        return bm25_topk_phrase(
+            spark, _ensure_index(spark, sf, positions=True),
+            ["table", "hash"], k=10, round_to=4,
+        )
+
     # --- physical paths: full segment pipeline, checked against the
     # SAME SQL oracles as the logical path -------------------------------
 
@@ -807,6 +818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_dismax_fields": q_bm25_dismax,
         "bm25_regexp": q_bm25_regexp,
         "more_like_this": q_more_like_this,
+        "bm25_phrase_scored": q_bm25_phrase,
         # -- flagship query surface --
         "bm25_or_top10": q_bm25_or,
         "bm25_and_top10": q_bm25_and,
@@ -919,6 +931,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_regexp": osql.bm25_topk_regexp_sql("s.a.*", k=10),
         "more_like_this": osql.more_like_this_sql(doc_id=7, k=10, max_query_terms=5),
+        "bm25_phrase_scored": osql.bm25_topk_phrase_sql(["table", "hash"], k=10),
         "bm25_indexed_or": osql.bm25_topk_sql(["spark", "query", "dup"], "or", 10),
         "bm25_indexed_and": osql.bm25_topk_sql(["join", "hash", "scan"], "and", 10),
         "bm25_wand": osql.bm25_topk_sql(["spark", "query", "dup"], "or", 10),

@@ -1255,3 +1255,55 @@ def more_like_this(
     if not sel:
         return spark.createDataFrame([], "doc_id long, score double")
     return bm25_topk_auto(spark, index_dir, sorted(sel), "or", k, round_to=round_to)
+
+
+def norms_df(spark: SparkSession, index_dir: str) -> DataFrame:
+    """(doc_id, dl) across live segments — the doc-values/norms table
+    (Lucene .nvd analogue; dl is also inlined per posting block, this
+    is the standalone column for doc-keyed joins)."""
+    paths = [
+        seg.segment_paths(index_dir, r["segment"])["norms"]
+        for r in seg.list_segments(index_dir)
+    ]
+    return spark.read.parquet(*paths).select("doc_id", "dl")
+
+
+def bm25_topk_phrase(
+    spark: SparkSession,
+    index_dir: str,
+    words: list[str],
+    k: int = 10,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Lucene PhraseQuery WITH scoring (not just counting): tf = the
+    exact-phrase occurrence count from the positions stream, weight =
+    the SUM of the distinct phrase terms' idfs (Lucene's PhraseWeight
+    blends the terms' statistics into one SimScorer), dl from the
+    norms table. Requires a with_positions build.
+
+    Plan: the co-partitioned position-join phrase counts (rows = only
+    docs containing the phrase) BROADCAST into the norms join, so the
+    corpus-wide side is a pruned doc-keyed probe; the score is a
+    single product per doc (no cross-partition float sums)."""
+    words = list(words)
+    if not words:
+        raise ValueError("empty phrase")
+    stats = global_stats(index_dir)
+    dfs = term_dfs(spark, index_dir, sorted(set(words)))
+    if any(t not in dfs for t in set(words)):
+        return spark.createDataFrame([], "doc_id long, score double")
+    w = 0.0
+    for t in dict.fromkeys(words):  # distinct terms, first-seen order
+        w += idf(stats["n_docs"], dfs[t])
+    pc = phrase_counts_indexed_multi(spark, index_dir, words)
+    joined = norms_df(spark, index_dir).join(F.broadcast(pc), "doc_id")
+    tf = F.col("n_phrase").cast("double")
+    raw = F.lit(w) * tf * (K1 + 1.0) / (
+        tf + K1 * (1.0 - B + B * F.col("dl") / stats["avgdl"])
+    )
+    score = F.round(raw, round_to) if round_to is not None else raw
+    return (
+        joined.select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -633,3 +633,53 @@ GROUP BY doc_id
 ORDER BY round(sum(sc), {round_to}) DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def bm25_topk_phrase_sql(
+    words: list[str], k: int = 10, round_to: int = 4
+) -> str:
+    """PhraseQuery-with-scoring oracle: phrase tf via the slot-join
+    CTEs, weight = sum of distinct terms' idfs, dl/avgdl from the
+    token arrays — mirrors exec.bm25_topk_phrase."""
+    slot_ctes = []
+    for i, w in enumerate(words):
+        wq = w.replace("'", "''")
+        slot_ctes.append(
+            f"s{i} AS (SELECT doc_id, p - {i} AS p FROM pos WHERE term = '{wq}')"
+        )
+    joins = "".join(
+        f" JOIN s{i} ON s0.doc_id = s{i}.doc_id AND s0.p = s{i}.p"
+        for i in range(1, len(words))
+    )
+    distinct_terms = list(dict.fromkeys(words))
+    # weight folds in first-seen term order, same as the engine
+    idf_sum = " + ".join(
+        f"(SELECT ln(1.0 + ((SELECT count(*)::DOUBLE FROM base) - df + 0.5) / (df + 0.5))"
+        f" FROM dfreq WHERE term = '{t.replace(chr(39), chr(39)*2)}')"
+        for t in distinct_terms
+    )
+    tin = _terms_in(distinct_terms)
+    return f"""
+WITH {TOKS_CTE},
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM base),
+pos AS (
+  SELECT doc_id, unnest(t) AS term, unnest(range(len(t))) AS p
+  FROM base
+),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM pos WHERE term IN {tin} GROUP BY term
+),
+{", ".join(slot_ctes)},
+pc AS (
+  SELECT s0.doc_id AS doc_id, count(*) AS n_phrase
+  FROM s0{joins}
+  GROUP BY s0.doc_id
+)
+SELECT b.doc_id,
+       round(({idf_sum}) * pc.n_phrase * 2.2
+         / (pc.n_phrase + 1.2 * (1.0 - 0.75 + 0.75 * b.dl / st.avgdl)),
+         {round_to}) AS score
+FROM pc JOIN base b USING (doc_id) CROSS JOIN stats st
+ORDER BY score DESC, b.doc_id ASC
+LIMIT {k}
+"""

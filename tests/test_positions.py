@@ -227,3 +227,55 @@ def test_offsets_match_pure_python(spark, tiny_corpus, tmp_path_factory):
     ]
     exp = oracle.query(["the", "and"], "or", 5)
     assert [d for d, _ in got] == [d for d, _ in exp]
+
+
+def test_bm25_topk_phrase_scored_vs_reference(spark, pos_index, tiny_corpus):
+    """PhraseQuery scoring: engine result == brute-force reference
+    (sliding-window phrase tf, summed distinct-term idfs, BM25)."""
+    import math
+
+    from ocaml_lucene_spark.query.exec import bm25_topk_phrase
+
+    index_dir, oracle = pos_index
+    texts = {
+        r.doc_id: r.text
+        for r in assign_doc_ids(spark.read.parquet(tiny_corpus)).select("doc_id", "text").collect()
+    }
+    words = None
+    # pick a 2-word phrase that actually occurs somewhere
+    from ocaml_lucene_spark.functions.analysis import py_tokenize
+
+    toks_by_doc = {d: py_tokenize(t) for d, t in texts.items()}
+    from collections import Counter
+
+    big = Counter()
+    for toks in toks_by_doc.values():
+        big.update(zip(toks, toks[1:]))
+    (w1, w2), _ = big.most_common(1)[0]
+    words = [w1, w2]
+
+    n = oracle.n_docs
+    avgdl = oracle.avgdl
+    stats = oracle.term_stats()
+    w = sum(
+        math.log(1.0 + (n - stats[t][0] + 0.5) / (stats[t][0] + 0.5))
+        for t in dict.fromkeys(words)
+    )
+    expect = {}
+    for d, toks in toks_by_doc.items():
+        tf = sum(
+            1
+            for i in range(len(toks) - 1)
+            if toks[i] == w1 and toks[i + 1] == w2
+        )
+        if tf:
+            dl = len(toks)
+            expect[d] = round(
+                w * tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 4
+            )
+    top = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [
+        (r.doc_id, r.score)
+        for r in bm25_topk_phrase(spark, index_dir, words, k=10, round_to=4).collect()
+    ]
+    assert got == [(d, s) for d, s in top] and got
