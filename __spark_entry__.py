@@ -374,6 +374,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             k=10, max_query_terms=5, round_to=4,
         )
 
+    def q_bm25_after_delete(spark, sf):
+        # liveDocs semantics: docs 1 and 3 deleted from a PRIVATE index
+        # (never the shared one) — results exclude them immediately,
+        # scores/stats still include them (Lucene: until a merge).
+        # The oracle keeps full-corpus stats and filters the ids.
+        import hashlib
+
+        from ocaml_lucene_spark.index.build import build_index
+        from ocaml_lucene_spark.index.deletes import delete_docs, deleted_ids
+        from ocaml_lucene_spark.query.exec import bm25_topk_indexed
+
+        import ocaml_lucene_spark as pkg
+
+        key = hashlib.md5(f"{pkg.__version__}|{sf}|del".encode()).hexdigest()[:10]
+        idx = f"/tmp/olspark_entry_del_{key}"
+        cache_key = (sf, "deleted")
+        if cache_key not in _INDEX_CACHE:
+            if _needs_build(idx, marker="deletes"):
+                build_index(
+                    _docs(spark, sf).select("doc_id", "text"), idx,
+                    segment="docs", n_partitions=8,
+                )
+                delete_docs(idx, [1, 3])
+            _INDEX_CACHE[cache_key] = idx
+        assert set(deleted_ids(idx)) == {1, 3}
+        return bm25_topk_indexed(
+            spark, idx, ["spark", "query", "dup"], "or", 10, round_to=4
+        )
+
     def q_term_postings(spark, sf):
         return bm25.term_postings(_docs(spark, sf), "dup")
 
@@ -819,6 +848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_regexp": q_bm25_regexp,
         "more_like_this": q_more_like_this,
         "bm25_phrase_scored": q_bm25_phrase,
+        "bm25_after_delete": q_bm25_after_delete,
         # -- flagship query surface --
         "bm25_or_top10": q_bm25_or,
         "bm25_and_top10": q_bm25_and,
@@ -932,6 +962,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_regexp": osql.bm25_topk_regexp_sql("s.a.*", k=10),
         "more_like_this": osql.more_like_this_sql(doc_id=7, k=10, max_query_terms=5),
         "bm25_phrase_scored": osql.bm25_topk_phrase_sql(["table", "hash"], k=10),
+        "bm25_after_delete": osql.bm25_topk_after_delete_sql(
+            ["spark", "query", "dup"], deleted=[1, 3], k=10
+        ),
         "bm25_indexed_or": osql.bm25_topk_sql(["spark", "query", "dup"], "or", 10),
         "bm25_indexed_and": osql.bm25_topk_sql(["join", "hash", "scan"], "and", 10),
         "bm25_wand": osql.bm25_topk_sql(["spark", "query", "dup"], "or", 10),

@@ -1,0 +1,84 @@
+"""Deletes: the Lucene liveDocs analogue.
+
+Lucene marks deletions in per-segment .liv bitmaps written as new
+generations; deleted docs stop appearing in results immediately, but
+corpus/term statistics still include them until a merge rewrites the
+segment (docFreq "includes deleted documents" — Lucene's documented
+behavior). This module reproduces those semantics index-wide:
+
+- ``delete_docs`` appends a new generation file under
+  ``<index>/deletes/`` (atomic tmp+rename; generations accumulate like
+  segments_N, so concurrent readers never see a partial write).
+- Query paths filter results against ``deleted_ids`` (top-k is
+  computed AFTER the filter, so deleted docs don't occupy result
+  slots) while scoring stats stay untouched.
+- ``merge_segments(purge_deleted=True)`` (the default) drops deleted
+  docs' postings and norms while rewriting blocks, subtracts them from
+  the merged stats, and rewrites the deletes files without the purged
+  ids — after a full merge the index is physically clean.
+
+At cluster scale the deleted set is result-filter-sized metadata
+(Lucene keeps it in memory per segment); it broadcasts with the query,
+never joins against the corpus.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import numpy as np
+
+
+def _deletes_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "deletes")
+
+
+def _gen_files(index_dir: str) -> list[str]:
+    return sorted(glob.glob(os.path.join(_deletes_dir(index_dir), "gen-*.json")))
+
+
+def delete_docs(index_dir: str, doc_ids) -> int:
+    """Mark ``doc_ids`` deleted (append-only generation). Returns the
+    total deleted count after the append."""
+    ids = sorted({int(i) for i in doc_ids})
+    if not ids:
+        return int(deleted_ids(index_dir).size)
+    d = _deletes_dir(index_dir)
+    os.makedirs(d, exist_ok=True)
+    existing = _gen_files(index_dir)
+    gen = (
+        max(int(os.path.basename(p)[4:-5]) for p in existing) + 1 if existing else 1
+    )
+    path = os.path.join(d, f"gen-{gen:06d}.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(ids, f)
+    os.replace(tmp, path)  # atomic publish
+    return int(deleted_ids(index_dir).size)
+
+
+def deleted_ids(index_dir: str) -> np.ndarray:
+    """Sorted unique int64 array of all deleted doc ids (union of
+    generations); empty array when no deletes exist."""
+    out: set[int] = set()
+    for p in _gen_files(index_dir):
+        with open(p) as f:
+            out.update(json.load(f))
+    return np.asarray(sorted(out), dtype=np.int64)
+
+
+def rewrite_deletes(index_dir: str, doc_ids) -> None:
+    """Replace all generations with one holding exactly ``doc_ids``
+    (used after a purging merge removed the rest physically)."""
+    d = _deletes_dir(index_dir)
+    ids = sorted({int(i) for i in doc_ids})
+    for p in _gen_files(index_dir):
+        os.remove(p)
+    if ids:
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, "gen-000001.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(ids, f)
+        os.replace(tmp, os.path.join(d, "gen-000001.json"))

@@ -57,9 +57,21 @@ def merge_segments(
     segment_names: list[str],
     n_partitions: int | None = None,
     n_salts: int = 16,
+    purge_deleted: bool = True,
 ) -> dict:
-    """Merge the named segments into one new segment."""
+    """Merge the named segments into one new segment.
+
+    purge_deleted (default): Lucene merge semantics — deleted docs'
+    postings and norms are dropped while blocks are rewritten, the
+    merged stats exclude them, and the purged ids leave the deletes
+    files (they no longer exist anywhere). Deletes covering segments
+    NOT in this merge stay recorded."""
     t0 = time.monotonic()
+    from . import deletes as del_mod
+
+    deleted = del_mod.deleted_ids(index_dir) if purge_deleted else None
+    if deleted is not None and not deleted.size:
+        deleted = None
     n_parts = n_partitions or spark.sparkContext.defaultParallelism
     rows = {r["segment"]: r for r in seg.list_segments(index_dir, live_only=False)}
     sources = [rows[s] for s in segment_names]
@@ -117,6 +129,20 @@ def merge_segments(
                 docs = delta_decode(bytes(db))
                 tf = pfor.decode(bytes(tb), int(n)).astype(np.int64)
                 dl = pfor.decode(bytes(lb), int(n)).astype(np.int64)
+                pos_arr = decode_positions(bytes(pb), tf) if with_positions else None
+                off_arr = decode_positions(bytes(ob), tf) if with_offsets else None
+                if deleted is not None:
+                    keep = ~np.isin(docs, deleted)
+                    if not keep.all():
+                        # positions/starts are per-doc list columns:
+                        # keep the kept docs' lists
+                        if pos_arr is not None:
+                            pos_arr = [a for a, k in zip(pos_arr, keep) if k]
+                        if off_arr is not None:
+                            off_arr = [a for a, k in zip(off_arr, keep) if k]
+                        docs, tf, dl = docs[keep], tf[keep], dl[keep]
+                        if not docs.size:
+                            continue
                 # hot (salted) rows re-bucket over the merged doc span;
                 # unsalted terms stay salt 0 (one run, fewer blocks)
                 if int(bno) // 100_000 > 0:
@@ -134,10 +160,10 @@ def merge_segments(
                     "dl": dl,
                 }
                 if with_positions:
-                    d["positions"] = decode_positions(bytes(pb), tf)
+                    d["positions"] = pos_arr
                 if with_offsets:
                     # offsets stream shares the positions framing
-                    d["starts"] = decode_positions(bytes(ob), tf)
+                    d["starts"] = off_arr
                 outs.append(pd.DataFrame(d))
             if outs:
                 yield pd.concat(outs, ignore_index=True)
@@ -176,10 +202,27 @@ def merge_segments(
         .parquet(paths["terms"])
     )
     norm_paths = [seg.segment_paths(index_dir, s)["norms"] for s in segment_names]
-    spark.read.parquet(*norm_paths).write.mode("overwrite").parquet(paths["norms"])
+    norms_src = spark.read.parquet(*norm_paths)
+    purged_ids: list[int] = []
+    if deleted is not None:
+        # purge deleted docs from norms + stats (Lucene merge: the
+        # rewritten segment no longer contains them anywhere)
+        dd = spark.createDataFrame([(int(i),) for i in deleted], "doc_id long")
+        purged_ids = [
+            r.doc_id for r in norms_src.join(F.broadcast(dd), "doc_id").collect()
+        ]
+        norms_src = norms_src.join(F.broadcast(dd), "doc_id", "left_anti")
+    norms_src.write.mode("overwrite").parquet(paths["norms"])
 
-    n_docs = sum(r["n_docs"] for r in sources)
-    sum_dl = sum(r["sum_dl"] for r in sources)
+    if deleted is not None:
+        agg_row = spark.read.parquet(paths["norms"]).agg(
+            F.count("*"), F.sum("dl")
+        ).first()
+        n_docs = int(agg_row[0] or 0)
+        sum_dl = int(agg_row[1] or 0)
+    else:
+        n_docs = sum(r["n_docs"] for r in sources)
+        sum_dl = sum(r["sum_dl"] for r in sources)
     seg.write_stats(
         index_dir,
         new_name,
@@ -218,6 +261,11 @@ def merge_segments(
         "merged_from": segment_names,
     }
     seg.write_manifest_row(index_dir, manifest_row)
+    if purged_ids:
+        # purged ids are physically gone: rewrite the deletes files
+        # keeping only ids that still exist in NON-merged segments
+        remaining = sorted(set(int(i) for i in deleted) - set(purged_ids))
+        del_mod.rewrite_deletes(index_dir, remaining)
     # retire sources (newer generation rows win in list_segments)
     for s in sources:
         retired = dict(s)

@@ -190,7 +190,7 @@ def matching_docs_indexed(
     out = agg.filter(cond).select("doc_id")
     if must_not:
         out = out.join(excluded_docs_df(spark, index_dir, must_not), "doc_id", "left_anti")
-    return out.orderBy("doc_id")
+    return _deleted_filter(spark, index_dir, out).orderBy("doc_id")
 
 
 def count_matching_indexed(
@@ -352,6 +352,7 @@ def bm25_topk_indexed(
         agg = agg.filter(F.col("n_should") >= min_should_match)
     if exclude:
         agg = agg.join(excluded_docs_df(spark, index_dir, exclude), "doc_id", "left_anti")
+    agg = _deleted_filter(spark, index_dir, agg)  # liveDocs: results only
     score = (
         F.round(F.col("score_raw"), round_to) if round_to is not None else F.col("score_raw")
     )
@@ -676,6 +677,20 @@ _WAND_BLOCK_COLS = (
 )
 
 
+def _deleted_filter(spark: SparkSession, index_dir: str, df: DataFrame) -> DataFrame:
+    """Drop deleted docs from a (doc_id, ...) frame (liveDocs filter:
+    results only — scoring stats intentionally still include deleted
+    docs until a purging merge, Lucene semantics). The deleted set is
+    metadata-sized; no-op when the index has no deletes."""
+    from ..index.deletes import deleted_ids
+
+    ids = deleted_ids(index_dir)
+    if not ids.size:
+        return df
+    dd = spark.createDataFrame([(int(i),) for i in ids], "doc_id long")
+    return df.join(F.broadcast(dd), "doc_id", "left_anti")
+
+
 def _make_wand_task(
     terms: list[str],
     exclude: list[str],
@@ -687,6 +702,7 @@ def _make_wand_task(
     acc_decoded,
     acc_total,
     min_should_match: int = 0,
+    deleted: np.ndarray | None = None,
 ):
     """The executor-side WAND task body shared by the single-task and
     doc-range-parallel plans: one pandas frame of block rows
@@ -709,11 +725,17 @@ def _make_wand_task(
             {t: 0.0 for t in exc_set},
             avgdl,
         )
+        dset = None
+        if deleted is not None and deleted.size:
+            from .wand import DeletedDocSet
+
+            dset = DeletedDocSet(deleted)
         out, m = block_max_wand(
             lists, k, require_all_terms=require, round_to=round_to,
             exclude_lists=xlists or None, term_order=terms,
             min_doc=min_doc, max_doc=max_doc,
             min_should_match=min_should_match,
+            exclude_doc_set=dset,
         )
         acc_decoded.add(int(m["decoded_blocks"]))
         acc_total.add(int(m["total_blocks"]))
@@ -791,9 +813,12 @@ def bm25_topk_wand_exec(
     blocks = _postings_df(spark, index_dir, terms + exclude).select(
         *_WAND_BLOCK_COLS
     )
+    from ..index.deletes import deleted_ids as _del_ids
+
     task = _make_wand_task(
         terms, exclude, idfs, avgdl, k, require, round_to,
         acc_decoded, acc_total, min_should_match=min_should_match,
+        deleted=_del_ids(index_dir),
     )
 
     def run(batches):
@@ -1047,9 +1072,12 @@ def bm25_topk_wand_parallel(
     if metrics is not None:
         metrics["_acc"] = (acc_decoded, acc_total)
 
+    from ..index.deletes import deleted_ids as _del_ids
+
     task = _make_wand_task(
         terms, exclude, idfs, avgdl, k, require, round_to,
         acc_decoded, acc_total, min_should_match=min_should_match,
+        deleted=_del_ids(index_dir),
     )
 
     def run_range(pdf):
@@ -1296,7 +1324,9 @@ def bm25_topk_phrase(
     for t in dict.fromkeys(words):  # distinct terms, first-seen order
         w += idf(stats["n_docs"], dfs[t])
     pc = phrase_counts_indexed_multi(spark, index_dir, words)
-    joined = norms_df(spark, index_dir).join(F.broadcast(pc), "doc_id")
+    joined = _deleted_filter(
+        spark, index_dir, norms_df(spark, index_dir).join(F.broadcast(pc), "doc_id")
+    )
     tf = F.col("n_phrase").cast("double")
     raw = F.lit(w) * tf * (K1 + 1.0) / (
         tf + K1 * (1.0 - B + B * F.col("dl") / stats["avgdl"])

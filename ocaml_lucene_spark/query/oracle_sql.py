@@ -683,3 +683,36 @@ FROM pc JOIN base b USING (doc_id) CROSS JOIN stats st
 ORDER BY score DESC, b.doc_id ASC
 LIMIT {k}
 """
+
+
+def bm25_topk_after_delete_sql(
+    terms: list[str], deleted: list[int], k: int = 10, round_to: int = 4
+) -> str:
+    """liveDocs oracle: BM25 with FULL-corpus stats (df/N/avgdl still
+    include deleted docs — Lucene's pre-merge semantics) but deleted
+    ids excluded from results before the top-k cut."""
+    terms = list(dict.fromkeys(terms))
+    ids = ", ".join(str(int(i)) for i in deleted)
+    return f"""
+WITH {TOKS_CTE},
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM base),
+tf AS (
+  SELECT doc_id, term, dl, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(t) AS term FROM base)
+  WHERE term IN {_terms_in(terms)}
+  GROUP BY doc_id, term, dl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n - df + 0.5) / (df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl)) AS sc
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+)
+SELECT doc_id, round(sum(sc), {round_to}) AS score
+FROM scored
+WHERE doc_id NOT IN ({ids})
+GROUP BY doc_id
+ORDER BY round(sum(sc), {round_to}) DESC, doc_id ASC
+LIMIT {k}
+"""

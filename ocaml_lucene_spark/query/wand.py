@@ -222,8 +222,13 @@ def block_max_wand(
     max_doc: int | None = None,
     term_order: list[str] | None = None,
     min_should_match: int = 0,
+    exclude_doc_set=None,
 ) -> tuple[list[tuple[int, float]], dict]:
     """Exact top-k [(doc_id, score)] over posting lists.
+
+    exclude_doc_set: optional membership object with contains(doc) —
+    the deleted-docs filter (DeletedDocSet). Checked wherever the
+    NOT-clause exclusion is; metadata-only, nothing iterates it.
 
     term_order: the QUERY's term order — per-doc scores fold in this
     order (default: first appearance in ``lists``), matching the
@@ -358,6 +363,8 @@ def block_max_wand(
             ok = qualifies(hit)
             if ok and s_exc:
                 ok = not any(xl.contains(d) for xl in s_exc)
+            if ok and exclude_doc_set is not None:
+                ok = not exclude_doc_set.contains(d)
             seen.add(d)
             if ok:
                 heapq.heappush(heap, (score_key(fold_score(parts)), -d))
@@ -515,6 +522,8 @@ def block_max_wand(
             ok = qualifies(hit)
             if ok and exclude_lists:
                 ok = not any(xl.contains(pivot_doc) for xl in exclude_lists)
+            if ok and exclude_doc_set is not None:
+                ok = not exclude_doc_set.contains(pivot_doc)
             if ok:
                 item = (score_key(score), -pivot_doc)
                 if len(heap) < k:
@@ -538,3 +547,17 @@ def block_max_wand(
         "n_lists": len(lists),
     }
     return out, metrics
+
+
+class DeletedDocSet:
+    """Sorted-array membership probe with the exclusion-list interface
+    (contains()) — carries the index's deleted doc ids (liveDocs
+    analogue) into the WAND qualification check. Metadata-only: no
+    blocks, nothing to decode."""
+
+    def __init__(self, ids: np.ndarray):
+        self.ids = np.asarray(ids, dtype=np.int64)
+
+    def contains(self, doc: int) -> bool:
+        i = int(np.searchsorted(self.ids, doc))
+        return i < self.ids.size and int(self.ids[i]) == doc
