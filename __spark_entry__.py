@@ -20,6 +20,38 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+# Queries with no inherent ranking order (stats tables, pair lists,
+# per-doc features) get a CANONICAL output order on BOTH sides — the
+# driver's value hash is order-sensitive (bigram_collocations r4
+# hash-failed on row order alone), so every gate row must order its
+# output deterministically. Spark side: sort by all columns
+# left-to-right; oracle side: ORDER BY ALL (same left-to-right
+# semantics in DuckDB). Ranked queries (BM25 top-k & co) are excluded —
+# they already order by (score DESC, doc_id) on both sides.
+_CANON_ORDER = {
+    "dedup_exact", "streamed_dedup", "fingerprints", "docs_matching_filter",
+    "minhash_signatures", "minhash_candidate_pairs", "ngram_jaccard_pairs",
+    "near_dup_pairs", "simhash_signatures", "simhash_near_pairs",
+    "term_stats", "term_stats_fst", "term_stats_prefix", "term_stats_range",
+    "term_postings", "term_offsets", "highlight_topk",
+    "phrase_counts", "phrase3_counts", "proximity_counts",
+    "phrase_counts_indexed", "phrase3_counts_indexed",
+    "proximity_counts_indexed",
+}
+
+
+def _canonical(fn):
+    def run(spark, sf):
+        df = fn(spark, sf)
+        return df.orderBy(*[F.col(c).asc_nulls_first() for c in df.columns])
+
+    return run
+
+
+def _canon_sql(sql: str) -> str:
+    return f"SELECT * FROM (\n{sql}\n) __canon ORDER BY ALL NULLS FIRST"
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     from ocaml_lucene_spark.query.bm25 import bm25_topk
@@ -637,11 +669,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_multimodal_metadata(spark, sf):
-        # rows-only check (no SQL oracle): synthetic media derived
-        # deterministically from doc_ids exercises the binary plumbing
+        # synthetic media derived deterministically from the 64 lowest
+        # doc_ids exercises the binary plumbing end-to-end; the SQL
+        # oracle (media_metadata_fake_sql) recomputes the expected
+        # metadata as a pure formula of doc_id (n_bytes = 20 + w*h*f)
         from ocaml_lucene_spark.operators import multimodal as mm
 
-        ids = [r.doc_id for r in _docs(spark, sf).select("doc_id").limit(64).collect()]
+        ids = [
+            r.doc_id
+            for r in _docs(spark, sf)
+            .select("doc_id")
+            .orderBy("doc_id")
+            .limit(64)
+            .collect()
+        ]
         media = spark.createDataFrame(
             [
                 (int(i), mm.encode_fake_image(int(i), 16 + int(i) % 17, 8 + int(i) % 9,
@@ -650,7 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ],
             "media_id long, blob binary",
         )
-        return mm.media_metadata(media)
+        return mm.media_metadata(media).orderBy("media_id")
 
     # --- training-data pipeline ops (dedup / ANN / text analysis) ---
 
@@ -817,39 +858,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ann.build_ann_index(_vecs(spark, sf), idx, n_bits=4)
         return ann.embedding_near_dup_pairs_indexed(spark, idx, min_sim=0.9)
 
-    # Dict order IS the driver's execution order (CORRECTNESS_r03 shows
-    # the run was cut after the 50th entry, dropping the whole tail).
-    # Defensive ordering: (1) the 11 entries the round-3 run dropped —
-    # including three never driver-checked — go FIRST; (2) the flagship
-    # query surface next; (3) the tail holds entries that passed in all
-    # of rounds 1-3 AND are semantically subsumed by an earlier, stronger
-    # variant (e.g. logical phrase_counts vs phrase_counts_indexed), so
-    # a recurrence of the cut costs the least evidence.
-    return {
-        # -- dropped by the round-3 gate run (never checked: ann_ivf_indexed,
-        #    bigram_collocations, embedding_near_dup_indexed) --
-        "ann_ivf_indexed": q_ann_ivf_indexed,
+    # Dict order IS the driver's execution order (the r3 AND r4 runs
+    # both cut at exactly 50 rows, dropping the tail). Rotation policy:
+    # every entry must be driver-checked within the last two rounds, so
+    # each round the previous round's cut tail moves to the FRONT and
+    # the previous round's freshly-checked head moves to the tail.
+    # Round-5 order: (1) the 19 entries cut from the r4 run; (2) the two
+    # rows fixed this round (bigram ordering, multimodal oracle);
+    # (3) r4-checked rows, flagship surface first, with the most
+    # redundant (subsumed-by-a-stronger-variant) entries last.
+    qs = {
+        # -- cut from the round-4 gate run (driver stops at 50) --
+        "streamed_dedup": q_streamed_dedup,
+        "minhash_candidate_pairs": q_minhash_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard,
+        "near_dup_pairs": q_near_dup,
+        "simhash_near_pairs": q_simhash_near,
+        "language_id": q_lang_id,
+        "quality_features": q_quality,
+        "token_counts": q_token_counts,
+        "bm25_single_rare": q_bm25_single_rare,
+        "bm25_or_with_absent": q_bm25_or_with_absent,
+        "bm25_and_absent_empty": q_bm25_and_absent_empty,
+        "doc_lengths": q_doc_lengths,
+        "phrase_counts": q_phrase_counts,
+        "phrase3_counts": q_phrase3_counts,
+        "proximity_counts": q_proximity_counts,
+        "term_stats_prefix": q_term_stats_prefix,
+        "term_stats_range": q_term_stats_range,
+        "minhash_signatures": q_minhash_signatures,
+        "simhash_signatures": q_simhash,
+        # -- fixed this round: deterministic ordering / new SQL oracle --
         "bigram_collocations": q_bigram_collocations,
-        "embedding_near_dup_indexed": q_embed_near_dup_indexed,
-        "ann_brute_force": q_ann_brute,
-        "ann_lsh": q_ann_lsh,
-        "ann_lsh_indexed": q_ann_lsh_indexed,
-        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
-        "ann_ivf": q_ann_ivf,
-        "embedding_near_dup": q_embed_near_dup,
-        "bpe_token_counts": q_bpe_token_counts,
-        "fingerprints": q_fingerprints,
-        # -- new this round (never driver-checked): filter context,
-        #    hit counting, search_after pagination --
-        "docs_matching_filter": q_docs_matching_filter,
-        "total_hits": q_total_hits,
-        "bm25_search_after": q_bm25_search_after,
-        "bm25_dismax_fields": q_bm25_dismax,
-        "bm25_regexp": q_bm25_regexp,
-        "more_like_this": q_more_like_this,
-        "bm25_phrase_scored": q_bm25_phrase,
-        "bm25_after_delete": q_bm25_after_delete,
-        # -- flagship query surface --
+        "multimodal_metadata": q_multimodal_metadata,
+        # -- flagship query surface (r4-checked, keep within the cap) --
         "bm25_or_top10": q_bm25_or,
         "bm25_and_top10": q_bm25_and,
         "bm25_wand": q_bm25_wand,
@@ -868,10 +910,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_prefix": q_bm25_prefix,
         "bm25_fuzzy": q_bm25_fuzzy,
         "bm25_wildcard": q_bm25_wildcard,
+        "bm25_regexp": q_bm25_regexp,
+        "bm25_dismax_fields": q_bm25_dismax,
+        "more_like_this": q_more_like_this,
+        "bm25_phrase_scored": q_bm25_phrase,
+        "bm25_after_delete": q_bm25_after_delete,
+        "docs_matching_filter": q_docs_matching_filter,
+        "total_hits": q_total_hits,
+        "bm25_search_after": q_bm25_search_after,
         "term_postings": q_term_postings,
         "term_stats": q_term_stats,
         "term_stats_fst": q_term_stats_fst,
         "corpus_stats": q_corpus_stats,
+        # -- r4-checked tail: sacrificial under a 50-row cut (all green
+        #    in r4; indexed/persisted variants of earlier rows) --
         "phrase_counts_indexed": q_phrase_counts_indexed,
         "phrase3_counts_indexed": q_phrase3_counts_indexed,
         "proximity_counts_indexed": q_proximity_counts_indexed,
@@ -879,30 +931,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_streamed": q_bm25_streamed,
         "term_offsets": q_term_offsets,
         "highlight_topk": q_highlight,
-        "multimodal_metadata": q_multimodal_metadata,
         "dedup_exact": q_dedup_exact,
-        "streamed_dedup": q_streamed_dedup,
-        "minhash_candidate_pairs": q_minhash_pairs,
-        "ngram_jaccard_pairs": q_ngram_jaccard,
-        "near_dup_pairs": q_near_dup,
-        "simhash_near_pairs": q_simhash_near,
-        "language_id": q_lang_id,
-        "quality_features": q_quality,
-        "token_counts": q_token_counts,
-        # -- triple-checked (green in rounds 1-3) and subsumed by an
-        #    earlier stronger variant: cheapest rows to lose to a cut --
-        "bm25_single_rare": q_bm25_single_rare,
-        "bm25_or_with_absent": q_bm25_or_with_absent,
-        "bm25_and_absent_empty": q_bm25_and_absent_empty,
-        "doc_lengths": q_doc_lengths,
-        "phrase_counts": q_phrase_counts,
-        "phrase3_counts": q_phrase3_counts,
-        "proximity_counts": q_proximity_counts,
-        "term_stats_prefix": q_term_stats_prefix,
-        "term_stats_range": q_term_stats_range,
-        "minhash_signatures": q_minhash_signatures,
-        "simhash_signatures": q_simhash,
+        "bpe_token_counts": q_bpe_token_counts,
+        "fingerprints": q_fingerprints,
+        "ann_brute_force": q_ann_brute,
+        "ann_lsh": q_ann_lsh,
+        "ann_lsh_indexed": q_ann_lsh_indexed,
+        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+        "ann_ivf": q_ann_ivf,
+        "ann_ivf_indexed": q_ann_ivf_indexed,
+        "embedding_near_dup": q_embed_near_dup,
+        "embedding_near_dup_indexed": q_embed_near_dup_indexed,
     }
+    return {k: (_canonical(v) if k in _CANON_ORDER else v) for k, v in qs.items()}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -926,6 +967,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_counts": oops.bpe_token_counts_sql(),
         "fingerprints": oops.fingerprints_sql(),
         "bigram_collocations": oops.bigram_collocations_sql(min_count=3),
+        "multimodal_metadata": oops.media_metadata_fake_sql(n_media=64),
         "ann_brute_force": oops.brute_force_topk_sql(qv, k=10, exclude_self=0),
         "ann_lsh": oops.lsh_topk_sql(qv, k=10, n_bits=8),
         "ann_lsh_indexed": oops.lsh_topk_sql(qv, k=10, n_bits=8),
@@ -939,10 +981,9 @@ def oracle_sql() -> dict[str, str]:
             min_sim=0.9, n_bits=4
         ),
     }
-    return ops | {
+    out = ops | {
         # the indexed/WAND physical paths must reproduce the same
-        # oracle results as the logical path ("multimodal_metadata" is
-        # deliberately absent: non-SQL-expressible, rows-only check)
+        # oracle results as the logical path
         # char-offset surface: SQL-independent run detection over the
         # raw text (lag/lead windows), NOT a replay of the tokenizer
         "term_offsets": osql.term_offsets_sql("table"),
@@ -1007,4 +1048,7 @@ def oracle_sql() -> dict[str, str]:
         "proximity_counts_indexed": osql.proximity_counts_sql(
             "table", "hash", window=5
         ),
+    }
+    return {
+        k: (_canon_sql(sql) if k in _CANON_ORDER else sql) for k, sql in out.items()
     }

@@ -138,7 +138,12 @@ def bigram_collocations(
     unigram counts from one explode. Two aggregations, each one
     shuffle. The unigram side is vocabulary-sized (Heaps-bounded): AQE
     broadcasts it when it fits, else it stays a co-partitioned shuffle
-    join — both scale-safe; the one-row totals are broadcast."""
+    join — both scale-safe; the one-row totals are broadcast.
+
+    Output is deterministically ordered (pmi DESC, w1, w2 — a total
+    order since (w1, w2) is unique): the result is vocabulary²-bounded
+    (min_count-filtered, far smaller in practice), so the sort is
+    negligible next to the two aggregations even at corpus scale."""
     toks = tokens_col(text_col)
     base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("t"))
     pairs = base.select(
@@ -181,6 +186,7 @@ def bigram_collocations(
                 4,
             ).alias("pmi"),
         )
+        .orderBy(F.desc("pmi"), "w1", "w2")
     )
 
 

@@ -71,14 +71,26 @@ def deleted_ids(index_dir: str) -> np.ndarray:
 
 def rewrite_deletes(index_dir: str, doc_ids) -> None:
     """Replace all generations with one holding exactly ``doc_ids``
-    (used after a purging merge removed the rest physically)."""
+    (used after a purging merge removed the rest physically).
+
+    Publish-then-prune: the replacement is written as the NEXT
+    generation BEFORE the older generations are unlinked, so a
+    concurrent reader (which unions all generations) sees at worst a
+    transient superset of the deleted ids — never a transient empty
+    set that would briefly resurrect deletes covering non-merged
+    segments."""
     d = _deletes_dir(index_dir)
     ids = sorted({int(i) for i in doc_ids})
-    for p in _gen_files(index_dir):
-        os.remove(p)
+    old = _gen_files(index_dir)
     if ids:
         os.makedirs(d, exist_ok=True)
-        tmp = os.path.join(d, "gen-000001.json.tmp")
+        gen = (
+            max(int(os.path.basename(p)[4:-5]) for p in old) + 1 if old else 1
+        )
+        path = os.path.join(d, f"gen-{gen:06d}.json")
+        tmp = path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(ids, f)
-        os.replace(tmp, os.path.join(d, "gen-000001.json"))
+        os.replace(tmp, path)  # atomic publish of the full replacement
+    for p in old:
+        os.remove(p)

@@ -19,6 +19,7 @@ how Lucene itself uses them at segment open; nothing here sits on a
 per-row path.
 """
 
+from .block_pointer import find_block  # noqa: F401
 from .data_input import DataInput, ReverseDataInput  # noqa: F401
 from .fst_reader import FstReader  # noqa: F401
 from .segment_meta import (  # noqa: F401

@@ -143,8 +143,19 @@ class ReverseDataInput:
                 return acc
             shift += 7
 
-    read_vint = _read_v
-    read_vlong = _read_v
+    def read_vint(self) -> int:
+        """Same Int32 wrap as the forward DataInput: the reference
+        applies one Make-functor vint implementation to both byte
+        sources, so the reversed reader inherits the identical wrap
+        quirk (harmless on the golden fixtures, whose values are small,
+        but required for quirk parity on values >= 2^31)."""
+        v = self._read_v()
+        return ((v + (1 << 31)) % (1 << 32)) - (1 << 31)
+
+    def read_vlong(self) -> int:
+        """63-bit OCaml-native-int wrap, matching DataInput.read_vlong."""
+        v = self._read_v()
+        return ((v + (1 << 62)) % (1 << 63)) - (1 << 62)
 
     def read_string(self) -> bytes:
         return self.read_bytes(self.read_vint())

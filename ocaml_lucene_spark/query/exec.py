@@ -235,6 +235,15 @@ def bm25_topk_indexed(
     order. k=None returns the full unordered scored frame (combiner
     input, e.g. DisMax)."""
     terms = list(dict.fromkeys(terms))
+    if after is not None and round_to is None:
+        # the cursor comes from a previous page, whose scores were
+        # rounded; comparing an unrounded float cursor with == is
+        # float-fuzzy and can skip or duplicate tied rows across pages
+        # (the exactness contract only holds for rounded cursors)
+        raise ValueError(
+            "search_after requires round_to: the (score, doc_id) cursor "
+            "is only exact when scores are rounded on both pages"
+        )
     if must and not set(must) <= set(terms):
         raise ValueError(
             f"must clauses {sorted(set(must) - set(terms))} are not in terms; "

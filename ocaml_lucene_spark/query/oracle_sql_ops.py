@@ -347,6 +347,38 @@ FROM pc
 JOIN uni u1 ON u1.w = pc.w1
 JOIN uni u2 ON u2.w = pc.w2
 CROSS JOIN totals t
+ORDER BY pmi DESC, pc.w1, pc.w2
+"""
+
+
+def media_metadata_fake_sql(n_media: int = 64) -> str:
+    """Oracle for the multimodal_metadata gate entry: the synthetic
+    blobs are a pure function of doc_id (encode_fake_image with
+    width = 16 + id % 17, height = 8 + id % 9, n_frames = 1 + id % 4),
+    so the expected metadata — incl. n_bytes = HEADER_LEN(20) + w*h*f
+    and kind = video iff n_frames > 1 — is recomputed here directly
+    from the ``n_media`` lowest doc_ids, independently of the binary
+    round-trip the Spark plan performs."""
+    return f"""
+WITH ids AS (
+  SELECT doc_id FROM documents ORDER BY doc_id LIMIT {int(n_media)}
+),
+dims AS (
+  SELECT doc_id,
+         (16 + doc_id % 17) AS w,
+         (8 + doc_id % 9) AS h,
+         (1 + doc_id % 4) AS f
+  FROM ids
+)
+SELECT doc_id::BIGINT AS media_id,
+       CASE WHEN f > 1 THEN 'video' ELSE 'image' END AS kind,
+       w::INTEGER AS width,
+       h::INTEGER AS height,
+       f::INTEGER AS n_frames,
+       (20 + w * h * f)::BIGINT AS n_bytes,
+       TRUE AS valid
+FROM dims
+ORDER BY media_id
 """
 
 

@@ -263,23 +263,58 @@ def seek_exact_mem(index_dir: str, term: str) -> dict | None:
     return {"term": term, "doc_freq": total_df, "total_term_freq": total_ttf}
 
 
+def _mandatory_literal_prefix(pattern: str) -> str:
+    """Longest literal string every match of the (fully-anchored)
+    ``pattern`` must start with — the only prefix that is SOUND as an
+    FST subtree bound.
+
+    Extracted from re's own parse tree rather than a raw character
+    scan: a quantifier after a literal run folds its preceding char
+    into the repeat node (``abc*`` parses to LITERAL a, LITERAL b,
+    MAX_REPEAT(0,∞,[c]) → prefix "ab", not the unsound "abc"), and a
+    top-level alternation parses to a single BRANCH node (``ab|cd`` →
+    prefix "" — both arms must be scanned). A leading repeat with
+    min ≥ 1 over a single literal (``ab(c+)d``-style ``c+``) still
+    contributes one mandatory copy of its literal before stopping.
+    Unparseable patterns yield "" (the caller's re.compile raises the
+    real error)."""
+    try:
+        import re._parser as sre  # CPython >= 3.11
+    except ImportError:  # pragma: no cover
+        import sre_parse as sre  # type: ignore[no-redef]
+
+    try:
+        seq = sre.parse(pattern)
+    except Exception:
+        return ""
+    chars: list[str] = []
+    for op, arg in seq:
+        name = str(op)
+        if name == "LITERAL":
+            chars.append(chr(arg))
+            continue
+        if name in ("MAX_REPEAT", "MIN_REPEAT"):
+            lo, _hi, body = arg
+            if lo >= 1 and len(body) == 1 and str(body[0][0]) == "LITERAL":
+                chars.append(chr(body[0][1]))
+        break
+    return "".join(chars)
+
+
 def regexp_stats_mem(index_dir: str, pattern: str) -> dict[str, tuple[int, int]]:
     """term -> (df, ttf) for dictionary terms fully matching ``pattern``
     (Lucene RegexpQuery: the regex is anchored at both ends), from the
-    in-memory dictionaries with zero Spark jobs. A leading literal run
-    in the pattern narrows the scan to that FST subtree (same trick as
-    wildcard_stats_mem); the automaton∩FST generalization (Lucene
-    compiles the regex to a DFA and intersects) is the sub-linear
-    upgrade if unanchored regexes over huge vocabularies matter."""
+    in-memory dictionaries with zero Spark jobs. The MANDATORY literal
+    prefix of the pattern (parse-tree derived — see
+    _mandatory_literal_prefix; a raw scan-to-first-metachar is unsound
+    for ``abc*`` / ``ab|cd``) narrows the scan to that FST subtree
+    (same trick as wildcard_stats_mem); the automaton∩FST
+    generalization (Lucene compiles the regex to a DFA and intersects)
+    is the sub-linear upgrade if unanchored regexes over huge
+    vocabularies matter."""
     import re
 
-    meta = set(".^$*+?{}[]|()\\")
-    lit = []
-    for ch in pattern:
-        if ch in meta:
-            break
-        lit.append(ch)
-    prefix = "".join(lit)
+    prefix = _mandatory_literal_prefix(pattern)
     rx = re.compile(pattern)
     out: dict[str, tuple[int, int]] = {}
     p = prefix.encode("utf-8")

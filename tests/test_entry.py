@@ -1,8 +1,10 @@
 """Replica of the driver's correctness gate: every queries() entry vs
 its oracle_sql() in DuckDB at sf0.01 — row count, column names, and
-order-insensitive values."""
-
-import math
+values compared STRICTLY: in result order (the driver's value hash is
+order-sensitive — bigram_collocations r4 hash-failed on row order alone
+while its sorted values matched), with floats compared exactly after
+round(·, 4) (repr equality, −0.0 normalized) instead of isclose — the
+combination that let the r4 order bug reach the driver unseen."""
 
 import duckdb
 import pytest
@@ -27,7 +29,8 @@ def duck():
 
 
 def _norm(rows, cols):
-    """Sort columns by name, then rows; round floats."""
+    """Sort columns by name; keep ROW ORDER (driver hash is
+    order-sensitive); round floats to 4dp exactly (−0.0 → 0.0)."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
@@ -40,7 +43,6 @@ def _norm(rows, cols):
                     v = 0.0
             vals.append(v)
         out.append(tuple(vals))
-    out.sort(key=lambda t: tuple(str(x) for x in t))
     return [sorted(c for c in cols)] + out
 
 
@@ -71,7 +73,4 @@ def test_query_vs_oracle(spark, duck, name):
     assert len(a) == len(b), f"row count differs: {len(a)-1} vs {len(b)-1}"
     for i, (ra, rb) in enumerate(zip(a[1:], b[1:])):
         for va, vb in zip(ra, rb):
-            if isinstance(va, float) and isinstance(vb, float):
-                assert math.isclose(va, vb, rel_tol=1e-9, abs_tol=1e-9), (name, i, ra, rb)
-            else:
-                assert str(va) == str(vb), (name, i, ra, rb)
+            assert repr(va) == repr(vb), (name, i, ra, rb)

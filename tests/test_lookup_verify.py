@@ -328,6 +328,10 @@ def test_search_after_pagination_walks_full_ranking(spark, built):
     assert [(r.doc_id, r.score) for r in paged] == [
         (r.doc_id, r.score) for r in full[:20]
     ]
+    # unrounded cursors are float-fuzzy (== on raw floats can dup/skip
+    # tied rows across pages) — the API refuses them up front
+    with pytest.raises(ValueError, match="round_to"):
+        bm25_topk_indexed(spark, index_dir, terms, "or", k, after=(1.5, 3))
 
 
 def test_dismax_combines_per_field_scores(spark, built, tiny_corpus, tmp_path_factory):
@@ -375,11 +379,53 @@ def test_regexp_expansion_matches_python_re(spark, built):
     stats = oracle.term_stats()
     tracker = spark.sparkContext.statusTracker()
     before = set(tracker.getJobIdsForGroup(None))
-    for pat in (r"s[aeiou].*", r".*ing", r"zz.*", r"[a-f]{3,5}", r"data[0-9]?"):
+    # adversarial patterns for naive scan-to-first-metachar prefix
+    # extraction (r4 bug): a trailing quantifier makes its literal char
+    # optional, and a top-level | makes the whole literal run optional.
+    # Derived from the REAL dictionary so the cases are non-vacuous:
+    # (t, t+c) both being terms means 'tc?' must return both — the
+    # naive prefix 'tc' would drop t.
+    terms = sorted(stats)
+    pair = next(
+        (a, b)
+        for a in terms
+        for b in terms
+        if b.startswith(a) and len(b) == len(a) + 1
+    )
+    quant_pat = re.escape(pair[0]) + re.escape(pair[1][-1]) + "?"
+    alt_pat = re.escape(terms[0]) + "|" + re.escape(terms[-1])
+    for pat, min_matches in [
+        (r"s[aeiou].*", 0), (r".*ing", 0), (r"zz.*", 0),
+        (r"[a-f]{3,5}", 0), (r"data[0-9]?", 0),
+        (quant_pat, 2), (alt_pat, 2),
+    ]:
         got = regexp_stats_mem(index_dir, pat)
         expect = {t: v for t, v in stats.items() if re.fullmatch(pat, t)}
         assert got == expect, pat
+        assert len(got) >= min_matches, (pat, "vacuous adversarial case")
     assert set(tracker.getJobIdsForGroup(None)) == before
+
+
+def test_mandatory_literal_prefix_soundness():
+    """The FST-subtree prefix must be MANDATORY: every string matching
+    the pattern starts with it (quantifiers drop their folded literal,
+    top-level alternation yields the empty prefix, min>=1 repeats keep
+    one copy)."""
+    from ocaml_lucene_spark.query.term_index import _mandatory_literal_prefix as mlp
+
+    assert mlp("abc") == "abc"
+    assert mlp("abc*") == "ab"       # c optional
+    assert mlp("abd?") == "ab"       # d optional
+    assert mlp("ab{0,2}") == "a"     # b optional
+    assert mlp("abc+") == "abc"      # min 1 -> one mandatory c
+    assert mlp("ab{2,5}") == "ab"    # min 2 -> at least one b
+    assert mlp("ab|cd") == ""        # top-level alternation
+    assert mlp("a|b") == ""
+    assert mlp("ab(c|d)") == "ab"    # grouped alternation: ab mandatory
+    assert mlp("s.a.*") == "s"
+    assert mlp(".*ing") == ""
+    assert mlp("^abc") == ""         # conservative on anchors
+    assert mlp("(") == ""            # unparseable -> empty, no raise
 
 
 def test_more_like_this_selects_informative_terms(spark, built, tiny_corpus):

@@ -303,6 +303,78 @@ def test_data_input_bytes_primitives():
     ]
 
 
+def test_reverse_data_input_wrap_parity():
+    """ReverseDataInput applies the SAME Int32/63-bit wraps as the
+    forward reader (the reference instantiates one Make-functor vint
+    implementation over both byte sources): the 0x80000000 vint reads
+    as -2147483648 and a 2^62 vlong wraps negative, byte-for-byte
+    mirroring the forward fixture values."""
+    from ocaml_lucene_spark.interop.data_input import DataInput, ReverseDataInput
+
+    def enc(v: int) -> bytes:
+        out = bytearray()
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return bytes(out)
+
+    for raw, expect_vint in [(24, 24), (2147483647, 2147483647),
+                             (0x80000000, -2147483648)]:
+        fwd = DataInput(enc(raw))
+        rev = ReverseDataInput(enc(raw)[::-1])
+        assert fwd.read_vint() == rev.read_vint() == expect_vint, raw
+    for raw, expect_vlong in [(98237, 98237),
+                              (4611686018427387903, 4611686018427387903),
+                              (1 << 62, -4611686018427387904)]:
+        fwd = DataInput(enc(raw))
+        rev = ReverseDataInput(enc(raw)[::-1])
+        assert fwd.read_vlong() == rev.read_vlong() == expect_vlong, raw
+
+
+def test_block_pointer_floor_blocks():
+    """The reference's three golden floor-block pointer byte strings
+    (test-terms-enumerator/test_block_pointer.ml:8-23) replay through
+    our find_block to the exact expected file pointers, incl. the
+    floor-entry walk past two follow-block labels and the has_terms
+    miss ('p' in case 1 lands before the first floor label on a
+    no-terms leading block)."""
+    from ocaml_lucene_spark.interop import find_block
+
+    def hx(s: str) -> bytes:
+        return bytes(int(tok, 16) for tok in s.split())
+
+    cases = [
+        ("d3 bd 92 2 4 32 ce 4 72 d7 6 ce 8d a e0 8b 10",
+         [("z", 1124998), ("p", None)]),
+        ("db 82 b9 1 4 69 d1 4 6c 81 a 75 b1 d 7a 81 12",
+         [("z", 760790)]),
+        ("b3 f7 b5 1 2 6d 99 5 72 ef a",
+         [("z", 746223)]),
+    ]
+    for data, expects in cases:
+        for label, expected in expects:
+            assert find_block(hx(data), label) == expected, (data, label)
+    # non-floor pointers: vlong code with is_floor=0 — fp when
+    # has_terms else None (the function's first branch)
+    def enc_vlong(v: int) -> bytes:
+        out = bytearray()
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return bytes(out)
+
+    assert find_block(enc_vlong((12345 << 2) | 2), "a") == 12345
+    assert find_block(enc_vlong(12345 << 2), "a") is None
+
+
 def test_lz4_compressed_bytes_golden_stream():
     """data/lz4-compressed.bytes vs
     test-terms-enumerator/test_lz4_compression.ml:14-19: our LZ4 block
