@@ -575,6 +575,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, _ensure_index(spark, sf), "s?a*", k=10, round_to=4
         )
 
+    def q_bm25_wildcard_suffix(spark, sf):
+        # leading-'*' WildcardQuery '*ble': no usable literal prefix, so
+        # this exercises the automaton∩FST walk (structural pruning
+        # instead of a dictionary scan); the oracle is an independent
+        # LIKE '%ble' translation
+        from ocaml_lucene_spark.query.exec import bm25_topk_wildcard
+
+        return bm25_topk_wildcard(
+            spark, _ensure_index(spark, sf), "*ble", k=10, round_to=4
+        )
+
     def q_term_stats_prefix(spark, sf):
         # terms-dict prefix read from the in-memory FST
         from ocaml_lucene_spark.query.exec import term_stats_prefix
@@ -891,6 +902,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- fixed this round: deterministic ordering / new SQL oracle --
         "bigram_collocations": q_bigram_collocations,
         "multimodal_metadata": q_multimodal_metadata,
+        # -- new this round: automaton∩FST suffix wildcard --
+        "bm25_wildcard_suffix": q_bm25_wildcard_suffix,
         # -- flagship query surface (r4-checked, keep within the cap) --
         "bm25_or_top10": q_bm25_or,
         "bm25_and_top10": q_bm25_and,
@@ -1014,6 +1027,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_prefix": osql.bm25_topk_prefix_sql("s", 10),
         "bm25_fuzzy": osql.bm25_topk_fuzzy_sql("sort", 2, 10),
         "bm25_wildcard": osql.bm25_topk_wildcard_sql("s?a*", 10),
+        "bm25_wildcard_suffix": osql.bm25_topk_wildcard_sql("*ble", 10),
         "term_stats_fst": osql.term_stats_sql(),
         "term_stats_prefix": osql.term_stats_prefix_sql("s"),
         "term_stats_range": osql.term_stats_range_sql("f", "m"),

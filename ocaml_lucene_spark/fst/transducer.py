@@ -233,6 +233,48 @@ class Fst:
 
         yield from walk(addr, b"", acc)
 
+    def automaton_items(self, nfa):
+        """(key, output) for every accepted key the NFA fullmatches —
+        the RegexpQuery expansion source (Lucene compiles the regex to
+        an automaton and intersects it with the terms FST; see
+        fst/regex_nfa.compile_nfa). Same lazy automaton ∩ FST shape as
+        levenshtein_items: the DFS carries the NFA state set for the
+        decoded prefix and prunes a whole subtree the moment the set
+        goes empty; UTF-8 multibyte labels buffer until a codepoint
+        boundary before stepping. Yields in ascending byte order."""
+
+        def utf8_need(b0: int) -> int:
+            if b0 < 0x80:
+                return 1
+            if b0 < 0xE0:
+                return 2
+            if b0 < 0xF0:
+                return 3
+            return 4
+
+        def walk(addr, prefix: bytes, acc, states, pending: bytes):
+            final, final_output, arcs = self._read_node(addr)
+            if final and not pending and nfa.accepts(states):
+                yield prefix, self.out.add(acc, final_output)
+            for label, output, target in arcs:
+                nb = pending + bytes([label])
+                if len(nb) < utf8_need(nb[0]):
+                    nstates, npending = states, nb  # mid-codepoint
+                else:
+                    nstates = nfa.step(states, nb.decode("utf-8"))
+                    npending = b""
+                    if not nstates:
+                        continue  # dead automaton: prune the subtree
+                yield from walk(
+                    target,
+                    prefix + bytes([label]),
+                    self.out.add(acc, output),
+                    nstates,
+                    npending,
+                )
+
+        yield from walk(self.root, b"", self.out.empty, nfa.start_set(), b"")
+
     def levenshtein_items(self, query: str, k: int):
         """(key, output) for every accepted key within ``k`` Levenshtein
         edits of ``query`` — the FuzzyQuery expansion source (Lucene

@@ -27,3 +27,7 @@ from .segment_meta import (  # noqa: F401
     read_segment_info,
     read_terms_meta,
 )
+from .segments_manifest import (  # noqa: F401
+    read_latest,
+    read_segments_file,
+)

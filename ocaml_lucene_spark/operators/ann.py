@@ -57,8 +57,26 @@ def brute_force_topk(
     return df.orderBy(F.desc("sim"), F.asc("vec_id")).limit(k)
 
 
+def suggest_n_bits(n_rows: int, target_bucket: int = 100_000) -> int:
+    """Bucket-count sizing rule for the sign-bit LSH family:
+    n_bits ≈ ceil(log2(n_rows / target_bucket)), clamped to [1, 24].
+
+    The defaults here (n_bits=8 → 256 buckets) are TEST-scale; at 10⁹
+    rows a 256-bucket layout averages ~4M rows per bucket and the
+    bucketed self-joins go quadratic. Aim buckets at ~10⁵ rows (fits an
+    executor's working set for the within-bucket pair join): 10⁹ rows →
+    14 bits, 10¹² → 24 bits. More bits also lowers per-bucket recall
+    for probe queries, so pair larger n_bits with a larger ``n_probe``."""
+    import math
+
+    if n_rows <= target_bucket:
+        return 1
+    return min(24, max(1, math.ceil(math.log2(n_rows / target_bucket))))
+
+
 def signbit_bucket(vec_col: Column, n_bits: int = 8) -> Column:
-    """Deterministic LSH bucket: sign bits of the first n_bits dims."""
+    """Deterministic LSH bucket: sign bits of the first n_bits dims
+    (sizing rule for n_bits: suggest_n_bits)."""
     bits = F.transform(
         F.slice(vec_col, 1, n_bits),
         lambda x: F.when(x >= 0, F.lit(1)).otherwise(F.lit(0)),
@@ -375,21 +393,39 @@ def embedding_near_dup_pairs(
     n_bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """(vec_a, vec_b, sim) pairs with cosine >= min_sim, candidate-
     generated inside sign-bit buckets (bucket equi-join, quadratic only
-    within a bucket)."""
+    within a bucket). Size n_bits with suggest_n_bits (the 8-bit
+    default is test-scale); max_bucket_size guards degenerate buckets
+    (see _bucketed_pair_join)."""
     b = vecs.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v"),
         signbit_bucket(F.col(vec_col), n_bits).alias("bucket"),
     )
-    return _bucketed_pair_join(b, min_sim)
+    return _bucketed_pair_join(b, min_sim, max_bucket_size)
 
 
-def _bucketed_pair_join(b: DataFrame, min_sim: float) -> DataFrame:
+def _bucketed_pair_join(
+    b: DataFrame, min_sim: float, max_bucket_size: int | None = None
+) -> DataFrame:
     """(vec_a, vec_b, sim) self-join of a (vec_id, v, bucket) relation
-    on the bucket key; quadratic only within a bucket."""
+    on the bucket key; quadratic only within a bucket.
+
+    max_bucket_size: rows in a bucket larger than this are dropped from
+    the pair join (lost recall for those members, but bounded work —
+    the max_shingle_df escape hatch for embedding space, where a dense
+    cluster or a degenerate sign-bit pattern can put a large corpus
+    fraction in one bucket). None = exact within-bucket semantics."""
+    if max_bucket_size is not None:
+        counts = b.groupBy("bucket").agg(F.count("*").alias("_bn"))
+        b = (
+            b.join(counts, "bucket")
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
     l, r = b.alias("l"), b.alias("r")
     return (
         l.join(r, "bucket")
@@ -404,7 +440,8 @@ def _bucketed_pair_join(b: DataFrame, min_sim: float) -> DataFrame:
 
 
 def embedding_near_dup_pairs_indexed(
-    spark, index_dir: str, min_sim: float = 0.95
+    spark, index_dir: str, min_sim: float = 0.95,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """embedding_near_dup_pairs over a persisted build_ann_index layout:
     the self-join key IS the partition key, so each join task reads one
@@ -414,4 +451,4 @@ def embedding_near_dup_pairs_indexed(
     b = spark.read.parquet(index_dir).select(
         "vec_id", F.col("embedding").alias("v"), "bucket"
     )
-    return _bucketed_pair_join(b, min_sim)
+    return _bucketed_pair_join(b, min_sim, max_bucket_size)

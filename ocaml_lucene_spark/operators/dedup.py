@@ -256,11 +256,22 @@ def near_dup_pairs(
 
 
 def simhash_signatures(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 60
 ) -> DataFrame:
     """(doc_id, simhash): tf-weighted bit-majority over per-token 60-bit
     md5-derived hashes, truncated to ``bits``. All JVM expressions:
-    explode tokens -> tf -> explode bit positions -> signed sum -> pack."""
+    explode tokens -> tf -> explode bit positions -> signed sum -> pack.
+
+    Sizing: ``bits`` defaults to the FULL 60 hash bits (15 hex chars of
+    md5) — a truncated signature space saturates at corpus scale (32
+    bits ≈ 4·10⁹ distinct signatures; at 10¹² docs every signature
+    collides ~250×, and the max_hamming+1 blocking slices get
+    bits/(d+1)-wide keys whose buckets go quadratic). Rule of thumb for
+    the downstream blocking join: slice width ≈ log2(n_docs /
+    target_bucket_rows); with d = 3 the 60-bit default gives 15-bit
+    slices (32k buckets per slice) — pair that with
+    ``simhash_pairs_from_signatures(max_bucket_size=...)`` when one
+    slice-key bucket may still exceed executor-comfortable row counts."""
     from ..session import ensure_compute_parallelism
 
     tf = (
@@ -318,14 +329,25 @@ def simhash_slices(bits: int, max_hamming: int) -> list[tuple[int, int]]:
 
 
 def simhash_pairs_from_signatures(
-    sig: DataFrame, max_hamming: int = 3, bits: int = 32
+    sig: DataFrame, max_hamming: int = 3, bits: int = 60,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) from a (doc_id, simhash) frame. Blocked
     LSH self-join: explode each signature into max_hamming+1 slice keys
     (see simhash_slices — exact recall by pigeonhole), equi-join on
     (part, key), verify exact Hamming with bit_count. Quadratic only
     within a slice bucket; at 100 TB the join shuffles on (part, key)
-    and never forms cross-bucket pairs."""
+    and never forms cross-bucket pairs.
+
+    max_bucket_size: guard against degenerate slice-key buckets (e.g. a
+    near-constant bit range across the corpus): rows in a (part, key)
+    bucket larger than this are excluded from THAT slice's candidate
+    join — the same escape hatch as ngram_jaccard's max_shingle_df.
+    None (default) keeps the pigeonhole EXACT-recall contract; a capped
+    run keeps full recall for any pair that still shares an uncapped
+    error-free slice, and loses only pairs all of whose clean slices
+    were capped. The count pass reuses the blocking shuffle key, so the
+    guard costs one extra aggregation, not a new join shape."""
     blocked = sig.select(
         "doc_id",
         "simhash",
@@ -343,6 +365,13 @@ def simhash_pairs_from_signatures(
             )
         ).alias("b"),
     ).select("doc_id", "simhash", "b.part", "b.key")
+    if max_bucket_size is not None:
+        counts = blocked.groupBy("part", "key").agg(F.count("*").alias("_bn"))
+        blocked = (
+            blocked.join(counts, ["part", "key"])
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
     l, r = blocked.alias("l"), blocked.alias("r")
     return (
         l.join(r, ["part", "key"])
@@ -360,9 +389,13 @@ def simhash_pairs_from_signatures(
 
 
 def simhash_near_pairs(
-    docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+    docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id",
+    text_col: str = "text", bits: int = 60,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) pairs within Hamming distance; blocked on
-    max_hamming+1 bit slices (exact recall — simhash_slices)."""
+    max_hamming+1 bit slices (exact recall — simhash_slices; 60-bit
+    default and sizing rule documented on simhash_signatures /
+    simhash_pairs_from_signatures)."""
     sig = simhash_signatures(docs, id_col, text_col, bits)
-    return simhash_pairs_from_signatures(sig, max_hamming, bits)
+    return simhash_pairs_from_signatures(sig, max_hamming, bits, max_bucket_size)

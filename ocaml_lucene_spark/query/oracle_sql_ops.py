@@ -167,7 +167,7 @@ WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter)::DOUBLE, 4) >= {min_jaccard}
 """
 
 
-def simhash_signatures_sql(bits: int = 32) -> str:
+def simhash_signatures_sql(bits: int = 60) -> str:
     return f"""
 WITH base AS (SELECT doc_id, {TOKS} AS t FROM documents),
 tf AS (
@@ -188,7 +188,7 @@ FROM bitsum GROUP BY doc_id
 """
 
 
-def simhash_near_pairs_sql(max_hamming: int = 3, bits: int = 32) -> str:
+def simhash_near_pairs_sql(max_hamming: int = 3, bits: int = 60) -> str:
     """max_hamming+1-slice pigeonhole blocking (exact recall for
     d <= max_hamming: d errors over d+1 disjoint slices leave one slice
     clean) + exact Hamming verify. NOTE on circularity: because the

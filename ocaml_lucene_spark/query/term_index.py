@@ -160,27 +160,24 @@ def wildcard_stats_mem(
     """term -> (df, ttf) for dictionary terms matching a Lucene
     WildcardQuery pattern ('*' = any run, '?' = one char; everything
     else literal), from the in-memory dictionaries with zero Spark
-    jobs. A literal prefix before the first wildcard narrows the scan
-    to that FST subtree (prefix_items); the tail matches via a
-    translated anchored regex."""
+    jobs. The pattern translates to an anchored regex (by construction
+    inside regex_nfa's supported subset), so the walk is the same
+    automaton∩FST intersection as RegexpQuery — a leading-'*' pattern
+    prunes by suffix structure instead of scanning the dictionary."""
     import re
 
-    first_wild = min(
-        [i for i, c in enumerate(pattern) if c in "*?"] or [len(pattern)]
+    from ..fst.regex_nfa import compile_nfa
+
+    translated = "".join(
+        ".*" if c == "*" else "." if c == "?" else re.escape(c)
+        for c in pattern
     )
-    prefix = pattern[:first_wild]
-    rx = re.compile(
-        "".join(
-            ".*" if c == "*" else "." if c == "?" else re.escape(c)
-            for c in pattern
-        )
-        + r"\Z"
-    )
+    rx = re.compile(translated + r"\Z")
+    nfa = compile_nfa(translated)
     out: dict[str, tuple[int, int]] = {}
-    p = prefix.encode("utf-8")
     for row in seg.list_segments(index_dir):
         ti = load_term_index(index_dir, row["segment"])
-        for key, ordinal in ti.fst.prefix_items(p):
+        for key, ordinal in ti.fst.automaton_items(nfa):
             term = key.decode("utf-8")
             if not rx.match(term):
                 continue
@@ -301,26 +298,46 @@ def _mandatory_literal_prefix(pattern: str) -> str:
     return "".join(chars)
 
 
-def regexp_stats_mem(index_dir: str, pattern: str) -> dict[str, tuple[int, int]]:
+def regexp_stats_mem(
+    index_dir: str, pattern: str, use_automaton: bool = True
+) -> dict[str, tuple[int, int]]:
     """term -> (df, ttf) for dictionary terms fully matching ``pattern``
     (Lucene RegexpQuery: the regex is anchored at both ends), from the
-    in-memory dictionaries with zero Spark jobs. The MANDATORY literal
-    prefix of the pattern (parse-tree derived — see
-    _mandatory_literal_prefix; a raw scan-to-first-metachar is unsound
-    for ``abc*`` / ``ab|cd``) narrows the scan to that FST subtree
-    (same trick as wildcard_stats_mem); the automaton∩FST
-    generalization (Lucene compiles the regex to a DFA and intersects)
-    is the sub-linear upgrade if unanchored regexes over huge
-    vocabularies matter."""
+    in-memory dictionaries with zero Spark jobs.
+
+    Primary path: automaton ∩ FST — the pattern compiles to an NFA
+    (fst/regex_nfa, via re's own parse tree) and the FST DFS prunes
+    every subtree whose state set dies, Lucene's own RegexpQuery
+    strategy and sub-linear in vocabulary (a pattern like ``ab|cd``
+    touches only the a- and c-subtrees instead of the whole
+    dictionary). Matches are re-checked with re.fullmatch (belt and
+    suspenders: the NFA is equality-tested against re in
+    tests/test_fst.py, and the recheck is O(matches), not O(vocab)).
+
+    Fallback (unsupported construct, or use_automaton=False): scan the
+    subtree under the pattern's MANDATORY literal prefix (parse-tree
+    derived — see _mandatory_literal_prefix; a raw
+    scan-to-first-metachar is unsound for ``abc*`` / ``ab|cd``) and
+    filter with re.fullmatch."""
     import re
 
-    prefix = _mandatory_literal_prefix(pattern)
+    from ..fst.regex_nfa import UnsupportedRegexError, compile_nfa
+
     rx = re.compile(pattern)
+    nfa = None
+    if use_automaton:
+        try:
+            nfa = compile_nfa(pattern)
+        except UnsupportedRegexError:
+            nfa = None
+    p = _mandatory_literal_prefix(pattern).encode("utf-8")
     out: dict[str, tuple[int, int]] = {}
-    p = prefix.encode("utf-8")
     for row in seg.list_segments(index_dir):
         ti = load_term_index(index_dir, row["segment"])
-        for key, ordinal in ti.fst.prefix_items(p):
+        items = (
+            ti.fst.automaton_items(nfa) if nfa is not None else ti.fst.prefix_items(p)
+        )
+        for key, ordinal in items:
             term = key.decode("utf-8")
             if not rx.fullmatch(term):
                 continue

@@ -116,8 +116,75 @@ def test_simhash_slice_plan():
     assert dedup.simhash_slices(32, 1) == [(0, 16), (16, 16)]
     offs = dedup.simhash_slices(32, 6)
     assert sum(w for _, w in offs) == 32 and len(offs) == 7
+    # the 60-bit scale default: 4 contiguous 15-bit slices
+    assert dedup.simhash_slices(60, 3) == [(0, 15), (15, 15), (30, 15), (45, 15)]
     with pytest.raises(ValueError):
         dedup.simhash_slices(4, 10)
+
+
+def test_simhash_60bit_planted_split_pair(spark):
+    """60-bit slicing recall pin: a Hamming-3 pair whose flips land in
+    three DIFFERENT 15-bit slices (so only the 4th slice is clean) must
+    still be found — pigeonhole over the 60-bit scale default."""
+    a = 0x0FEDCBA987654321  # < 2^60
+    b = a ^ (1 << 2) ^ (1 << 20) ^ (1 << 33)  # slices 0, 1, 2 dirty
+    sig = spark.createDataFrame(
+        [(0, a), (1, b), (2, 0x0123456789ABCDE)], "doc_id long, simhash long"
+    )
+    got = dedup.simhash_pairs_from_signatures(sig, max_hamming=3, bits=60).collect()
+    assert {(p.doc_a, p.doc_b, p.hamming) for p in got} == {(0, 1, 3)}
+
+
+def test_simhash_bucket_guard_caps_degenerate_buckets(spark):
+    """max_bucket_size drops only overfull slice buckets: a planted
+    pair that shares an uncapped clean slice survives; rows whose every
+    shared slice bucket exceeds the cap drop out."""
+    a = 0x0FEDCBA987654321
+    b = a ^ (1 << 2)  # Hamming 1: slices 1..3 all clean and shared
+    # 30 fillers identical in slice 0's key only (bits 0..14) -> that
+    # bucket is degenerate; the a/b pair must survive via slices 1..3
+    fillers = [
+        (100 + i, (a & 0x7FFF) | (i << 15)) for i in range(30)
+    ]
+    sig = spark.createDataFrame(
+        [(0, a), (1, b)] + fillers, "doc_id long, simhash long"
+    )
+    got = dedup.simhash_pairs_from_signatures(
+        sig, max_hamming=3, bits=60, max_bucket_size=10
+    ).collect()
+    assert (0, 1) in {(p.doc_a, p.doc_b) for p in got}
+    uncapped = dedup.simhash_pairs_from_signatures(
+        sig, max_hamming=3, bits=60
+    ).collect()
+    assert {(p.doc_a, p.doc_b) for p in got} <= {
+        (p.doc_a, p.doc_b) for p in uncapped
+    }
+
+
+def test_ann_suggest_n_bits_sizing_rule():
+    from ocaml_lucene_spark.operators.ann import suggest_n_bits
+
+    assert suggest_n_bits(50_000) == 1          # under target: 2 buckets
+    assert suggest_n_bits(10**9) == 14          # ~10^5 rows per bucket
+    assert suggest_n_bits(10**12) == 24         # clamp at 24 bits
+    assert suggest_n_bits(10**15) == 24
+
+
+def test_ann_bucket_guard_drops_overfull_bucket(spark):
+    """_bucketed_pair_join's max_bucket_size excludes a degenerate
+    bucket's members while leaving other buckets' pairs intact."""
+    from ocaml_lucene_spark.operators.ann import embedding_near_dup_pairs
+
+    rows = [(i, [1.0, 1.0, float(i % 7)]) for i in range(20)]       # bucket 11...
+    rows += [(100, [-1.0, 2.0, 0.0]), (101, [-1.0, 2.0, 0.0])]      # small bucket
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    capped = embedding_near_dup_pairs(
+        vecs, min_sim=0.0, n_bits=2, max_bucket_size=5
+    ).collect()
+    ids = {p.vec_a for p in capped} | {p.vec_b for p in capped}
+    assert ids == {100, 101}
+    full = embedding_near_dup_pairs(vecs, min_sim=0.0, n_bits=2).collect()
+    assert len(full) > len(capped)
 
 
 def test_ann_lsh_recall_vs_brute_force(spark, vecs):

@@ -163,3 +163,88 @@ class TestLevenshteinIntersection:
         # full enumeration would visit every node (~4681); k=1 must
         # prune the overwhelming majority
         assert visits < 1500, visits
+
+
+class TestRegexIntersection:
+    """RegexpQuery expansion: NFA ∩ FST must equal the exhaustive
+    re.fullmatch filter over the FULL dictionary, and prune subtrees
+    whose automaton dies."""
+
+    def _build(self, words):
+        b = FstBuilder()
+        for i, w in enumerate(sorted(set(words))):
+            b.add(w.encode("utf-8"), i)
+        return b.finish(), sorted(set(words))
+
+    def test_matches_python_re_over_dictionary(self):
+        import random
+        import re
+
+        from ocaml_lucene_spark.fst.regex_nfa import compile_nfa
+
+        rng = random.Random(17)
+        words = ["sort", "short", "sport", "spark", "park", "query", "data",
+                 "data0", "table", "tables", "the", "that", "thing", "sing",
+                 "a", "ab", "abc", "abcc", "abd", "cd"]
+        words += ["".join(rng.choice("abcdst01") for _ in range(rng.randint(1, 7)))
+                  for _ in range(400)]
+        fst, words = self._build(words)
+        for pat in ["abc*", "ab|cd", "tables?", "s[aeiou].*", ".*ing",
+                    "data[0-9]?", "[a-d]{3,5}", "th(e|at).*", "a(b|c)d",
+                    "(ab)*c", "[^ab]c.*", "a.c", "zz.*"]:
+            nfa = compile_nfa(pat)
+            got = {k.decode() for k, _ in fst.automaton_items(nfa)}
+            expect = {w for w in words if re.fullmatch(pat, w)}
+            assert got == expect, (pat, got ^ expect)
+            # outputs (ordinals) ride along
+            for key, o in fst.automaton_items(nfa):
+                assert words[o] == key.decode()
+
+    def test_multibyte_utf8(self):
+        import re
+
+        from ocaml_lucene_spark.fst.regex_nfa import compile_nfa
+
+        words = ["café", "cafe", "caffé", "naïve", "naive", "日本", "日本語"]
+        fst, words = self._build(words)
+        for pat in ["caf.*", "ca(fé|fe)", "日本.*", ".*é", "na.ve"]:
+            nfa = compile_nfa(pat)
+            got = {k.decode() for k, _ in fst.automaton_items(nfa)}
+            expect = {w for w in words if re.fullmatch(pat, w)}
+            assert got == expect, pat
+
+    def test_dead_automaton_prunes_subtrees(self):
+        from ocaml_lucene_spark.fst.regex_nfa import compile_nfa
+
+        words = [f"{a}{b}{c}{d}" for a in "abcdefgh" for b in "abcdefgh"
+                 for c in "abcdefgh" for d in "abcdefgh"]  # 4096 keys
+        fst, words = self._build(words)
+        visits = 0
+        orig = fst._read_node
+
+        def counting(addr):
+            nonlocal visits
+            visits += 1
+            return orig(addr)
+
+        fst._read_node = counting
+        hits = list(fst.automaton_items(compile_nfa("ab.*|cd.*")))
+        fst._read_node = orig
+        assert {k.decode() for k, _ in hits} == {
+            w for w in words if w.startswith(("ab", "cd"))
+        }
+        # only the a/c subtrees (and their b/d children) survive the
+        # first two steps: ~2/64 of the trie, vs ~4681 full nodes
+        assert visits < 400, visits
+
+    def test_unsupported_constructs_raise(self):
+        import pytest as _pytest
+
+        from ocaml_lucene_spark.fst.regex_nfa import (
+            UnsupportedRegexError,
+            compile_nfa,
+        )
+
+        for pat in ["^abc", r"a\d", "(?i)x", "a(?=b)", r"(a)\1", "(?s)a.b"]:
+            with _pytest.raises(UnsupportedRegexError):
+                compile_nfa(pat)

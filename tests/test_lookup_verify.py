@@ -403,6 +403,9 @@ def test_regexp_expansion_matches_python_re(spark, built):
         expect = {t: v for t, v in stats.items() if re.fullmatch(pat, t)}
         assert got == expect, pat
         assert len(got) >= min_matches, (pat, "vacuous adversarial case")
+        # the prefix-subtree fallback path must agree with the
+        # automaton∩FST primary path term-for-term
+        assert regexp_stats_mem(index_dir, pat, use_automaton=False) == got, pat
     assert set(tracker.getJobIdsForGroup(None)) == before
 
 

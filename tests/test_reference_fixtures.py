@@ -375,6 +375,103 @@ def test_block_pointer_floor_blocks():
     assert find_block(enc_vlong(12345 << 2), "a") is None
 
 
+def _synth_segments_bytes(
+    version: int, seg_name: str, user: list[tuple[str, str]]
+) -> bytes:
+    """Synthesize segments_N bytes per the grammar codec/segments.ml
+    parses (no golden fixture exists in the reference's data/): header
+    (BE magic, vint-length name, BE format version, 16-byte id, empty
+    suffix), vint lucene version triple, vint created-major, BE long
+    version, vlong name_counter, BE int seg_count, vint ms version
+    triple, ONE segment entry, assoc user data, 16-byte footer."""
+
+    def vint(v: int) -> bytes:
+        out = bytearray()
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return bytes(out)
+
+    def s(x: str) -> bytes:
+        return vint(len(x)) + x.encode()
+
+    buf = bytearray()
+    buf += (0x3FD76C17).to_bytes(4, "big")          # codec magic (BE read)
+    buf += s("segments")
+    buf += (9).to_bytes(4, "big")                   # format version
+    buf += bytes(range(16))                         # object id
+    buf += b"\x00"                                  # suffix length 0
+    buf += vint(8) + vint(6) + vint(2)              # lucene 8.6.2
+    buf += vint(8)                                  # created major
+    buf += version.to_bytes(8, "big")               # commit version (BE long)
+    buf += vint(5)                                  # name_counter
+    buf += (2).to_bytes(4, "big")                   # seg_count = 2 (quirk: 1 read)
+    buf += vint(8) + vint(6) + vint(2)              # ms lucene version
+    # one segment entry
+    buf += s(seg_name)
+    buf += bytes(reversed(range(16)))               # seg_id
+    buf += s("Lucene87")
+    buf += (2).to_bytes(8, "big")                   # del_gen
+    buf += (3).to_bytes(4, "big")                   # del_count
+    buf += (0xFFFFFFFFFFFFFFFF).to_bytes(8, "big")  # field_infos_gen = -1
+    buf += (0xFFFFFFFFFFFFFFFF).to_bytes(8, "big")  # doc_values_gen = -1
+    buf += (0).to_bytes(4, "big")                   # soft_del_count
+    buf += b"\x00"                                  # no sci_id
+    buf += vint(2) + s("_0.fnm") + s("_0_1.fnm")    # field_infos_files
+    buf += (1).to_bytes(4, "big")                   # dv updates: 1 entry
+    buf += (7).to_bytes(4, "big") + vint(2) + s("a.dvd") + s("b.dvd")
+    buf += vint(len(user))
+    for k, v in user:
+        buf += s(k) + s(v)
+    buf += (~0x3FD76C17 & 0xFFFFFFFF).to_bytes(4, "big") + bytes(12)  # footer
+    return bytes(buf)
+
+
+def test_segments_manifest_parse_and_latest():
+    """Synthesized segments_N round-trips through the manifest reader
+    with the reference's quirks intact (ONE segment entry read despite
+    seg_count=2; string lists reversed from byte order; assoc lists in
+    order), and Segments.latest picks the newest of two generations."""
+    import os
+    import tempfile
+
+    from ocaml_lucene_spark.interop import read_latest, read_segments_file
+    from ocaml_lucene_spark.interop.segments_manifest import latest_segments_file
+
+    data = _synth_segments_bytes(41, "_0", [("commit", "first")])
+    rec = read_segments_file(data)
+    assert rec["index_header"]["magic"] == 0x3FD76C17
+    assert rec["index_header"]["name"] == "segments"
+    assert rec["lucene_version"] == (8, 6, 2)
+    assert rec["index_created_major_version"] == 8
+    assert rec["version"] == 41 and rec["name_counter"] == 5
+    assert rec["seg_count"] == 2 and len(rec["segments"]) == 1  # quirk
+    seg = rec["segments"][0]
+    assert seg["seg_name"] == "_0" and seg["seg_codec"] == "Lucene87"
+    assert seg["del_gen"] == 2 and seg["del_count"] == 3
+    assert seg["field_infos_gen"] == -1 and seg["doc_values_gen"] == -1
+    assert seg["sci_id"] is None
+    # cons quirk: first-read string lands at the tail
+    assert seg["field_infos_files"] == ["_0_1.fnm", "_0.fnm"]
+    assert seg["doc_values_updates_files"] == [(7, ["b.dvd", "a.dvd"])]
+    assert rec["user_data"] == [("commit", "first")]
+
+    with tempfile.TemporaryDirectory() as d:
+        with open(os.path.join(d, "segments_1"), "wb") as f:
+            f.write(data)
+        with open(os.path.join(d, "segments_a"), "wb") as f:  # gen 10 base36
+            f.write(_synth_segments_bytes(99, "_7", [("commit", "second")]))
+        assert latest_segments_file(d) == "segments_a"
+        latest = read_latest(d)
+        assert latest["version"] == 99
+        assert latest["segments"][0]["seg_name"] == "_7"
+        assert latest["user_data"] == [("commit", "second")]
+
+
 def test_lz4_compressed_bytes_golden_stream():
     """data/lz4-compressed.bytes vs
     test-terms-enumerator/test_lz4_compression.ml:14-19: our LZ4 block
