@@ -30,4 +30,8 @@ Package map:
 # 0.4.1: IVF cell assignment rounds cosine to 12dp before argmax (tie
 # regions identical across JVM/numpy/DuckDB) — bump invalidates the
 # persisted IVF entry layouts keyed on this version.
-__version__ = "0.4.1"
+# 0.4.2: assign_doc_ids partition count is input-derived (url count),
+# no longer defaultParallelism — docIDs are now identical across
+# cluster sizes. Bump invalidates version-keyed packed caches so a
+# resume never mixes old- and new-scheme ids in one index.
+__version__ = "0.4.2"

@@ -36,7 +36,7 @@ from __future__ import annotations
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.analysis import tokens_col
@@ -44,6 +44,13 @@ from . import segments as seg
 
 DEFAULT_SALT_DF_THRESHOLD = 50_000
 DEFAULT_N_SALTS = 16
+
+# docID-assignment partition sizing: input-derived, NEVER
+# cluster-derived (see assign_doc_ids). ~250k urls per id partition
+# keeps the within-partition sort executor-comfortable; the cap bounds
+# task count at extreme scale.
+URLS_PER_ID_PARTITION = 250_000
+MAX_ID_PARTITIONS = 32_768
 
 
 def assign_doc_ids(docs: DataFrame, id_partitions: int | None = None) -> DataFrame:
@@ -58,13 +65,25 @@ def assign_doc_ids(docs: DataFrame, id_partitions: int | None = None) -> DataFra
     int64 column — payload columns like html never materialize in
     Python).
 
+    The partition count is INPUT-derived (url count / 250k, capped), so
+    the id map really is a pure function of the url set: ids survive
+    cluster-size changes, which a resumed build or a two-cluster-size
+    scaling run requires. (The pre-round-5 default consulted
+    ``defaultParallelism`` — the same corpus got DIFFERENT ids under
+    local[4] vs local[8]; the spark-submit e2e test caught it.) The
+    sizing count is one url-column scan before the timed pipeline.
+    Passing ``id_partitions`` explicitly moves this responsibility to
+    the caller: ids are then a function of (url set, id_partitions).
+
     NOTE: the enumeration UDF is a column-pruning barrier — Catalyst
     cannot prune columns through it — so SELECT the columns you need
     BEFORE calling (e.g. ``assign_doc_ids(df.select("url", "text"))``),
     or every downstream job drags the full row payload through the
     worker."""
-    spark = docs.sparkSession
-    n = id_partitions or spark.sparkContext.defaultParallelism
+    n = id_partitions
+    if n is None:
+        n_urls = docs.select("url").count()
+        n = max(2, min(MAX_ID_PARTITIONS, 1 + n_urls // URLS_PER_ID_PARTITION))
     parted = (
         docs.repartition(n, "url")
         .sortWithinPartitions("url")

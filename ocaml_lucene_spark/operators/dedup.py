@@ -262,6 +262,17 @@ def simhash_signatures(
     md5-derived hashes, truncated to ``bits``. All JVM expressions:
     explode tokens -> tf -> explode bit positions -> signed sum -> pack.
 
+    Plan shape, measured (do not "optimize" this into wide aggregates):
+    the bit explode looks like a 60x row blowup, but map-side partial
+    aggregation collapses it to ``bits`` rows per doc BEFORE the
+    exchange, so shuffle volume is the same as a 1-row-per-doc plan
+    with 60 sum columns — and the wide-agg variant (60 conditional-sum
+    aggregate columns over (doc_id)) measured 1.3x SLOWER at sf0.1
+    local[32] (2.04 s vs 1.54 s best-of-3, identical output): 60
+    when-branches per input row in one giant codegen stage beat by the
+    slim exploded kernel. Explode + partial agg is both the local and
+    the cluster shape.
+
     Sizing: ``bits`` defaults to the FULL 60 hash bits (15 hex chars of
     md5) — a truncated signature space saturates at corpus scale (32
     bits ≈ 4·10⁹ distinct signatures; at 10¹² docs every signature
