@@ -113,6 +113,20 @@ def test_docid_assignment_deterministic(spark, tiny_corpus):
     assert sorted(d1.values()) == list(range(len(d1)))
 
 
+def test_docid_assignment_input_partitioning_invariant(spark, tiny_corpus):
+    """ids are a pure function of the URL SET: reshaping the input's
+    physical partitioning (7-way round-robin vs single partition) must
+    not move a single id — the repartition-by-url + input-derived
+    partition count normalizes away everything upstream. (The
+    cluster-size half of the invariant — same ids under local[4] via
+    real spark-submit vs the in-process session — is pinned by
+    tests/test_spark_submit.py.)"""
+    base = spark.read.parquet(tiny_corpus)
+    a = {r.url: r.doc_id for r in assign_doc_ids(base.repartition(7)).select("url", "doc_id").collect()}
+    b = {r.url: r.doc_id for r in assign_doc_ids(base.coalesce(1)).select("url", "doc_id").collect()}
+    assert a == b
+
+
 def test_wand_exec_rank_identity(spark, built):
     """Executor-side WAND (one task per query, payloads never on the
     driver) matches the oracle exactly, incl. rounded tie-break."""
