@@ -586,6 +586,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, _ensure_index(spark, sf), "*ble", k=10, round_to=4
         )
 
+    def q_spell_suggest(spark, sf):
+        # suggest/spellchecker: correction candidates for 'bat' via the
+        # Levenshtein-automaton∩FST dictionary walk (zero Spark jobs),
+        # ranked (df desc, term) — the oracle re-expands independently
+        # with DuckDB's levenshtein()
+        from ocaml_lucene_spark.query.suggest import spell_suggest
+
+        return spell_suggest(spark, _ensure_index(spark, sf), "bat", max_edits=2, k=10)
+
+    def q_bm25_collapse(spark, sf):
+        # grouping/field collapse: best-scoring doc per `source` value,
+        # one window over the collapse key
+        from ocaml_lucene_spark.query.grouping import bm25_collapse_topk
+
+        return bm25_collapse_topk(
+            _docs(spark, sf), ["table", "hash", "dup"], "source", k=10, round_to=4
+        )
+
+    def q_facet_counts(spark, sf):
+        # facet module: per-lang doc counts over the conjunctive match
+        # set; integer-only
+        from ocaml_lucene_spark.query.grouping import facet_counts
+
+        return facet_counts(_docs(spark, sf), ["table", "scan"], "lang")
+
+    def q_facet_counts_indexed(spark, sf):
+        # same facets, match set from the postings doc-id stream (text
+        # never read); must equal the logical path's oracle
+        from ocaml_lucene_spark.query.grouping import facet_counts_indexed
+
+        return facet_counts_indexed(
+            spark, _ensure_index(spark, sf), _docs(spark, sf), ["table", "scan"], "lang"
+        )
+
+    def q_tfidf_classic(spark, sf):
+        # pluggable similarity: pre-6.0 ClassicSimilarity (sqrt(tf) *
+        # idf^2 / sqrt(dl), coord factor), same physical plan as BM25
+        from ocaml_lucene_spark.query.similarity import tfidf_classic_topk
+
+        return tfidf_classic_topk(
+            _docs(spark, sf), ["table", "hash", "dup"], k=10, round_to=4
+        )
+
+    def q_bm25_boosted(spark, sf):
+        # BoostQuery: per-term query boosts on the BM25 sum
+        from ocaml_lucene_spark.query.similarity import bm25_topk_boosted
+
+        return bm25_topk_boosted(
+            _docs(spark, sf), {"table": 2.0, "hash": 0.5, "dup": 1.0}, k=10, round_to=4
+        )
+
     def q_term_stats_prefix(spark, sf):
         # terms-dict prefix read from the in-memory FST
         from ocaml_lucene_spark.query.exec import term_stats_prefix
@@ -876,7 +927,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the previous round's freshly-checked head moves to the tail.
     # Round-5 order: (1) the 19 entries cut from the r4 run; (2) the two
     # rows fixed this round (bigram ordering, multimodal oracle);
-    # (3) r4-checked rows, flagship surface first, with the most
+    # (3) the 7 NEW rows (wildcard_suffix, suggest, collapse, facets,
+    # similarity) — never driver-checked, so they must make the cap;
+    # (4) r4-checked rows, flagship surface first, with the most
     # redundant (subsumed-by-a-stronger-variant) entries last.
     qs = {
         # -- cut from the round-4 gate run (driver stops at 50) --
@@ -902,8 +955,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- fixed this round: deterministic ordering / new SQL oracle --
         "bigram_collocations": q_bigram_collocations,
         "multimodal_metadata": q_multimodal_metadata,
-        # -- new this round: automaton∩FST suffix wildcard --
+        # -- new this round: automaton∩FST suffix wildcard; suggest /
+        #    grouping / facets / pluggable-similarity surface --
         "bm25_wildcard_suffix": q_bm25_wildcard_suffix,
+        "spell_suggest": q_spell_suggest,
+        "bm25_collapse": q_bm25_collapse,
+        "facet_counts": q_facet_counts,
+        "facet_counts_indexed": q_facet_counts_indexed,
+        "tfidf_classic": q_tfidf_classic,
+        "bm25_boosted": q_bm25_boosted,
         # -- flagship query surface (r4-checked, keep within the cap) --
         "bm25_or_top10": q_bm25_or,
         "bm25_and_top10": q_bm25_and,
@@ -1028,6 +1088,16 @@ def oracle_sql() -> dict[str, str]:
         "bm25_fuzzy": osql.bm25_topk_fuzzy_sql("sort", 2, 10),
         "bm25_wildcard": osql.bm25_topk_wildcard_sql("s?a*", 10),
         "bm25_wildcard_suffix": osql.bm25_topk_wildcard_sql("*ble", 10),
+        "spell_suggest": osql.spell_suggest_sql("bat", max_edits=2, k=10),
+        "bm25_collapse": osql.bm25_collapse_sql(
+            ["table", "hash", "dup"], "source", k=10
+        ),
+        "facet_counts": osql.facet_counts_sql(["table", "scan"], "lang"),
+        "facet_counts_indexed": osql.facet_counts_sql(["table", "scan"], "lang"),
+        "tfidf_classic": osql.tfidf_classic_topk_sql(["table", "hash", "dup"], k=10),
+        "bm25_boosted": osql.bm25_topk_boosted_sql(
+            {"table": 2.0, "hash": 0.5, "dup": 1.0}, k=10
+        ),
         "term_stats_fst": osql.term_stats_sql(),
         "term_stats_prefix": osql.term_stats_prefix_sql("s"),
         "term_stats_range": osql.term_stats_range_sql("f", "m"),

@@ -1,0 +1,177 @@
+"""Result grouping and faceting over the search surface.
+
+Lucene ships these as the `grouping` (CollapsingTopDocsCollector /
+field collapse) and `facet` modules; the reference engine stops at
+raw top-k (its query surface ends at terms_enumerator.ml), so these
+are part of the repo's "what a user of a full-text engine needs"
+extension tier, same as MoreLikeThis and DisMax.
+
+Spark-first shapes:
+- collapse: the per-doc BM25 scores (the existing scoring contract —
+  see query/bm25.py _query_order_sum) join the documents table on
+  doc_id for the collapse key, then ONE window (row_number per key
+  ordered by (score desc, doc_id)) keeps the best doc per group.
+  At 100 TB the window partitions by the collapse key — the same
+  shuffle a groupBy needs; no driver-side state.
+- facets: the match set (docs containing every must term) is a
+  doc_id list; ONE join brings in the facet column and ONE groupBy
+  counts. With the indexed path the match set comes from the postings
+  scan (doc-id stream only) — facet counting never touches text.
+
+Determinism: scores are rounded BEFORE the window ranking on both
+sides (round(·,4) totals are bit-identical Spark-vs-DuckDB because
+the per-doc fold order is pinned), group ranking ties break on
+doc_id, and facet output orders by the facet value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .bm25 import (
+    _query_order_sum,
+    candidate_tf,
+    corpus_stats,
+    idf_expr,
+    tfn_expr,
+)
+
+
+def _bm25_doc_scores(
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int | None = 4,
+) -> DataFrame:
+    """(doc_id, score) for every doc matching ANY query term —
+    bm25_topk's disjunctive scoring without the top-k cut, so callers
+    can re-rank (collapse, grouping) before limiting."""
+    terms = list(dict.fromkeys(terms))
+    tf = candidate_tf(docs, terms, id_col, text_col)
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = corpus_stats(docs, id_col, text_col)
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "sc",
+            idf_expr(F.col("n_docs").cast("double"), F.col("df").cast("double"))
+            * tfn_expr(
+                F.col("tf").cast("double"), F.col("dl").cast("double"), F.col("avgdl")
+            ),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(_query_order_sum(terms).alias("score_raw"))
+    score = (
+        F.round(F.col("score_raw"), round_to)
+        if round_to is not None
+        else F.col("score_raw")
+    )
+    return agg.select("doc_id", score.alias("score"))
+
+
+def bm25_collapse_topk(
+    docs: DataFrame,
+    terms: list[str],
+    collapse_col: str = "source",
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> DataFrame:
+    """Field collapse (Lucene CollapsingTopDocsCollector): disjunctive
+    BM25 top-k where each ``collapse_col`` value contributes at most
+    ONE document — its best-scoring one (ties on doc_id asc).
+
+    Returns (collapse value, doc_id, score) ordered by
+    (score desc, doc_id asc), limit k groups.
+
+    Plan: score agg (one shuffle on doc_id) -> join the collapse key
+    (doc_id join against the pruned 2-column documents projection) ->
+    window row_number partitioned BY THE COLLAPSE KEY (one shuffle on
+    the key — same cost as any per-key agg) -> global top-k via
+    TakeOrderedAndProject. No driver-side loops; group cardinality
+    never materializes anywhere.
+    """
+    scores = _bm25_doc_scores(docs, terms, id_col, text_col, round_to)
+    keys = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(collapse_col).alias("collapse_key")
+    )
+    w = Window.partitionBy("collapse_key").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scores.join(keys, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("collapse_key", "doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def facet_counts(
+    docs: DataFrame,
+    must: list[str],
+    facet_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Facet counting (Lucene facet module): for the docs matching ALL
+    ``must`` terms, count matches per ``facet_col`` value. Returns
+    (facet_value, n_docs) ordered by facet_value — integer counts, no
+    float anywhere.
+
+    Plan: conjunctive match set (explode under an isin filter, one
+    groupBy(doc_id) with HAVING count distinct = n_terms) -> join the
+    2-column (id, facet) projection -> groupBy(facet). Both joins key
+    on doc_id; the facet agg's partial (map-side) combine means only
+    |distinct facet values| rows reach the final shuffle."""
+    must = list(dict.fromkeys(must))
+    if not must:
+        raise ValueError("facet_counts needs at least one must term")
+    tf = candidate_tf(docs, must, id_col, text_col)
+    match = (
+        tf.groupBy("doc_id")
+        .agg(F.count("*").alias("nt"))
+        .filter(F.col("nt") == len(must))
+        .select("doc_id")
+    )
+    facets = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(facet_col).alias("facet_value")
+    )
+    return (
+        match.join(facets, "doc_id")
+        .groupBy("facet_value")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("facet_value")
+    )
+
+
+def facet_counts_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    docs: DataFrame,
+    must: list[str],
+    facet_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Indexed facet counting: the match set comes from the postings
+    scan (doc-id stream ONLY — tf/dl/positions pruned at the parquet
+    reader), so the text column is never read; only the (id, facet)
+    projection of the source table joins in. Must equal the logical
+    facet_counts / SQL oracle exactly."""
+    from .exec import matching_docs_indexed
+
+    match = matching_docs_indexed(spark, index_dir, must=must)
+    facets = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(facet_col).alias("facet_value")
+    )
+    return (
+        match.join(facets, "doc_id")
+        .groupBy("facet_value")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("facet_value")
+    )

@@ -716,3 +716,152 @@ GROUP BY doc_id
 ORDER BY round(sum(sc), {round_to}) DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def spell_suggest_sql(term: str, max_edits: int = 2, k: int = 10) -> str:
+    """Spell-suggest oracle: DuckDB's levenshtein() expands the
+    dictionary independently of the engine's automaton∩FST walk
+    (query/suggest.py); rank = (df desc, term asc),
+    DirectSpellChecker's default."""
+    t = term.replace("'", "''")
+    return f"""
+WITH {TOKS_CTE},
+tf AS (
+  SELECT doc_id, term
+  FROM (SELECT doc_id, unnest(t) AS term FROM base)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
+SELECT term, df FROM dfreq
+WHERE levenshtein(term, '{t}') <= {max_edits}
+ORDER BY df DESC, term ASC
+LIMIT {k}
+"""
+
+
+def bm25_collapse_sql(
+    terms: list[str], collapse_col: str = "source", k: int = 10, round_to: int = 4
+) -> str:
+    """Field-collapse oracle (query/grouping.py bm25_collapse_topk):
+    the bm25_topk_sql scoring CTE, rounded BEFORE ranking, then
+    row_number per collapse key keeps each key's best doc."""
+    terms = list(dict.fromkeys(terms))
+    return f"""
+WITH {TOKS_CTE},
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM base),
+tf AS (
+  SELECT doc_id, term, dl, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(t) AS term FROM base)
+  WHERE term IN {_terms_in(terms)}
+  GROUP BY doc_id, term, dl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n - df + 0.5) / (df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl)) AS sc
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+),
+per_doc AS (
+  SELECT doc_id, round(sum(sc), {round_to}) AS score FROM scored GROUP BY doc_id
+),
+ranked AS (
+  SELECT d.{collapse_col} AS collapse_key, p.doc_id, p.score,
+         row_number() OVER (
+           PARTITION BY d.{collapse_col} ORDER BY p.score DESC, p.doc_id ASC
+         ) AS rn
+  FROM per_doc p JOIN documents d USING (doc_id)
+)
+SELECT collapse_key, doc_id, score FROM ranked
+WHERE rn = 1
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def facet_counts_sql(must: list[str], facet_col: str = "lang") -> str:
+    """Facet-count oracle (query/grouping.py facet_counts /
+    facet_counts_indexed): docs containing EVERY must term, counted
+    per facet value; integer-only, ordered by facet value."""
+    must = list(dict.fromkeys(must))
+    return f"""
+WITH {TOKS_CTE},
+hit AS (
+  SELECT doc_id
+  FROM (SELECT DISTINCT doc_id, unnest(t) AS term FROM base)
+  WHERE term IN {_terms_in(must)}
+  GROUP BY doc_id HAVING count(*) = {len(must)}
+)
+SELECT d.{facet_col} AS facet_value, count(*)::BIGINT AS n_docs
+FROM hit JOIN documents d USING (doc_id)
+GROUP BY d.{facet_col}
+ORDER BY facet_value
+"""
+
+
+def tfidf_classic_topk_sql(terms: list[str], k: int = 10, round_to: int = 4) -> str:
+    """ClassicSimilarity oracle (query/similarity.py
+    tfidf_classic_topk): per term-doc sqrt(tf) * idf^2 / sqrt(dl)
+    with idf = 1 + ln(N/(df+1)), summed per doc then scaled by the
+    coord factor n_matched/n_query_terms. Left-to-right sum order =
+    the engine's query-order fold."""
+    terms = list(dict.fromkeys(terms))
+    return f"""
+WITH {TOKS_CTE},
+stats AS (SELECT count(*)::DOUBLE AS n FROM base),
+tf AS (
+  SELECT doc_id, term, dl, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(t) AS term FROM base)
+  WHERE term IN {_terms_in(terms)}
+  GROUP BY doc_id, term, dl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sqrt(tf.tf) * (1.0 + ln(s.n / (df + 1.0))) * (1.0 + ln(s.n / (df + 1.0)))
+           / sqrt(tf.dl) AS sc
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+)
+SELECT doc_id,
+       round(sum(sc) * (count(*)::DOUBLE / {float(len(terms))}), {round_to}) AS score
+FROM scored
+GROUP BY doc_id
+ORDER BY round(sum(sc) * (count(*)::DOUBLE / {float(len(terms))}), {round_to}) DESC,
+         doc_id ASC
+LIMIT {k}
+"""
+
+
+def bm25_topk_boosted_sql(
+    boosts: dict[str, float], k: int = 10, round_to: int = 4
+) -> str:
+    """Boosted-BM25 oracle (query/similarity.py bm25_topk_boosted):
+    sc = boost[t] * idf * tfn, boost applied via a CASE over the
+    term; sum order = the dict's insertion order = the engine's
+    query-order fold."""
+    terms = list(dict.fromkeys(boosts))
+    case = "CASE term " + " ".join(
+        f"WHEN '{t}' THEN {float(boosts[t])!r}" for t in terms
+    ) + " END"
+    return f"""
+WITH {TOKS_CTE},
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM base),
+tf AS (
+  SELECT doc_id, term, dl, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(t) AS term FROM base)
+  WHERE term IN {_terms_in(terms)}
+  GROUP BY doc_id, term, dl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ({case}) * ln(1.0 + (s.n - df + 0.5) / (df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl)) AS sc
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+)
+SELECT doc_id, round(sum(sc), {round_to}) AS score
+FROM scored
+GROUP BY doc_id
+ORDER BY round(sum(sc), {round_to}) DESC, doc_id ASC
+LIMIT {k}
+"""

@@ -1,0 +1,118 @@
+"""Pluggable similarities beyond the canonical BM25.
+
+Lucene's Similarity is an extension point (TFIDFSimilarity/
+ClassicSimilarity predate BM25Similarity as the default); the
+reference engine has no scoring at all (its surface stops at
+terms_enumerator.ml), so the repo's canonical BM25 (oracle.py) is
+already an extension — this module adds the two other scoring
+surfaces a Lucene user actually reaches for:
+
+- ClassicSimilarity (pre-6.0 default): per term-doc
+  ``sqrt(tf) * idf^2 / sqrt(dl)`` with ``idf = 1 + ln(N/(df+1))``,
+  times the coord factor ``n_matched_terms / n_query_terms``.
+  queryNorm is omitted: it is a per-query constant (rank-neutral),
+  and Lucene itself removed it in 7.0.
+- Per-term query boosts on BM25 (Lucene's BoostQuery wrapping
+  TermQuery): ``boost * idf * tfn`` summed per doc.
+
+Both reuse the engine-wide determinism contract: per-doc sums fold in
+query-term order (bm25.py _query_order_sum) so Spark's float totals
+are bit-identical to the SQL oracle's left-to-right sums, and ranking
+ties break on (rounded score desc, doc_id asc).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .bm25 import _query_order_sum, candidate_tf, corpus_stats, tfn_expr
+
+
+def tfidf_classic_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> DataFrame:
+    """Disjunctive top-k under ClassicSimilarity. Same physical shape
+    as bm25_topk (explode under isin filter, broadcast df/stats, one
+    groupBy(doc_id), TakeOrderedAndProject) — only the score
+    expression differs, which is the whole point of a pluggable
+    similarity."""
+    terms = list(dict.fromkeys(terms))
+    tf = candidate_tf(docs, terms, id_col, text_col)
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = corpus_stats(docs, id_col, text_col)
+    idf = F.lit(1.0) + F.log(
+        F.col("n_docs").cast("double") / (F.col("df").cast("double") + 1.0)
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "sc",
+            F.sqrt(F.col("tf").cast("double"))
+            * idf
+            * idf
+            / F.sqrt(F.col("dl").cast("double")),
+        )
+    )
+    coord = F.count("*").cast("double") / F.lit(float(len(terms)))
+    agg = scored.groupBy("doc_id").agg(
+        _query_order_sum(terms).alias("raw"), coord.alias("coord")
+    )
+    return (
+        agg.select(
+            "doc_id",
+            F.round(F.col("raw") * F.col("coord"), round_to).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def bm25_topk_boosted(
+    docs: DataFrame,
+    boosts: dict[str, float],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> DataFrame:
+    """Disjunctive BM25 top-k with a per-term query boost
+    (BoostQuery): score(d) = sum_t boost[t] * idf(t) * tfn(t, d),
+    folded in query-term order. boosts preserves insertion order —
+    that order IS the fold order, mirroring the oracle's term list."""
+    terms = list(dict.fromkeys(boosts))
+    tf = candidate_tf(docs, terms, id_col, text_col)
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = corpus_stats(docs, id_col, text_col)
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs").cast("double") - F.col("df") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+    )
+    boost = F.create_map(
+        *[x for t, b in boosts.items() for x in (F.lit(t), F.lit(float(b)))]
+    )[F.col("term")]
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "sc",
+            boost
+            * idf
+            * tfn_expr(
+                F.col("tf").cast("double"), F.col("dl").cast("double"), F.col("avgdl")
+            ),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(_query_order_sum(terms).alias("raw"))
+    return (
+        agg.select("doc_id", F.round("raw", round_to).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

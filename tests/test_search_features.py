@@ -1,0 +1,122 @@
+"""Grouping / faceting / suggest / pluggable-similarity surface.
+
+The gate replica (test_entry.py) already runs each entry against its
+DuckDB oracle in driver-hash mode; these tests pin the structural
+properties the oracles can't see."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocaml_lucene_spark.query import grouping, similarity, suggest
+from ocaml_lucene_spark.query.bm25 import bm25_topk
+from ocaml_lucene_spark.query.term_index import (
+    all_stats_mem,
+    edit_distance_leq,
+)
+
+SF = "/root/testdata/sf0.001"
+TERMS = ["table", "hash", "dup"]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark):
+    import __spark_entry__ as entry
+
+    return entry._ensure_index(spark, SF)
+
+
+def test_collapse_one_row_per_key_and_best_doc(docs):
+    rows = grouping.bm25_collapse_topk(docs, TERMS, "source", k=1000).collect()
+    keys = [r.collapse_key for r in rows]
+    assert len(keys) == len(set(keys)), "collapse must keep one doc per key"
+    # each kept doc is its group's (score desc, doc_id asc) max over the
+    # full (uncollapsed) score table
+    full = {
+        (r.doc_id): r.score
+        for r in grouping._bm25_doc_scores(docs, TERMS, round_to=4).collect()
+    }
+    src = {r.doc_id: r.source for r in docs.select("doc_id", "source").collect()}
+    best = {}
+    for d, s in sorted(full.items()):
+        key = src[d]
+        if key not in best or (-s, d) < (-best[key][1], best[key][0]):
+            best[key] = (d, s)
+    for r in rows:
+        assert best[r.collapse_key] == (r.doc_id, r.score)
+
+
+def test_collapse_subset_of_topk_scores(docs):
+    # collapsed top-k scores are a subset of the uncollapsed ranking
+    plain = {r.doc_id: r.score for r in bm25_topk(docs, TERMS, k=1000, round_to=4).collect()}
+    for r in grouping.bm25_collapse_topk(docs, TERMS, "source", k=10).collect():
+        assert plain[r.doc_id] == r.score
+
+
+def test_facet_counts_sum_equals_match_count(docs):
+    facs = grouping.facet_counts(docs, ["table", "scan"], "lang").collect()
+    total = sum(r.n_docs for r in facs)
+    toks = docs.select(
+        "doc_id",
+        F.expr(
+            "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+        ).alias("t"),
+    )
+    n = (
+        toks.filter(
+            F.array_contains("t", "table") & F.array_contains("t", "scan")
+        ).count()
+    )
+    assert total == n
+
+
+def test_facet_indexed_equals_logical(spark, docs, index_dir):
+    a = grouping.facet_counts(docs, ["table", "scan"], "lang").collect()
+    b = grouping.facet_counts_indexed(
+        spark, index_dir, docs, ["table", "scan"], "lang"
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_spell_suggest_matches_exhaustive_dictionary(spark, index_dir):
+    got = [tuple(r) for r in suggest.spell_suggest(spark, index_dir, "bat", 2, 50).collect()]
+    stats = all_stats_mem(index_dir)
+    want = sorted(
+        ((t, df) for t, (df, _ttf) in stats.items() if edit_distance_leq(t, "bat", 2)),
+        key=lambda r: (-r[1], r[0]),
+    )[:50]
+    assert got == want
+    assert got, "probe term must have at least one candidate"
+
+
+def test_tfidf_and_bm25_rank_differently_but_share_plan_shape(docs):
+    # ClassicSimilarity is a different formula; both orderings are
+    # internally consistent (score desc, doc_id asc)
+    rows = similarity.tfidf_classic_topk(docs, TERMS, k=20).collect()
+    assert rows == sorted(rows, key=lambda r: (-r.score, r.doc_id))
+    assert all(r.score > 0 for r in rows)
+
+
+def test_boost_one_reduces_to_bm25(docs):
+    b1 = [
+        tuple(r)
+        for r in similarity.bm25_topk_boosted(
+            docs, {t: 1.0 for t in TERMS}, k=20
+        ).collect()
+    ]
+    plain = [tuple(r) for r in bm25_topk(docs, TERMS, k=20, round_to=4).collect()]
+    assert b1 == plain
+
+
+def test_boost_scales_single_term_scores(docs):
+    one = {r.doc_id: r.score for r in similarity.bm25_topk_boosted(docs, {"dup": 1.0}, k=1000).collect()}
+    three = {r.doc_id: r.score for r in similarity.bm25_topk_boosted(docs, {"dup": 3.0}, k=1000).collect()}
+    assert set(one) == set(three)
+    for d, s in one.items():
+        assert abs(three[d] - 3.0 * s) < 2e-4  # rounded at 4dp on both sides
