@@ -206,3 +206,35 @@ def test_build_shuffle_shapes(spark, tiny_corpus):
     # itself contributes exactly one: the term-keyed pack repartition
     build_exchanges = [e for e in exchanges if "url" not in e]
     assert len(build_exchanges) == 1 and "term" in build_exchanges[0], exchanges
+
+
+def test_facet_indexed_reads_only_docid_stream_and_facet_column(spark, built):
+    """Indexed faceting must never touch text: the postings scan reads
+    only (term, doc_bytes) and the source-table scan only
+    (doc_id, facet) — at 100 TB the facet query cost is the match
+    set's doc-id stream plus a 2-column dimension projection."""
+    from ocaml_lucene_spark.query.grouping import facet_counts_indexed
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(facet_counts_indexed(spark, built, docs, ["zipf"], "lang"))
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = [{c.split(":")[0] for c in s.split(",")} for s in schemas]
+    assert {"term", "doc_bytes"} in cols, schemas          # postings: ids only
+    assert {"doc_id", "lang"} in cols, schemas             # documents: pruned
+    for s in cols:
+        assert "text" not in s and "tf_bytes" not in s, schemas
+
+
+def test_collapse_topk_shape(spark):
+    """Field collapse: global top-k stays TakeOrderedAndProject (never
+    a global sort), the collapse-key join reads a 2-column projection,
+    and exactly ONE Window node ranks within groups."""
+    from ocaml_lucene_spark.query.grouping import bm25_collapse_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(bm25_collapse_topk(docs, ["zipf", "data"], "source", k=10))
+    assert "TakeOrderedAndProject" in plan
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = [{c.split(":")[0] for c in s.split(",")} for s in schemas]
+    assert {"doc_id", "source"} in cols, schemas
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
