@@ -637,6 +637,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf), {"table": 2.0, "hash": 0.5, "dup": 1.0}, k=10, round_to=4
         )
 
+    def q_bm25_synonym(spark, sf):
+        # SynonymQuery: {join, merge} scores as ONE pseudo-term with
+        # blended stats (df = max over the set, tf = per-doc sum)
+        from ocaml_lucene_spark.query.bm25 import bm25_topk_synonym
+
+        return bm25_topk_synonym(_docs(spark, sf), ["join", "merge"], k=10, round_to=4)
+
+    def q_bm25_numeric_range(spark, sf):
+        # points/doc-values range filter (IntPoint analogue): restrict
+        # the corpus to n_chars in [80, 300] BEFORE scoring — the
+        # predicate pushes down to the parquet scan (zone-map pruning
+        # at scale); same stats convention as the lang-filtered variant
+        docs = _docs(spark, sf).filter(
+            (F.col("n_chars") >= 80) & (F.col("n_chars") <= 300)
+        )
+        return bm25.bm25_topk(docs, ["table", "hash"], mode="or", k=10, round_to=4)
+
     def q_term_stats_prefix(spark, sf):
         # terms-dict prefix read from the in-memory FST
         from ocaml_lucene_spark.query.exec import term_stats_prefix
@@ -964,6 +981,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_counts_indexed": q_facet_counts_indexed,
         "tfidf_classic": q_tfidf_classic,
         "bm25_boosted": q_bm25_boosted,
+        "bm25_synonym": q_bm25_synonym,
+        "bm25_numeric_range": q_bm25_numeric_range,
         # -- flagship query surface (r4-checked, keep within the cap) --
         "bm25_or_top10": q_bm25_or,
         "bm25_and_top10": q_bm25_and,
@@ -1097,6 +1116,10 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_classic": osql.tfidf_classic_topk_sql(["table", "hash", "dup"], k=10),
         "bm25_boosted": osql.bm25_topk_boosted_sql(
             {"table": 2.0, "hash": 0.5, "dup": 1.0}, k=10
+        ),
+        "bm25_synonym": osql.bm25_topk_synonym_sql(["join", "merge"], k=10),
+        "bm25_numeric_range": osql.bm25_topk_where_sql(
+            ["table", "hash"], "n_chars BETWEEN 80 AND 300", k=10
         ),
         "term_stats_fst": osql.term_stats_sql(),
         "term_stats_prefix": osql.term_stats_prefix_sql("s"),

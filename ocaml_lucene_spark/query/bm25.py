@@ -197,6 +197,54 @@ def bm25_topk_bool(
     )
 
 
+def bm25_topk_synonym(
+    docs: DataFrame,
+    synonyms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> DataFrame:
+    """Lucene SynonymQuery: the synonym set scores as ONE pseudo-term
+    with blended statistics — df = max df over the set (SynonymQuery's
+    documented blending; a doc matching several synonyms is still one
+    conceptual term match) and tf = the SUM of the member tfs in the
+    doc. score(d) = idf(df_max) * tfn(tf_sum, dl). A single pseudo-term
+    means a single float product per doc — no fold-order contract
+    needed.
+
+    Plan: the same explode-under-isin + broadcast shape as bm25_topk;
+    the per-doc tf sum happens in the one groupBy(doc_id) that the
+    disjunction needs anyway."""
+    synonyms = list(dict.fromkeys(synonyms))
+    tf = candidate_tf(docs, synonyms, id_col, text_col)
+    df_max = tf.groupBy("term").agg(F.count("*").alias("df")).agg(
+        F.max("df").alias("df_max")
+    )
+    stats = corpus_stats(docs, id_col, text_col)
+    agg = tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("tf_syn"), F.first("dl").alias("dl")
+    )
+    scored = (
+        agg.crossJoin(F.broadcast(df_max))
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "sc",
+            idf_expr(F.col("n_docs").cast("double"), F.col("df_max").cast("double"))
+            * tfn_expr(
+                F.col("tf_syn").cast("double"),
+                F.col("dl").cast("double"),
+                F.col("avgdl"),
+            ),
+        )
+    )
+    return (
+        scored.select("doc_id", F.round("sc", round_to).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def term_postings(
     docs: DataFrame, term: str, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -865,3 +865,73 @@ GROUP BY doc_id
 ORDER BY round(sum(sc), {round_to}) DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def bm25_topk_synonym_sql(synonyms: list[str], k: int = 10, round_to: int = 4) -> str:
+    """SynonymQuery oracle (query/bm25.py bm25_topk_synonym): blended
+    stats — df = max over the synonym set, tf = per-doc sum — scored
+    as one pseudo-term."""
+    synonyms = list(dict.fromkeys(synonyms))
+    return f"""
+WITH {TOKS_CTE},
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM base),
+tf AS (
+  SELECT doc_id, term, dl, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(t) AS term FROM base)
+  WHERE term IN {_terms_in(synonyms)}
+  GROUP BY doc_id, term, dl
+),
+dfmax AS (
+  SELECT max(df) AS df_max
+  FROM (SELECT term, count(*) AS df FROM tf GROUP BY term)
+),
+per_doc AS (
+  SELECT doc_id, sum(tf) AS tf_syn, any_value(dl) AS dl FROM tf GROUP BY doc_id
+)
+SELECT doc_id,
+       round(ln(1.0 + (s.n - m.df_max + 0.5) / (m.df_max + 0.5))
+             * (p.tf_syn * 2.2)
+             / (p.tf_syn + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / s.avgdl)),
+             {round_to}) AS score
+FROM per_doc p CROSS JOIN dfmax m CROSS JOIN stats s
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def bm25_topk_where_sql(
+    terms: list[str], where_sql: str, k: int = 10, round_to: int = 4
+) -> str:
+    """Doc-values/points range-filter oracle: bm25_topk_sql's OR body
+    with an arbitrary WHERE predicate restricting the corpus BEFORE
+    stats — mirroring the engine's docs.filter(...) pre-filter (the
+    same convention as the lang-filtered variant: stats over the
+    filtered corpus)."""
+    terms = list(dict.fromkeys(terms))
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents WHERE {where_sql}
+),
+base AS (SELECT doc_id, t, len(t) AS dl FROM toks),
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM base),
+tf AS (
+  SELECT doc_id, term, dl, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(t) AS term FROM base)
+  WHERE term IN {_terms_in(terms)}
+  GROUP BY doc_id, term, dl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n - df + 0.5) / (df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl)) AS sc
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+)
+SELECT doc_id, round(sum(sc), {round_to}) AS score
+FROM scored
+GROUP BY doc_id
+ORDER BY round(sum(sc), {round_to}) DESC, doc_id ASC
+LIMIT {k}
+"""

@@ -238,3 +238,19 @@ def test_collapse_topk_shape(spark):
     cols = [{c.split(":")[0] for c in s.split(",")} for s in schemas]
     assert {"doc_id", "source"} in cols, schemas
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+
+
+def test_numeric_range_filter_pushes_to_documents_scan(spark):
+    """IntPoint-analogue range filter: the n_chars predicate must reach
+    the parquet scan (PushedFilters GreaterThanOrEqual/LessThanOrEqual)
+    — at 100 TB row-group zone maps skip non-matching splits before
+    tokenization ever runs."""
+    from pyspark.sql import functions as F
+
+    from ocaml_lucene_spark.query.bm25 import bm25_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        (F.col("n_chars") >= 80) & (F.col("n_chars") <= 300)
+    )
+    plan = _plan(bm25_topk(docs, ["zipf", "data"], "or", 10))
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(n_chars,80\)", plan), plan

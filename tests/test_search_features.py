@@ -120,3 +120,37 @@ def test_boost_scales_single_term_scores(docs):
     assert set(one) == set(three)
     for d, s in one.items():
         assert abs(three[d] - 3.0 * s) < 2e-4  # rounded at 4dp on both sides
+
+
+def test_synonym_singleton_reduces_to_single_term_bm25(docs):
+    syn = [tuple(r) for r in __import__("ocaml_lucene_spark.query.bm25", fromlist=["x"]).bm25_topk_synonym(docs, ["dup"], k=50).collect()]
+    plain = [tuple(r) for r in bm25_topk(docs, ["dup"], k=50, round_to=4).collect()]
+    assert syn == plain
+
+
+def test_synonym_blends_stats_sum_tf_max_df(docs):
+    from ocaml_lucene_spark.query.bm25 import bm25_topk_synonym, candidate_tf, corpus_stats
+    import math
+
+    K1, B = 1.2, 0.75
+    rows = candidate_tf(docs, ["join", "merge"]).collect()
+    st = corpus_stats(docs).collect()[0]
+    n, avgdl = st.n_docs, st.avgdl
+    df = {}
+    for r in rows:
+        df[r.term] = df.get(r.term, 0) + 1
+    df_max = max(df.values())
+    per_doc = {}
+    for r in rows:
+        tf, dl = per_doc.get(r.doc_id, (0, r.dl))
+        per_doc[r.doc_id] = (tf + r.tf, r.dl)
+    idf = math.log(1.0 + (n - df_max + 0.5) / (df_max + 0.5))
+    want = sorted(
+        (
+            (round(idf * (tf * (K1 + 1)) / (tf + K1 * (1 - B + B * dl / avgdl)), 4), d)
+            for d, (tf, dl) in per_doc.items()
+        ),
+        key=lambda x: (-x[0], x[1]),
+    )[:20]
+    got = [(r.score, r.doc_id) for r in bm25_topk_synonym(docs, ["join", "merge"], k=20).collect()]
+    assert got == [(s, d) for s, d in want]
