@@ -654,6 +654,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return bm25.bm25_topk(docs, ["table", "hash"], mode="or", k=10, round_to=4)
 
+    def q_date_histogram(spark, sf):
+        # aggregations surface: date_histogram over the events table
+        # (bucket emitted as a string so the hash never depends on
+        # timestamp-type encoding)
+        from ocaml_lucene_spark.query.grouping import date_histogram
+
+        return date_histogram(spark.read.parquet(f"{sf}/events.parquet"))
+
+    def q_numeric_range_facet(spark, sf):
+        # numeric range faceting over the n_chars doc-values column
+        from ocaml_lucene_spark.query.grouping import numeric_range_facets
+
+        return numeric_range_facets(_docs(spark, sf), "n_chars", width=50)
+
     def q_term_stats_prefix(spark, sf):
         # terms-dict prefix read from the in-memory FST
         from ocaml_lucene_spark.query.exec import term_stats_prefix
@@ -983,6 +997,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_boosted": q_bm25_boosted,
         "bm25_synonym": q_bm25_synonym,
         "bm25_numeric_range": q_bm25_numeric_range,
+        "date_histogram": q_date_histogram,
+        "numeric_range_facet": q_numeric_range_facet,
         # -- flagship query surface (r4-checked, keep within the cap) --
         "bm25_or_top10": q_bm25_or,
         "bm25_and_top10": q_bm25_and,
@@ -1121,6 +1137,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_numeric_range": osql.bm25_topk_where_sql(
             ["table", "hash"], "n_chars BETWEEN 80 AND 300", k=10
         ),
+        "date_histogram": osql.date_histogram_sql("day"),
+        "numeric_range_facet": osql.numeric_range_facets_sql("n_chars", 50),
         "term_stats_fst": osql.term_stats_sql(),
         "term_stats_prefix": osql.term_stats_prefix_sql("s"),
         "term_stats_range": osql.term_stats_range_sql("f", "m"),

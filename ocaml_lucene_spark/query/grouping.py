@@ -175,3 +175,45 @@ def facet_counts_indexed(
         .agg(F.count("*").alias("n_docs"))
         .orderBy("facet_value")
     )
+
+
+def date_histogram(
+    events: DataFrame,
+    ts_col: str = "ts",
+    keys: tuple = ("event_type",),
+    interval: str = "day",
+    value_col: str = "value",
+) -> DataFrame:
+    """Date-histogram aggregation (the Lucene-facets / Elasticsearch
+    date_histogram shape): bucket = truncate(ts, interval), per
+    (bucket, keys...) count + rounded value sum. The bucket is emitted
+    as a STRING (yyyy-MM-dd[ HH:00]) so the oracle compare never
+    depends on timestamp-type hashing.
+
+    One groupBy with map-side partial aggregation — at 100 TB only
+    |buckets x key cardinality| rows reach the shuffle; time-ordered
+    ingest makes the partial combine nearly total."""
+    fmt = {"day": "yyyy-MM-dd", "hour": "yyyy-MM-dd HH:00"}[interval]
+    bucket = F.date_format(F.date_trunc(interval, F.col(ts_col)), fmt).alias("bucket")
+    return (
+        events.groupBy(bucket, *[F.col(k) for k in keys])
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(value_col), 4).alias("sum_value"),
+        )
+        .orderBy("bucket", *keys)
+    )
+
+
+def numeric_range_facets(
+    docs: DataFrame, col: str = "n_chars", width: int = 50
+) -> DataFrame:
+    """Numeric range faceting: fixed-width buckets over a doc-values
+    column, (bucket_lo, n_docs) ordered by bucket. Integer-only; the
+    scan reads just the one column (doc values, never text)."""
+    lo = (F.floor(F.col(col) / width) * width).cast("long").alias("bucket_lo")
+    return (
+        docs.groupBy(lo)
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("bucket_lo")
+    )

@@ -935,3 +935,29 @@ GROUP BY doc_id
 ORDER BY round(sum(sc), {round_to}) DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def date_histogram_sql(interval: str = "day") -> str:
+    """Date-histogram oracle (query/grouping.py date_histogram)."""
+    fmt = {"day": "%Y-%m-%d", "hour": "%Y-%m-%d %H:00"}[interval]
+    return f"""
+SELECT strftime(date_trunc('{interval}', ts), '{fmt}') AS bucket,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY bucket, event_type
+"""
+
+
+def numeric_range_facets_sql(col: str = "n_chars", width: int = 50) -> str:
+    """Numeric range-facet oracle (query/grouping.py
+    numeric_range_facets)."""
+    return f"""
+SELECT (floor({col} / {width}) * {width})::BIGINT AS bucket_lo,
+       count(*)::BIGINT AS n_docs
+FROM documents
+GROUP BY 1
+ORDER BY bucket_lo
+"""
