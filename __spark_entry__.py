@@ -668,6 +668,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return numeric_range_facets(_docs(spark, sf), "n_chars", width=50)
 
+    def q_streamed_histogram(spark, sf):
+        # watermarked windowed agg (append mode): 4 ordered micro-
+        # batches — past events; recent events (advances max event
+        # time); a re-delivered late copy of the earliest event; a
+        # far-future sentinel that flushes every real window. The late
+        # copy rides its own batch because Spark's watermark lags ONE
+        # batch (batch N plans with batch N-1's max ts): a late row in
+        # the same batch as its window's eviction is still merged
+        # (measured on 4.1.2); one batch later it is dropped. The
+        # oracle aggregates the clean batch table: if the late
+        # duplicate reached the sink, its bucket would mismatch by +1.
+        import hashlib
+        import os
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from ocaml_lucene_spark.streaming.histogram import streaming_date_histogram
+
+        import ocaml_lucene_spark as pkg
+
+        key = hashlib.md5(f"{pkg.__version__}|{sf}|shist".encode()).hexdigest()[:10]
+        base = f"/tmp/olspark_entry_shist_{key}"
+        out = os.path.join(base, "out")
+        if _needs_build(base, marker="_done"):
+            src, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
+            os.makedirs(src, exist_ok=True)
+            t = pq.read_table(f"{sf}/events.parquet")
+            t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending")]))
+            cut = int(t.num_rows * 0.6)
+            b0, rest = t.slice(0, cut), t.slice(cut)
+            late = t.slice(0, 1)  # earliest event, re-delivered late
+            late = late.set_column(
+                late.schema.get_field_index("event_id"),
+                "event_id",
+                pa.array([-1], pa.int64()),
+            )
+            max_ts = t.column("ts")[t.num_rows - 1].as_py()
+            import datetime as _dt
+
+            sentinel = pa.table(
+                {
+                    "event_id": pa.array([-2], pa.int64()),
+                    "ts": pa.array([max_ts + _dt.timedelta(days=30)], pa.timestamp("us")),
+                    "user_id": pa.array([0], pa.int64()),
+                    "event_type": pa.array(["sentinel"]),
+                    "value": pa.array([0.0], pa.float64()),
+                    "props": pa.array(["{}"]),
+                }
+            ).cast(t.schema)
+            for i, tb in enumerate((b0, rest, late, sentinel)):
+                p = f"{src}/b{i}.parquet"
+                pq.write_table(tb, p)
+                os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+            stream = (
+                spark.readStream.schema(
+                    "event_id long, ts timestamp, user_id long, "
+                    "event_type string, value double, props string"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            q = (
+                streaming_date_histogram(stream, window="1 hour", watermark="1 hour")
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            with open(os.path.join(base, "_done"), "w") as f:
+                f.write("ok")
+        return spark.read.parquet(out).orderBy("bucket", "event_type")
+
     def q_term_stats_prefix(spark, sf):
         # terms-dict prefix read from the in-memory FST
         from ocaml_lucene_spark.query.exec import term_stats_prefix
@@ -999,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_numeric_range": q_bm25_numeric_range,
         "date_histogram": q_date_histogram,
         "numeric_range_facet": q_numeric_range_facet,
+        "streamed_histogram": q_streamed_histogram,
         # -- flagship query surface (r4-checked, keep within the cap) --
         "bm25_or_top10": q_bm25_or,
         "bm25_and_top10": q_bm25_and,
@@ -1139,6 +1216,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "date_histogram": osql.date_histogram_sql("day"),
         "numeric_range_facet": osql.numeric_range_facets_sql("n_chars", 50),
+        # the streaming path must converge to the batch aggregation of
+        # the CLEAN table: the late duplicate (dropped by the watermark)
+        # and the flush sentinel are not in events.parquet, so any
+        # late-row leak shows up as a +1 mismatch
+        "streamed_histogram": osql.date_histogram_sql("hour"),
         "term_stats_fst": osql.term_stats_sql(),
         "term_stats_prefix": osql.term_stats_prefix_sql("s"),
         "term_stats_range": osql.term_stats_range_sql("f", "m"),
