@@ -744,6 +744,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 f.write("ok")
         return spark.read.parquet(out).orderBy("bucket", "event_type")
 
+    def q_match_stats(spark, sf):
+        # ES-style stats agg: min/max/avg of n_chars over the
+        # conjunctive match set (one row; semi-join + global aggregate)
+        from ocaml_lucene_spark.query.grouping import match_stats
+
+        return match_stats(_docs(spark, sf), ["table", "scan"], "n_chars")
+
+    def q_bm25_parent_join(spark, sf):
+        # Lucene join module (ToParentBlockJoinQuery): child BM25 scores
+        # rolled up per parent (source), score_mode=sum with a
+        # doc_id-ordered fold on BOTH sides
+        from ocaml_lucene_spark.query.grouping import bm25_parent_join_topk
+
+        return bm25_parent_join_topk(
+            _docs(spark, sf), ["table", "hash", "dup"], "source", "sum", k=10
+        )
+
+    def q_explain_score(spark, sf):
+        # IndexSearcher.explain: per-term factor breakdown (tf, df, dl,
+        # idf, tfn, contribution) for one document
+        return bm25.explain_score(_docs(spark, sf), ["table", "hash", "dup"], doc_id=7)
+
     def q_term_stats_prefix(spark, sf):
         # terms-dict prefix read from the in-memory FST
         from ocaml_lucene_spark.query.exec import term_stats_prefix
@@ -1034,8 +1056,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the previous round's freshly-checked head moves to the tail.
     # Round-5 order: (1) the 19 entries cut from the r4 run; (2) the two
     # rows fixed this round (bigram ordering, multimodal oracle);
-    # (3) the 7 NEW rows (wildcard_suffix, suggest, collapse, facets,
-    # similarity) — never driver-checked, so they must make the cap;
+    # (3) the 15 NEW rows (wildcard_suffix, suggest, collapse, facets,
+    # similarities, synonym, numeric range, aggregations, streamed
+    # histogram) — never driver-checked, so they must make the cap;
     # (4) r4-checked rows, flagship surface first, with the most
     # redundant (subsumed-by-a-stronger-variant) entries last.
     qs = {
@@ -1075,6 +1098,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_numeric_range": q_bm25_numeric_range,
         "date_histogram": q_date_histogram,
         "numeric_range_facet": q_numeric_range_facet,
+        "match_stats": q_match_stats,
+        "bm25_parent_join": q_bm25_parent_join,
+        "explain_score": q_explain_score,
         "streamed_histogram": q_streamed_histogram,
         # -- flagship query surface (r4-checked, keep within the cap) --
         "bm25_or_top10": q_bm25_or,
@@ -1216,6 +1242,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "date_histogram": osql.date_histogram_sql("day"),
         "numeric_range_facet": osql.numeric_range_facets_sql("n_chars", 50),
+        "match_stats": osql.match_stats_sql(["table", "scan"], "n_chars"),
+        "bm25_parent_join": osql.bm25_parent_join_sql(
+            ["table", "hash", "dup"], "source", "sum", k=10
+        ),
+        "explain_score": osql.explain_score_sql(["table", "hash", "dup"], doc_id=7),
         # the streaming path must converge to the batch aggregation of
         # the CLEAN table: the late duplicate (dropped by the watermark)
         # and the flush sentinel are not in events.parquet, so any

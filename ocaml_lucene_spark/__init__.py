@@ -34,4 +34,4 @@ Package map:
 # no longer defaultParallelism — docIDs are now identical across
 # cluster sizes. Bump invalidates version-keyed packed caches so a
 # resume never mixes old- and new-scheme ids in one index.
-__version__ = "0.4.2"
+__version__ = "0.4.3"

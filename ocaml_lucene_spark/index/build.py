@@ -46,10 +46,16 @@ DEFAULT_SALT_DF_THRESHOLD = 50_000
 DEFAULT_N_SALTS = 16
 
 # docID-assignment partition sizing: input-derived, NEVER
-# cluster-derived (see assign_doc_ids). ~250k urls per id partition
-# keeps the within-partition sort executor-comfortable; the cap bounds
-# task count at extreme scale.
-URLS_PER_ID_PARTITION = 250_000
+# cluster-derived (see assign_doc_ids). ~6.25k urls per id partition:
+# fine enough that the id shuffle+sort parallelizes on any plausible
+# core count even for SMALL corpora (the 250k round-5 default made the
+# id stage a 2-task serial section at 100k docs — measured 0.55 vs
+# 0.74 on the 2->8 scaling pair); above ~200M urls the cap takes over
+# and per-partition size grows with the corpus, exactly as before.
+# Any divisor preserves the cluster-size-independence invariant (n is
+# a pure function of the url count), but CHANGING it renumbers ids —
+# bump __version__ when touching this.
+URLS_PER_ID_PARTITION = 6_250
 MAX_ID_PARTITIONS = 32_768
 
 
@@ -119,7 +125,19 @@ def assign_doc_ids(docs: DataFrame, id_partitions: int | None = None) -> DataFra
             arrays = [rb.column(rb.schema.get_field_index(f)) for f in keep]
             yield pa.RecordBatch.from_arrays(arrays + [ids], names=keep + ["doc_id"])
 
-    return parted.mapInArrow(enumerate_partition, out_schema)
+    out = parted.mapInArrow(enumerate_partition, out_schema)
+    # The id-partition count is INPUT-derived (it must be, for id
+    # determinism), so a small corpus can land far fewer partitions
+    # than the cluster has cores — and every CPU-heavy map downstream
+    # (tokenize, explode) would inherit that width: measured 16s -> 24s+
+    # at local[8] on the 100k-doc bench when n collapsed to 2. The ids
+    # are already materialized by the enumeration map, so a round-robin
+    # repartition here restores compute parallelism without touching
+    # the id map. At cluster scale n >= cores and this is a no-op.
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if n < target:
+        out = out.repartition(target)
+    return out
 
 
 def build_index(

@@ -348,3 +348,47 @@ def phrase_counts_multi(
         )
         cur = cur.join(nxt, ["doc_id", "p"])
     return cur.groupBy("doc_id").agg(F.count("*").alias("n_phrase"))
+
+
+def explain_score(
+    docs: DataFrame,
+    terms: list[str],
+    doc_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> DataFrame:
+    """IndexSearcher.explain analogue: the per-term BM25 breakdown for
+    ONE document — (term, tf, df, dl, idf, tfn, contribution) rows,
+    ordered by term. The factors are the exact intermediates of
+    bm25_topk's score expression (idf and tfn rounded for display; the
+    contribution is computed from the UNROUNDED factors then rounded,
+    like every score in the engine), so the sum of contributions
+    reproduces the doc's ranked score.
+
+    Plan note: df/N/avgdl must be CORPUS-wide, so the stats legs are
+    unchanged; only the tf leg filters to the one doc — at scale the
+    doc filter reaches the scan while the tiny df/stats aggregates
+    broadcast, so explaining one doc costs one pruned pass, not a
+    full query."""
+    terms = list(dict.fromkeys(terms))
+    tf = candidate_tf(docs, terms, id_col, text_col)
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = corpus_stats(docs, id_col, text_col)
+    one = tf.filter(F.col("doc_id") == doc_id)
+    idf = idf_expr(F.col("n_docs").cast("double"), F.col("df").cast("double"))
+    tfn = tfn_expr(F.col("tf").cast("double"), F.col("dl").cast("double"), F.col("avgdl"))
+    return (
+        one.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.col("dl").cast("long").alias("dl"),
+            F.round(idf, round_to).alias("idf"),
+            F.round(tfn, round_to).alias("tfn"),
+            F.round(idf * tfn, round_to).alias("contribution"),
+        )
+        .orderBy("term")
+    )

@@ -217,3 +217,90 @@ def numeric_range_facets(
         .agg(F.count("*").alias("n_docs"))
         .orderBy("bucket_lo")
     )
+
+
+def match_stats(
+    docs: DataFrame,
+    must: list[str],
+    stat_col: str = "n_chars",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Stats aggregation over the match set (the Elasticsearch `stats`
+    agg): one row of (n_docs, min/max/avg of a doc-values column) for
+    the docs containing ALL ``must`` terms. The match set never leaves
+    the executors — a semi-join into the 2-column (id, stat) projection
+    feeds one global aggregate (partial + final)."""
+    must = list(dict.fromkeys(must))
+    if not must:
+        raise ValueError("match_stats needs at least one must term")
+    tf = candidate_tf(docs, must, id_col, text_col)
+    match = (
+        tf.groupBy("doc_id")
+        .agg(F.count("*").alias("nt"))
+        .filter(F.col("nt") == len(must))
+        .select("doc_id")
+    )
+    vals = docs.select(F.col(id_col).alias("doc_id"), F.col(stat_col).alias("v"))
+    return match.join(vals, "doc_id").agg(
+        F.count("*").alias("n_docs"),
+        F.min("v").alias("min_val"),
+        F.max("v").alias("max_val"),
+        F.round(F.avg("v"), 4).alias("avg_val"),
+    )
+
+
+def bm25_parent_join_topk(
+    docs: DataFrame,
+    terms: list[str],
+    parent_col: str = "source",
+    score_mode: str = "sum",
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> DataFrame:
+    """Parent block join (Lucene join module, ToParentBlockJoinQuery):
+    score CHILD docs with the disjunctive BM25, then rank PARENTS by an
+    aggregate of their children's scores — score_mode 'sum' | 'avg' |
+    'max' | 'min', Lucene's ScoreMode values. Returns
+    (parent, score, n_children) ordered (score desc, parent asc).
+
+    Determinism: child scores are rounded BEFORE the parent aggregate
+    (the per-doc fold contract makes them bit-identical to the oracle),
+    and sum/avg fold over children in doc_id order via a sorted-array
+    aggregate, so parent totals never depend on partitioning. avg is
+    additionally rounded after division.
+
+    Plan: the child score agg reuses bm25's one doc_id shuffle; the
+    parent rollup is ONE groupBy on the parent key (same shuffle any
+    per-parent agg needs). No driver-side state."""
+    if score_mode not in ("sum", "avg", "max", "min"):
+        raise ValueError(score_mode)
+    scores = _bm25_doc_scores(docs, terms, id_col, text_col, round_to)
+    parents = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(parent_col).alias("parent")
+    )
+    joined = scores.join(parents, "doc_id")
+    ordered_sum = F.aggregate(
+        F.sort_array(F.collect_list(F.struct(F.col("doc_id"), F.col("score")))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["score"],
+    )
+    agg = joined.groupBy("parent").agg(
+        ordered_sum.alias("_sum"),
+        F.max("score").alias("_max"),
+        F.min("score").alias("_min"),
+        F.count("*").alias("n_children"),
+    )
+    expr = {
+        "sum": F.round(F.col("_sum"), round_to),
+        "avg": F.round(F.col("_sum") / F.col("n_children"), round_to),
+        "max": F.col("_max"),
+        "min": F.col("_min"),
+    }[score_mode]
+    return (
+        agg.select("parent", expr.alias("score"), "n_children")
+        .orderBy(F.desc("score"), F.asc("parent"))
+        .limit(k)
+    )

@@ -961,3 +961,108 @@ FROM documents
 GROUP BY 1
 ORDER BY bucket_lo
 """
+
+
+def match_stats_sql(must: list[str], stat_col: str = "n_chars") -> str:
+    """Stats-agg oracle (query/grouping.py match_stats)."""
+    must = list(dict.fromkeys(must))
+    return f"""
+WITH {TOKS_CTE},
+hit AS (
+  SELECT doc_id
+  FROM (SELECT DISTINCT doc_id, unnest(t) AS term FROM base)
+  WHERE term IN {_terms_in(must)}
+  GROUP BY doc_id HAVING count(*) = {len(must)}
+)
+SELECT count(*)::BIGINT AS n_docs,
+       min(d.{stat_col}) AS min_val,
+       max(d.{stat_col}) AS max_val,
+       round(avg(d.{stat_col}), 4) AS avg_val
+FROM hit JOIN documents d USING (doc_id)
+"""
+
+
+def bm25_parent_join_sql(
+    terms: list[str],
+    parent_col: str = "source",
+    score_mode: str = "sum",
+    k: int = 10,
+    round_to: int = 4,
+) -> str:
+    """Parent-block-join oracle (query/grouping.py
+    bm25_parent_join_topk): per-doc rounded BM25 -> per-parent
+    aggregate; sum/avg fold children in doc_id order (list_sort +
+    list_reduce mirrors the engine's sorted-array fold)."""
+    terms = list(dict.fromkeys(terms))
+    mode_expr = {
+        "sum": f"round(osum, {round_to})",
+        "avg": f"round(osum / n_children, {round_to})",
+        "max": "omax",
+        "min": "omin",
+    }[score_mode]
+    return f"""
+WITH {TOKS_CTE},
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM base),
+tf AS (
+  SELECT doc_id, term, dl, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(t) AS term FROM base)
+  WHERE term IN {_terms_in(terms)}
+  GROUP BY doc_id, term, dl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n - df + 0.5) / (df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl)) AS sc
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+),
+per_doc AS (
+  SELECT doc_id, round(sum(sc), {round_to}) AS score FROM scored GROUP BY doc_id
+),
+per_parent AS (
+  SELECT d.{parent_col} AS parent,
+         list_reduce(
+           list_prepend(0.0::DOUBLE,
+             [x.score FOR x IN list_sort(list(struct_pack(doc_id := p.doc_id, score := p.score)))]),
+           (acc, v) -> acc + v
+         ) AS osum,
+         max(p.score) AS omax,
+         min(p.score) AS omin,
+         count(*)::BIGINT AS n_children
+  FROM per_doc p JOIN documents d USING (doc_id)
+  GROUP BY d.{parent_col}
+)
+SELECT parent, {mode_expr} AS score, n_children
+FROM per_parent
+ORDER BY score DESC, parent ASC
+LIMIT {k}
+"""
+
+
+def explain_score_sql(terms: list[str], doc_id: int, round_to: int = 4) -> str:
+    """Explain oracle (query/bm25.py explain_score): the same factor
+    algebra recomputed independently for one document."""
+    terms = list(dict.fromkeys(terms))
+    return f"""
+WITH {TOKS_CTE},
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM base),
+tf AS (
+  SELECT doc_id, term, dl, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(t) AS term FROM base)
+  WHERE term IN {_terms_in(terms)}
+  GROUP BY doc_id, term, dl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT tf.term,
+       tf.tf::BIGINT AS tf,
+       df::BIGINT AS df,
+       tf.dl::BIGINT AS dl,
+       round(ln(1.0 + (s.n - df + 0.5) / (df + 0.5)), {round_to}) AS idf,
+       round((tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl)), {round_to}) AS tfn,
+       round(ln(1.0 + (s.n - df + 0.5) / (df + 0.5))
+             * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl)),
+             {round_to}) AS contribution
+FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+WHERE tf.doc_id = {doc_id}
+ORDER BY tf.term
+"""

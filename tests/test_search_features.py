@@ -154,3 +154,48 @@ def test_synonym_blends_stats_sum_tf_max_df(docs):
     )[:20]
     got = [(r.score, r.doc_id) for r in bm25_topk_synonym(docs, ["join", "merge"], k=20).collect()]
     assert got == [(s, d) for s, d in want]
+
+
+def test_parent_join_modes_match_python_reference(docs):
+    import math
+
+    scores = {
+        r.doc_id: r.score
+        for r in grouping._bm25_doc_scores(docs, TERMS, round_to=4).collect()
+    }
+    parent_of = {r.doc_id: r.source for r in docs.select("doc_id", "source").collect()}
+    groups = {}
+    for d in sorted(scores):
+        groups.setdefault(parent_of[d], []).append(scores[d])
+    for mode, red in (
+        ("sum", lambda v: round(math.fsum([]) + sum(v), 4)),
+        ("avg", lambda v: round(sum(v) / len(v), 4)),
+        ("max", max),
+        ("min", min),
+    ):
+        got = [
+            (r.parent, r.score, r.n_children)
+            for r in grouping.bm25_parent_join_topk(
+                docs, TERMS, "source", mode, k=1000
+            ).collect()
+        ]
+        want = sorted(
+            ((p, red(v), len(v)) for p, v in groups.items()),
+            key=lambda x: (-x[1], x[0]),
+        )
+        assert got == want, mode
+
+
+def test_explain_contributions_reproduce_ranked_score(docs):
+    from ocaml_lucene_spark.query.bm25 import explain_score
+
+    ranked = {r.doc_id: r.score for r in bm25_topk(docs, TERMS, k=1000, round_to=4).collect()}
+    doc = sorted(ranked)[0]
+    rows = explain_score(docs, TERMS, doc).collect()
+    assert rows, "doc must match at least one term"
+    # contributions are rounded individually; the ranked score rounds
+    # the unrounded sum — allow only rounding slack
+    assert abs(sum(r.contribution for r in rows) - ranked[doc]) < 5e-4 * len(rows)
+    for r in rows:
+        assert r.tf >= 1 and r.df >= 1 and r.dl > 0
+        assert abs(r.idf * r.tfn - r.contribution) < 5e-4
