@@ -271,7 +271,13 @@ def _ivf_kmeans_centroids(sf_dir: str, k: int = 4, n_iters: int = 3) -> list[lis
     return _KMEANS_CACHE[key]
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """ordered=True (the driver's contract) wraps every _CANON_ORDER
+    entry in the canonical all-columns sort the order-sensitive value
+    hash needs. bench.py passes ordered=False: the sort exists ONLY for
+    the gate hash, and timing it would fold a gate artifact into the
+    operator benchmarks (term_stats, dedup_exact, ... would each pay a
+    phantom global sort)."""
     from ocaml_lucene_spark.functions import textstats
     from ocaml_lucene_spark.operators import ann, dedup
     from ocaml_lucene_spark.query import bm25
@@ -576,10 +582,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_bm25_wildcard_suffix(spark, sf):
-        # leading-'*' WildcardQuery '*ble': no usable literal prefix, so
-        # this exercises the automaton∩FST walk (structural pruning
-        # instead of a dictionary scan); the oracle is an independent
-        # LIKE '%ble' translation
+        # leading-'*' WildcardQuery '*ble': no usable literal prefix —
+        # the automaton∩FST walk stays correct with zero Spark jobs but
+        # the '.*' head keeps the loop state alive, so it visits the
+        # full dictionary (Lucene's own leading-wildcard caveat); the
+        # oracle is an independent LIKE '%ble' translation
         from ocaml_lucene_spark.query.exec import bm25_topk_wildcard
 
         return bm25_topk_wildcard(
@@ -765,6 +772,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # IndexSearcher.explain: per-term factor breakdown (tf, df, dl,
         # idf, tfn, contribution) for one document
         return bm25.explain_score(_docs(spark, sf), ["table", "hash", "dup"], doc_id=7)
+
+    def q_complete_prefix(spark, sf):
+        # completion suggester: popularity-ranked autocomplete off the
+        # FST prefix subtree (zero Spark jobs); oracle re-expands via
+        # LIKE independently
+        from ocaml_lucene_spark.query.suggest import complete_prefix
+
+        return complete_prefix(spark, _ensure_index(spark, sf), "s", k=10)
 
     def q_term_stats_prefix(spark, sf):
         # terms-dict prefix read from the in-memory FST
@@ -1056,7 +1071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the previous round's freshly-checked head moves to the tail.
     # Round-5 order: (1) the 19 entries cut from the r4 run; (2) the two
     # rows fixed this round (bigram ordering, multimodal oracle);
-    # (3) the 15 NEW rows (wildcard_suffix, suggest, collapse, facets,
+    # (3) the 16 NEW rows (wildcard_suffix, suggest, collapse, facets,
     # similarities, synonym, numeric range, aggregations, streamed
     # histogram) — never driver-checked, so they must make the cap;
     # (4) r4-checked rows, flagship surface first, with the most
@@ -1099,6 +1114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_histogram": q_date_histogram,
         "numeric_range_facet": q_numeric_range_facet,
         "match_stats": q_match_stats,
+        "complete_prefix": q_complete_prefix,
         "bm25_parent_join": q_bm25_parent_join,
         "explain_score": q_explain_score,
         "streamed_histogram": q_streamed_histogram,
@@ -1154,6 +1170,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embed_near_dup,
         "embedding_near_dup_indexed": q_embed_near_dup_indexed,
     }
+    if not ordered:
+        return qs
     return {k: (_canonical(v) if k in _CANON_ORDER else v) for k, v in qs.items()}
 
 
@@ -1243,6 +1261,7 @@ def oracle_sql() -> dict[str, str]:
         "date_histogram": osql.date_histogram_sql("day"),
         "numeric_range_facet": osql.numeric_range_facets_sql("n_chars", 50),
         "match_stats": osql.match_stats_sql(["table", "scan"], "n_chars"),
+        "complete_prefix": osql.complete_prefix_sql("s", k=10),
         "bm25_parent_join": osql.bm25_parent_join_sql(
             ["table", "hash", "dup"], "source", "sum", k=10
         ),

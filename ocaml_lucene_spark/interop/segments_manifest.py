@@ -32,6 +32,7 @@ selection).
 from __future__ import annotations
 
 import os
+import re
 
 CODEC_MAGIC = 0x3FD76C17
 FOOTER_MAGIC = ~CODEC_MAGIC & 0xFFFFFFFF
@@ -176,10 +177,20 @@ def latest_segments_file(dir_path: str) -> str:
     find-first is a quirk we do NOT replicate — see module docstring)."""
     best, best_gen = None, -1
     for name in os.listdir(dir_path):
-        if not name.startswith("segments"):
+        # strictly 'segments' (gen 0) or 'segments_<base36>' — anything
+        # else ('segments.gen', 'segments_2.tmp', editor backups) is NOT
+        # a commit point and must neither crash the parse nor win
+        if name == "segments":
+            gen = 0
+        elif name.startswith("segments_"):
+            suffix = name[len("segments_"):]
+            # Lucene emits Long.toString(gen, 36): lowercase base36
+            # digits only (int() alone would admit '+1' or '1_0')
+            if not re.fullmatch(r"[0-9a-z]+", suffix):
+                continue
+            gen = int(suffix, 36)
+        else:
             continue
-        suffix = name[len("segments_"):] if name.startswith("segments_") else ""
-        gen = int(suffix, 36) if suffix else 0
         if gen > best_gen:
             best, best_gen = name, gen
     if best is None:

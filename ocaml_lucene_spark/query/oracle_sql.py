@@ -1066,3 +1066,23 @@ FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
 WHERE tf.doc_id = {doc_id}
 ORDER BY tf.term
 """
+
+
+def complete_prefix_sql(prefix: str, k: int = 10) -> str:
+    """Completion-suggester oracle (query/suggest.py complete_prefix):
+    independent LIKE-prefix expansion over the tokenize-and-aggregate
+    df table, ranked (df desc, term asc)."""
+    pq = _like_prefix(prefix)
+    return f"""
+WITH {TOKS_CTE},
+tf AS (
+  SELECT doc_id, term
+  FROM (SELECT doc_id, unnest(t) AS term FROM base)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
+SELECT term, df FROM dfreq
+WHERE term LIKE '{pq}' ESCAPE '\\'
+ORDER BY df DESC, term ASC
+LIMIT {k}
+"""

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .bm25 import _query_order_sum, candidate_tf, corpus_stats, tfn_expr
+from .bm25 import _query_order_sum, candidate_tf, corpus_stats, idf_expr, tfn_expr
 
 
 def tfidf_classic_topk(
@@ -90,11 +90,8 @@ def bm25_topk_boosted(
     tf = candidate_tf(docs, terms, id_col, text_col)
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     stats = corpus_stats(docs, id_col, text_col)
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs").cast("double") - F.col("df") + 0.5)
-        / (F.col("df").cast("double") + 0.5)
-    )
+    # the ONE canonical BM25 idf (bm25.idf_expr) — never inline a copy
+    idf = idf_expr(F.col("n_docs").cast("double"), F.col("df").cast("double"))
     boost = F.create_map(
         *[x for t, b in boosts.items() for x in (F.lit(t), F.lit(float(b)))]
     )[F.col("term")]

@@ -45,3 +45,25 @@ def spell_suggest(
         key=lambda r: (-r[1], r[0]),
     )[:k]
     return spark.createDataFrame(rows, "term string, df long")
+
+
+def complete_prefix(
+    spark: SparkSession,
+    index_dir: str,
+    prefix: str,
+    k: int = 10,
+) -> DataFrame:
+    """Completion suggester (Lucene suggest module's Analyzing/
+    FSTCompletion shape): top-k dictionary terms extending ``prefix``,
+    ranked (df desc, term asc) — the popularity-weighted autocomplete
+    ordering. The candidate walk is the FST prefix-subtree enumeration
+    PrefixQuery already uses (zero Spark jobs); only the ranking
+    differs (popularity, not score expansion)."""
+    from .term_index import prefix_stats_mem
+
+    stats = prefix_stats_mem(index_dir, prefix)
+    rows = sorted(
+        ((t, int(df)) for t, (df, _ttf) in stats.items()),
+        key=lambda r: (-r[1], r[0]),
+    )[:k]
+    return spark.createDataFrame(rows, "term string, df long")

@@ -162,8 +162,12 @@ def wildcard_stats_mem(
     else literal), from the in-memory dictionaries with zero Spark
     jobs. The pattern translates to an anchored regex (by construction
     inside regex_nfa's supported subset), so the walk is the same
-    automaton∩FST intersection as RegexpQuery — a leading-'*' pattern
-    prunes by suffix structure instead of scanning the dictionary."""
+    automaton∩FST intersection as RegexpQuery. Note the honest cost
+    model (same as Lucene's): a pattern with a literal head kills whole
+    subtrees early, but a leading-'*' keeps the '.*' loop state alive
+    on every byte, so the walk visits the full dictionary — correct,
+    zero-Spark-jobs, but O(vocab), exactly like Lucene's own
+    leading-wildcard caveat."""
     import re
 
     from ..fst.regex_nfa import compile_nfa

@@ -488,3 +488,28 @@ def test_lz4_compressed_bytes_golden_stream():
     ).encode()
     assert len(expected) == 245
     assert lz4.decompress(data, 245) == expected
+
+
+def test_latest_segments_file_ignores_non_commit_names():
+    """Only 'segments' (gen 0) and 'segments_<base36>' are commit
+    points: temp/backup files ('segments_2.tmp'), 'segments.gen', and
+    int()-quirk names ('segments_+1', 'segments_1_0') must neither
+    crash the scan nor outrank a real generation."""
+    import os
+    import tempfile
+
+    import pytest as _pytest
+
+    from ocaml_lucene_spark.interop.segments_manifest import latest_segments_file
+
+    with tempfile.TemporaryDirectory() as d:
+        for name in (
+            "segments_1", "segments_2.tmp", "segments.gen",
+            "segments_+1", "segments_1_0", "segmentsFoo", "segments_A",
+        ):
+            with open(os.path.join(d, name), "wb") as f:
+                f.write(b"x")
+        assert latest_segments_file(d) == "segments_1"
+        os.remove(os.path.join(d, "segments_1"))
+        with _pytest.raises(FileNotFoundError):
+            latest_segments_file(d)
