@@ -781,6 +781,27 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
 
         return complete_prefix(spark, _ensure_index(spark, sf), "s", k=10)
 
+    def q_rescore(spark, sf):
+        # QueryRescorer / retrieve-then-rerank: BM25 top-100 candidates
+        # re-scored by alpha*bm25 + beta*cosine(query embedding) — the
+        # lexical+dense bridge; candidates broadcast against embeddings
+        from ocaml_lucene_spark.query.rescore import rescore_topk
+
+        return rescore_topk(
+            _docs(spark, sf), _vecs(spark, sf), ["table", "hash", "dup"],
+            _query_vec(sf), n_first=100, k=10, alpha=1.0, beta=0.5,
+        )
+
+    def q_rrf_fusion(spark, sf):
+        # hybrid search: reciprocal rank fusion of the BM25 and cosine
+        # rankings (rank-based — no score-scale calibration)
+        from ocaml_lucene_spark.query.rescore import rrf_fusion_topk
+
+        return rrf_fusion_topk(
+            _docs(spark, sf), _vecs(spark, sf), ["table", "hash", "dup"],
+            _query_vec(sf), n_each=100, k=10,
+        )
+
     def q_term_stats_prefix(spark, sf):
         # terms-dict prefix read from the in-memory FST
         from ocaml_lucene_spark.query.exec import term_stats_prefix
@@ -1071,7 +1092,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # the previous round's freshly-checked head moves to the tail.
     # Round-5 order: (1) the 19 entries cut from the r4 run; (2) the two
     # rows fixed this round (bigram ordering, multimodal oracle);
-    # (3) the 16 NEW rows (wildcard_suffix, suggest, collapse, facets,
+    # (3) the 18 NEW rows (wildcard_suffix, suggest, collapse, facets,
     # similarities, synonym, numeric range, aggregations, streamed
     # histogram) — never driver-checked, so they must make the cap;
     # (4) r4-checked rows, flagship surface first, with the most
@@ -1115,6 +1136,8 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "numeric_range_facet": q_numeric_range_facet,
         "match_stats": q_match_stats,
         "complete_prefix": q_complete_prefix,
+        "rescore_topk": q_rescore,
+        "rrf_fusion": q_rrf_fusion,
         "bm25_parent_join": q_bm25_parent_join,
         "explain_score": q_explain_score,
         "streamed_histogram": q_streamed_histogram,
@@ -1262,6 +1285,12 @@ def oracle_sql() -> dict[str, str]:
         "numeric_range_facet": osql.numeric_range_facets_sql("n_chars", 50),
         "match_stats": osql.match_stats_sql(["table", "scan"], "n_chars"),
         "complete_prefix": osql.complete_prefix_sql("s", k=10),
+        "rescore_topk": osql.rescore_topk_sql(
+            ["table", "hash", "dup"], qv, n_first=100, k=10, alpha=1.0, beta=0.5
+        ),
+        "rrf_fusion": osql.rrf_fusion_sql(
+            ["table", "hash", "dup"], qv, n_each=100, k=10
+        ),
         "bm25_parent_join": osql.bm25_parent_join_sql(
             ["table", "hash", "dup"], "source", "sum", k=10
         ),

@@ -1086,3 +1086,115 @@ WHERE term LIKE '{pq}' ESCAPE '\\'
 ORDER BY df DESC, term ASC
 LIMIT {k}
 """
+
+
+def _cos_sql(a: str, b: str) -> str:
+    # textual mirror of oracle_sql_ops._cos (kept in lockstep)
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), p -> p[1]::DOUBLE * p[2]::DOUBLE)) / "
+        f"(sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE))) * "
+        f"sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE))))"
+    )
+
+
+def _bm25_topn_cte(terms: list[str], n: int, round_to: int = 4) -> str:
+    """Reusable CTE body: (doc_id, score) = disjunctive BM25 top-n."""
+    terms = list(dict.fromkeys(terms))
+    return f"""
+{TOKS_CTE},
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM base),
+tf AS (
+  SELECT doc_id, term, dl, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(t) AS term FROM base)
+  WHERE term IN {_terms_in(terms)}
+  GROUP BY doc_id, term, dl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n - df + 0.5) / (df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl)) AS sc
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+),
+bm25 AS (
+  SELECT doc_id, round(sum(sc), {round_to}) AS score
+  FROM scored GROUP BY doc_id
+  ORDER BY round(sum(sc), {round_to}) DESC, doc_id ASC
+  LIMIT {n}
+)"""
+
+
+def rescore_topk_sql(
+    terms: list[str],
+    query_vec: list[float],
+    n_first: int = 100,
+    k: int = 10,
+    alpha: float = 1.0,
+    beta: float = 0.5,
+    round_to: int = 4,
+) -> str:
+    """QueryRescorer oracle (query/rescore.py rescore_topk)."""
+    q = "[" + ", ".join(repr(float(x)) for x in query_vec) + "]::DOUBLE[]"
+    return f"""
+WITH {_bm25_topn_cte(terms, n_first, round_to)},
+qv AS (SELECT {q} AS v),
+emb AS (
+  SELECT vec_id AS doc_id, round({_cos_sql("embedding", "qv.v")}, {round_to}) AS sim
+  FROM embeddings, qv
+)
+SELECT b.doc_id,
+       round({float(alpha)!r}::DOUBLE * b.score + {float(beta)!r}::DOUBLE * coalesce(e.sim, 0.0), {round_to}) AS score,
+       b.score AS bm25,
+       coalesce(e.sim, 0.0) AS sim
+FROM bm25 b LEFT JOIN emb e USING (doc_id)
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def rrf_fusion_sql(
+    terms: list[str],
+    query_vec: list[float],
+    n_each: int = 100,
+    k: int = 10,
+    rrf_k: int = 60,
+    round_to: int = 6,
+) -> str:
+    """RRF oracle (query/rescore.py rrf_fusion_topk): rank CTEs with
+    the same (score desc, doc_id) tie-break, absent ranks = 0."""
+    q = "[" + ", ".join(repr(float(x)) for x in query_vec) + "]::DOUBLE[]"
+    return f"""
+WITH {_bm25_topn_cte(terms, n_each, 4)},
+lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS bm25_rank
+  FROM bm25
+),
+qv AS (SELECT {q} AS v),
+emb AS (
+  SELECT vec_id AS doc_id, round({_cos_sql("embedding", "qv.v")}, 4) AS sim
+  FROM embeddings, qv
+  ORDER BY sim DESC, doc_id ASC
+  LIMIT {n_each}
+),
+dense AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY sim DESC, doc_id ASC) AS sim_rank
+  FROM emb
+),
+fused AS (
+  SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+         coalesce(l.bm25_rank, 0)::INT AS bm25_rank,
+         coalesce(d.sim_rank, 0)::INT AS sim_rank
+  FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+)
+SELECT doc_id,
+       round(
+         (CASE WHEN bm25_rank > 0 THEN 1.0::DOUBLE / ({rrf_k} + bm25_rank) ELSE 0.0::DOUBLE END)
+         + (CASE WHEN sim_rank > 0 THEN 1.0::DOUBLE / ({rrf_k} + sim_rank) ELSE 0.0::DOUBLE END),
+         {round_to}) AS score,
+       bm25_rank, sim_rank
+FROM fused
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""

@@ -1,0 +1,136 @@
+"""Two-stage retrieval: rescoring and hybrid rank fusion.
+
+The retrieve-then-rerank shape every modern search / LLM-data
+pipeline uses, and Lucene's own QueryRescorer contract: a cheap
+first pass produces a small candidate set; only those candidates pay
+the expensive second scorer.
+
+- rescore_topk: BM25 top-N candidates re-scored by
+  alpha * bm25 + beta * cosine(query_vec, embedding) — lexical
+  retrieval refined by a dense signal (the bridge between this
+  engine's full-text and ANN halves).
+- rrf_fusion_topk: reciprocal rank fusion (Cormack et al., the
+  standard hybrid-search combiner): each doc scores
+  sum_i 1/(rrf_k + rank_i) over the lexical and dense rankings;
+  rank-based, so no score-scale calibration is needed.
+
+Scale shape: the candidate set (N ≈ 100) is driver-tiny, so Spark
+broadcasts it against the embeddings table — the dense pass costs a
+pruned scan + broadcast join proportional to the candidates, never a
+full-corpus score. Determinism: both stages round before combining
+(rounded inputs + exact-binary weights → bit-identical combination on
+both sides), ranks tie-break on doc_id, and the fused output orders
+(score desc, doc_id asc).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..operators.ann import cosine_col
+from .bm25 import bm25_topk
+
+
+def _cosine_frame(
+    vecs: DataFrame, query_vec: list[float], round_to: int, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return vecs.select(
+        F.col(id_col).alias("doc_id"),
+        F.round(cosine_col(F.col(vec_col), q), round_to).alias("sim"),
+    )
+
+
+def rescore_topk(
+    docs: DataFrame,
+    vecs: DataFrame,
+    terms: list[str],
+    query_vec: list[float],
+    n_first: int = 100,
+    k: int = 10,
+    alpha: float = 1.0,
+    beta: float = 0.5,
+    round_to: int = 4,
+) -> DataFrame:
+    """QueryRescorer: BM25 top-``n_first`` (deterministic cut on
+    (score desc, doc_id)), then combined = alpha*bm25 + beta*cosine
+    over ONLY those candidates; docs without an embedding keep
+    sim = 0 (combined falls back to the scaled first-pass score).
+    Returns (doc_id, score, bm25, sim) ordered (score desc, doc_id).
+    Use exact-binary alpha/beta (1.0, 0.5, 0.25 ...) so the combine is
+    bit-identical to the SQL oracle."""
+    first = bm25_topk(docs, terms, "or", k=n_first, round_to=round_to)
+    emb = _cosine_frame(vecs, query_vec, round_to)
+    joined = first.join(emb, "doc_id", "left").withColumn(
+        "sim", F.coalesce(F.col("sim"), F.lit(0.0))
+    )
+    return (
+        joined.select(
+            "doc_id",
+            F.round(alpha * F.col("score") + beta * F.col("sim"), round_to).alias(
+                "combined"
+            ),
+            F.col("score").alias("bm25"),
+            "sim",
+        )
+        .withColumnRenamed("combined", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def rrf_fusion_topk(
+    docs: DataFrame,
+    vecs: DataFrame,
+    terms: list[str],
+    query_vec: list[float],
+    n_each: int = 100,
+    k: int = 10,
+    rrf_k: int = 60,
+    round_to: int = 6,
+) -> DataFrame:
+    """Reciprocal rank fusion of the lexical (BM25) and dense (cosine)
+    rankings: score(d) = sum over rankings of 1/(rrf_k + rank_d), with
+    rank 1-based within each top-``n_each`` list and absent docs
+    contributing 0. Returns (doc_id, score, bm25_rank, sim_rank) with
+    absent ranks as 0 (integer-only rank columns keep the hash clean).
+    """
+    lex = (
+        bm25_topk(docs, terms, "or", k=n_each, round_to=4)
+        .withColumn(
+            "bm25_rank",
+            F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))),
+        )
+        .select("doc_id", "bm25_rank")
+    )
+    dense = (
+        _cosine_frame(vecs, query_vec, round_to=4)
+        .orderBy(F.desc("sim"), F.asc("doc_id"))
+        .limit(n_each)
+        .withColumn(
+            "sim_rank",
+            F.row_number().over(Window.orderBy(F.desc("sim"), F.asc("doc_id"))),
+        )
+        .select("doc_id", "sim_rank")
+    )
+    fused = lex.join(dense, "doc_id", "full").select(
+        "doc_id",
+        F.coalesce(F.col("bm25_rank"), F.lit(0)).alias("bm25_rank"),
+        F.coalesce(F.col("sim_rank"), F.lit(0)).alias("sim_rank"),
+    )
+    contrib = (
+        F.when(F.col("bm25_rank") > 0, F.lit(1.0) / (F.lit(rrf_k) + F.col("bm25_rank"))).otherwise(F.lit(0.0))
+        + F.when(F.col("sim_rank") > 0, F.lit(1.0) / (F.lit(rrf_k) + F.col("sim_rank"))).otherwise(F.lit(0.0))
+    )
+    return (
+        fused.select(
+            "doc_id",
+            F.round(contrib, round_to).alias("score"),
+            "bm25_rank",
+            "sim_rank",
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

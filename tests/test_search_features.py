@@ -199,3 +199,40 @@ def test_explain_contributions_reproduce_ranked_score(docs):
     for r in rows:
         assert r.tf >= 1 and r.df >= 1 and r.dl > 0
         assert abs(r.idf * r.tfn - r.contribution) < 5e-4
+
+
+def test_rescore_beta_zero_reduces_to_bm25(spark, docs):
+    from ocaml_lucene_spark.query.rescore import rescore_topk
+    import __spark_entry__ as entry
+
+    vecs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qv = entry._query_vec(SF)
+    got = [
+        (r.doc_id, r.score)
+        for r in rescore_topk(docs, vecs, TERMS, qv, n_first=50, k=20, beta=0.0).collect()
+    ]
+    want = [tuple(r) for r in bm25_topk(docs, TERMS, k=20, round_to=4).collect()]
+    assert got == want
+
+
+def test_rrf_score_formula(spark, docs):
+    from ocaml_lucene_spark.query.rescore import rrf_fusion_topk
+    import __spark_entry__ as entry
+
+    vecs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qv = entry._query_vec(SF)
+    rows = rrf_fusion_topk(docs, vecs, TERMS, qv, n_each=50, k=200).collect()
+    assert rows, "fusion must produce rows"
+    for r in rows:
+        want = 0.0
+        if r.bm25_rank > 0:
+            want += 1.0 / (60 + r.bm25_rank)
+        if r.sim_rank > 0:
+            want += 1.0 / (60 + r.sim_rank)
+        assert abs(r.score - round(want, 6)) < 1e-9
+        assert r.bm25_rank > 0 or r.sim_rank > 0
+    # both rankings' #1 docs must be present
+    ranks1 = [r.doc_id for r in rows if r.bm25_rank == 1] + [
+        r.doc_id for r in rows if r.sim_rank == 1
+    ]
+    assert len(ranks1) == 2
