@@ -802,6 +802,22 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
             _query_vec(sf), n_each=100, k=10,
         )
 
+    def q_percolate(spark, sf):
+        # percolator (reverse search): registered boolean rules match
+        # each document — AND, OR, and 2-of-3 semantics via min_match;
+        # the rule table is the broadcast side
+        from ocaml_lucene_spark.query.percolator import percolate
+
+        rules = [
+            (1, ["table", "hash"], 2),   # AND
+            (2, ["dup"], 1),             # single-term OR
+            (3, ["table", "scan", "merge"], 2),  # 2-of-3 msm
+        ]
+        qdf = spark.createDataFrame(
+            rules, "query_id long, terms array<string>, min_match int"
+        )
+        return percolate(_docs(spark, sf), qdf)
+
     def q_term_stats_prefix(spark, sf):
         # terms-dict prefix read from the in-memory FST
         from ocaml_lucene_spark.query.exec import term_stats_prefix
@@ -1092,7 +1108,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # the previous round's freshly-checked head moves to the tail.
     # Round-5 order: (1) the 19 entries cut from the r4 run; (2) the two
     # rows fixed this round (bigram ordering, multimodal oracle);
-    # (3) the 18 NEW rows (wildcard_suffix, suggest, collapse, facets,
+    # (3) the 19 NEW rows (wildcard_suffix, suggest, collapse, facets,
     # similarities, synonym, numeric range, aggregations, streamed
     # histogram) — never driver-checked, so they must make the cap;
     # (4) r4-checked rows, flagship surface first, with the most
@@ -1138,6 +1154,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "complete_prefix": q_complete_prefix,
         "rescore_topk": q_rescore,
         "rrf_fusion": q_rrf_fusion,
+        "percolate": q_percolate,
         "bm25_parent_join": q_bm25_parent_join,
         "explain_score": q_explain_score,
         "streamed_histogram": q_streamed_histogram,
@@ -1290,6 +1307,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "rrf_fusion": osql.rrf_fusion_sql(
             ["table", "hash", "dup"], qv, n_each=100, k=10
+        ),
+        "percolate": osql.percolate_sql(
+            [
+                (1, ["table", "hash"], 2),
+                (2, ["dup"], 1),
+                (3, ["table", "scan", "merge"], 2),
+            ]
         ),
         "bm25_parent_join": osql.bm25_parent_join_sql(
             ["table", "hash", "dup"], "source", "sum", k=10

@@ -1198,3 +1198,34 @@ FROM fused
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def percolate_sql(rules: list[tuple[int, list[str], int]]) -> str:
+    """Percolator oracle (query/percolator.py percolate): the same
+    registered rules as a VALUES table, matched with DISTINCT doc
+    tokens; a pair survives when >= min_match rule terms hit."""
+    values = ",\n    ".join(
+        "({}, [{}], {})".format(
+            qid,
+            ", ".join("'" + t.replace("'", "''") + "'" for t in dict.fromkeys(terms)),
+            mm,
+        )
+        for qid, terms, mm in rules
+    )
+    return f"""
+WITH {TOKS_CTE},
+rules(query_id, terms, min_match) AS (VALUES
+    {values}
+),
+rule_terms AS (
+  SELECT query_id, min_match, unnest(terms) AS term FROM rules
+),
+doc_terms AS (
+  SELECT DISTINCT doc_id, unnest(t) AS term FROM base
+)
+SELECT d.doc_id, r.query_id
+FROM doc_terms d JOIN rule_terms r USING (term)
+GROUP BY d.doc_id, r.query_id, r.min_match
+HAVING count(*) >= r.min_match
+ORDER BY doc_id, query_id
+"""

@@ -236,3 +236,47 @@ def test_rrf_score_formula(spark, docs):
         r.doc_id for r in rows if r.sim_rank == 1
     ]
     assert len(ranks1) == 2
+
+
+def test_percolator_boolean_semantics(spark):
+    from ocaml_lucene_spark.query.percolator import percolate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha alpha delta"),   # duplicate tokens count once
+            (3, "beta"),
+            (4, "epsilon"),
+        ],
+        "doc_id long, text string",
+    )
+    rules = spark.createDataFrame(
+        [
+            (10, ["alpha", "beta"], 2),            # AND
+            (11, ["alpha", "beta"], 1),            # OR
+            (12, ["alpha", "beta", "delta"], 2),   # 2-of-3
+            (13, ["alpha", "alpha"], 2),           # dup rule terms -> 1 distinct, unmatchable
+            (14, ["zeta"], 1),                     # never matches
+        ],
+        "query_id long, terms array<string>, min_match int",
+    )
+    got = sorted(tuple(r) for r in percolate(docs, rules).collect())
+    assert got == [
+        (1, 10), (1, 11), (1, 12),
+        (2, 11), (2, 12),
+        (3, 11),
+    ]
+
+
+def test_percolator_broadcasts_the_rule_table(spark, docs):
+    import contextlib, io, re as _re
+
+    from ocaml_lucene_spark.query.percolator import percolate
+
+    rules = spark.createDataFrame(
+        [(1, ["table"], 1)], "query_id long, terms array<string>, min_match int"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        percolate(docs, rules).explain(mode="formatted")
+    assert "BroadcastExchange" in buf.getvalue()
