@@ -802,6 +802,16 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
             _query_vec(sf), n_each=100, k=10,
         )
 
+    def q_span_first(spark, sf):
+        # SpanFirstQuery: docs where 'table' occurs within the first 10
+        # positions, from the packed .pos stream; the oracle re-derives
+        # positions via DuckDB's positional parallel unnest
+        from ocaml_lucene_spark.query.exec import span_first_indexed
+
+        return span_first_indexed(
+            spark, _ensure_index(spark, sf, positions=True), "table", end=10
+        )
+
     def q_percolate(spark, sf):
         # percolator (reverse search): registered boolean rules match
         # each document — AND, OR, and 2-of-3 semantics via min_match;
@@ -1108,7 +1118,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # the previous round's freshly-checked head moves to the tail.
     # Round-5 order: (1) the 19 entries cut from the r4 run; (2) the two
     # rows fixed this round (bigram ordering, multimodal oracle);
-    # (3) the 19 NEW rows (wildcard_suffix, suggest, collapse, facets,
+    # (3) the 20 NEW rows (wildcard_suffix, suggest, collapse, facets,
     # similarities, synonym, numeric range, aggregations, streamed
     # histogram) — never driver-checked, so they must make the cap;
     # (4) r4-checked rows, flagship surface first, with the most
@@ -1160,6 +1170,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "rescore_topk": q_rescore,
         "rrf_fusion": q_rrf_fusion,
         "percolate": q_percolate,
+        "span_first": q_span_first,
         "bm25_parent_join": q_bm25_parent_join,
         "explain_score": q_explain_score,
         "streamed_histogram": q_streamed_histogram,
@@ -1313,6 +1324,7 @@ def oracle_sql() -> dict[str, str]:
         "rrf_fusion": osql.rrf_fusion_sql(
             ["table", "hash", "dup"], qv, n_each=100, k=10
         ),
+        "span_first": osql.span_first_sql("table", end=10),
         "percolate": osql.percolate_sql(
             [
                 (1, ["table", "hash"], 2),

@@ -1346,3 +1346,26 @@ def bm25_topk_phrase(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def span_first_indexed(
+    spark: SparkSession, index_dir: str, term: str, end: int
+) -> DataFrame:
+    """SpanFirstQuery: docs where ``term`` occurs within the first
+    ``end`` token positions (span end <= end, i.e. position < end for
+    a single-term span — Lucene SpanFirstQuery semantics). Returns
+    (doc_id, first_pos) ordered by doc_id, first_pos = the earliest
+    matching position.
+
+    Plan: the .pos stream decode is term-filtered at the scan (same
+    pushdown as every positions consumer); the position predicate
+    applies DURING the vectorized decode output, so only early-window
+    occurrences reach the per-doc min aggregate."""
+    flat = flat_positions_df(spark, index_dir, [term])
+    out = (
+        flat.filter(F.col("p") < end)
+        .groupBy("doc_id")
+        .agg(F.min("p").alias("first_pos"))
+        .orderBy("doc_id")
+    )
+    return _deleted_filter(spark, index_dir, out)

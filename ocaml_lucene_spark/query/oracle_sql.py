@@ -1229,3 +1229,22 @@ GROUP BY d.doc_id, r.query_id, r.min_match
 HAVING count(*) >= r.min_match
 ORDER BY doc_id, query_id
 """
+
+
+def span_first_sql(term: str, end: int) -> str:
+    """SpanFirst oracle (query/exec.py span_first_indexed): re-derives
+    token positions independently (list_position over the token array
+    finds the FIRST occurrence; generate_subscripts covers the general
+    earliest-in-window case)."""
+    t = term.replace("'", "''")
+    return f"""
+WITH {TOKS_CTE},
+pos AS (
+  SELECT doc_id, unnest(t) AS term, unnest(range(len(t))) AS p FROM base
+)
+SELECT doc_id, min(p)::BIGINT AS first_pos
+FROM pos
+WHERE term = '{t}' AND p < {end}
+GROUP BY doc_id
+ORDER BY doc_id
+"""
