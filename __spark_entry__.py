@@ -1123,10 +1123,11 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # histogram) — never driver-checked, so they must make the cap;
     # (4) r4-checked rows, flagship surface first, with the most
     # redundant (subsumed-by-a-stronger-variant) entries last.
-    # ROUND-6 ROTATION OBLIGATION: the 38 entries after position 50
-    # (bm25_bool ... embedding_near_dup_indexed) were last
+    # ROUND-6 ROTATION OBLIGATION: the 39 entries after position 50
+    # (bm25_not ... embedding_near_dup_indexed — recount with
+    # list(queries())[50:] before trusting this comment) were last
     # driver-checked in r4 — they MUST occupy the front of the r6
-    # order, demoting this round's 19 new rows and the r5-checked
+    # order, demoting this round's 20 new rows and the r5-checked
     # head to the tail.
     qs = {
         # -- cut from the round-4 gate run (driver stops at 50) --

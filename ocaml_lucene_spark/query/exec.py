@@ -1366,6 +1366,7 @@ def span_first_indexed(
         flat.filter(F.col("p") < end)
         .groupBy("doc_id")
         .agg(F.min("p").alias("first_pos"))
-        .orderBy("doc_id")
     )
-    return _deleted_filter(spark, index_dir, out)
+    # sort AFTER the deletes anti-join (like every _deleted_filter
+    # consumer): ordering through a join is an implementation accident
+    return _deleted_filter(spark, index_dir, out).orderBy("doc_id")

@@ -1089,12 +1089,10 @@ LIMIT {k}
 
 
 def _cos_sql(a: str, b: str) -> str:
-    # textual mirror of oracle_sql_ops._cos (kept in lockstep)
-    return (
-        f"list_sum(list_transform(list_zip({a}, {b}), p -> p[1]::DOUBLE * p[2]::DOUBLE)) / "
-        f"(sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE))) * "
-        f"sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE))))"
-    )
+    # the ONE cosine SQL, shared with the ANN oracles — never a copy
+    from .oracle_sql_ops import _cos
+
+    return _cos(a, b)
 
 
 def _bm25_topn_cte(terms: list[str], n: int, round_to: int = 4) -> str:

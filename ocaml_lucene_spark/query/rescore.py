@@ -62,7 +62,15 @@ def rescore_topk(
     Use exact-binary alpha/beta (1.0, 0.5, 0.25 ...) so the combine is
     bit-identical to the SQL oracle."""
     first = bm25_topk(docs, terms, "or", k=n_first, round_to=round_to)
-    emb = _cosine_frame(vecs, query_vec, round_to)
+    # Semi-join the embeddings scan down to the candidate ids FIRST:
+    # the candidate list (<= n_first rows) broadcasts, so the cosine is
+    # computed for AT MOST n_first vectors — never the full corpus (a
+    # left-outer join of candidates against a full cosine frame cannot
+    # broadcast its preserved side, so without this the dense stage
+    # would degrade to a full embeddings scan + shuffle at scale).
+    cand_ids = first.select(F.col("doc_id").alias("vec_id"))
+    vec_cand = vecs.join(F.broadcast(cand_ids), "vec_id", "left_semi")
+    emb = _cosine_frame(vec_cand, query_vec, round_to)
     joined = first.join(emb, "doc_id", "left").withColumn(
         "sim", F.coalesce(F.col("sim"), F.lit(0.0))
     )
@@ -105,10 +113,15 @@ def rrf_fusion_topk(
         )
         .select("doc_id", "bm25_rank")
     )
+    # the dense leg IS a full ANN ranking by design — reuse the ONE
+    # corpus-cosine scorer (operators/ann.py brute_force_topk, the
+    # exact baseline; a production deployment swaps in lsh_topk /
+    # ivf_topk for the same (vec_id, sim) contract)
+    from ..operators.ann import brute_force_topk
+
     dense = (
-        _cosine_frame(vecs, query_vec, round_to=4)
-        .orderBy(F.desc("sim"), F.asc("doc_id"))
-        .limit(n_each)
+        brute_force_topk(vecs, query_vec, k=n_each)
+        .withColumnRenamed("vec_id", "doc_id")
         .withColumn(
             "sim_rank",
             F.row_number().over(Window.orderBy(F.desc("sim"), F.asc("doc_id"))),

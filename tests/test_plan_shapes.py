@@ -254,3 +254,19 @@ def test_numeric_range_filter_pushes_to_documents_scan(spark):
     )
     plan = _plan(bm25_topk(docs, ["zipf", "data"], "or", 10))
     assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(n_chars,80\)", plan), plan
+
+
+def test_rescore_dense_stage_is_candidate_bounded(spark):
+    """The rescore dense pass must semi-join the embeddings scan down
+    to the BROADCAST candidate ids BEFORE computing cosine — a
+    left-outer join of candidates against a full cosine frame cannot
+    broadcast its preserved side, so without the semi-join the plan
+    degrades to a full-corpus cosine at scale (docs/PLANS.md §8)."""
+    from ocaml_lucene_spark.query.rescore import rescore_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [0.1] * 64
+    plan = _plan(rescore_topk(docs, vecs, ["zipf", "data"], qv, n_first=20, k=5))
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastExchange" in plan
