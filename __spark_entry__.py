@@ -812,6 +812,16 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
             spark, _ensure_index(spark, sf, positions=True), "table", end=10
         )
 
+    def q_span_near_ordered(spark, sf):
+        # ordered SpanNearQuery (inOrder=true): 'hash' follows 'table'
+        # within slop 3 — the directional sibling of the unordered
+        # proximity band join
+        from ocaml_lucene_spark.query.exec import span_near_ordered_indexed
+
+        return span_near_ordered_indexed(
+            spark, _ensure_index(spark, sf, positions=True), "table", "hash", slop=3
+        )
+
     def q_percolate(spark, sf):
         # percolator (reverse search): registered boolean rules match
         # each document — AND, OR, and 2-of-3 semantics via min_match;
@@ -1118,12 +1128,12 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # the previous round's freshly-checked head moves to the tail.
     # Round-5 order: (1) the 19 entries cut from the r4 run; (2) the two
     # rows fixed this round (bigram ordering, multimodal oracle);
-    # (3) the 20 NEW rows (wildcard_suffix, suggest, collapse, facets,
+    # (3) the 21 NEW rows (wildcard_suffix, suggest, collapse, facets,
     # similarities, synonym, numeric range, aggregations, streamed
     # histogram) — never driver-checked, so they must make the cap;
     # (4) r4-checked rows, flagship surface first, with the most
     # redundant (subsumed-by-a-stronger-variant) entries last.
-    # ROUND-6 ROTATION OBLIGATION: the 39 entries after position 50
+    # ROUND-6 ROTATION OBLIGATION: the ~40 entries after position 50
     # (bm25_not ... embedding_near_dup_indexed — recount with
     # list(queries())[50:] before trusting this comment) were last
     # driver-checked in r4 — they MUST occupy the front of the r6
@@ -1172,6 +1182,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "rrf_fusion": q_rrf_fusion,
         "percolate": q_percolate,
         "span_first": q_span_first,
+        "span_near_ordered": q_span_near_ordered,
         "bm25_parent_join": q_bm25_parent_join,
         "explain_score": q_explain_score,
         "streamed_histogram": q_streamed_histogram,
@@ -1326,6 +1337,7 @@ def oracle_sql() -> dict[str, str]:
             ["table", "hash", "dup"], qv, n_each=100, k=10
         ),
         "span_first": osql.span_first_sql("table", end=10),
+        "span_near_ordered": osql.span_near_ordered_sql("table", "hash", slop=3),
         "percolate": osql.percolate_sql(
             [
                 (1, ["table", "hash"], 2),

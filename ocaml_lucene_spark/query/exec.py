@@ -1370,3 +1370,36 @@ def span_first_indexed(
     # sort AFTER the deletes anti-join (like every _deleted_filter
     # consumer): ordering through a join is an implementation accident
     return _deleted_filter(spark, index_dir, out).orderBy("doc_id")
+
+
+def span_near_ordered_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    first: str,
+    second: str,
+    slop: int = 3,
+) -> DataFrame:
+    """Ordered SpanNearQuery (inOrder=true): (doc_id, n_pairs) where
+    ``second`` follows ``first`` with at most ``slop`` intervening
+    positions (0 < p2 - p1 <= slop + 1) — the directional sibling of
+    proximity_counts_indexed's unordered |p2-p1| <= w band join. Same
+    plan: term-pushdown .pos decode, doc-co-partitioned range join,
+    one count aggregate; sorted by doc_id after the deletes filter."""
+    flat = flat_positions_df(spark, index_dir, [first, second])
+    a = flat.filter(F.col("term") == first).select(
+        "doc_id", F.col("p").alias("p1")
+    )
+    b = flat.filter(F.col("term") == second).select(
+        F.col("doc_id").alias("doc_id_b"), F.col("p").alias("p2")
+    )
+    out = (
+        a.join(
+            b,
+            (F.col("doc_id") == F.col("doc_id_b"))
+            & (F.col("p2") - F.col("p1") > 0)
+            & (F.col("p2") - F.col("p1") <= slop + 1),
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    return _deleted_filter(spark, index_dir, out).orderBy("doc_id")

@@ -1246,3 +1246,23 @@ WHERE term = '{t}' AND p < {end}
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+def span_near_ordered_sql(first: str, second: str, slop: int = 3) -> str:
+    """Ordered-SpanNear oracle (query/exec.py span_near_ordered_indexed):
+    directional position band 0 < p2 - p1 <= slop + 1, positions from
+    the positional parallel unnest."""
+    f = first.replace("'", "''")
+    s = second.replace("'", "''")
+    return f"""
+WITH {TOKS_CTE},
+pos AS (
+  SELECT doc_id, unnest(t) AS term, unnest(range(len(t))) AS p FROM base
+)
+SELECT a.doc_id, count(*)::BIGINT AS n_pairs
+FROM (SELECT doc_id, p AS p1 FROM pos WHERE term = '{f}') a
+JOIN (SELECT doc_id, p AS p2 FROM pos WHERE term = '{s}') b
+  ON a.doc_id = b.doc_id AND b.p2 - a.p1 > 0 AND b.p2 - a.p1 <= {slop + 1}
+GROUP BY a.doc_id
+ORDER BY a.doc_id
+"""
