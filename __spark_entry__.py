@@ -822,6 +822,13 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
             spark, _ensure_index(spark, sf, positions=True), "table", "hash", slop=3
         )
 
+    def q_significant_terms(spark, sf):
+        # significant-terms agg: terms overrepresented in the 'table'
+        # AND 'scan' match set vs the background corpus, ranked by lift
+        from ocaml_lucene_spark.query.grouping import significant_terms
+
+        return significant_terms(_docs(spark, sf), ["table", "scan"], k=10)
+
     def q_percolate(spark, sf):
         # percolator (reverse search): registered boolean rules match
         # each document — AND, OR, and 2-of-3 semantics via min_match;
@@ -1128,7 +1135,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # the previous round's freshly-checked head moves to the tail.
     # Round-5 order: (1) the 19 entries cut from the r4 run; (2) the two
     # rows fixed this round (bigram ordering, multimodal oracle);
-    # (3) the 21 NEW rows (wildcard_suffix, suggest, collapse, facets,
+    # (3) the 22 NEW rows (wildcard_suffix, suggest, collapse, facets,
     # similarities, synonym, numeric range, aggregations, streamed
     # histogram) — never driver-checked, so they must make the cap;
     # (4) r4-checked rows, flagship surface first, with the most
@@ -1183,6 +1190,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "percolate": q_percolate,
         "span_first": q_span_first,
         "span_near_ordered": q_span_near_ordered,
+        "significant_terms": q_significant_terms,
         "bm25_parent_join": q_bm25_parent_join,
         "explain_score": q_explain_score,
         "streamed_histogram": q_streamed_histogram,
@@ -1338,6 +1346,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "span_first": osql.span_first_sql("table", end=10),
         "span_near_ordered": osql.span_near_ordered_sql("table", "hash", slop=3),
+        "significant_terms": osql.significant_terms_sql(["table", "scan"], k=10),
         "percolate": osql.percolate_sql(
             [
                 (1, ["table", "hash"], 2),

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from .bm25 import (
     _query_order_sum,
+    _tokenized,
     candidate_tf,
     corpus_stats,
     idf_expr,
@@ -302,5 +303,66 @@ def bm25_parent_join_topk(
     return (
         agg.select("parent", expr.alias("score"), "n_children")
         .orderBy(F.desc("score"), F.asc("parent"))
+        .limit(k)
+    )
+
+
+def significant_terms(
+    docs: DataFrame,
+    must: list[str],
+    k: int = 10,
+    min_doc_count: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Significant-terms aggregation (the Elasticsearch agg): terms
+    OVERREPRESENTED in the match set vs the background corpus, ranked
+    by lift = (fg_df/fg_size) / (bg_df/bg_size), ties (term asc).
+    Query terms themselves are excluded (they trivially have maximal
+    lift). Returns (term, fg_df, bg_df, round(lift)).
+
+    Plan: ONE tokenize pass computes per-(doc, term) rows; the match
+    set (conjunctive doc ids) joins in to tag foreground rows, then a
+    single groupBy(term) counts both sides (fg via conditional sum).
+    The background df table is the same aggregate — no second scan."""
+    must = list(dict.fromkeys(must))
+    if not must:
+        raise ValueError("significant_terms needs at least one must term")
+    toks = _tokenized(docs, id_col, text_col)
+    doc_terms = toks.select(
+        "doc_id", F.explode(F.array_distinct("toks")).alias("term")
+    )
+    match = (
+        doc_terms.filter(F.col("term").isin(must))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("nt"))
+        .filter(F.col("nt") == len(must))
+        .select("doc_id")
+    )
+    n_docs = docs.count()
+    n_fg = match.count()
+    if n_fg == 0:
+        raise ValueError("empty match set")
+    tagged = doc_terms.join(
+        F.broadcast(match.withColumn("_fg", F.lit(1))), "doc_id", "left"
+    )
+    agg = tagged.groupBy("term").agg(
+        F.sum(F.when(F.col("_fg") == 1, 1).otherwise(0)).alias("fg_df"),
+        F.count("*").alias("bg_df"),
+    )
+    lift = (F.col("fg_df") / F.lit(float(n_fg))) / (
+        F.col("bg_df") / F.lit(float(n_docs))
+    )
+    return (
+        agg.filter(~F.col("term").isin(must))
+        .filter(F.col("fg_df") >= min_doc_count)
+        .select(
+            "term",
+            F.col("fg_df").cast("long").alias("fg_df"),
+            F.col("bg_df").cast("long").alias("bg_df"),
+            F.round(lift, round_to).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("term"))
         .limit(k)
     )

@@ -1266,3 +1266,38 @@ JOIN (SELECT doc_id, p AS p2 FROM pos WHERE term = '{s}') b
 GROUP BY a.doc_id
 ORDER BY a.doc_id
 """
+
+
+def significant_terms_sql(
+    must: list[str], k: int = 10, min_doc_count: int = 3, round_to: int = 6
+) -> str:
+    """Significant-terms oracle (query/grouping.py significant_terms):
+    fg/bg dfs from one distinct (doc, term) table, lift recomputed
+    independently with explicit DOUBLE casts."""
+    must = list(dict.fromkeys(must))
+    return f"""
+WITH {TOKS_CTE},
+doc_terms AS (SELECT DISTINCT doc_id, unnest(t) AS term FROM base),
+match AS (
+  SELECT doc_id FROM doc_terms
+  WHERE term IN {_terms_in(must)}
+  GROUP BY doc_id HAVING count(*) = {len(must)}
+),
+sizes AS (
+  SELECT (SELECT count(*) FROM base)::DOUBLE AS n_docs,
+         (SELECT count(*) FROM match)::DOUBLE AS n_fg
+),
+agg AS (
+  SELECT d.term,
+         sum(CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS fg_df,
+         count(*)::BIGINT AS bg_df
+  FROM doc_terms d LEFT JOIN match m ON d.doc_id = m.doc_id
+  GROUP BY d.term
+)
+SELECT term, fg_df, bg_df,
+       round((fg_df::DOUBLE / s.n_fg) / (bg_df::DOUBLE / s.n_docs), {round_to}) AS lift
+FROM agg CROSS JOIN sizes s
+WHERE term NOT IN {_terms_in(must)} AND fg_df >= {min_doc_count}
+ORDER BY lift DESC, term ASC
+LIMIT {k}
+"""
