@@ -178,12 +178,22 @@ def bigram_collocations(
             "w1",
             "w2",
             "n_pairs",
-            F.round(
-                F.log(
-                    (F.col("n_pairs") / F.col("P"))
-                    / ((F.col("c1") / F.col("T")) * (F.col("c2") / F.col("T")))
-                ),
-                4,
+            # + 0.0 normalizes signed zero (IEEE: -0.0 + 0.0 = +0.0).
+            # pmi can round to exactly zero from below (raw ~ -3e-6 at
+            # sf0.01); the driver's value hash is repr-sensitive, so
+            # Spark 0.0 vs DuckDB -0.0 is a gate failure even though
+            # Python == calls them equal. Convention: EVERY rounded
+            # float gate column that can go negative gets + 0.0 on BOTH
+            # sides (here and in oracle_sql_ops.bigram_collocations_sql).
+            (
+                F.round(
+                    F.log(
+                        (F.col("n_pairs") / F.col("P"))
+                        / ((F.col("c1") / F.col("T")) * (F.col("c2") / F.col("T")))
+                    ),
+                    4,
+                )
+                + F.lit(0.0)
             ).alias("pmi"),
         )
         .orderBy(F.desc("pmi"), "w1", "w2")

@@ -1137,11 +1137,14 @@ def rescore_topk_sql(
 WITH {_bm25_topn_cte(terms, n_first, round_to)},
 qv AS (SELECT {q} AS v),
 emb AS (
-  SELECT vec_id AS doc_id, round({_cos_sql("embedding", "qv.v")}, {round_to}) AS sim
+  -- + 0.0::DOUBLE: signed-zero normalization (DuckDB round keeps -0.0,
+  -- Spark drops it; the driver hash is repr-sensitive) — mirrors the
+  -- + F.lit(0.0) in query/rescore.py on BOTH sim and the combined score
+  SELECT vec_id AS doc_id, round({_cos_sql("embedding", "qv.v")}, {round_to}) + 0.0::DOUBLE AS sim
   FROM embeddings, qv
 )
 SELECT b.doc_id,
-       round({float(alpha)!r}::DOUBLE * b.score + {float(beta)!r}::DOUBLE * coalesce(e.sim, 0.0), {round_to}) AS score,
+       round({float(alpha)!r}::DOUBLE * b.score + {float(beta)!r}::DOUBLE * coalesce(e.sim, 0.0), {round_to}) + 0.0::DOUBLE AS score,
        b.score AS bm25,
        coalesce(e.sim, 0.0) AS sim
 FROM bm25 b LEFT JOIN emb e USING (doc_id)

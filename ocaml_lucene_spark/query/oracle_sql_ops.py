@@ -342,7 +342,11 @@ pc AS (
   HAVING count(*) >= {mc}
 )
 SELECT pc.w1, pc.w2, pc.n_pairs,
-       round(ln((pc.n_pairs / t.P) / ((u1.c / t.T) * (u2.c / t.T))), 4) AS pmi
+       -- + 0.0::DOUBLE normalizes signed zero: DuckDB's round keeps
+       -- -0.0 where Spark's BigDecimal HALF_UP drops the sign, and the
+       -- driver hash is repr-sensitive (the one red r5 row was exactly
+       -- this, on ('order','spark')). Mirrors textstats.py's + 0.0.
+       round(ln((pc.n_pairs / t.P) / ((u1.c / t.T) * (u2.c / t.T))), 4) + 0.0::DOUBLE AS pmi
 FROM pc
 JOIN uni u1 ON u1.w = pc.w1
 JOIN uni u2 ON u2.w = pc.w2

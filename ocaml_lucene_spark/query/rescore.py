@@ -37,9 +37,13 @@ def _cosine_frame(
     vec_col: str = "embedding",
 ) -> DataFrame:
     q = F.array(*[F.lit(float(x)) for x in query_vec])
+    # + 0.0 normalizes signed zero: a cosine of ~ -3e-5 rounds to -0.0
+    # in DuckDB but +0.0 in Spark, and the driver's value hash is
+    # repr-sensitive. Same convention as bigram pmi; mirrored in
+    # oracle_sql.rescore_topk_sql.
     return vecs.select(
         F.col(id_col).alias("doc_id"),
-        F.round(cosine_col(F.col(vec_col), q), round_to).alias("sim"),
+        (F.round(cosine_col(F.col(vec_col), q), round_to) + F.lit(0.0)).alias("sim"),
     )
 
 
@@ -77,9 +81,12 @@ def rescore_topk(
     return (
         joined.select(
             "doc_id",
-            F.round(alpha * F.col("score") + beta * F.col("sim"), round_to).alias(
-                "combined"
-            ),
+            # + 0.0: combined = alpha*bm25 + beta*sim can round to -0.0
+            # when a weak lexical match meets a negative cosine
+            (
+                F.round(alpha * F.col("score") + beta * F.col("sim"), round_to)
+                + F.lit(0.0)
+            ).alias("combined"),
             F.col("score").alias("bm25"),
             "sim",
         )

@@ -30,7 +30,15 @@ def duck():
 
 def _norm(rows, cols):
     """Sort columns by name; keep ROW ORDER (driver hash is
-    order-sensitive); round floats to 4dp exactly (−0.0 → 0.0)."""
+    order-sensitive); round floats to 4dp exactly.
+
+    Deliberately NO −0.0 → 0.0 normalization: the driver is empirically
+    confirmed NOT to normalize (r5's one red row, bigram_collocations,
+    was Spark 0.0 vs DuckDB -0.0 on a single pmi — Python == calls them
+    equal, the repr-sensitive hash does not). Signed zero must be
+    normalized in the QUERIES (+ 0.0 after every signed rounded float,
+    on BOTH the Spark and the oracle side), never papered over here —
+    otherwise this replica stays green while the driver fails."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
@@ -39,8 +47,6 @@ def _norm(rows, cols):
             v = r[i]
             if isinstance(v, float):
                 v = round(v, 4)
-                if v == -0.0:
-                    v = 0.0
             vals.append(v)
         out.append(tuple(vals))
     return [sorted(c for c in cols)] + out
