@@ -1038,7 +1038,8 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         return dedup.simhash_signatures(_docs(spark, sf))
 
     def q_simhash_near(spark, sf):
-        # half-blocking (pigeonhole for d<=3) + exact Hamming verify
+        # max_hamming+1 signature slices (pigeonhole — exact recall at
+        # any d <= max_hamming) + exact Hamming verify
         return dedup.simhash_near_pairs(_docs(spark, sf), max_hamming=3)
 
     def q_lang_id(spark, sf):
@@ -1128,80 +1129,24 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
             ann.build_ann_index(_vecs(spark, sf), idx, n_bits=4)
         return ann.embedding_near_dup_pairs_indexed(spark, idx, min_sim=0.9)
 
-    # Dict order IS the driver's execution order (the r3 AND r4 runs
-    # both cut at exactly 50 rows, dropping the tail). Rotation policy:
+    # Dict order IS the driver's execution order (the r3/r4/r5 runs all
+    # cut at exactly 50 rows, dropping the tail). Rotation policy:
     # every entry must be driver-checked within the last two rounds, so
     # each round the previous round's cut tail moves to the FRONT and
     # the previous round's freshly-checked head moves to the tail.
-    # Round-5 order: (1) the 19 entries cut from the r4 run; (2) the two
-    # rows fixed this round (bigram ordering, multimodal oracle);
-    # (3) the 22 NEW rows (wildcard_suffix, suggest, collapse, facets,
-    # similarities, synonym, numeric range, aggregations, streamed
-    # histogram) — never driver-checked, so they must make the cap;
-    # (4) r4-checked rows, flagship surface first, with the most
-    # redundant (subsumed-by-a-stronger-variant) entries last.
-    # ROUND-6 ROTATION OBLIGATION: the ~40 entries after position 50
-    # (bm25_not ... embedding_near_dup_indexed — recount with
-    # list(queries())[50:] before trusting this comment) were last
-    # driver-checked in r4 — they MUST occupy the front of the r6
-    # order, demoting this round's 20 new rows and the r5-checked
-    # head to the tail.
+    # Round-6 order: (1) the 41 entries cut from the r5 run (last
+    # driver-checked in r4 — the rotation obligation from the r5
+    # verdict); (2) NEW r6 rows, never driver-checked (41 + new must
+    # stay <= 50); (3) the 50 r5-checked entries as the sacrificial
+    # tail, in their r5 order.
+    # ROUND-7 ROTATION OBLIGATION: everything after position 50
+    # (recount with list(queries())[50:] before trusting this comment)
+    # was last driver-checked in r5 and MUST occupy the front of the
+    # r7 order, demoting this round's new rows and the r6-checked head
+    # to the tail.
     qs = {
-        # -- cut from the round-4 gate run (driver stops at 50) --
-        "streamed_dedup": q_streamed_dedup,
-        "minhash_candidate_pairs": q_minhash_pairs,
-        "ngram_jaccard_pairs": q_ngram_jaccard,
-        "near_dup_pairs": q_near_dup,
-        "simhash_near_pairs": q_simhash_near,
-        "language_id": q_lang_id,
-        "quality_features": q_quality,
-        "token_counts": q_token_counts,
-        "bm25_single_rare": q_bm25_single_rare,
-        "bm25_or_with_absent": q_bm25_or_with_absent,
-        "bm25_and_absent_empty": q_bm25_and_absent_empty,
-        "doc_lengths": q_doc_lengths,
-        "phrase_counts": q_phrase_counts,
-        "phrase3_counts": q_phrase3_counts,
-        "proximity_counts": q_proximity_counts,
-        "term_stats_prefix": q_term_stats_prefix,
-        "term_stats_range": q_term_stats_range,
-        "minhash_signatures": q_minhash_signatures,
-        "simhash_signatures": q_simhash,
-        # -- fixed this round: deterministic ordering / new SQL oracle --
-        "bigram_collocations": q_bigram_collocations,
-        "multimodal_metadata": q_multimodal_metadata,
-        # -- new this round: automaton∩FST suffix wildcard; suggest /
-        #    grouping / facets / pluggable-similarity surface --
-        "bm25_wildcard_suffix": q_bm25_wildcard_suffix,
-        "spell_suggest": q_spell_suggest,
-        "bm25_collapse": q_bm25_collapse,
-        "facet_counts": q_facet_counts,
-        "facet_counts_indexed": q_facet_counts_indexed,
-        "tfidf_classic": q_tfidf_classic,
-        "bm25_boosted": q_bm25_boosted,
-        "bm25_synonym": q_bm25_synonym,
-        "bm25_numeric_range": q_bm25_numeric_range,
-        "date_histogram": q_date_histogram,
-        "numeric_range_facet": q_numeric_range_facet,
-        "match_stats": q_match_stats,
-        "complete_prefix": q_complete_prefix,
-        "rescore_topk": q_rescore,
-        "rrf_fusion": q_rrf_fusion,
-        "percolate": q_percolate,
-        "span_first": q_span_first,
-        "span_near_ordered": q_span_near_ordered,
-        "significant_terms": q_significant_terms,
-        "bm25_parent_join": q_bm25_parent_join,
-        "explain_score": q_explain_score,
-        "streamed_histogram": q_streamed_histogram,
-        # -- flagship query surface (r4-checked, keep within the cap) --
-        "bm25_or_top10": q_bm25_or,
-        "bm25_and_top10": q_bm25_and,
-        "bm25_wand": q_bm25_wand,
-        "bm25_wand_parallel": q_bm25_wand_parallel,
-        "bm25_auto": q_bm25_auto,
-        "bm25_indexed_or": q_bm25_indexed_or,
-        "bm25_indexed_and": q_bm25_indexed_and,
+        # -- last driver-checked in r4: the r6 rotation obligation says
+        #    these 41 MUST make the 50-row cut this round --
         "bm25_indexed_not": q_bm25_indexed_not,
         "bm25_wand_not": q_bm25_wand_not,
         "bm25_not": q_bm25_not,
@@ -1225,8 +1170,6 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "term_stats": q_term_stats,
         "term_stats_fst": q_term_stats_fst,
         "corpus_stats": q_corpus_stats,
-        # -- r4-checked tail: sacrificial under a 50-row cut (all green
-        #    in r4; indexed/persisted variants of earlier rows) --
         "phrase_counts_indexed": q_phrase_counts_indexed,
         "phrase3_counts_indexed": q_phrase3_counts_indexed,
         "proximity_counts_indexed": q_proximity_counts_indexed,
@@ -1245,6 +1188,60 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "ann_ivf_indexed": q_ann_ivf_indexed,
         "embedding_near_dup": q_embed_near_dup,
         "embedding_near_dup_indexed": q_embed_near_dup_indexed,
+        # -- NEW r6 rows go here (never driver-checked; 41 + new <= 50) --
+        # -- r5-checked tail: sacrificial under a 50-row cut (all 50
+        #    full-passed in CORRECTNESS_r05 except bigram_collocations,
+        #    whose signed-zero fix is replica-verified this round) --
+        "streamed_dedup": q_streamed_dedup,
+        "minhash_candidate_pairs": q_minhash_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard,
+        "near_dup_pairs": q_near_dup,
+        "simhash_near_pairs": q_simhash_near,
+        "language_id": q_lang_id,
+        "quality_features": q_quality,
+        "token_counts": q_token_counts,
+        "bm25_single_rare": q_bm25_single_rare,
+        "bm25_or_with_absent": q_bm25_or_with_absent,
+        "bm25_and_absent_empty": q_bm25_and_absent_empty,
+        "doc_lengths": q_doc_lengths,
+        "phrase_counts": q_phrase_counts,
+        "phrase3_counts": q_phrase3_counts,
+        "proximity_counts": q_proximity_counts,
+        "term_stats_prefix": q_term_stats_prefix,
+        "term_stats_range": q_term_stats_range,
+        "minhash_signatures": q_minhash_signatures,
+        "simhash_signatures": q_simhash,
+        "bigram_collocations": q_bigram_collocations,
+        "multimodal_metadata": q_multimodal_metadata,
+        "bm25_wildcard_suffix": q_bm25_wildcard_suffix,
+        "spell_suggest": q_spell_suggest,
+        "bm25_collapse": q_bm25_collapse,
+        "facet_counts": q_facet_counts,
+        "facet_counts_indexed": q_facet_counts_indexed,
+        "tfidf_classic": q_tfidf_classic,
+        "bm25_boosted": q_bm25_boosted,
+        "bm25_synonym": q_bm25_synonym,
+        "bm25_numeric_range": q_bm25_numeric_range,
+        "date_histogram": q_date_histogram,
+        "numeric_range_facet": q_numeric_range_facet,
+        "match_stats": q_match_stats,
+        "complete_prefix": q_complete_prefix,
+        "rescore_topk": q_rescore,
+        "rrf_fusion": q_rrf_fusion,
+        "percolate": q_percolate,
+        "span_first": q_span_first,
+        "span_near_ordered": q_span_near_ordered,
+        "significant_terms": q_significant_terms,
+        "bm25_parent_join": q_bm25_parent_join,
+        "explain_score": q_explain_score,
+        "streamed_histogram": q_streamed_histogram,
+        "bm25_or_top10": q_bm25_or,
+        "bm25_and_top10": q_bm25_and,
+        "bm25_wand": q_bm25_wand,
+        "bm25_wand_parallel": q_bm25_wand_parallel,
+        "bm25_auto": q_bm25_auto,
+        "bm25_indexed_or": q_bm25_indexed_or,
+        "bm25_indexed_and": q_bm25_indexed_and,
     }
     if not ordered:
         return qs

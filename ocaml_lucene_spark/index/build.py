@@ -71,7 +71,8 @@ def assign_doc_ids(docs: DataFrame, id_partitions: int | None = None) -> DataFra
     int64 column — payload columns like html never materialize in
     Python).
 
-    The partition count is INPUT-derived (url count / 250k, capped), so
+    The partition count is INPUT-derived (url count / URLS_PER_ID_PARTITION
+    = 6,250, capped at 32,768), so
     the id map really is a pure function of the url set: ids survive
     cluster-size changes, which a resumed build or a two-cluster-size
     scaling run requires. (The pre-round-5 default consulted
