@@ -157,6 +157,15 @@ class ReversedFstWriter:
     def _enc_output(self, v) -> bytes:
         b = bytearray()
         if self.output_type == "int":
+            # the reader consumes int outputs through its Int32-wrapped
+            # read_vint (the reference quirk): a value >= 2^31 would
+            # silently wrap to negative and corrupt every lookup under
+            # it — refuse rather than emit an unreadable FST
+            if not (0 <= v < 2**31):
+                raise ValueError(
+                    f"int output {v} outside the reader's 31-bit range "
+                    "[0, 2^31): interop read_vint wraps at Int32"
+                )
             write_vint(v, b)
         else:
             write_vint(len(v), b)
@@ -185,8 +194,14 @@ class ReversedFstWriter:
             flags |= BIT_ARC_HAS_FINAL_OUTPUT
         # a first-arc flags byte equal to a node sentinel would be
         # mis-dispatched; unreachable because HAS_FINAL_OUTPUT (0x20)
-        # only ever appears together with BIT_FINAL_ARC (0x01)
-        assert flags not in (ARCS_FOR_BINARY_SEARCH, ARCS_FOR_DIRECT_ADDRESSING)
+        # only ever appears together with BIT_FINAL_ARC (0x01).
+        # ValueError, not assert: this guards emitted-format integrity
+        # and must survive python -O
+        if flags in (ARCS_FOR_BINARY_SEARCH, ARCS_FOR_DIRECT_ADDRESSING):
+            raise ValueError(
+                f"arc flags byte 0x{flags:02x} collides with a node "
+                "sentinel — the reversed layout would mis-dispatch"
+            )
         s = bytearray([flags])
         if label is not None:
             s.append(label)

@@ -184,6 +184,7 @@ def date_histogram(
     keys: tuple = ("event_type",),
     interval: str = "day",
     value_col: str = "value",
+    quantize: int | None = 100,
 ) -> DataFrame:
     """Date-histogram aggregation (the Lucene-facets / Elasticsearch
     date_histogram shape): bucket = truncate(ts, interval), per
@@ -191,16 +192,36 @@ def date_histogram(
     as a STRING (yyyy-MM-dd[ HH:00]) so the oracle compare never
     depends on timestamp-type hashing.
 
+    ``quantize`` (default 100 = cent precision) snaps each value to an
+    integer multiple of 1/quantize BEFORE summing, so the per-bucket
+    total is an exact integer sum — order-independent by construction,
+    honoring the engine-wide invariant that float gate totals never
+    come from partial float sums (Spark's partial-aggregate addition
+    order differs from DuckDB's scan-order sum; a pre-rounding ulp
+    difference at a 4dp boundary would flip the repr-sensitive gate
+    hash). ``quantize=None`` restores the raw float sum for inputs
+    that aren't fixed-precision. Integer headroom: sums stay exact up
+    to 2^53/quantize per bucket (~90 trillion value-units at
+    quantize=100) — far past any real bucket.
+
     One groupBy with map-side partial aggregation — at 100 TB only
     |buckets x key cardinality| rows reach the shuffle; time-ordered
     ingest makes the partial combine nearly total."""
     fmt = {"day": "yyyy-MM-dd", "hour": "yyyy-MM-dd HH:00"}[interval]
     bucket = F.date_format(F.date_trunc(interval, F.col(ts_col)), fmt).alias("bucket")
+    if quantize is None:
+        total = F.round(F.sum(value_col), 4)
+    else:
+        total = F.round(
+            F.sum(F.round(F.col(value_col) * quantize, 0).cast("long")).cast("double")
+            / F.lit(float(quantize)),
+            4,
+        )
     return (
         events.groupBy(bucket, *[F.col(k) for k in keys])
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum(value_col), 4).alias("sum_value"),
+            total.alias("sum_value"),
         )
         .orderBy("bucket", *keys)
     )
@@ -315,6 +336,7 @@ def significant_terms(
     id_col: str = "doc_id",
     text_col: str = "text",
     round_to: int = 6,
+    fg_broadcast_max: int = 5_000_000,
 ) -> DataFrame:
     """Significant-terms aggregation (the Elasticsearch agg): terms
     OVERREPRESENTED in the match set vs the background corpus, ranked
@@ -325,7 +347,14 @@ def significant_terms(
     Plan: ONE tokenize pass computes per-(doc, term) rows; the match
     set (conjunctive doc ids) joins in to tag foreground rows, then a
     single groupBy(term) counts both sides (fg via conditional sum).
-    The background df table is the same aggregate — no second scan."""
+    The background df table is the same aggregate — no second scan.
+
+    The foreground tag join broadcasts the match set only while it is
+    provably small: n_fg is already counted (the lift denominator), so
+    the broadcast hint is gated on ``fg_broadcast_max`` ids (default
+    5M ~= 40 MB of longs) — past that a hot conjunctive ``must`` at
+    corpus scale falls back to a plain shuffle join and AQE picks the
+    strategy, the same guard pattern as exec.py's and_prune_max_df."""
     must = list(dict.fromkeys(must))
     if not must:
         raise ValueError("significant_terms needs at least one must term")
@@ -344,9 +373,10 @@ def significant_terms(
     n_fg = match.count()
     if n_fg == 0:
         raise ValueError("empty match set")
-    tagged = doc_terms.join(
-        F.broadcast(match.withColumn("_fg", F.lit(1))), "doc_id", "left"
-    )
+    fg_tbl = match.withColumn("_fg", F.lit(1))
+    if n_fg <= fg_broadcast_max:
+        fg_tbl = F.broadcast(fg_tbl)
+    tagged = doc_terms.join(fg_tbl, "doc_id", "left")
     agg = tagged.groupBy("term").agg(
         F.sum(F.when(F.col("_fg") == 1, 1).otherwise(0)).alias("fg_df"),
         F.count("*").alias("bg_df"),

@@ -937,14 +937,19 @@ LIMIT {k}
 """
 
 
-def date_histogram_sql(interval: str = "day") -> str:
-    """Date-histogram oracle (query/grouping.py date_histogram)."""
+def date_histogram_sql(interval: str = "day", quantize: int = 100) -> str:
+    """Date-histogram oracle (query/grouping.py date_histogram).
+
+    Mirrors the engine's quantized sum: values snap to integer
+    1/quantize units before summing, so the total is an exact integer
+    fold on both engines regardless of addition order (::DOUBLE casts
+    keep DuckDB out of DECIMAL arithmetic)."""
     fmt = {"day": "%Y-%m-%d", "hour": "%Y-%m-%d %H:00"}[interval]
     return f"""
 SELECT strftime(date_trunc('{interval}', ts), '{fmt}') AS bucket,
        event_type,
        count(*)::BIGINT AS n_events,
-       round(sum(value), 4) AS sum_value
+       round(sum(CAST(round(value * {quantize}, 0) AS BIGINT))::DOUBLE / {float(quantize)!r}::DOUBLE, 4) AS sum_value
 FROM events
 GROUP BY 1, 2
 ORDER BY bucket, event_type

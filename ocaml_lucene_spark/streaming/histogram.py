@@ -31,19 +31,35 @@ def streaming_date_histogram(
     window: str = "1 hour",
     watermark: str = "1 hour",
     value_col: str = "value",
+    quantize: int | None = 100,
 ) -> DataFrame:
     """Tumbling-window histogram of a streaming DataFrame: one row per
     (window start, keys...) with count + rounded value sum, emitted in
     append mode once the watermark finalizes the window. The bucket is
     a string (window start) so sinks/oracles never depend on
-    timestamp-type encoding."""
+    timestamp-type encoding.
+
+    ``quantize`` mirrors query/grouping.date_histogram: values snap to
+    integer 1/quantize units before summing, so the stateful aggregate
+    folds LONGS — exact and order-independent across micro-batch /
+    partial-merge order, which a raw double sum in stateful
+    aggregation cannot guarantee (no deterministic fold is available
+    there). ``quantize=None`` restores the float sum."""
     fmt = _FMT[window]
+    if quantize is None:
+        total = F.round(F.sum(value_col), 4)
+    else:
+        total = F.round(
+            F.sum(F.round(F.col(value_col) * quantize, 0).cast("long")).cast("double")
+            / F.lit(float(quantize)),
+            4,
+        )
     agg = (
         stream_df.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window), *[F.col(k) for k in keys])
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum(value_col), 4).alias("sum_value"),
+            total.alias("sum_value"),
         )
     )
     return agg.select(

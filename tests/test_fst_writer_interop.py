@@ -119,3 +119,20 @@ def test_matches_engine_fst_on_exact_keys():
     r = _reader(items, "int", None)
     for k, v in items:
         assert r.lookup(k) == engine.lookup(k) == v
+
+
+def test_int_output_past_31_bits_refused():
+    # the interop reader's Int32-wrapped read_vint would silently wrap
+    # an output >= 2^31 to negative; the writer must refuse instead
+    import pytest
+
+    from ocaml_lucene_spark.interop.fst_writer import write_reversed_fst
+
+    with pytest.raises(ValueError, match="31-bit"):
+        write_reversed_fst([(b"a", 2**31)], output_type="int")
+    # boundary value just inside the range still round-trips
+    data, start, empty = write_reversed_fst([(b"a", 2**31 - 1)], output_type="int")
+    from ocaml_lucene_spark.interop.fst_reader import FstReader
+
+    r = FstReader(data, start, empty)
+    assert r.lookup(b"a") == 2**31 - 1

@@ -280,3 +280,13 @@ def test_percolator_broadcasts_the_rule_table(spark, docs):
     with contextlib.redirect_stdout(buf):
         percolate(docs, rules).explain(mode="formatted")
     assert "BroadcastExchange" in buf.getvalue()
+
+
+def test_significant_terms_identical_across_broadcast_threshold(docs):
+    # the foreground tag join must produce the same result whether the
+    # match set broadcasts (small n_fg) or falls back to a shuffle join
+    # (fg_broadcast_max=0 forces the fallback)
+    a = grouping.significant_terms(docs, ["table"], k=10).collect()
+    b = grouping.significant_terms(docs, ["table"], k=10, fg_broadcast_max=0).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) == 10
