@@ -802,6 +802,27 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
             _query_vec(sf), n_each=100, k=10,
         )
 
+    def q_rrf_fusion_indexed(spark, sf):
+        # the hybrid-fusion SCALE path: dense leg probes the persisted
+        # cell-partitioned IVF layout (partition pruning — never a full
+        # embeddings scan); the oracle mirrors the probe semantics via
+        # the shared ivf_cells_and_probes, like ann_ivf_indexed
+        import hashlib
+
+        import ocaml_lucene_spark as pkg
+        from ocaml_lucene_spark.operators import ann
+        from ocaml_lucene_spark.query.rescore import rrf_fusion_topk_indexed
+
+        cents = _ivf_kmeans_centroids(sf)
+        key = hashlib.md5(f"{pkg.__version__}|{sf}|ivf".encode()).hexdigest()[:10]
+        idx = f"/tmp/olspark_entry_ivf_{key}"
+        if _needs_build(idx):
+            ann.build_ivf_index(_vecs(spark, sf), idx, cents)
+        return rrf_fusion_topk_indexed(
+            _docs(spark, sf), spark, idx, cents, ["table", "hash", "dup"],
+            _query_vec(sf), n_each=100, k=10, n_probe=2,
+        )
+
     def q_span_first(spark, sf):
         # SpanFirstQuery: docs where 'table' occurs within the first 10
         # positions, from the packed .pos stream; the oracle re-derives
@@ -1189,6 +1210,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "embedding_near_dup": q_embed_near_dup,
         "embedding_near_dup_indexed": q_embed_near_dup_indexed,
         # -- NEW r6 rows go here (never driver-checked; 41 + new <= 50) --
+        "rrf_fusion_indexed": q_rrf_fusion_indexed,
         # -- r5-checked tail: sacrificial under a 50-row cut (all 50
         #    full-passed in CORRECTNESS_r05 except bigram_collocations,
         #    whose signed-zero fix is replica-verified this round) --
@@ -1340,6 +1362,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "rrf_fusion": osql.rrf_fusion_sql(
             ["table", "hash", "dup"], qv, n_each=100, k=10
+        ),
+        "rrf_fusion_indexed": osql.rrf_fusion_indexed_sql(
+            ["table", "hash", "dup"], qv, _ivf_kmeans_centroids(sf_for_vec),
+            n_each=100, k=10, n_probe=2,
         ),
         "span_first": osql.span_first_sql("table", end=10),
         "span_near_ordered": osql.span_near_ordered_sql("table", "hash", slop=3),

@@ -1206,6 +1206,69 @@ LIMIT {k}
 """
 
 
+def rrf_fusion_indexed_sql(
+    terms: list[str],
+    query_vec: list[float],
+    centroids: list[list[float]],
+    n_each: int = 100,
+    k: int = 10,
+    rrf_k: int = 60,
+    round_to: int = 6,
+    n_probe: int = 2,
+) -> str:
+    """Indexed-RRF oracle (query/rescore.py rrf_fusion_topk_indexed):
+    identical to rrf_fusion_sql except the dense CTE mirrors the IVF
+    PROBE semantics — cell assignment + n_probe nearest cells via the
+    shared ivf_cells_and_probes building blocks (the same oracle
+    strategy as ann_ivf_indexed), not a full-corpus scan."""
+    from .oracle_sql_ops import ivf_cells_and_probes
+
+    sim_cols, case, probes = ivf_cells_and_probes(query_vec, centroids, n_probe)
+    q = "[" + ", ".join(repr(float(x)) for x in query_vec) + "]::DOUBLE[]"
+    return f"""
+WITH {_bm25_topn_cte(terms, n_each, 4)},
+lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS bm25_rank
+  FROM bm25
+),
+csims AS (
+  SELECT vec_id, embedding, {sim_cols} FROM embeddings
+),
+ccells AS (
+  SELECT vec_id, embedding, {case} AS cell FROM csims
+),
+qv AS (SELECT {q} AS v),
+emb AS (
+  SELECT vec_id AS doc_id, round({_cos_sql("embedding", "qv.v")}, 4) AS sim
+  FROM ccells, qv
+  WHERE cell IN ({probes})
+  ORDER BY sim DESC, doc_id ASC
+  LIMIT {n_each}
+),
+dense AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY sim DESC, doc_id ASC) AS sim_rank
+  FROM emb
+),
+fused AS (
+  SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+         coalesce(l.bm25_rank, 0)::INT AS bm25_rank,
+         coalesce(d.sim_rank, 0)::INT AS sim_rank
+  FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+)
+SELECT doc_id,
+       round(
+         (CASE WHEN bm25_rank > 0 THEN 1.0::DOUBLE / ({rrf_k} + bm25_rank) ELSE 0.0::DOUBLE END)
+         + (CASE WHEN sim_rank > 0 THEN 1.0::DOUBLE / ({rrf_k} + sim_rank) ELSE 0.0::DOUBLE END),
+         {round_to}) AS score,
+       bm25_rank, sim_rank
+FROM fused
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def percolate_sql(rules: list[tuple[int, list[str], int]]) -> str:
     """Percolator oracle (query/percolator.py percolate): the same
     registered rules as a VALUES table, matched with DISTINCT doc

@@ -450,15 +450,15 @@ LIMIT {k}
 """
 
 
-def ivf_topk_sql(
-    query_vec: list[float],
-    centroids: list[list[float]],
-    k: int = 10,
-    n_probe: int = 2,
-) -> str:
-    """IVF probe mirroring operators/ann.ivf_topk: same centroids, same
-    argmax-with-smallest-id tie-break (ordered CASE chain), probe cells
-    computed at SQL-generation time."""
+def ivf_cells_and_probes(
+    query_vec: list[float], centroids: list[list[float]], n_probe: int
+) -> tuple[str, str, str]:
+    """The IVF probe's SQL building blocks, shared by ivf_topk_sql and
+    the indexed-RRF oracle so the probe semantics cannot drift:
+    (sim_cols, case_expr, probes_csv) — per-centroid 12dp-rounded
+    cosine columns, the argmax-with-smallest-id CASE chain (same tie
+    regions as ivf_cell_expr / kmeans_centroids_local), and the probe
+    cell ids computed at SQL-generation time."""
     import math
 
     def cos(a, b):
@@ -473,8 +473,6 @@ def ivf_topk_sql(
     cvecs = [
         "[" + ", ".join(repr(float(x)) for x in c) + "]::DOUBLE[]" for c in centroids
     ]
-    # 12dp rounding before the argmax CASE chain: same tie regions as
-    # ivf_cell_expr / kmeans_centroids_local (see ivf_cell_expr docs)
     sim_cols = ", ".join(
         f"round({_cos('embedding', cv)}, 12) AS s_{i}" for i, cv in enumerate(cvecs)
     )
@@ -487,6 +485,19 @@ def ivf_topk_sql(
         cond = " AND ".join(prior + conds) if (prior or conds) else "TRUE"
         case += f"WHEN {cond} THEN {i} "
     case += "END"
+    return sim_cols, case, probes
+
+
+def ivf_topk_sql(
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+) -> str:
+    """IVF probe mirroring operators/ann.ivf_topk: same centroids, same
+    argmax-with-smallest-id tie-break (ordered CASE chain), probe cells
+    computed at SQL-generation time."""
+    sim_cols, case, probes = ivf_cells_and_probes(query_vec, centroids, n_probe)
     q = "[" + ", ".join(repr(float(x)) for x in query_vec) + "]::DOUBLE[]"
     return f"""
 WITH sims AS (

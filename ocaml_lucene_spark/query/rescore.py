@@ -96,45 +96,26 @@ def rescore_topk(
     )
 
 
-def rrf_fusion_topk(
-    docs: DataFrame,
-    vecs: DataFrame,
-    terms: list[str],
-    query_vec: list[float],
-    n_each: int = 100,
-    k: int = 10,
-    rrf_k: int = 60,
-    round_to: int = 6,
+def _rrf_combine(
+    lex_scores: DataFrame,
+    dense_sims: DataFrame,
+    k: int,
+    rrf_k: int,
+    round_to: int,
 ) -> DataFrame:
-    """Reciprocal rank fusion of the lexical (BM25) and dense (cosine)
-    rankings: score(d) = sum over rankings of 1/(rrf_k + rank_d), with
-    rank 1-based within each top-``n_each`` list and absent docs
-    contributing 0. Returns (doc_id, score, bm25_rank, sim_rank) with
-    absent ranks as 0 (integer-only rank columns keep the hash clean).
-    """
-    lex = (
-        bm25_topk(docs, terms, "or", k=n_each, round_to=4)
-        .withColumn(
-            "bm25_rank",
-            F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))),
-        )
-        .select("doc_id", "bm25_rank")
-    )
-    # the dense leg IS a full ANN ranking by design — reuse the ONE
-    # corpus-cosine scorer (operators/ann.py brute_force_topk, the
-    # exact baseline; a production deployment swaps in lsh_topk /
-    # ivf_topk for the same (vec_id, sim) contract)
-    from ..operators.ann import brute_force_topk
-
-    dense = (
-        brute_force_topk(vecs, query_vec, k=n_each)
-        .withColumnRenamed("vec_id", "doc_id")
-        .withColumn(
-            "sim_rank",
-            F.row_number().over(Window.orderBy(F.desc("sim"), F.asc("doc_id"))),
-        )
-        .select("doc_id", "sim_rank")
-    )
+    """Fuse a (doc_id, score) lexical frame with a (doc_id, sim) dense
+    frame by reciprocal rank: rank 1-based within each list ordered
+    (metric desc, doc_id asc), absent docs contribute 0. Shared by the
+    brute-force and the indexed (IVF) fusion paths so the combine
+    semantics cannot drift between them."""
+    lex = lex_scores.withColumn(
+        "bm25_rank",
+        F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))),
+    ).select("doc_id", "bm25_rank")
+    dense = dense_sims.withColumn(
+        "sim_rank",
+        F.row_number().over(Window.orderBy(F.desc("sim"), F.asc("doc_id"))),
+    ).select("doc_id", "sim_rank")
     fused = lex.join(dense, "doc_id", "full").select(
         "doc_id",
         F.coalesce(F.col("bm25_rank"), F.lit(0)).alias("bm25_rank"),
@@ -154,3 +135,62 @@ def rrf_fusion_topk(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def rrf_fusion_topk(
+    docs: DataFrame,
+    vecs: DataFrame,
+    terms: list[str],
+    query_vec: list[float],
+    n_each: int = 100,
+    k: int = 10,
+    rrf_k: int = 60,
+    round_to: int = 6,
+) -> DataFrame:
+    """Reciprocal rank fusion of the lexical (BM25) and dense (cosine)
+    rankings: score(d) = sum over rankings of 1/(rrf_k + rank_d), with
+    rank 1-based within each top-``n_each`` list and absent docs
+    contributing 0. Returns (doc_id, score, bm25_rank, sim_rank) with
+    absent ranks as 0 (integer-only rank columns keep the hash clean).
+
+    The dense leg here is the EXACT full-corpus ranking (operators/ann
+    brute_force_topk) — the correct oracle baseline, but a full scan
+    per query; ``rrf_fusion_topk_indexed`` is the scale path."""
+    lex = bm25_topk(docs, terms, "or", k=n_each, round_to=4)
+    from ..operators.ann import brute_force_topk
+
+    dense = brute_force_topk(vecs, query_vec, k=n_each).withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    return _rrf_combine(lex, dense, k=k, rrf_k=rrf_k, round_to=round_to)
+
+
+def rrf_fusion_topk_indexed(
+    docs: DataFrame,
+    spark,
+    ivf_index_dir: str,
+    centroids: list[list[float]],
+    terms: list[str],
+    query_vec: list[float],
+    n_each: int = 100,
+    k: int = 10,
+    rrf_k: int = 60,
+    round_to: int = 6,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Hybrid fusion over the persisted IVF layout — the 100-TB path:
+    the dense leg probes only the ``n_probe`` nearest coarse-quantizer
+    cells of the cell-partitioned parquet index (Catalyst partition
+    pruning; see operators/ann.ivf_topk_indexed), never the full
+    embeddings table. Same (doc_id, score, bm25_rank, sim_rank)
+    contract as ``rrf_fusion_topk`` via the shared ``_rrf_combine``;
+    the dense ranking is the IVF probe's — its recall/ranking
+    semantics (not brute force's) are what the oracle mirrors, exactly
+    as ann_ivf_indexed does."""
+    from ..operators.ann import ivf_topk_indexed
+
+    lex = bm25_topk(docs, terms, "or", k=n_each, round_to=4)
+    dense = ivf_topk_indexed(
+        spark, ivf_index_dir, query_vec, centroids, k=n_each, n_probe=n_probe
+    ).withColumnRenamed("vec_id", "doc_id")
+    return _rrf_combine(lex, dense, k=k, rrf_k=rrf_k, round_to=round_to)

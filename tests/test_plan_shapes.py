@@ -270,3 +270,26 @@ def test_rescore_dense_stage_is_candidate_bounded(spark):
     plan = _plan(rescore_topk(docs, vecs, ["zipf", "data"], qv, n_first=20, k=5))
     assert "LeftSemi" in plan, plan
     assert "BroadcastExchange" in plan
+
+
+def test_rrf_indexed_dense_leg_prunes_ivf_partitions(spark, tmp_path_factory):
+    """rrf_fusion_topk_indexed's dense leg must read only the probed
+    cells' partition directories of the persisted IVF layout
+    (PartitionFilters on the cell column) — at 10^12 vectors the probe
+    cost is n_probe/n_cells of the index, never a full scan."""
+    import __spark_entry__ as entry
+    from ocaml_lucene_spark.operators import ann
+    from ocaml_lucene_spark.query.rescore import rrf_fusion_topk_indexed
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [0.1] * 64
+    cents = entry._ivf_kmeans_centroids("/root/testdata/sf0.001")
+    idx = str(tmp_path_factory.mktemp("ivf_plan"))
+    ann.build_ivf_index(vecs, idx, cents)
+    plan = _plan(
+        rrf_fusion_topk_indexed(
+            docs, spark, idx, cents, ["zipf", "data"], qv, n_each=20, k=5, n_probe=2
+        )
+    )
+    assert re.search(r"PartitionFilters: \[cell#\d+ IN \(", plan), plan

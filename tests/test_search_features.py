@@ -290,3 +290,26 @@ def test_significant_terms_identical_across_broadcast_threshold(docs):
     b = grouping.significant_terms(docs, ["table"], k=10, fg_broadcast_max=0).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     assert len(a) == 10
+
+
+def test_rrf_indexed_all_cells_equals_brute_force(spark, docs, tmp_path_factory):
+    # probing ALL IVF cells makes the dense leg cover the whole corpus,
+    # so the indexed fusion must reproduce the brute-force fusion
+    # exactly (shared _rrf_combine; same (doc_id, sim) contract)
+    import __spark_entry__ as entry
+    from ocaml_lucene_spark.operators import ann
+    from ocaml_lucene_spark.query.rescore import (
+        rrf_fusion_topk,
+        rrf_fusion_topk_indexed,
+    )
+
+    vecs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qv = entry._query_vec(SF)
+    cents = entry._ivf_kmeans_centroids(SF)
+    idx = str(tmp_path_factory.mktemp("ivf_rrf"))
+    ann.build_ivf_index(vecs, idx, cents)
+    brute = rrf_fusion_topk(docs, vecs, TERMS, qv, n_each=50, k=10).collect()
+    indexed = rrf_fusion_topk_indexed(
+        docs, spark, idx, cents, TERMS, qv, n_each=50, k=10, n_probe=len(cents)
+    ).collect()
+    assert [tuple(r) for r in indexed] == [tuple(r) for r in brute]
