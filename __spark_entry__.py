@@ -843,6 +843,80 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
             spark, _ensure_index(spark, sf, positions=True), "table", "hash", slop=3
         )
 
+    def q_span_near_unordered(spark, sf):
+        # unordered SpanNearQuery (inOrder=false): 'table' and 'scan'
+        # within slop 3 in either direction — the symmetric band
+        from ocaml_lucene_spark.query.exec import span_near_unordered_indexed
+
+        return span_near_unordered_indexed(
+            spark, _ensure_index(spark, sf, positions=True), "table", "scan", slop=3
+        )
+
+    def q_span_or_first(spark, sf):
+        # SpanOrQuery union feeding SpanFirst: any of 'table'/'dup'
+        # within the first 15 positions; one .pos decode for the union
+        from ocaml_lucene_spark.query.exec import span_or_first_indexed
+
+        return span_or_first_indexed(
+            spark, _ensure_index(spark, sf, positions=True), ["table", "dup"], end=15
+        )
+
+    def q_span_not(spark, sf):
+        # SpanNotQuery: 'table' occurrences with no 'dup' within +/-2
+        # positions (pre=post=2) — anti band join over the .pos stream
+        from ocaml_lucene_spark.query.exec import span_not_indexed
+
+        return span_not_indexed(
+            spark, _ensure_index(spark, sf, positions=True), "table", "dup",
+            pre=2, post=2,
+        )
+
+    def q_phrase_prefix(spark, sf):
+        # match_phrase_prefix: 'hash' immediately followed by any
+        # dictionary term starting with 'ta' — zero-job FST expansion
+        # (lexicographic, capped 50) then the phrase adjacency join
+        from ocaml_lucene_spark.query.exec import phrase_prefix_counts_indexed
+
+        return phrase_prefix_counts_indexed(
+            spark, _ensure_index(spark, sf, positions=True), "hash", "ta"
+        )
+
+    def q_top_hits_grouped(spark, sf):
+        # terms agg + top_hits sub-agg: per lang, the 2 best-scoring
+        # matches of the disjunctive query plus the group's hit count
+        from ocaml_lucene_spark.query.grouping import top_hits_by_group
+
+        return top_hits_by_group(
+            _docs(spark, sf), ["table", "hash", "dup"], "lang", per_group=2
+        )
+
+    def q_filters_agg(spark, sf):
+        # filters agg: one named conjunctive bucket per entry, ONE
+        # tokenize pass + one-row exchange for all buckets
+        from ocaml_lucene_spark.query.grouping import filters_agg
+
+        return filters_agg(
+            _docs(spark, sf),
+            {
+                "has_table": ["table"],
+                "table_and_hash": ["table", "hash"],
+                "dup_only": ["dup"],
+            },
+        )
+
+    def q_cardinality_agg(spark, sf):
+        # cardinality agg (exact mode): distinct users per event_type
+        from ocaml_lucene_spark.query.grouping import cardinality_agg
+
+        return cardinality_agg(spark.read.parquet(f"{sf}/events.parquet"))
+
+    def q_value_histogram(spark, sf):
+        # numeric histogram agg: fixed-width 25-unit buckets over the
+        # events value column, quantized order-independent sums
+        from ocaml_lucene_spark.query.grouping import value_histogram
+
+        return value_histogram(spark.read.parquet(f"{sf}/events.parquet"), interval=25)
+
     def q_significant_terms(spark, sf):
         # significant-terms agg: terms overrepresented in the 'table'
         # AND 'scan' match set vs the background corpus, ranked by lift
@@ -1211,6 +1285,14 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "embedding_near_dup_indexed": q_embed_near_dup_indexed,
         # -- NEW r6 rows go here (never driver-checked; 41 + new <= 50) --
         "rrf_fusion_indexed": q_rrf_fusion_indexed,
+        "span_near_unordered": q_span_near_unordered,
+        "span_or_first": q_span_or_first,
+        "span_not": q_span_not,
+        "phrase_prefix": q_phrase_prefix,
+        "top_hits_grouped": q_top_hits_grouped,
+        "filters_agg": q_filters_agg,
+        "cardinality_agg": q_cardinality_agg,
+        "value_histogram": q_value_histogram,
         # -- r5-checked tail: sacrificial under a 50-row cut (all 50
         #    full-passed in CORRECTNESS_r05 except bigram_collocations,
         #    whose signed-zero fix is replica-verified this round) --
@@ -1369,6 +1451,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         "span_first": osql.span_first_sql("table", end=10),
         "span_near_ordered": osql.span_near_ordered_sql("table", "hash", slop=3),
+        "span_near_unordered": osql.span_near_unordered_sql("table", "scan", slop=3),
+        "span_or_first": osql.span_or_first_sql(["table", "dup"], end=15),
+        "span_not": osql.span_not_sql("table", "dup", pre=2, post=2),
+        "phrase_prefix": osql.phrase_prefix_sql("hash", "ta"),
+        "top_hits_grouped": osql.top_hits_by_group_sql(
+            ["table", "hash", "dup"], "lang", per_group=2
+        ),
+        "filters_agg": osql.filters_agg_sql(
+            {
+                "has_table": ["table"],
+                "table_and_hash": ["table", "hash"],
+                "dup_only": ["dup"],
+            }
+        ),
+        "cardinality_agg": osql.cardinality_agg_sql(),
+        "value_histogram": osql.value_histogram_sql(interval=25),
         "significant_terms": osql.significant_terms_sql(["table", "scan"], k=10),
         "percolate": osql.percolate_sql(
             [

@@ -1403,3 +1403,138 @@ def span_near_ordered_indexed(
         .agg(F.count("*").alias("n_pairs"))
     )
     return _deleted_filter(spark, index_dir, out).orderBy("doc_id")
+
+
+def span_near_unordered_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    first: str,
+    second: str,
+    slop: int = 3,
+) -> DataFrame:
+    """Unordered SpanNearQuery (inOrder=false) over two single-term
+    clauses: (doc_id, n_pairs) where the two terms co-occur within
+    ``slop`` intervening positions in EITHER direction
+    (0 < |p2 - p1| <= slop + 1) — the symmetric band of the ordered
+    variant's directional one. Same plan: term-pushdown .pos decode,
+    doc-co-partitioned band join, one count aggregate."""
+    flat = flat_positions_df(spark, index_dir, [first, second])
+    a = flat.filter(F.col("term") == first).select(
+        "doc_id", F.col("p").alias("p1")
+    )
+    b = flat.filter(F.col("term") == second).select(
+        F.col("doc_id").alias("doc_id_b"), F.col("p").alias("p2")
+    )
+    gap = F.abs(F.col("p2") - F.col("p1"))
+    out = (
+        a.join(
+            b,
+            (F.col("doc_id") == F.col("doc_id_b"))
+            & (gap > 0)
+            & (gap <= slop + 1),
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    return _deleted_filter(spark, index_dir, out).orderBy("doc_id")
+
+
+def span_or_first_indexed(
+    spark: SparkSession, index_dir: str, terms: list[str], end: int
+) -> DataFrame:
+    """SpanOrQuery feeding SpanFirst: docs where ANY of ``terms``
+    occurs within the first ``end`` positions. Returns
+    (doc_id, n_spans, first_pos) — the union's matching-span count in
+    the window and the earliest one. The union is free: one
+    term-pushdown .pos decode over all clauses (In(term, ...) at the
+    scan), no per-clause pass."""
+    terms = list(dict.fromkeys(terms))
+    flat = flat_positions_df(spark, index_dir, terms)
+    out = (
+        flat.filter(F.col("p") < end)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.min("p").alias("first_pos"),
+        )
+    )
+    return _deleted_filter(spark, index_dir, out).orderBy("doc_id")
+
+
+def span_not_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    include: str,
+    exclude: str,
+    pre: int = 0,
+    post: int = 0,
+) -> DataFrame:
+    """SpanNotQuery: occurrences of ``include`` that do NOT have an
+    occurrence of ``exclude`` within [p - pre, p + post] (Lucene's
+    SpanNotQuery with pre/post slop; pre=post=0 keeps only exact-
+    overlap exclusion, impossible for distinct single terms, so
+    callers normally pass a band). Returns (doc_id, n_spans) for docs
+    with at least one surviving span, ordered by doc_id.
+
+    Plan: one term-pushdown .pos decode for both terms, then a
+    doc-co-partitioned ANTI band join (surviving include positions) +
+    one count aggregate — the exclusion never materializes pairs."""
+    flat = flat_positions_df(spark, index_dir, [include, exclude])
+    a = flat.filter(F.col("term") == include).select(
+        "doc_id", F.col("p").alias("p1")
+    )
+    b = flat.filter(F.col("term") == exclude).select(
+        F.col("doc_id").alias("doc_id_b"), F.col("p").alias("p2")
+    )
+    survivors = a.join(
+        b,
+        (F.col("doc_id") == F.col("doc_id_b"))
+        & (F.col("p2") >= F.col("p1") - pre)
+        & (F.col("p2") <= F.col("p1") + post),
+        "left_anti",
+    )
+    out = survivors.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    return _deleted_filter(spark, index_dir, out).orderBy("doc_id")
+
+
+def phrase_prefix_counts_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    first: str,
+    prefix: str,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """match_phrase_prefix: docs where ``first`` is immediately
+    followed by ANY term starting with ``prefix`` (the
+    search-as-you-type phrase query). Returns (doc_id, n_matches)
+    ordered by doc_id.
+
+    The prefix expands against the in-memory FST dictionary with ZERO
+    Spark jobs (term_index.prefix_stats_mem), capped at
+    ``max_expansions`` in term order (Lucene's default cap is 50;
+    determinism = lexicographic, not df, order). Only then does the
+    .pos decode run, term-filtered to first + the expansion set at the
+    scan — the adjacency is the phrase band join p2 == p1 + 1."""
+    from .term_index import prefix_stats_mem
+
+    expansions = sorted(prefix_stats_mem(index_dir, prefix))[:max_expansions]
+    if not expansions:
+        # no dictionary term carries the prefix: empty, stable schema
+        return spark.createDataFrame([], "doc_id long, n_matches long")
+    flat = flat_positions_df(spark, index_dir, [first] + expansions)
+    a = flat.filter(F.col("term") == first).select(
+        "doc_id", F.col("p").alias("p1")
+    )
+    b = flat.filter(F.col("term").isin(expansions)).select(
+        F.col("doc_id").alias("doc_id_b"), F.col("p").alias("p2")
+    )
+    out = (
+        a.join(
+            b,
+            (F.col("doc_id") == F.col("doc_id_b"))
+            & (F.col("p2") == F.col("p1") + 1),
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_matches"))
+    )
+    return _deleted_filter(spark, index_dir, out).orderBy("doc_id")

@@ -178,6 +178,21 @@ def facet_counts_indexed(
     )
 
 
+def _quantized_sum(value_col: str, quantize: int | None):
+    """Order-independent rounded sum: snap each value to integer
+    1/quantize units, fold LONGS, divide back — exact regardless of
+    partial-aggregate order (the engine invariant that float gate
+    totals never come from partial float sums). None = raw float sum
+    for non-fixed-precision inputs."""
+    if quantize is None:
+        return F.round(F.sum(value_col), 4)
+    return F.round(
+        F.sum(F.round(F.col(value_col) * quantize, 0).cast("long")).cast("double")
+        / F.lit(float(quantize)),
+        4,
+    )
+
+
 def date_histogram(
     events: DataFrame,
     ts_col: str = "ts",
@@ -209,14 +224,7 @@ def date_histogram(
     ingest makes the partial combine nearly total."""
     fmt = {"day": "yyyy-MM-dd", "hour": "yyyy-MM-dd HH:00"}[interval]
     bucket = F.date_format(F.date_trunc(interval, F.col(ts_col)), fmt).alias("bucket")
-    if quantize is None:
-        total = F.round(F.sum(value_col), 4)
-    else:
-        total = F.round(
-            F.sum(F.round(F.col(value_col) * quantize, 0).cast("long")).cast("double")
-            / F.lit(float(quantize)),
-            4,
-        )
+    total = _quantized_sum(value_col, quantize)
     return (
         events.groupBy(bucket, *[F.col(k) for k in keys])
         .agg(
@@ -395,4 +403,134 @@ def significant_terms(
         )
         .orderBy(F.desc("lift"), F.asc("term"))
         .limit(k)
+    )
+
+
+def top_hits_by_group(
+    docs: DataFrame,
+    terms: list[str],
+    group_col: str = "lang",
+    per_group: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Terms aggregation with a top_hits sub-aggregation (the
+    Elasticsearch `terms` + `top_hits` composite): for every value of
+    ``group_col``, the ``per_group`` best-scoring matching docs plus
+    the group's total hit count. Returns
+    (group_key, rank, doc_id, score, n_hits) ordered (group_key, rank)
+    — a total order since rank is unique within a key.
+
+    Plan: the per-doc disjunctive BM25 table (shared _bm25_doc_scores
+    contract — rounded BEFORE ranking) joins the group column in, then
+    ONE window partitioned by key ranks and counts; no per-group
+    query, no driver loop. At 100 TB the window's key partitioning is
+    the same shuffle a groupBy needs; skew only if one key dominates
+    the match set."""
+    scores = _bm25_doc_scores(docs, terms, id_col, text_col, round_to=4)
+    keyed = scores.join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(group_col).alias("group_key")),
+        "doc_id",
+    )
+    w_rank = Window.partitionBy("group_key").orderBy(F.desc("score"), F.asc("doc_id"))
+    w_all = Window.partitionBy("group_key")
+    return (
+        keyed.withColumn("rank", F.row_number().over(w_rank))
+        .withColumn("n_hits", F.count("*").over(w_all))
+        .filter(F.col("rank") <= per_group)
+        .select("group_key", "rank", "doc_id", "score", F.col("n_hits").cast("long").alias("n_hits"))
+        .orderBy("group_key", "rank")
+    )
+
+
+def filters_agg(
+    docs: DataFrame,
+    filters: dict[str, list[str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Filters aggregation (the Elasticsearch `filters` agg): one
+    named bucket per entry, counting docs that contain ALL the
+    entry's terms. Returns (filter_name, n_docs) ordered by name.
+
+    ONE tokenize pass: each doc's token array evaluates every named
+    conjunction as a boolean column, one aggregate sums them all, and
+    `stack` unpivots the single row into (name, count) rows — the
+    whole agg is a scan + one-row exchange regardless of how many
+    named filters ride along."""
+    if not filters:
+        raise ValueError("filters_agg needs at least one named filter")
+    toks = _tokenized(docs, id_col, text_col)
+    flags = [
+        F.aggregate(
+            F.array(*[F.array_contains("toks", t) for t in dict.fromkeys(terms)]),
+            F.lit(True),
+            lambda acc, x: acc & x,
+        )
+        .cast("long")
+        .alias(f"_f_{i}")
+        for i, (_, terms) in enumerate(sorted(filters.items()))
+    ]
+    one_row = toks.select(*flags).agg(
+        *[F.sum(f"_f_{i}").alias(f"_c_{i}") for i in range(len(filters))]
+    )
+    names = [name for name, _ in sorted(filters.items())]
+    stack_args = ", ".join(
+        f"'{n}', _c_{i}" for i, n in enumerate(names)
+    )
+    return (
+        one_row.select(
+            F.expr(f"stack({len(names)}, {stack_args}) AS (filter_name, n_docs)")
+        )
+        .select("filter_name", F.col("n_docs").cast("long").alias("n_docs"))
+        .orderBy("filter_name")
+    )
+
+
+def cardinality_agg(
+    events: DataFrame,
+    key_col: str = "event_type",
+    id_col: str = "user_id",
+) -> DataFrame:
+    """Cardinality aggregation (exact mode): distinct ``id_col`` count
+    per ``key_col`` bucket, plus the bucket's event count. Returns
+    (key, n_unique, n_events) ordered by key — integers only, nothing
+    to round.
+
+    Exact distinct is a two-level shuffle on (key, id) then (key) —
+    the gate-verifiable contract; an approximate HLL variant
+    (approx_count_distinct) drops a shuffle at corpus scale but its
+    sketch values are engine-specific and cannot be oracled
+    exactly."""
+    return (
+        events.groupBy(F.col(key_col).alias("key"))
+        .agg(
+            F.countDistinct(id_col).alias("n_unique"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("key")
+    )
+
+
+def value_histogram(
+    events: DataFrame,
+    value_col: str = "value",
+    interval: int = 25,
+    quantize: int | None = 100,
+) -> DataFrame:
+    """Histogram aggregation over a numeric field (the Elasticsearch
+    `histogram` agg; date_histogram's numeric sibling): fixed-width
+    buckets bucket_lo = floor(value/interval)*interval with count and
+    the order-independent quantized value sum (shared _quantized_sum).
+    Returns (bucket_lo, n_events, sum_value) ordered by bucket_lo.
+    One groupBy, map-side partial aggregation — only |buckets| rows
+    reach the shuffle."""
+    lo = (F.floor(F.col(value_col) / interval) * interval).cast("long").alias("bucket_lo")
+    return (
+        events.groupBy(lo)
+        .agg(
+            F.count("*").alias("n_events"),
+            _quantized_sum(value_col, quantize).alias("sum_value"),
+        )
+        .orderBy("bucket_lo")
     )

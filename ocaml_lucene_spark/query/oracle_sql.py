@@ -1372,3 +1372,187 @@ WHERE term NOT IN {_terms_in(must)} AND fg_df >= {min_doc_count}
 ORDER BY lift DESC, term ASC
 LIMIT {k}
 """
+
+
+def span_near_unordered_sql(first: str, second: str, slop: int = 3) -> str:
+    """Unordered-SpanNear oracle (query/exec.py
+    span_near_unordered_indexed): symmetric position band
+    0 < |p2 - p1| <= slop + 1 over the positional parallel unnest."""
+    f = first.replace("'", "''")
+    s = second.replace("'", "''")
+    return f"""
+WITH {TOKS_CTE},
+pos AS (
+  SELECT doc_id, unnest(t) AS term, unnest(range(len(t))) AS p FROM base
+)
+SELECT a.doc_id, count(*)::BIGINT AS n_pairs
+FROM (SELECT doc_id, p AS p1 FROM pos WHERE term = '{f}') a
+JOIN (SELECT doc_id, p AS p2 FROM pos WHERE term = '{s}') b
+  ON a.doc_id = b.doc_id
+ AND abs(b.p2 - a.p1) > 0 AND abs(b.p2 - a.p1) <= {slop + 1}
+GROUP BY a.doc_id
+ORDER BY a.doc_id
+"""
+
+
+def span_or_first_sql(terms: list[str], end: int) -> str:
+    """SpanOr-into-SpanFirst oracle (query/exec.py
+    span_or_first_indexed): any of the clause terms within the first
+    ``end`` positions; count + earliest."""
+    terms = list(dict.fromkeys(terms))
+    return f"""
+WITH {TOKS_CTE},
+pos AS (
+  SELECT doc_id, unnest(t) AS term, unnest(range(len(t))) AS p FROM base
+)
+SELECT doc_id, count(*)::BIGINT AS n_spans, min(p)::BIGINT AS first_pos
+FROM pos
+WHERE term IN {_terms_in(terms)} AND p < {end}
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def span_not_sql(include: str, exclude: str, pre: int = 0, post: int = 0) -> str:
+    """SpanNot oracle (query/exec.py span_not_indexed): include
+    positions surviving an ANTI join against exclude positions in
+    [p - pre, p + post]."""
+    i = include.replace("'", "''")
+    e = exclude.replace("'", "''")
+    return f"""
+WITH {TOKS_CTE},
+pos AS (
+  SELECT doc_id, unnest(t) AS term, unnest(range(len(t))) AS p FROM base
+),
+inc AS (SELECT doc_id, p AS p1 FROM pos WHERE term = '{i}'),
+exc AS (SELECT doc_id, p AS p2 FROM pos WHERE term = '{e}')
+SELECT doc_id, count(*)::BIGINT AS n_spans
+FROM inc a
+WHERE NOT EXISTS (
+  SELECT 1 FROM exc b
+  WHERE b.doc_id = a.doc_id
+    AND b.p2 >= a.p1 - {pre} AND b.p2 <= a.p1 + {post}
+)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def phrase_prefix_sql(first: str, prefix: str, max_expansions: int = 50) -> str:
+    """match_phrase_prefix oracle (query/exec.py
+    phrase_prefix_counts_indexed): the expansion set is re-derived
+    INDEPENDENTLY from the corpus text (distinct terms LIKE
+    'prefix%', capped at max_expansions in lexicographic order — the
+    same determinism contract as the engine's FST expansion), then the
+    phrase adjacency p2 = p1 + 1."""
+    f = first.replace("'", "''")
+    p = prefix.replace("'", "''").replace("%", "\\%").replace("_", "\\_")
+    return f"""
+WITH {TOKS_CTE},
+pos AS (
+  SELECT doc_id, unnest(t) AS term, unnest(range(len(t))) AS p FROM base
+),
+expansions AS (
+  SELECT DISTINCT term FROM pos WHERE term LIKE '{p}%' ESCAPE '\\'
+  ORDER BY term LIMIT {max_expansions}
+)
+SELECT a.doc_id, count(*)::BIGINT AS n_matches
+FROM (SELECT doc_id, p AS p1 FROM pos WHERE term = '{f}') a
+JOIN (SELECT doc_id, p AS p2 FROM pos WHERE term IN (SELECT term FROM expansions)) b
+  ON a.doc_id = b.doc_id AND b.p2 = a.p1 + 1
+GROUP BY a.doc_id
+ORDER BY a.doc_id
+"""
+
+
+def top_hits_by_group_sql(
+    terms: list[str], group_col: str = "lang", per_group: int = 2, round_to: int = 4
+) -> str:
+    """Terms+top_hits oracle (query/grouping.py top_hits_by_group):
+    the shared scoring CTE rounded BEFORE ranking, one window per
+    group key for rank and hit count."""
+    terms = list(dict.fromkeys(terms))
+    return f"""
+WITH {TOKS_CTE},
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM base),
+tf AS (
+  SELECT doc_id, term, dl, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(t) AS term FROM base)
+  WHERE term IN {_terms_in(terms)}
+  GROUP BY doc_id, term, dl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n - df + 0.5) / (df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl)) AS sc
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+),
+per_doc AS (
+  SELECT doc_id, round(sum(sc), {round_to}) AS score FROM scored GROUP BY doc_id
+),
+ranked AS (
+  SELECT d.{group_col} AS group_key, p.doc_id, p.score,
+         row_number() OVER (
+           PARTITION BY d.{group_col} ORDER BY p.score DESC, p.doc_id ASC
+         ) AS rank,
+         count(*) OVER (PARTITION BY d.{group_col}) AS n_hits
+  FROM per_doc p JOIN documents d USING (doc_id)
+)
+SELECT group_key, rank::INT AS rank, doc_id, score, n_hits::BIGINT AS n_hits
+FROM ranked
+WHERE rank <= {per_group}
+ORDER BY group_key, rank
+"""
+
+
+def filters_agg_sql(filters: dict[str, list[str]]) -> str:
+    """Filters-agg oracle (query/grouping.py filters_agg): one
+    conjunctive count per named bucket, unioned in name order."""
+    selects = []
+    for name, terms in sorted(filters.items()):
+        terms = list(dict.fromkeys(terms))
+        n = name.replace("'", "''")
+        selects.append(
+            f"""
+SELECT '{n}' AS filter_name, (
+  SELECT count(*) FROM (
+    SELECT doc_id
+    FROM (SELECT DISTINCT doc_id, unnest(t) AS term FROM base)
+    WHERE term IN {_terms_in(terms)}
+    GROUP BY doc_id HAVING count(*) = {len(terms)}
+  )
+)::BIGINT AS n_docs"""
+        )
+    u = "\nUNION ALL".join(selects)
+    return f"""
+WITH {TOKS_CTE}
+{u}
+ORDER BY filter_name
+"""
+
+
+def cardinality_agg_sql(key_col: str = "event_type", id_col: str = "user_id") -> str:
+    """Exact-cardinality oracle (query/grouping.py cardinality_agg)."""
+    return f"""
+SELECT {key_col} AS key,
+       count(DISTINCT {id_col})::BIGINT AS n_unique,
+       count(*)::BIGINT AS n_events
+FROM events
+GROUP BY 1
+ORDER BY key
+"""
+
+
+def value_histogram_sql(interval: int = 25, quantize: int = 100) -> str:
+    """Numeric-histogram oracle (query/grouping.py value_histogram):
+    same fixed-width buckets and quantized order-independent sum as
+    date_histogram_sql."""
+    return f"""
+SELECT (floor(value / {interval}) * {interval})::BIGINT AS bucket_lo,
+       count(*)::BIGINT AS n_events,
+       round(sum(CAST(round(value * {quantize}, 0) AS BIGINT))::DOUBLE / {float(quantize)!r}::DOUBLE, 4) AS sum_value
+FROM events
+GROUP BY 1
+ORDER BY bucket_lo
+"""

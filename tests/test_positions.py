@@ -279,3 +279,112 @@ def test_bm25_topk_phrase_scored_vs_reference(spark, pos_index, tiny_corpus):
         for r in bm25_topk_phrase(spark, index_dir, words, k=10, round_to=4).collect()
     ]
     assert got == [(d, s) for d, s in top] and got
+
+
+def _doc_tokens(oracle):
+    """doc_id -> token list, reconstructed from the oracle's positional
+    postings (OracleIndex keeps positions, not raw token arrays)."""
+    toks = {d: [None] * n for d, n in oracle.doc_lens.items()}
+    for t, docs in oracle.positions.items():
+        for d, ps in docs.items():
+            for pos in ps:
+                toks[d][pos] = t
+    return toks
+
+
+def _common_pair(oracle):
+    """Two distinct high-df terms (guaranteed co-occurrence)."""
+    by_df = sorted(oracle.postings, key=lambda t: (-len(oracle.postings[t]), t))
+    return by_df[0], by_df[1]
+
+
+def test_span_near_unordered_is_sum_of_both_directions(spark, pos_index):
+    # the symmetric band 0 < |p2-p1| <= slop+1 partitions exactly into
+    # the two directional bands, so per doc:
+    # unordered(a,b) = ordered(a,b) + ordered(b,a)
+    from ocaml_lucene_spark.query.exec import (
+        span_near_ordered_indexed,
+        span_near_unordered_indexed,
+    )
+
+    index_dir, oracle = pos_index
+    a, b = _common_pair(oracle)
+    un = {r.doc_id: r.n_pairs for r in span_near_unordered_indexed(spark, index_dir, a, b, slop=3).collect()}
+    fwd = {r.doc_id: r.n_pairs for r in span_near_ordered_indexed(spark, index_dir, a, b, slop=3).collect()}
+    rev = {r.doc_id: r.n_pairs for r in span_near_ordered_indexed(spark, index_dir, b, a, slop=3).collect()}
+    assert un, "test needs at least one co-occurring pair"
+    for d in set(fwd) | set(rev):
+        assert un.get(d, 0) == fwd.get(d, 0) + rev.get(d, 0)
+    assert set(un) == set(fwd) | set(rev)
+
+
+def test_span_not_zero_band_keeps_every_include_span(spark, pos_index):
+    # pre=post=0 excludes only exact overlap, impossible for two
+    # DISTINCT single terms -> n_spans == tf(include) per doc
+    from ocaml_lucene_spark.query.exec import span_not_indexed
+
+    index_dir, oracle = pos_index
+    a, b = _common_pair(oracle)
+    got = {r.doc_id: r.n_spans for r in span_not_indexed(spark, index_dir, a, b, pre=0, post=0).collect()}
+    want = {
+        d: toks.count(a) for d, toks in _doc_tokens(oracle).items() if a in toks
+    }
+    assert got == want
+
+
+def test_span_not_wide_band_removes_cooccurring_docs(spark, pos_index):
+    # a band wider than any doc length removes every include span in
+    # docs that contain the exclude term at all
+    from ocaml_lucene_spark.query.exec import span_not_indexed
+
+    index_dir, oracle = pos_index
+    a, b = _common_pair(oracle)
+    big = max(len(t) for t in _doc_tokens(oracle).values()) + 1
+    got = {r.doc_id: r.n_spans for r in span_not_indexed(spark, index_dir, a, b, pre=big, post=big).collect()}
+    want = {
+        d: toks.count(a)
+        for d, toks in _doc_tokens(oracle).items()
+        if a in toks and b not in toks
+    }
+    assert got == want
+
+
+def test_span_or_first_union_of_single_term_span_first(spark, pos_index):
+    # the union's window hits per doc = sum over clause terms of that
+    # term's early-window positions; first_pos = min of the clauses
+    from ocaml_lucene_spark.query.exec import span_or_first_indexed
+
+    index_dir, oracle = pos_index
+    a, b = _common_pair(oracle)
+    end = 12
+    got = {
+        r.doc_id: (r.n_spans, r.first_pos)
+        for r in span_or_first_indexed(spark, index_dir, [a, b], end).collect()
+    }
+    want = {}
+    for d, toks in _doc_tokens(oracle).items():
+        ps = [i for i, t in enumerate(toks[:end]) if t in (a, b)]
+        if ps:
+            want[d] = (len(ps), min(ps))
+    assert got == want
+
+
+def test_phrase_prefix_exact_term_prefix_equals_phrase_counts(spark, pos_index):
+    # when the prefix has exactly one dictionary expansion, the
+    # match_phrase_prefix collapses to the plain two-term phrase count
+    from ocaml_lucene_spark.query.exec import phrase_prefix_counts_indexed
+    from ocaml_lucene_spark.query.term_index import prefix_stats_mem
+
+    index_dir, oracle = pos_index
+    a, b = _common_pair(oracle)
+    # find a prefix of b matching ONLY b in the dictionary
+    prefix = None
+    for i in range(1, len(b) + 1):
+        if sorted(prefix_stats_mem(index_dir, b[:i])) == [b]:
+            prefix = b[:i]
+            break
+    if prefix is None:
+        pytest.skip("no unique prefix for the chosen term in this corpus")
+    got = {r.doc_id: r.n_matches for r in phrase_prefix_counts_indexed(spark, index_dir, a, prefix).collect()}
+    want = {r.doc_id: r.n_phrase for r in phrase_counts_indexed(spark, index_dir, a, b).collect()}
+    assert got == want

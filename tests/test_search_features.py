@@ -313,3 +313,54 @@ def test_rrf_indexed_all_cells_equals_brute_force(spark, docs, tmp_path_factory)
         docs, spark, idx, cents, TERMS, qv, n_each=50, k=10, n_probe=len(cents)
     ).collect()
     assert [tuple(r) for r in indexed] == [tuple(r) for r in brute]
+
+
+def test_filters_agg_counts_match_conjunctive_match_sets(docs):
+    from ocaml_lucene_spark.functions.analysis import tokens_col
+
+    got = {
+        r.filter_name: r.n_docs
+        for r in grouping.filters_agg(
+            docs, {"a_zipf": ["zipf"], "b_both": ["zipf", "data"]}
+        ).collect()
+    }
+    toks = docs.select(F.col("doc_id"), tokens_col("text").alias("t"))
+    n_zipf = toks.filter(F.array_contains("t", "zipf")).count()
+    n_both = toks.filter(
+        F.array_contains("t", "zipf") & F.array_contains("t", "data")
+    ).count()
+    assert got == {"a_zipf": n_zipf, "b_both": n_both}
+
+
+def test_top_hits_grouped_rank1_is_group_max(docs):
+    rows = grouping.top_hits_by_group(docs, TERMS, "lang", per_group=2).collect()
+    assert rows, "query must match something"
+    # per key: ranks are 1..min(per_group, n_hits), rank-1 score is the max
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.group_key, []).append(r)
+    full = grouping._bm25_doc_scores(docs, TERMS, round_to=4)
+    keyed = full.join(
+        docs.select("doc_id", F.col("lang").alias("group_key")), "doc_id"
+    )
+    for key, group in by_key.items():
+        ranks = sorted(r.rank for r in group)
+        assert ranks == list(range(1, len(group) + 1))
+        best = (
+            keyed.filter(F.col("group_key") == key)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .first()
+        )
+        top = min(group, key=lambda r: r.rank)
+        assert (top.doc_id, top.score) == (best["doc_id"], best["score"])
+        assert all(g.n_hits == keyed.filter(F.col("group_key") == key).count() for g in group)
+
+
+def test_value_histogram_buckets_partition_the_total(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    rows = grouping.value_histogram(ev, interval=25).collect()
+    assert sum(r.n_events for r in rows) == ev.count()
+    total = sum(r.sum_value for r in rows)
+    # quantized bucket sums recombine to the quantized global sum
+    want = ev.select(grouping._quantized_sum("value", 100).alias("s")).first()["s"]
+    assert abs(total - want) < 1e-6
