@@ -917,6 +917,27 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
 
         return value_histogram(spark.read.parquet(f"{sf}/events.parquet"), interval=25)
 
+    def q_ngram_contamination(spark, sf):
+        # benchmark decontamination: corpus docs sharing a 4-gram with
+        # the deterministic benchmark subset (doc_id % 13 == 0); the
+        # benchmark's distinct n-grams broadcast — no corpus self-join
+        docs = _docs(spark, sf)
+        bench = docs.filter(F.col("doc_id") % 13 == 0)
+        return dedup.ngram_contamination(docs, bench, n=4)
+
+    def q_repetition_signals(spark, sf):
+        # Gopher-style within-doc repetition filters (dup-3gram
+        # occurrence fraction, top-2gram occupancy)
+        return textstats.repetition_signals(_docs(spark, sf))
+
+    def q_pack_sequences(spark, sf):
+        # concatenate-and-chunk sequence packing: pack_id from the
+        # two-pass range-offset prefix sum (never a one-partition
+        # global window); oracle is the naive single-window SQL
+        from ocaml_lucene_spark.operators.packing import pack_sequences
+
+        return pack_sequences(_docs(spark, sf), budget=2048)
+
     def q_significant_terms(spark, sf):
         # significant-terms agg: terms overrepresented in the 'table'
         # AND 'scan' match set vs the background corpus, ranked by lift
@@ -1231,14 +1252,17 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # the previous round's freshly-checked head moves to the tail.
     # Round-6 order: (1) the 41 entries cut from the r5 run (last
     # driver-checked in r4 — the rotation obligation from the r5
-    # verdict); (2) NEW r6 rows, never driver-checked (41 + new must
-    # stay <= 50); (3) the 50 r5-checked entries as the sacrificial
-    # tail, in their r5 order.
+    # verdict); (2) 9 NEW r6 rows inside the 50-row window; (3) 3 MORE
+    # new r6 rows that did not fit the cap (ngram_contamination,
+    # repetition_signals, pack_sequences — replica-verified locally,
+    # never driver-checked); (4) the 50 r5-checked entries as the
+    # sacrificial tail, in their r5 order.
     # ROUND-7 ROTATION OBLIGATION: everything after position 50
     # (recount with list(queries())[50:] before trusting this comment)
-    # was last driver-checked in r5 and MUST occupy the front of the
-    # r7 order, demoting this round's new rows and the r6-checked head
-    # to the tail.
+    # is either never-driver-checked (the 3 past-cut r6 rows — put
+    # them FIRST) or last checked in r5; all of it MUST occupy the
+    # front of the r7 order, demoting this round's new rows and the
+    # r6-checked head to the tail.
     qs = {
         # -- last driver-checked in r4: the r6 rotation obligation says
         #    these 41 MUST make the 50-row cut this round --
@@ -1293,6 +1317,11 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "filters_agg": q_filters_agg,
         "cardinality_agg": q_cardinality_agg,
         "value_histogram": q_value_histogram,
+        # -- NEW r6 rows past the 50-row cut: replica-verified this
+        #    round, first in line for the r7 driver window --
+        "ngram_contamination": q_ngram_contamination,
+        "repetition_signals": q_repetition_signals,
+        "pack_sequences": q_pack_sequences,
         # -- r5-checked tail: sacrificial under a 50-row cut (all 50
         #    full-passed in CORRECTNESS_r05 except bigram_collocations,
         #    whose signed-zero fix is replica-verified this round) --
@@ -1467,6 +1496,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cardinality_agg": osql.cardinality_agg_sql(),
         "value_histogram": osql.value_histogram_sql(interval=25),
+        "ngram_contamination": oops.ngram_contamination_sql(n=4, bench_mod=13),
+        "repetition_signals": oops.repetition_signals_sql(),
+        "pack_sequences": oops.pack_sequences_sql(budget=2048),
         "significant_terms": osql.significant_terms_sql(["table", "scan"], k=10),
         "percolate": osql.percolate_sql(
             [

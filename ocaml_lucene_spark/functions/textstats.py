@@ -213,3 +213,48 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
             F.transform(shingles_col(text_col, n), lambda s: F.md5(s))
         ).alias("min_shingle_fp"),
     )
+
+
+def repetition_signals(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_3grams, dup_3gram_frac, top_2gram_frac): the
+    Gopher-style within-document repetition filters a training-data
+    pipeline runs (Rae et al. 2021 §A1.1 "repetition" rules, adapted
+    to word n-grams since this corpus has no line structure):
+
+    - dup_3gram_frac: fraction of 3-gram OCCURRENCES whose 3-gram
+      appears at least twice in the doc (boilerplate / loop detector);
+    - top_2gram_frac: occurrences of the doc's most frequent 2-gram
+      over all its 2-gram occurrences (stuck-phrase detector).
+
+    Both ratios are counts-over-counts (integers divided once at the
+    end, rounded 4dp — no float folding). Plan: one shingle explode
+    per gram size, groupBy (doc_id, gram) with map-side combine, then
+    a per-doc aggregate — two shuffles, both carrying gram COUNTS, not
+    text. Docs shorter than the gram size contribute their single
+    whole-doc shingle (shingles_col's documented short-doc case)."""
+    from ..operators.dedup import shingles_col
+
+    def per_doc(n: int, dup_col: str, top_col: str) -> DataFrame:
+        grams = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(shingles_col(F.col(text_col), n)).alias("g"),
+        )
+        counts = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+        return counts.groupBy("doc_id").agg(
+            F.sum("c").alias("_total"),
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).alias("_dup"),
+            F.max("c").alias("_top"),
+        ).select(
+            "doc_id",
+            F.col("_total"),
+            F.round(F.col("_dup").cast("double") / F.col("_total"), 4).alias(dup_col),
+            F.round(F.col("_top").cast("double") / F.col("_total"), 4).alias(top_col),
+        )
+
+    g3 = per_doc(3, "dup_3gram_frac", "_unused3").select(
+        "doc_id", F.col("_total").cast("long").alias("n_3grams"), "dup_3gram_frac"
+    )
+    g2 = per_doc(2, "_unused2", "top_2gram_frac").select("doc_id", "top_2gram_frac")
+    return g3.join(g2, "doc_id").orderBy("doc_id")

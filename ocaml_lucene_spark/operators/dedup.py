@@ -410,3 +410,43 @@ def simhash_near_pairs(
     simhash_pairs_from_signatures)."""
     sig = simhash_signatures(docs, id_col, text_col, bits)
     return simhash_pairs_from_signatures(sig, max_hamming, bits, max_bucket_size)
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: the training-data hygiene pass that
+    flags corpus documents sharing at least one word ``n``-gram with an
+    evaluation/benchmark set (the n-gram-overlap protocol GPT-3/PaLM
+    style pretraining pipelines run before training). Returns
+    (doc_id, n_overlap) — the count of DISTINCT corpus-doc n-grams
+    that appear anywhere in the benchmark — for contaminated docs
+    only, ordered by doc_id.
+
+    Scale shape: the benchmark's distinct n-gram set is tiny next to a
+    100 TB corpus (benchmarks are MBs), so it BROADCASTS; the corpus
+    side is one scan -> shingle explode -> distinct-per-doc -> hash
+    join against the broadcast -> per-doc count. No self-join, no
+    corpus-side shuffle of text — the only wide exchange carries
+    (doc_id, matched n-gram) survivors."""
+    bench_grams = (
+        benchmark.select(
+            F.explode(shingles_col(F.col(bench_text_col), n)).alias("g")
+        )
+        .distinct()
+    )
+    corpus = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(shingles_col(F.col(text_col), n))).alias("g"),
+    )
+    return (
+        corpus.join(F.broadcast(bench_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+        .orderBy("doc_id")
+    )

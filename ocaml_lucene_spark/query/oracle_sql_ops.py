@@ -526,3 +526,74 @@ SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
 FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
 WHERE round({_cos("l.embedding", "r.embedding")}, 4) >= {min_sim}
 """
+
+
+def _shingle_case(n: int) -> str:
+    """The shingle expression over a token-array column t (same
+    short-doc whole-text case as operators/dedup.shingles_col)."""
+    return (
+        f"CASE WHEN len(t) < {n} THEN [array_to_string(t, ' ')] "
+        f"ELSE list_transform(range(len(t) - {n} + 1), "
+        f"i -> array_to_string(t[i+1:i+{n}], ' ')) END"
+    )
+
+
+def ngram_contamination_sql(n: int = 5, bench_mod: int = 13) -> str:
+    """Decontamination oracle (operators/dedup.ngram_contamination with
+    benchmark = documents where doc_id % bench_mod = 0): distinct
+    benchmark n-grams joined against each doc's distinct n-grams."""
+    return f"""
+WITH tok AS (SELECT doc_id, {TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, {_shingle_case(n)} AS shingles FROM tok),
+bench AS (
+  SELECT DISTINCT unnest(shingles) AS g FROM sh WHERE doc_id % {bench_mod} = 0
+),
+corpus AS (SELECT doc_id, unnest(list_distinct(shingles)) AS g FROM sh)
+SELECT c.doc_id, count(*)::BIGINT AS n_overlap
+FROM corpus c JOIN bench b ON c.g = b.g
+GROUP BY c.doc_id
+ORDER BY c.doc_id
+"""
+
+
+def repetition_signals_sql() -> str:
+    """Repetition-filter oracle (functions/textstats.repetition_signals):
+    per-doc duplicated-3-gram occurrence fraction and top-2-gram
+    occupancy, counts divided once at the end."""
+    return f"""
+WITH tok AS (SELECT doc_id, {TOKS} AS t FROM documents),
+g3 AS (SELECT doc_id, unnest({_shingle_case(3)}) AS g FROM tok),
+c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g),
+a3 AS (
+  SELECT doc_id, sum(c) AS total3,
+         sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup3
+  FROM c3 GROUP BY doc_id
+),
+g2 AS (SELECT doc_id, unnest({_shingle_case(2)}) AS g FROM tok),
+c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+a2 AS (SELECT doc_id, sum(c) AS total2, max(c) AS top2 FROM c2 GROUP BY doc_id)
+SELECT a3.doc_id,
+       total3::BIGINT AS n_3grams,
+       round(dup3::DOUBLE / total3::DOUBLE, 4) AS dup_3gram_frac,
+       round(top2::DOUBLE / total2::DOUBLE, 4) AS top_2gram_frac
+FROM a3 JOIN a2 ON a3.doc_id = a2.doc_id
+ORDER BY a3.doc_id
+"""
+
+
+def pack_sequences_sql(budget: int = 2048) -> str:
+    """Sequence-packing oracle (operators/packing.pack_sequences): the
+    naive single-window formulation — exactly what the engine's
+    two-pass range/offset plan must reproduce."""
+    return f"""
+WITH tok AS (SELECT doc_id, {TOKS} AS t FROM documents)
+SELECT doc_id,
+       len(t)::BIGINT AS n_tokens,
+       floor(
+         coalesce(sum(len(t)) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0)::DOUBLE / {budget}
+       )::BIGINT AS pack_id
+FROM tok
+ORDER BY doc_id
+"""

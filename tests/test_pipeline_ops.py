@@ -1,0 +1,84 @@
+"""Round-6 training-pipeline operators: decontamination, repetition
+signals, sequence packing. The gate replica (test_entry.py) covers the
+oracle parity; these pin structural/semantic properties the oracles
+can't see."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocaml_lucene_spark.functions.textstats import repetition_signals
+from ocaml_lucene_spark.operators.dedup import ngram_contamination
+from ocaml_lucene_spark.operators.packing import pack_sequences
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_pack_sequences_range_size_is_plan_only(docs):
+    # range_size shapes the two-pass execution, never the assignment:
+    # any range_size must give the identical (doc_id, pack_id) map
+    a = pack_sequences(docs, budget=512, range_size=4096).collect()
+    b = pack_sequences(docs, budget=512, range_size=7).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_pack_sequences_matches_python_prefix_sum(docs):
+    from ocaml_lucene_spark.functions.analysis import py_tokenize
+
+    budget = 512
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    cum, want = 0, {}
+    for d in sorted(texts):
+        n = len(py_tokenize(texts[d]))
+        want[d] = (n, cum // budget)
+        cum += n
+    got = {r.doc_id: (r.n_tokens, r.pack_id) for r in pack_sequences(docs, budget=budget).collect()}
+    assert got == want
+
+
+def test_pack_ids_are_contiguous_from_zero(docs):
+    rows = pack_sequences(docs, budget=256).collect()
+    packs = sorted({r.pack_id for r in rows})
+    assert packs[0] == 0
+    # every pack between 0 and max has at least one FIRST-token doc
+    # except packs fully covered by one giant doc — with budget 256
+    # and short docs, ids must be contiguous
+    assert packs == list(range(packs[-1] + 1))
+
+
+def test_contamination_flags_benchmark_members_fully(docs):
+    from ocaml_lucene_spark.operators.dedup import shingles_col
+
+    bench = docs.filter(F.col("doc_id") % 13 == 0)
+    got = {r.doc_id: r.n_overlap for r in ngram_contamination(docs, bench, n=4).collect()}
+    # a benchmark member overlaps itself: n_overlap == its distinct
+    # 4-gram count
+    own = {
+        r.doc_id: r.n
+        for r in bench.select(
+            "doc_id", F.size(F.array_distinct(shingles_col(F.col("text"), 4))).alias("n")
+        ).collect()
+    }
+    for d, n in own.items():
+        assert got.get(d) == n
+    # and docs sharing nothing are absent (n_overlap never 0)
+    assert all(v > 0 for v in got.values())
+
+
+def test_repetition_signals_hand_corpus(spark):
+    rows = [
+        (0, "a b a b a b"),        # 2-grams: ab ba ab ba ab -> top 'a b' 3/5; 3-grams: aba bab aba bab -> all dup 4/4
+        (1, "x y z w"),            # no repeats
+        (2, "q"),                  # short doc: single whole-doc shingle
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_3grams, r.dup_3gram_frac, r.top_2gram_frac) for r in repetition_signals(df).collect()}
+    assert got[0] == (4, 1.0, 0.6)
+    assert got[1] == (2, 0.0, round(1 / 3, 4))
+    assert got[2] == (1, 0.0, 1.0)
