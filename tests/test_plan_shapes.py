@@ -293,3 +293,30 @@ def test_rrf_indexed_dense_leg_prunes_ivf_partitions(spark, tmp_path_factory):
         )
     )
     assert re.search(r"PartitionFilters: \[cell#\d+ IN \(", plan), plan
+
+
+def test_contamination_broadcasts_the_benchmark_grams(spark):
+    """ngram_contamination's join must BROADCAST the benchmark n-gram
+    set (benchmarks are MBs; the corpus is the 100 TB side) — a
+    shuffle join here would re-partition the whole corpus's exploded
+    n-grams."""
+    from ocaml_lucene_spark.operators.dedup import ngram_contamination
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 13 == 0)
+    plan = _plan(ngram_contamination(docs, bench, n=4))
+    assert "BroadcastExchange" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pack_sequences_has_no_global_single_partition_window(spark):
+    """pack_sequences' window must be partitioned by the range key —
+    the naive global-ORDER-BY window plans a SinglePartition exchange
+    that serializes the whole corpus through one task."""
+    from ocaml_lucene_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(pack_sequences(docs, budget=512))
+    assert "Window" in plan, plan
+    assert "SinglePartition" not in plan, plan
