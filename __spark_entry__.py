@@ -930,6 +930,16 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         # occurrence fraction, top-2gram occupancy)
         return textstats.repetition_signals(_docs(spark, sf))
 
+    def q_sample_stratified(spark, sf):
+        # deterministic data-mixing sampler: md5(doc_id|seed)-derived
+        # uniform vs per-stratum rates — reproducible across cluster
+        # sizes, unlike df.sample's partition-local RNG
+        from ocaml_lucene_spark.operators.sampling import sample_stratified
+
+        return sample_stratified(
+            _docs(spark, sf), {"en": 0.5, "de": 0.25, "zh": 0.125}, "lang", seed=7
+        )
+
     def q_pack_sequences(spark, sf):
         # concatenate-and-chunk sequence packing: pack_id from the
         # two-pass range-offset prefix sum (never a one-partition
@@ -1322,6 +1332,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "ngram_contamination": q_ngram_contamination,
         "repetition_signals": q_repetition_signals,
         "pack_sequences": q_pack_sequences,
+        "sample_stratified": q_sample_stratified,
         # -- r5-checked tail: sacrificial under a 50-row cut (all 50
         #    full-passed in CORRECTNESS_r05 except bigram_collocations,
         #    whose signed-zero fix is replica-verified this round) --
@@ -1499,6 +1510,9 @@ def oracle_sql() -> dict[str, str]:
         "ngram_contamination": oops.ngram_contamination_sql(n=4, bench_mod=13),
         "repetition_signals": oops.repetition_signals_sql(),
         "pack_sequences": oops.pack_sequences_sql(budget=2048),
+        "sample_stratified": oops.sample_stratified_sql(
+            {"en": 0.5, "de": 0.25, "zh": 0.125}, "lang", seed=7
+        ),
         "significant_terms": osql.significant_terms_sql(["table", "scan"], k=10),
         "percolate": osql.percolate_sql(
             [

@@ -73,3 +73,4 @@ def pack_sequences(
         )
         .orderBy("doc_id")
     )
+

@@ -597,3 +597,22 @@ SELECT doc_id,
 FROM tok
 ORDER BY doc_id
 """
+
+
+def sample_stratified_sql(
+    fractions: dict[str, float], stratum_col: str = "lang", seed: int = 7
+) -> str:
+    """Stratified-sampling oracle (operators/sampling.sample_stratified):
+    identical md5-derived uniform u and per-stratum thresholds."""
+    case = " ".join(
+        f"WHEN {stratum_col} = '{s}' THEN {float(f)!r}::DOUBLE"
+        for s, f in sorted(fractions.items())
+    )
+    return f"""
+SELECT doc_id, {stratum_col} AS stratum
+FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR || '|' || '{seed}'), 1, 15))::BIGINT::DOUBLE
+        / {float(16**15)!r}
+      < (CASE {case} ELSE 0.0::DOUBLE END)
+ORDER BY doc_id
+"""

@@ -82,3 +82,26 @@ def test_repetition_signals_hand_corpus(spark):
     assert got[0] == (4, 1.0, 0.6)
     assert got[1] == (2, 0.0, round(1 / 3, 4))
     assert got[2] == (1, 0.0, 1.0)
+
+
+def test_sample_stratified_deterministic_and_rate_correct(docs, spark):
+    from ocaml_lucene_spark.operators.sampling import sample_stratified
+
+    fr = {"en": 0.5, "de": 0.25}
+    a = sample_stratified(docs, fr, "lang", seed=7).collect()
+    b = sample_stratified(docs.repartition(13), fr, "lang", seed=7).collect()
+    # partitioning must not change the sample (the df.sample failure mode)
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # only configured strata survive
+    assert {r.stratum for r in a} <= set(fr)
+    # empirical rates within a loose binomial band
+    totals = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    from collections import Counter
+
+    kept = Counter(r.stratum for r in a)
+    for s, f in fr.items():
+        n, k = totals[s], kept.get(s, 0)
+        assert abs(k / n - f) < 4 * (f * (1 - f) / n) ** 0.5 + 0.02, (s, k, n)
+    # a different seed gives a different sample
+    c = sample_stratified(docs, fr, "lang", seed=8).collect()
+    assert [tuple(r) for r in c] != [tuple(r) for r in a]
