@@ -930,6 +930,23 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         # occurrence fraction, top-2gram occupancy)
         return textstats.repetition_signals(_docs(spark, sf))
 
+    def q_dedup_clusters(spark, sf):
+        # connected components over the LSH->verify near-dup pairs:
+        # min-label propagation to a fixed point; the oracle computes
+        # reachability with a recursive CTE — a different algorithm
+        return dedup.dedup_clusters(
+            dedup.near_dup_pairs(_docs(spark, sf), min_jaccard=0.8)
+        )
+
+    def q_session_windows(spark, sf):
+        # sessionization: native F.session_window aggregate (6h gap),
+        # window bounds emitted as epoch-microsecond integers
+        from ocaml_lucene_spark.query.grouping import session_windows
+
+        return session_windows(
+            spark.read.parquet(f"{sf}/events.parquet"), gap="6 hours"
+        )
+
     def q_sample_stratified(spark, sf):
         # deterministic data-mixing sampler: md5(doc_id|seed)-derived
         # uniform vs per-stratum rates — reproducible across cluster
@@ -1333,6 +1350,8 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "repetition_signals": q_repetition_signals,
         "pack_sequences": q_pack_sequences,
         "sample_stratified": q_sample_stratified,
+        "session_windows": q_session_windows,
+        "dedup_clusters": q_dedup_clusters,
         # -- r5-checked tail: sacrificial under a 50-row cut (all 50
         #    full-passed in CORRECTNESS_r05 except bigram_collocations,
         #    whose signed-zero fix is replica-verified this round) --
@@ -1513,6 +1532,8 @@ def oracle_sql() -> dict[str, str]:
         "sample_stratified": oops.sample_stratified_sql(
             {"en": 0.5, "de": 0.25, "zh": 0.125}, "lang", seed=7
         ),
+        "session_windows": osql.session_windows_sql(gap_hours=6),
+        "dedup_clusters": oops.dedup_clusters_sql(min_jaccard=0.8),
         "significant_terms": osql.significant_terms_sql(["table", "scan"], k=10),
         "percolate": osql.percolate_sql(
             [

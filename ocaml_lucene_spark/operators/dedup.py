@@ -450,3 +450,70 @@ def ngram_contamination(
         .agg(F.count("*").alias("n_overlap"))
         .orderBy("doc_id")
     )
+
+
+def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over a near-duplicate pair graph — the
+    step after LSH+verify that turns pairwise matches into dedup
+    GROUPS (keep one canonical doc per component). Returns
+    (doc_id, cluster_id) for every doc appearing in ``pairs``
+    (columns doc_a, doc_b), cluster_id = the smallest doc_id reachable
+    through the pair graph; ordered by doc_id.
+
+    Min-label propagation to a fixed point: every node starts labeled
+    with itself; each iteration every node takes the min of its own
+    and its neighbors' labels (one join + one groupBy per iteration —
+    plain exchanges, AQE-friendly); converges in O(component diameter)
+    iterations, and near-dup components are shallow (dups of one
+    source doc), so the loop is short at any corpus size. The driver
+    only ever sees the one-integer convergence count per iteration.
+    Raises if max_iters passes without a fixed point (no silent
+    partial clustering)."""
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    und = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .cache()
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            und.join(
+                labels.select(
+                    F.col("node").alias("b"), F.col("label").alias("nlabel")
+                ),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nlabel").alias("nbr_label"))
+            .select(F.col("a").alias("node"), "nbr_label")
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.join(
+                labels.select(F.col("node"), F.col("label").alias("old")), "node"
+            )
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"dedup_clusters did not converge in {max_iters} iterations")
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).orderBy("doc_id")

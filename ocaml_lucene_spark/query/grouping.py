@@ -534,3 +534,44 @@ def value_histogram(
         )
         .orderBy("bucket_lo")
     )
+
+
+def session_windows(
+    events: DataFrame,
+    gap: str = "6 hours",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    quantize: int | None = 100,
+) -> DataFrame:
+    """Session-window aggregation (sessionization — the event-analytics
+    op Spark ships natively as ``F.session_window`` and the reference
+    has no analogue for): per user, events closer than ``gap`` to the
+    previous event merge into one session. Returns
+    (user_id, start_us, end_us, n_events, sum_value) with the window
+    bounds as epoch MICROSECOND integers — timestamps never enter the
+    gate output, so the hash cannot depend on timestamp formatting;
+    end_us = last event + gap (Spark's session_window contract).
+    Ordered (user_id, start_us) — a total order, sessions of one user
+    are disjoint.
+
+    Scale shape: session_window is a first-class Catalyst aggregate —
+    one shuffle on the user key, sessions merged executor-side; state
+    is |open sessions|, not |events|. The value sum folds quantized
+    longs (shared convention)."""
+    agg = events.groupBy(
+        F.col(user_col), F.session_window(F.col(ts_col), gap)
+    ).agg(
+        F.count("*").alias("n_events"),
+        _quantized_sum(value_col, quantize).alias("sum_value"),
+    )
+    return agg.select(
+        F.col(user_col),
+        # parquet timestamps read as TIMESTAMP_NTZ; the session TZ is
+        # pinned UTC (session.py), so the cast to TIMESTAMP is a
+        # deterministic identity on the epoch value
+        F.unix_micros(F.col("session_window.start").cast("timestamp")).alias("start_us"),
+        F.unix_micros(F.col("session_window.end").cast("timestamp")).alias("end_us"),
+        "n_events",
+        "sum_value",
+    ).orderBy(user_col, "start_us")

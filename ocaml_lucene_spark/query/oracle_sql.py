@@ -1556,3 +1556,39 @@ FROM events
 GROUP BY 1
 ORDER BY bucket_lo
 """
+
+
+def session_windows_sql(gap_hours: int = 6, quantize: int = 100) -> str:
+    """Sessionization oracle (query/grouping.py session_windows): the
+    classic islands formulation — a session break where the gap to the
+    previous event is >= the threshold (Spark merges only
+    strictly-overlapping [t, t+gap) windows, so an event at exactly
+    prev+gap starts a new session on both sides); bounds as epoch
+    microseconds, end = last event + gap."""
+    return f"""
+WITH l AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+),
+m AS (
+  SELECT *, CASE WHEN prev IS NULL
+                   OR ts - prev >= INTERVAL '{gap_hours} hours'
+                 THEN 1 ELSE 0 END AS is_new
+  FROM l
+),
+g AS (
+  SELECT *, sum(is_new) OVER (
+    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+  ) AS sid
+  FROM m
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS start_us,
+       epoch_us(max(ts) + INTERVAL '{gap_hours} hours') AS end_us,
+       count(*)::BIGINT AS n_events,
+       round(sum(CAST(round(value * {quantize}, 0) AS BIGINT))::DOUBLE / {float(quantize)!r}::DOUBLE, 4) AS sum_value
+FROM g
+GROUP BY user_id, sid
+ORDER BY user_id, start_us
+"""

@@ -616,3 +616,42 @@ WHERE ('0x' || substr(md5(doc_id::VARCHAR || '|' || '{seed}'), 1, 15))::BIGINT::
       < (CASE {case} ELSE 0.0::DOUBLE END)
 ORDER BY doc_id
 """
+
+
+def dedup_clusters_sql(
+    min_jaccard: float = 0.8,
+    n: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+    min_est_jaccard: float = 0.25,
+) -> str:
+    """Connected-components oracle (operators/dedup.dedup_clusters over
+    near_dup_pairs): full reachability via a RECURSIVE CTE (UNION
+    dedups states, so it terminates), cluster = min reachable id —
+    an entirely different algorithm from the engine's label
+    propagation, which is the point."""
+    pairs = near_dup_pairs_sql(min_jaccard, n, n_hashes, bands, min_est_jaccard)
+    body = pairs.strip().removeprefix("WITH")
+    # body = "<cte list> SELECT <final select>": wrap the final select
+    # as one more CTE so the recursive reachability can consume it
+    cte_list, final_select = body.rsplit("SELECT", 1)
+    return f"""
+WITH RECURSIVE {cte_list.rstrip().rstrip(",")},
+final_pairs AS (
+  SELECT{final_select}
+),
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM final_pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM final_pairs
+),
+reach(node, r) AS (
+  SELECT DISTINCT a, a FROM und
+  UNION
+  SELECT u.a, rc.r FROM und u JOIN reach rc ON u.b = rc.node
+)
+SELECT node AS doc_id, min(r)::BIGINT AS cluster_id
+FROM reach
+GROUP BY node
+ORDER BY doc_id
+"""

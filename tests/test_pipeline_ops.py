@@ -105,3 +105,26 @@ def test_sample_stratified_deterministic_and_rate_correct(docs, spark):
     # a different seed gives a different sample
     c = sample_stratified(docs, fr, "lang", seed=8).collect()
     assert [tuple(r) for r in c] != [tuple(r) for r in a]
+
+
+def test_dedup_clusters_label_propagation_matches_networkx_style_bfs(spark):
+    # hand graph: two components incl. a 4-node chain (needs >1
+    # propagation iteration) and a triangle
+    from ocaml_lucene_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 30), (30, 40), (7, 8), (8, 9), (7, 9)],
+        "doc_a long, doc_b long",
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert got == {10: 10, 20: 10, 30: 10, 40: 10, 7: 7, 8: 7, 9: 7}
+
+
+def test_dedup_clusters_raises_without_convergence(spark):
+    from ocaml_lucene_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        dedup_clusters(pairs, max_iters=1)
