@@ -930,6 +930,26 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         # occurrence fraction, top-2gram occupancy)
         return textstats.repetition_signals(_docs(spark, sf))
 
+    def q_phrase_suggest(spark, sf):
+        # did-you-mean for a two-word query: automaton∩FST candidates
+        # per word, candidate pairs ranked by corpus bigram count
+        from ocaml_lucene_spark.query.suggest import phrase_suggest
+
+        return phrase_suggest(
+            spark, _ensure_index(spark, sf), _docs(spark, sf),
+            "tabel", "hash", max_edits=2, k=5,
+        )
+
+    def q_function_score(spark, sf):
+        # FunctionScoreQuery: bm25 modulated by a rational length
+        # decay 1/(1 + n_chars/1000) — no libm functions, so the
+        # combined float is bit-identical cross-engine
+        from ocaml_lucene_spark.query.similarity import bm25_function_score_topk
+
+        return bm25_function_score_topk(
+            _docs(spark, sf), ["table", "hash", "dup"], k=10
+        )
+
     def q_dedup_clusters(spark, sf):
         # connected components over the LSH->verify near-dup pairs:
         # min-label propagation to a fixed point; the oracle computes
@@ -1352,6 +1372,8 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "sample_stratified": q_sample_stratified,
         "session_windows": q_session_windows,
         "dedup_clusters": q_dedup_clusters,
+        "function_score": q_function_score,
+        "phrase_suggest": q_phrase_suggest,
         # -- r5-checked tail: sacrificial under a 50-row cut (all 50
         #    full-passed in CORRECTNESS_r05 except bigram_collocations,
         #    whose signed-zero fix is replica-verified this round) --
@@ -1534,6 +1556,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "session_windows": osql.session_windows_sql(gap_hours=6),
         "dedup_clusters": oops.dedup_clusters_sql(min_jaccard=0.8),
+        "function_score": osql.bm25_function_score_sql(
+            ["table", "hash", "dup"], k=10
+        ),
+        "phrase_suggest": osql.phrase_suggest_sql("tabel", "hash", max_edits=2, k=5),
         "significant_terms": osql.significant_terms_sql(["table", "scan"], k=10),
         "percolate": osql.percolate_sql(
             [

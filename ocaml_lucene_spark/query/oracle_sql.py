@@ -1592,3 +1592,81 @@ FROM g
 GROUP BY user_id, sid
 ORDER BY user_id, start_us
 """
+
+
+def bm25_function_score_sql(
+    terms: list[str],
+    k: int = 10,
+    decay_col: str = "n_chars",
+    decay_scale: float = 1000.0,
+    round_to: int = 4,
+) -> str:
+    """FunctionScore oracle (query/similarity.py
+    bm25_function_score_topk): the shared scoring CTE rounded first,
+    then the rational decay — ::DOUBLE literals keep DuckDB out of
+    DECIMAL arithmetic so the combine is bit-identical to Spark."""
+    terms = list(dict.fromkeys(terms))
+    return f"""
+WITH {TOKS_CTE},
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM base),
+tf AS (
+  SELECT doc_id, term, dl, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(t) AS term FROM base)
+  WHERE term IN {_terms_in(terms)}
+  GROUP BY doc_id, term, dl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n - df + 0.5) / (df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl)) AS sc
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+),
+per_doc AS (
+  SELECT doc_id, round(sum(sc), {round_to}) AS bm25 FROM scored GROUP BY doc_id
+),
+f AS (
+  SELECT p.doc_id, p.bm25,
+         1.0::DOUBLE / (1.0::DOUBLE + d.{decay_col}::DOUBLE / {float(decay_scale)!r}::DOUBLE) AS factor
+  FROM per_doc p JOIN documents d USING (doc_id)
+)
+SELECT doc_id,
+       round(bm25 * factor, {round_to}) AS score,
+       bm25,
+       round(factor, {round_to}) AS factor
+FROM f
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def phrase_suggest_sql(
+    first: str, second: str, max_edits: int = 2, k: int = 5
+) -> str:
+    """PhraseSuggester oracle (query/suggest.py phrase_suggest): the
+    candidate expansion re-derived INDEPENDENTLY with DuckDB's
+    levenshtein() (plain edit distance — the same metric the engine's
+    automaton implements, per the spell_suggest contract) over the
+    distinct corpus vocabulary, then adjacent-bigram counts via the
+    positional parallel unnest."""
+    f = first.replace("'", "''")
+    s = second.replace("'", "''")
+    return f"""
+WITH {TOKS_CTE},
+vocab AS (SELECT DISTINCT unnest(t) AS term FROM base),
+c1 AS (SELECT term FROM vocab WHERE levenshtein(term, '{f}') <= {max_edits}),
+c2 AS (SELECT term FROM vocab WHERE levenshtein(term, '{s}') <= {max_edits}),
+pos AS (
+  SELECT doc_id, unnest(t) AS w, unnest(range(len(t))) AS p FROM base
+),
+pairs AS (
+  SELECT a.w AS w1, b.w AS w2
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+  WHERE a.w IN (SELECT term FROM c1) AND b.w IN (SELECT term FROM c2)
+)
+SELECT w1, w2, count(*)::BIGINT AS n_bigram
+FROM pairs
+GROUP BY w1, w2
+ORDER BY n_bigram DESC, w1, w2
+LIMIT {k}
+"""

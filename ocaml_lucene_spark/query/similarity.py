@@ -113,3 +113,48 @@ def bm25_topk_boosted(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def bm25_function_score_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    decay_col: str = "n_chars",
+    decay_scale: float = 1000.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> DataFrame:
+    """FunctionScoreQuery (Lucene FunctionScoreQuery / the ES
+    `function_score` query): the relevance score modulated by a
+    deterministic function of a doc-values column —
+    score = round(bm25, 4) * 1/(1 + decay_col/scale), a RATIONAL decay
+    (no exp/log: libm implementations differ between the JVM and
+    DuckDB, while +,*,/ are IEEE-exact on both, so the combined score
+    is bit-identical cross-engine). The relevance factor is rounded
+    BEFORE the combine — same staging contract as rescore/RRF.
+    Returns (doc_id, score, bm25, factor) ordered (score desc, doc_id).
+
+    Plan: identical to bm25_topk until the top-k cut, plus one join of
+    the 2-column (id, decay_col) projection — the same pruned-read +
+    TakeOrderedAndProject shape, one extra broadcast-sized column."""
+    # rank over the FULL match set (the function can reorder beyond
+    # any prefix), so no first-pass cut: k=None semantics via a large
+    # scored frame — use the shared full-score table
+    from .grouping import _bm25_doc_scores
+
+    scores = _bm25_doc_scores(docs, terms, id_col, text_col, round_to)
+    meta = docs.select(F.col(id_col).alias("doc_id"), F.col(decay_col).alias("_d"))
+    factor = F.lit(1.0) / (F.lit(1.0) + F.col("_d").cast("double") / F.lit(float(decay_scale)))
+    return (
+        scores.join(meta, "doc_id")
+        .select(
+            "doc_id",
+            F.round(F.col("score") * factor, round_to).alias("fscore"),
+            F.col("score").alias("bm25"),
+            F.round(factor, round_to).alias("factor"),
+        )
+        .withColumnRenamed("fscore", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -67,3 +67,55 @@ def complete_prefix(
         key=lambda r: (-r[1], r[0]),
     )[:k]
     return spark.createDataFrame(rows, "term string, df long")
+
+
+def phrase_suggest(
+    spark: SparkSession,
+    index_dir: str,
+    docs,
+    first: str,
+    second: str,
+    max_edits: int = 2,
+    k: int = 5,
+) -> "DataFrame":
+    """PhraseSuggester (Lucene's suggest.phrase / the did-you-mean for
+    a multi-word query): per-word correction candidates come from the
+    same Levenshtein-automaton∩FST dictionary walk as spell_suggest
+    (zero Spark jobs; a correctly-spelled word is its own candidate),
+    and candidate PAIRS are ranked by the corpus's adjacent-bigram
+    count — the collocation evidence that separates a plausible phrase
+    from two independently-plausible words. Returns (w1, w2, n_bigram)
+    top-k ordered (n_bigram desc, w1, w2) — a total order, (w1, w2)
+    unique.
+
+    Plan: the candidate sets are dictionary-tiny literal lists, so the
+    bigram pass is ONE arrays_zip shift over the corpus (the
+    bigram_collocations shape) with the pair filter applied BEFORE the
+    groupBy — only candidate-pair occurrences ever reach the
+    shuffle."""
+    from pyspark.sql import functions as F
+
+    from .term_index import fuzzy_stats_mem
+
+    cand1 = sorted(fuzzy_stats_mem(index_dir, first, max_edits))
+    cand2 = sorted(fuzzy_stats_mem(index_dir, second, max_edits))
+    if not cand1 or not cand2:
+        return spark.createDataFrame([], "w1 string, w2 string, n_bigram long")
+    from ..functions.analysis import tokens_col
+
+    toks = docs.select(tokens_col("text").alias("t"))
+    pairs = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, F.greatest(F.size("t") - 1, F.lit(0))).alias("w1"),
+                F.slice("t", 2, F.greatest(F.size("t") - 1, F.lit(0))).alias("w2"),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    return (
+        pairs.filter(F.col("w1").isin(cand1) & F.col("w2").isin(cand2))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("n_bigram"))
+        .orderBy(F.desc("n_bigram"), "w1", "w2")
+        .limit(k)
+    )

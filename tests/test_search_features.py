@@ -364,3 +364,39 @@ def test_value_histogram_buckets_partition_the_total(spark):
     # quantized bucket sums recombine to the quantized global sum
     want = ev.select(grouping._quantized_sum("value", 100).alias("s")).first()["s"]
     assert abs(total - want) < 1e-6
+
+
+def test_function_score_combines_rounded_stages(docs):
+    from ocaml_lucene_spark.query.similarity import bm25_function_score_topk
+
+    rows = bm25_function_score_topk(docs, TERMS, k=10).collect()
+    assert rows
+    chars = {
+        r.doc_id: r.n_chars
+        for r in docs.select("doc_id", "n_chars").collect()
+    }
+    for r in rows:
+        f = 1.0 / (1.0 + chars[r.doc_id] / 1000.0)
+        assert r.factor == round(f, 4)
+        assert r.score == round(r.bm25 * f, 4)
+    # deterministic ordering
+    assert [(r.score, r.doc_id) for r in rows] == sorted(
+        [(r.score, r.doc_id) for r in rows], key=lambda t: (-t[0], t[1])
+    )
+
+
+def test_phrase_suggest_corrects_the_typo(spark, docs, index_dir):
+    from ocaml_lucene_spark.query.suggest import phrase_suggest
+
+    rows = phrase_suggest(spark, index_dir, docs, "tabel", "hash", max_edits=2, k=5).collect()
+    assert rows, "expected at least one candidate pair"
+    # every suggested word is a real <=2-edit dictionary candidate
+    for r in rows:
+        assert edit_distance_leq("tabel", r.w1, 2)
+        assert edit_distance_leq("hash", r.w2, 2)
+    # the corrected phrase is among the suggestions (top-1 is
+    # corpus-dependent: at sf0.001 'table fast' outnumbers 'table hash')
+    assert ("table", "hash") in {(r.w1, r.w2) for r in rows}
+    # counts decrease, ties ordered (w1, w2)
+    ns = [r.n_bigram for r in rows]
+    assert ns == sorted(ns, reverse=True)
