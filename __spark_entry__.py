@@ -930,6 +930,25 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         # occurrence fraction, top-2gram occupancy)
         return textstats.repetition_signals(_docs(spark, sf))
 
+    def q_query_string(spark, sf):
+        # classic QueryParser: must/should/boost/must_not + a phrase
+        # filter clause, compiled onto the boosted-disjunction algebra
+        from ocaml_lucene_spark.query.parser import execute_query
+
+        return execute_query(
+            spark, _docs(spark, sf), '+table hash^2.0 dup -merge "table hash"', k=10
+        )
+
+    def q_query_string_expand(spark, sf):
+        # QueryParser with prefix + fuzzy clauses: zero-job FST
+        # expansions feed the same boosted disjunction
+        from ocaml_lucene_spark.query.parser import execute_query
+
+        return execute_query(
+            spark, _docs(spark, sf), "sca* sort~1",
+            index_dir=_ensure_index(spark, sf), k=10,
+        )
+
     def q_phrase_suggest(spark, sf):
         # did-you-mean for a two-word query: automaton∩FST candidates
         # per word, candidate pairs ranked by corpus bigram count
@@ -1374,6 +1393,8 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "dedup_clusters": q_dedup_clusters,
         "function_score": q_function_score,
         "phrase_suggest": q_phrase_suggest,
+        "query_string": q_query_string,
+        "query_string_expand": q_query_string_expand,
         # -- r5-checked tail: sacrificial under a 50-row cut (all 50
         #    full-passed in CORRECTNESS_r05 except bigram_collocations,
         #    whose signed-zero fix is replica-verified this round) --
@@ -1560,6 +1581,10 @@ def oracle_sql() -> dict[str, str]:
             ["table", "hash", "dup"], k=10
         ),
         "phrase_suggest": osql.phrase_suggest_sql("tabel", "hash", max_edits=2, k=5),
+        "query_string": osql.query_string_sql(
+            '+table hash^2.0 dup -merge "table hash"', k=10
+        ),
+        "query_string_expand": osql.query_string_sql("sca* sort~1", k=10),
         "significant_terms": osql.significant_terms_sql(["table", "scan"], k=10),
         "percolate": osql.percolate_sql(
             [

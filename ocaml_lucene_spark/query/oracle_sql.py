@@ -1670,3 +1670,85 @@ GROUP BY w1, w2
 ORDER BY n_bigram DESC, w1, w2
 LIMIT {k}
 """
+
+
+def query_string_sql(q: str, k: int = 10, round_to: int = 4) -> str:
+    """QueryParser oracle (query/parser.py execute_query): the SAME
+    parse (the grammar is the contract) but fully independent
+    execution — prefix/fuzzy expansion via LIKE / levenshtein over the
+    corpus vocabulary instead of the FST walk, phrase presence via a
+    DuckDB list lambda over start offsets, boosted scoring with the
+    shared formula."""
+    from .parser import parse_query
+
+    spec = parse_query(q)
+    literals = list(spec.boosts)
+    preds = []
+    if literals:
+        preds.append(f"term IN {_terms_in(literals)}")
+    for p in spec.prefix_clauses:
+        preds.append(f"term LIKE '{_like_prefix(p)}' ESCAPE '\\'")
+    for w, d in spec.fuzzy_clauses:
+        wq = w.replace("'", "''")
+        preds.append(f"levenshtein(term, '{wq}') <= {d}")
+    term_pred = " OR ".join(preds)
+    if literals:
+        case = (
+            "CASE term "
+            + " ".join(
+                f"WHEN '{t.replace(chr(39), chr(39) * 2)}' THEN {float(spec.boosts[t])!r}"
+                for t in literals
+            )
+            + " ELSE 1.0 END"
+        )
+    else:
+        case = "1.0"
+
+    def phrase_pred(words: list[str], col: str = "b.t") -> str:
+        n = len(words)
+        if n == 1:
+            w = words[0].replace("'", "''")
+            return f"list_contains({col}, '{w}')"
+        conds = " AND ".join(
+            f"{col}[i + {j + 1}] = '{w.replace(chr(39), chr(39) * 2)}'"
+            for j, w in enumerate(words)
+        )
+        return (
+            f"len(list_filter(range(len({col}) - {n - 1}), i -> {conds})) > 0"
+        )
+
+    filters = []
+    for t in spec.must_terms:
+        filters.append(f"list_contains(b.t, '{t.replace(chr(39), chr(39) * 2)}')")
+    for t in spec.must_not_terms:
+        filters.append(f"NOT list_contains(b.t, '{t.replace(chr(39), chr(39) * 2)}')")
+    for ph in spec.must_phrases:
+        filters.append(phrase_pred(ph))
+    for ph in spec.must_not_phrases:
+        filters.append(f"NOT ({phrase_pred(ph)})")
+    where = " AND ".join(filters) if filters else "TRUE"
+    return f"""
+WITH {TOKS_CTE},
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM base),
+tf AS (
+  SELECT doc_id, term, dl, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(t) AS term FROM base)
+  WHERE {term_pred}
+  GROUP BY doc_id, term, dl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ({case}) * ln(1.0 + (s.n - df + 0.5) / (df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl)) AS sc
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+),
+per_doc AS (
+  SELECT doc_id, round(sum(sc), {round_to}) AS score FROM scored GROUP BY doc_id
+)
+SELECT p.doc_id, p.score
+FROM per_doc p JOIN base b USING (doc_id)
+WHERE {where}
+ORDER BY p.score DESC, p.doc_id ASC
+LIMIT {k}
+"""

@@ -86,6 +86,20 @@ def bm25_topk_boosted(
     (BoostQuery): score(d) = sum_t boost[t] * idf(t) * tfn(t, d),
     folded in query-term order. boosts preserves insertion order —
     that order IS the fold order, mirroring the oracle's term list."""
+    agg = boosted_doc_scores(docs, boosts, id_col, text_col, round_to)
+    return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def boosted_doc_scores(
+    docs: DataFrame,
+    boosts: dict[str, float],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> DataFrame:
+    """(doc_id, score) for every doc matching ANY boosted term — the
+    bm25_topk_boosted scoring without the top-k cut, so callers
+    (QueryParser execution) can apply filter clauses BEFORE limiting."""
     terms = list(dict.fromkeys(boosts))
     tf = candidate_tf(docs, terms, id_col, text_col)
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
@@ -108,11 +122,7 @@ def bm25_topk_boosted(
         )
     )
     agg = scored.groupBy("doc_id").agg(_query_order_sum(terms).alias("raw"))
-    return (
-        agg.select("doc_id", F.round("raw", round_to).alias("score"))
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
-    )
+    return agg.select("doc_id", F.round("raw", round_to).alias("score"))
 
 
 def bm25_function_score_topk(
