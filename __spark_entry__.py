@@ -1318,9 +1318,11 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # the previous round's freshly-checked head moves to the tail.
     # Round-6 order: (1) the 41 entries cut from the r5 run (last
     # driver-checked in r4 — the rotation obligation from the r5
-    # verdict); (2) 9 NEW r6 rows inside the 50-row window; (3) 3 MORE
+    # verdict); (2) 9 NEW r6 rows inside the 50-row window; (3) 10 MORE
     # new r6 rows that did not fit the cap (ngram_contamination,
-    # repetition_signals, pack_sequences — replica-verified locally,
+    # repetition_signals, pack_sequences, sample_stratified,
+    # session_windows, dedup_clusters, function_score, phrase_suggest,
+    # query_string, query_string_expand — replica-verified locally,
     # never driver-checked); (4) the 50 r5-checked entries as the
     # sacrificial tail, in their r5 order.
     # ROUND-7 ROTATION OBLIGATION: everything after position 50
@@ -1383,8 +1385,8 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "filters_agg": q_filters_agg,
         "cardinality_agg": q_cardinality_agg,
         "value_histogram": q_value_histogram,
-        # -- NEW r6 rows past the 50-row cut: replica-verified this
-        #    round, first in line for the r7 driver window --
+        # -- NEW r6 rows past the 50-row cut (replica-verified this
+        #    round, never driver-checked): FIRST in line for r7 --
         "ngram_contamination": q_ngram_contamination,
         "repetition_signals": q_repetition_signals,
         "pack_sequences": q_pack_sequences,
