@@ -871,6 +871,29 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
             pre=2, post=2,
         )
 
+    def q_intervals_ordered(spark, sf):
+        # Lucene intervals module, minimal-interval semantics:
+        # Intervals.maxgaps(6, Intervals.ordered('table','hash')) —
+        # counts MINIMAL intervals (not all pairs like SpanNear); the
+        # oracle replays the closest-preceding/earliest-following
+        # collapse in SQL (rows ordered by doc_id, unique)
+        from ocaml_lucene_spark.query.exec import intervals_ordered_indexed
+
+        return intervals_ordered_indexed(
+            spark, _ensure_index(spark, sf, positions=True), "table", "hash",
+            max_gaps=6,
+        )
+
+    def q_intervals_containing(spark, sf):
+        # Intervals.containing / not_containing: which minimal ordered
+        # ('table','hash') intervals cover a 'dup' occurrence
+        from ocaml_lucene_spark.query.exec import intervals_containing_indexed
+
+        return intervals_containing_indexed(
+            spark, _ensure_index(spark, sf, positions=True), "table", "hash",
+            "dup", max_gaps=6,
+        )
+
     def q_phrase_prefix(spark, sf):
         # match_phrase_prefix: 'hash' immediately followed by any
         # dictionary term starting with 'ta' — zero-job FST expansion
@@ -1312,22 +1335,24 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         return ann.embedding_near_dup_pairs_indexed(spark, idx, min_sim=0.9)
 
     # Dict order IS the driver's execution order (the r3/r4/r5 runs all
-    # cut at exactly 50 rows, dropping the tail). Rotation policy:
+    # cut at exactly 50 rows, dropping the tail — keep section (3)'s
+    # row count in sync when adding entries). Rotation policy:
     # every entry must be driver-checked within the last two rounds, so
     # each round the previous round's cut tail moves to the FRONT and
     # the previous round's freshly-checked head moves to the tail.
     # Round-6 order: (1) the 41 entries cut from the r5 run (last
     # driver-checked in r4 — the rotation obligation from the r5
-    # verdict); (2) 9 NEW r6 rows inside the 50-row window; (3) 10 MORE
+    # verdict); (2) 9 NEW r6 rows inside the 50-row window; (3) 12 MORE
     # new r6 rows that did not fit the cap (ngram_contamination,
     # repetition_signals, pack_sequences, sample_stratified,
     # session_windows, dedup_clusters, function_score, phrase_suggest,
-    # query_string, query_string_expand — replica-verified locally,
+    # query_string, query_string_expand, intervals_ordered,
+    # intervals_containing — replica-verified locally,
     # never driver-checked); (4) the 50 r5-checked entries as the
     # sacrificial tail, in their r5 order.
     # ROUND-7 ROTATION OBLIGATION: everything after position 50
     # (recount with list(queries())[50:] before trusting this comment)
-    # is either never-driver-checked (the 3 past-cut r6 rows — put
+    # is either never-driver-checked (the 12 past-cut r6 rows — put
     # them FIRST) or last checked in r5; all of it MUST occupy the
     # front of the r7 order, demoting this round's new rows and the
     # r6-checked head to the tail.
@@ -1397,6 +1422,8 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "phrase_suggest": q_phrase_suggest,
         "query_string": q_query_string,
         "query_string_expand": q_query_string_expand,
+        "intervals_ordered": q_intervals_ordered,
+        "intervals_containing": q_intervals_containing,
         # -- r5-checked tail: sacrificial under a 50-row cut (all 50
         #    full-passed in CORRECTNESS_r05 except bigram_collocations,
         #    whose signed-zero fix is replica-verified this round) --
@@ -1587,6 +1614,10 @@ def oracle_sql() -> dict[str, str]:
             '+table hash^2.0 dup -merge "table hash"', k=10
         ),
         "query_string_expand": osql.query_string_sql("sca* sort~1", k=10),
+        "intervals_ordered": osql.intervals_ordered_sql("table", "hash", max_gaps=6),
+        "intervals_containing": osql.intervals_containing_sql(
+            "table", "hash", "dup", max_gaps=6
+        ),
         "significant_terms": osql.significant_terms_sql(["table", "scan"], k=10),
         "percolate": osql.percolate_sql(
             [

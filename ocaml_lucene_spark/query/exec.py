@@ -1538,3 +1538,111 @@ def phrase_prefix_counts_indexed(
         .agg(F.count("*").alias("n_matches"))
     )
     return _deleted_filter(spark, index_dir, out).orderBy("doc_id")
+
+
+def _minimal_ordered_intervals(
+    spark: SparkSession, index_dir: str, first: str, second: str, max_gaps: int
+) -> DataFrame:
+    """Minimal ordered intervals of (``first``, ``second``) per doc:
+    (doc_id, p1, p2) pairs under Lucene's intervals-module
+    minimal-interval semantics (an interval matches only if it does
+    not contain another matching interval), gap-filtered to
+    p2 - p1 - 1 <= max_gaps (Intervals.maxgaps over
+    Intervals.ordered).
+
+    For two distinct single-term clauses the lazy minimization
+    algorithm collapses to two aggregates after a band join:
+
+      1. per ``second`` occurrence, keep the CLOSEST preceding
+         ``first`` (max p1 < p2) — any farther p1 forms an interval
+         that strictly contains [max_p1, p2];
+      2. per surviving p1, keep the EARLIEST p2 (min) — two seconds
+         snapping to the same first nest, and the later one contains
+         the earlier.
+
+    Band-limiting the join to the gap window BEFORE step 1 is exact:
+    the overall-closest p1 has the smallest gap of all candidates for
+    its p2, so if it falls outside the window every other candidate
+    does too and the interval is gap-filtered either way.
+
+    Plan: one term-pushdown .pos decode (In(term,...) at the scan),
+    doc-co-partitioned band join, two partial-agg group-bys on the
+    same doc_id key — no per-doc Python, no full-position cross
+    product."""
+    flat = flat_positions_df(spark, index_dir, [first, second])
+    a = flat.filter(F.col("term") == first).select(
+        "doc_id", F.col("p").alias("p1")
+    )
+    b = flat.filter(F.col("term") == second).select(
+        F.col("doc_id").alias("doc_id_b"), F.col("p").alias("p2")
+    )
+    pairs = a.join(
+        b,
+        (F.col("doc_id") == F.col("doc_id_b"))
+        & (F.col("p2") - F.col("p1") > 0)
+        & (F.col("p2") - F.col("p1") <= max_gaps + 1),
+    )
+    closest = pairs.groupBy("doc_id", "p2").agg(F.max("p1").alias("p1"))
+    return closest.groupBy("doc_id", "p1").agg(F.min("p2").alias("p2"))
+
+
+def intervals_ordered_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    first: str,
+    second: str,
+    max_gaps: int = 6,
+) -> DataFrame:
+    """Intervals.maxgaps(max_gaps, Intervals.ordered(first, second))
+    as a per-doc aggregate: (doc_id, n_intervals, min_width) where
+    n_intervals counts MINIMAL intervals (Lucene intervals-module
+    semantics — not all pairs, unlike SpanNear's n_pairs) and
+    min_width is the narrowest matching interval's width
+    (p2 - p1 + 1). Ordered by doc_id (unique)."""
+    iv = _minimal_ordered_intervals(spark, index_dir, first, second, max_gaps)
+    out = iv.groupBy("doc_id").agg(
+        F.count("*").alias("n_intervals"),
+        F.min(F.col("p2") - F.col("p1") + F.lit(1)).alias("min_width"),
+    )
+    return _deleted_filter(spark, index_dir, out).orderBy("doc_id")
+
+
+def intervals_containing_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    first: str,
+    second: str,
+    inner: str,
+    max_gaps: int = 6,
+) -> DataFrame:
+    """Intervals.containing / not_containing over the minimal ordered
+    (first, second) intervals: per doc, how many minimal intervals
+    contain an occurrence of ``inner`` (n_containing) and how many do
+    not (n_not_containing). Containment is positional:
+    p1 <= p_inner <= p2 (the outer interval covers the single-token
+    inner interval). Ordered by doc_id (unique).
+
+    Plan: the minimal-interval frame (already doc-partitioned) left-
+    joins the inner term's positions with a doc-co-partitioned range
+    predicate; one boolean max per interval, then one per-doc sum —
+    inner occurrences never fan out past their covering intervals."""
+    iv = _minimal_ordered_intervals(spark, index_dir, first, second, max_gaps)
+    flat_c = flat_positions_df(spark, index_dir, [inner]).select(
+        F.col("doc_id").alias("doc_id_c"), F.col("p").alias("pc")
+    )
+    tagged = (
+        iv.join(
+            flat_c,
+            (F.col("doc_id") == F.col("doc_id_c"))
+            & (F.col("pc") >= F.col("p1"))
+            & (F.col("pc") <= F.col("p2")),
+            "left",
+        )
+        .groupBy("doc_id", "p1", "p2")
+        .agg(F.max(F.col("pc").isNotNull()).alias("has_inner"))
+    )
+    out = tagged.groupBy("doc_id").agg(
+        F.sum(F.col("has_inner").cast("long")).alias("n_containing"),
+        F.sum((~F.col("has_inner")).cast("long")).alias("n_not_containing"),
+    )
+    return _deleted_filter(spark, index_dir, out).orderBy("doc_id")

@@ -1752,3 +1752,75 @@ WHERE {where}
 ORDER BY p.score DESC, p.doc_id ASC
 LIMIT {k}
 """
+
+
+def _minimal_ordered_intervals_ctes(
+    first: str, second: str, max_gaps: int
+) -> str:
+    """Shared CTE chain deriving the MINIMAL ordered-interval set
+    (doc_id, p1, p2) — the intervals-module oracle core (query/exec.py
+    _minimal_ordered_intervals): band pairs, closest-preceding-first
+    per second (max p1), then earliest second per surviving first
+    (min p2). Positions re-derived independently via the positional
+    parallel unnest."""
+    f = first.replace("'", "''")
+    s = second.replace("'", "''")
+    return f"""
+pos AS (
+  SELECT doc_id, unnest(t) AS term, unnest(range(len(t))) AS p FROM base
+),
+pairs AS (
+  SELECT a.doc_id, a.p AS p1, b.p AS p2
+  FROM (SELECT doc_id, p FROM pos WHERE term = '{f}') a
+  JOIN (SELECT doc_id, p FROM pos WHERE term = '{s}') b
+    ON a.doc_id = b.doc_id
+   AND b.p - a.p > 0 AND b.p - a.p <= {max_gaps + 1}
+),
+closest AS (
+  SELECT doc_id, p2, max(p1) AS p1 FROM pairs GROUP BY doc_id, p2
+),
+minimal AS (
+  SELECT doc_id, p1, min(p2) AS p2 FROM closest GROUP BY doc_id, p1
+)"""
+
+
+def intervals_ordered_sql(first: str, second: str, max_gaps: int = 6) -> str:
+    """Intervals.maxgaps(Intervals.ordered) oracle (query/exec.py
+    intervals_ordered_indexed): minimal-interval count + narrowest
+    width per doc."""
+    return f"""
+WITH {TOKS_CTE},
+{_minimal_ordered_intervals_ctes(first, second, max_gaps)}
+SELECT doc_id, count(*)::BIGINT AS n_intervals,
+       min(p2 - p1 + 1)::BIGINT AS min_width
+FROM minimal
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def intervals_containing_sql(
+    first: str, second: str, inner: str, max_gaps: int = 6
+) -> str:
+    """Intervals.containing / not_containing oracle (query/exec.py
+    intervals_containing_indexed): per minimal ordered interval, does
+    an ``inner`` occurrence fall inside [p1, p2]; per-doc counts of
+    both outcomes."""
+    c = inner.replace("'", "''")
+    return f"""
+WITH {TOKS_CTE},
+{_minimal_ordered_intervals_ctes(first, second, max_gaps)},
+tagged AS (
+  SELECT m.doc_id, m.p1, m.p2,
+         max(CASE WHEN cp.p IS NOT NULL THEN 1 ELSE 0 END) AS has_inner
+  FROM minimal m
+  LEFT JOIN (SELECT doc_id, p FROM pos WHERE term = '{c}') cp
+    ON m.doc_id = cp.doc_id AND cp.p >= m.p1 AND cp.p <= m.p2
+  GROUP BY m.doc_id, m.p1, m.p2
+)
+SELECT doc_id, sum(has_inner)::BIGINT AS n_containing,
+       sum(1 - has_inner)::BIGINT AS n_not_containing
+FROM tagged
+GROUP BY doc_id
+ORDER BY doc_id
+"""
