@@ -871,6 +871,19 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
             pre=2, post=2,
         )
 
+    def q_bm25_analyzed(spark, sf):
+        # analysis chain (Lucene `english`-light): StopFilter +
+        # EnglishMinimalStem on BOTH sides — 'the' vanishes (stop
+        # clause), 'tables' stems to 'table' and matches the stemmed
+        # corpus stream whose dl counts surviving tokens (Lucene
+        # norms); the oracle replays the chain via list_filter +
+        # list_transform CASE
+        from ocaml_lucene_spark.query.similarity import bm25_topk_analyzed
+
+        return bm25_topk_analyzed(
+            _docs(spark, sf), ["the", "tables", "hash"], k=10, round_to=4
+        )
+
     def q_intervals_ordered(spark, sf):
         # Lucene intervals module, minimal-interval semantics:
         # Intervals.maxgaps(6, Intervals.ordered('table','hash')) —
@@ -1342,17 +1355,17 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # the previous round's freshly-checked head moves to the tail.
     # Round-6 order: (1) the 41 entries cut from the r5 run (last
     # driver-checked in r4 — the rotation obligation from the r5
-    # verdict); (2) 9 NEW r6 rows inside the 50-row window; (3) 12 MORE
+    # verdict); (2) 9 NEW r6 rows inside the 50-row window; (3) 13 MORE
     # new r6 rows that did not fit the cap (ngram_contamination,
     # repetition_signals, pack_sequences, sample_stratified,
     # session_windows, dedup_clusters, function_score, phrase_suggest,
     # query_string, query_string_expand, intervals_ordered,
-    # intervals_containing — replica-verified locally,
+    # intervals_containing, bm25_analyzed — replica-verified locally,
     # never driver-checked); (4) the 50 r5-checked entries as the
     # sacrificial tail, in their r5 order.
     # ROUND-7 ROTATION OBLIGATION: everything after position 50
     # (recount with list(queries())[50:] before trusting this comment)
-    # is either never-driver-checked (the 12 past-cut r6 rows — put
+    # is either never-driver-checked (the 13 past-cut r6 rows — put
     # them FIRST) or last checked in r5; all of it MUST occupy the
     # front of the r7 order, demoting this round's new rows and the
     # r6-checked head to the tail.
@@ -1424,6 +1437,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "query_string_expand": q_query_string_expand,
         "intervals_ordered": q_intervals_ordered,
         "intervals_containing": q_intervals_containing,
+        "bm25_analyzed": q_bm25_analyzed,
         # -- r5-checked tail: sacrificial under a 50-row cut (all 50
         #    full-passed in CORRECTNESS_r05 except bigram_collocations,
         #    whose signed-zero fix is replica-verified this round) --
@@ -1618,6 +1632,7 @@ def oracle_sql() -> dict[str, str]:
         "intervals_containing": osql.intervals_containing_sql(
             "table", "hash", "dup", max_gaps=6
         ),
+        "bm25_analyzed": osql.bm25_analyzed_sql(["the", "tables", "hash"], k=10),
         "significant_terms": osql.significant_terms_sql(["table", "scan"], k=10),
         "percolate": osql.percolate_sql(
             [

@@ -1824,3 +1824,52 @@ FROM tagged
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+def bm25_analyzed_sql(terms: list[str], k: int = 10, round_to: int = 4) -> str:
+    """Analyzed-BM25 oracle (query/similarity.py bm25_topk_analyzed):
+    the StopFilter + EnglishMinimalStem chain replayed in SQL —
+    list_filter drops the Lucene English stop set, list_transform
+    applies the stemmer CASE, dl counts SURVIVING tokens (Lucene
+    norms), and the query terms pass through the same chain on the
+    Python side before templating."""
+    from ..functions.analyzers import (
+        analyze_terms,
+        stem_sql_case,
+        stopword_sql_list,
+    )
+
+    q = analyze_terms(terms)
+    if not q:
+        return "SELECT NULL::BIGINT AS doc_id, NULL::DOUBLE AS score WHERE 1=0"
+    return f"""
+WITH {TOKS_CTE},
+abase AS (
+  SELECT doc_id,
+         list_transform(
+           list_filter(t, x -> x NOT IN {stopword_sql_list()}),
+           x -> {stem_sql_case('x')}
+         ) AS at
+  FROM base
+),
+alens AS (SELECT doc_id, at, len(at) AS dl FROM abase),
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM alens),
+tf AS (
+  SELECT doc_id, term, dl, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(at) AS term FROM alens)
+  WHERE term IN {_terms_in(q)}
+  GROUP BY doc_id, term, dl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n - df + 0.5) / (df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl)) AS sc
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+)
+SELECT doc_id, round(sum(sc), {round_to}) AS score
+FROM scored
+GROUP BY doc_id
+ORDER BY round(sum(sc), {round_to}) DESC, doc_id ASC
+LIMIT {k}
+"""

@@ -168,3 +168,77 @@ def bm25_function_score_topk(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def bm25_topk_analyzed(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> DataFrame:
+    """Disjunctive BM25 top-k over the ANALYZED token stream —
+    StopFilter + EnglishMinimalStem (functions/analyzers.py), Lucene's
+    light `english` analyzer — applied on BOTH sides like Lucene
+    applies one analyzer at index and query time: corpus stats count
+    surviving tokens (dl = post-stop length, exactly how Lucene norms
+    see removed stopwords), df/tf are over stemmed terms, and query
+    terms pass through the same chain (stopword clauses vanish; a
+    fully-stopword query returns empty with a stable schema).
+
+    Physical shape is bm25_topk's (explode under isin filter,
+    broadcast df/stats, one groupBy(doc_id), TakeOrderedAndProject);
+    the canonical score expressions (idf_expr / tfn_expr /
+    _query_order_sum) are reused verbatim — only the token stream
+    differs."""
+    from pyspark.sql import functions as F  # local alias for clarity
+
+    from ..functions.analyzers import analyze_terms, analyzed_tokens_col
+    from ..session import ensure_compute_parallelism
+    from .bm25 import idf_expr, tfn_expr
+
+    q = analyze_terms(terms)
+    spark = docs.sparkSession
+    if not q:
+        return spark.createDataFrame([], "doc_id long, score double")
+    base = (
+        ensure_compute_parallelism(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            analyzed_tokens_col(text_col).alias("toks"),
+        )
+        .withColumn("dl", F.size("toks"))
+    )
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        base.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(q))
+        .groupBy("doc_id", "term", "dl")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "sc",
+            idf_expr(
+                F.col("n_docs").cast("double"), F.col("df").cast("double")
+            )
+            * tfn_expr(
+                F.col("tf").cast("double"),
+                F.col("dl").cast("double"),
+                F.col("avgdl"),
+            ),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(_query_order_sum(q).alias("raw"))
+    return (
+        agg.select("doc_id", F.round(F.col("raw"), round_to).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -106,3 +106,105 @@ def test_batch_tokenize_with_offsets_matches_reference():
         check(texts)
 
     fuzz()
+
+
+# -- analyzer chain (StopFilter + EnglishMinimalStem) ------------------
+
+
+def test_minimal_stemmer_contract():
+    from ocaml_lucene_spark.functions.analyzers import py_minimal_stem
+
+    assert py_minimal_stem("tables") == "table"
+    assert py_minimal_stem("dogs") == "dog"
+    # penultimate 's'/'u' guard: -ss and -us endings survive
+    assert py_minimal_stem("class") == "class"
+    assert py_minimal_stem("corpus") == "corpus"
+    # len < 3 unchanged
+    assert py_minimal_stem("as") == "as"
+    assert py_minimal_stem("s") == "s"
+    # Lucene's stemmer really does strip bare 3-letter -s words
+    assert py_minimal_stem("his") == "hi"
+
+
+def test_analyze_terms_drops_stopwords_and_dedups_post_stem():
+    from ocaml_lucene_spark.functions.analyzers import analyze_terms
+
+    assert analyze_terms(["the", "tables", "table", "hash"]) == ["table", "hash"]
+    assert analyze_terms(["The", "AND", "with"]) == []
+
+
+def test_analyzed_tokens_col_matches_py_analyze(spark):
+    from ocaml_lucene_spark.functions.analyzers import (
+        analyzed_tokens_col,
+        py_analyze,
+    )
+
+    texts = [
+        "The tables are joined with a hash index",
+        "class corpus his hers its",
+        "no tokens survive: the and of to with",
+        "ss us endings: miss bus plus fuss",
+        "",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r.at for r in df.select(analyzed_tokens_col("text").alias("at")).collect()]
+    assert got == [py_analyze(t) for t in texts]
+
+
+def test_bm25_analyzed_matches_python_reference(spark):
+    """End-to-end: bm25_topk_analyzed == a pure-python BM25 over
+    py_analyze token streams (canonical K1/B/idf), including the dl
+    change from stopword removal."""
+    import math
+
+    from ocaml_lucene_spark.functions.analyzers import analyze_terms, py_analyze
+    from ocaml_lucene_spark.oracle import B, K1
+    from ocaml_lucene_spark.query.similarity import bm25_topk_analyzed
+
+    texts = {
+        0: "the tables of the hash index",
+        1: "tables tables tables and no hash",
+        2: "a corpus class with his table",
+        3: "nothing relevant here at all",
+        4: "hash hash table the the the",
+    }
+    docs = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], "doc_id long, text string"
+    )
+    terms = ["the", "tables", "hash"]
+    q = analyze_terms(terms)
+    toks = {d: py_analyze(t) for d, t in texts.items()}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df_ = {t: sum(1 for v in toks.values() if t in v) for t in q}
+    want = {}
+    for d, v in toks.items():
+        s = 0.0
+        for t in q:
+            tf = v.count(t)
+            if not tf:
+                continue
+            idf = math.log(1.0 + (n - df_[t] + 0.5) / (df_[t] + 0.5))
+            s += idf * (tf * (K1 + 1)) / (tf + K1 * (1 - B + B * len(v) / avgdl))
+        if s:
+            want[d] = round(s, 4)
+    got = {
+        r.doc_id: r.score
+        for r in bm25_analyzed_collect(spark, docs, terms)
+    }
+    assert got == want
+
+
+def bm25_analyzed_collect(spark, docs, terms):
+    from ocaml_lucene_spark.query.similarity import bm25_topk_analyzed
+
+    return bm25_topk_analyzed(docs, terms, k=10, round_to=4).collect()
+
+
+def test_bm25_analyzed_all_stopword_query_is_empty(spark):
+    from ocaml_lucene_spark.query.similarity import bm25_topk_analyzed
+
+    docs = spark.createDataFrame([(0, "the table")], "doc_id long, text string")
+    out = bm25_topk_analyzed(docs, ["the", "and"], k=5)
+    assert out.columns == ["doc_id", "score"]
+    assert out.count() == 0
