@@ -871,6 +871,28 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
             pre=2, post=2,
         )
 
+    def q_adjacency_matrix(spark, sf):
+        # adjacency-matrix agg (ES): singles + pair intersections from
+        # ONE tokenize pass (pair flags are products of the single
+        # flags); empty buckets omitted; ordered by bucket_key (unique)
+        from ocaml_lucene_spark.query.grouping import adjacency_matrix
+
+        return adjacency_matrix(
+            _docs(spark, sf),
+            {"table": ["table"], "hash": ["hash"], "dup": ["dup"]},
+        )
+
+    def q_histogram_pipeline(spark, sf):
+        # pipeline aggs (ES cumulative_sum + derivative) over the
+        # per-event_type daily histogram: both pipeline columns fold
+        # the SAME integer quantize-units the histogram keeps, so
+        # they're exact in any partial-agg order; derivative (can go
+        # negative) carries the +0.0 signed-zero normalization;
+        # ordered (key, bucket) — a total order
+        from ocaml_lucene_spark.query.grouping import date_histogram_pipeline
+
+        return date_histogram_pipeline(spark.read.parquet(f"{sf}/events.parquet"))
+
     def q_bm25_analyzed(spark, sf):
         # analysis chain (Lucene `english`-light): StopFilter +
         # EnglishMinimalStem on BOTH sides — 'the' vanishes (stop
@@ -1355,17 +1377,18 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # the previous round's freshly-checked head moves to the tail.
     # Round-6 order: (1) the 41 entries cut from the r5 run (last
     # driver-checked in r4 — the rotation obligation from the r5
-    # verdict); (2) 9 NEW r6 rows inside the 50-row window; (3) 13 MORE
+    # verdict); (2) 9 NEW r6 rows inside the 50-row window; (3) 15 MORE
     # new r6 rows that did not fit the cap (ngram_contamination,
     # repetition_signals, pack_sequences, sample_stratified,
     # session_windows, dedup_clusters, function_score, phrase_suggest,
     # query_string, query_string_expand, intervals_ordered,
-    # intervals_containing, bm25_analyzed — replica-verified locally,
+    # intervals_containing, bm25_analyzed, adjacency_matrix,
+    # histogram_pipeline — replica-verified locally,
     # never driver-checked); (4) the 50 r5-checked entries as the
     # sacrificial tail, in their r5 order.
     # ROUND-7 ROTATION OBLIGATION: everything after position 50
     # (recount with list(queries())[50:] before trusting this comment)
-    # is either never-driver-checked (the 13 past-cut r6 rows — put
+    # is either never-driver-checked (the 15 past-cut r6 rows — put
     # them FIRST) or last checked in r5; all of it MUST occupy the
     # front of the r7 order, demoting this round's new rows and the
     # r6-checked head to the tail.
@@ -1438,6 +1461,8 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "intervals_ordered": q_intervals_ordered,
         "intervals_containing": q_intervals_containing,
         "bm25_analyzed": q_bm25_analyzed,
+        "adjacency_matrix": q_adjacency_matrix,
+        "histogram_pipeline": q_histogram_pipeline,
         # -- r5-checked tail: sacrificial under a 50-row cut (all 50
         #    full-passed in CORRECTNESS_r05 except bigram_collocations,
         #    whose signed-zero fix is replica-verified this round) --
@@ -1633,6 +1658,10 @@ def oracle_sql() -> dict[str, str]:
             "table", "hash", "dup", max_gaps=6
         ),
         "bm25_analyzed": osql.bm25_analyzed_sql(["the", "tables", "hash"], k=10),
+        "adjacency_matrix": osql.adjacency_matrix_sql(
+            {"table": ["table"], "hash": ["hash"], "dup": ["dup"]}
+        ),
+        "histogram_pipeline": osql.date_histogram_pipeline_sql("day"),
         "significant_terms": osql.significant_terms_sql(["table", "scan"], k=10),
         "percolate": osql.percolate_sql(
             [

@@ -575,3 +575,110 @@ def session_windows(
         "n_events",
         "sum_value",
     ).orderBy(user_col, "start_us")
+
+
+def adjacency_matrix(
+    docs: DataFrame,
+    filters: dict[str, list[str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Adjacency-matrix aggregation (the Elasticsearch
+    `adjacency_matrix` agg): one bucket per named filter plus one per
+    PAIR intersection, counting docs that satisfy both conjunctions.
+    Pair buckets are keyed "a&b" with the names in sorted order (the
+    ES separator); empty buckets are omitted (ES contract). Returns
+    (bucket_key, n_docs) ordered by bucket_key.
+
+    Same one-pass shape as filters_agg: each doc's token array
+    evaluates every named conjunction once as a boolean column, pair
+    flags are products of the singles (no second tokenize), one
+    aggregate sums all |F| + |F|(|F|-1)/2 buckets, and `stack`
+    unpivots the single row — a scan + one-row exchange regardless of
+    filter count. ES caps |F| at 100 for exactly this quadratic;
+    callers here inherit the same practical bound."""
+    if not filters:
+        raise ValueError("adjacency_matrix needs at least one named filter")
+    names = sorted(filters)
+    toks = _tokenized(docs, id_col, text_col)
+    singles = [
+        F.aggregate(
+            F.array(*[F.array_contains("toks", t) for t in dict.fromkeys(filters[n])]),
+            F.lit(True),
+            lambda acc, x: acc & x,
+        ).alias(f"_f_{i}")
+        for i, n in enumerate(names)
+    ]
+    flagged = toks.select(*singles)
+    aggs, labels = [], []
+    for i, n in enumerate(names):
+        aggs.append(F.sum(F.col(f"_f_{i}").cast("long")).alias(f"_c_{len(labels)}"))
+        labels.append(n)
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            aggs.append(
+                F.sum((F.col(f"_f_{i}") & F.col(f"_f_{j}")).cast("long")).alias(
+                    f"_c_{len(labels)}"
+                )
+            )
+            labels.append(f"{names[i]}&{names[j]}")
+    one_row = flagged.agg(*aggs)
+    stack_args = ", ".join(f"'{n}', _c_{i}" for i, n in enumerate(labels))
+    return (
+        one_row.select(
+            F.expr(f"stack({len(labels)}, {stack_args}) AS (bucket_key, n_docs)")
+        )
+        .filter(F.col("n_docs") > 0)
+        .select("bucket_key", F.col("n_docs").cast("long").alias("n_docs"))
+        .orderBy("bucket_key")
+    )
+
+
+def date_histogram_pipeline(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    interval: str = "day",
+    value_col: str = "value",
+    quantize: int = 100,
+) -> DataFrame:
+    """Pipeline aggregations (ES `cumulative_sum` + `derivative`
+    parent-pipeline aggs) over a per-key date histogram: for each
+    (key, bucket) emit the bucket's value sum, the running cumulative
+    sum along the key's time series, and the bucket-over-bucket
+    derivative (null for each key's first bucket — the ES contract).
+
+    Determinism: the histogram keeps each bucket's sum as INTEGER
+    quantize-units (shared _quantized_sum convention); the window
+    cumsum and the lag difference fold those longs, dividing back only
+    at emission — so both pipeline columns are exact integer sums in
+    any partial-aggregate order. The derivative can go negative, so
+    its rounded emission adds +0.0 (engine-wide signed-zero rule).
+
+    Scale shape: the window runs AFTER the histogram groupBy, over
+    |buckets x keys| rows (a few hundred at any corpus size — bucket
+    count grows with time span, not data volume), partitioned by key:
+    no large-window hazard."""
+    fmt = {"day": "yyyy-MM-dd", "hour": "yyyy-MM-dd HH:00"}[interval]
+    bucket = F.date_format(F.date_trunc(interval, F.col(ts_col)), fmt).alias("bucket")
+    per = events.groupBy(F.col(key_col).alias("key"), bucket).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col(value_col) * quantize, 0).cast("long")).alias("_q"),
+    )
+    w = Window.partitionBy("key").orderBy("bucket")
+    qd = F.lit(float(quantize))
+    lag_q = F.lag("_q").over(w)
+    return per.select(
+        "key",
+        "bucket",
+        "n_events",
+        F.round(F.col("_q").cast("double") / qd, 4).alias("sum_value"),
+        F.round(
+            F.sum("_q").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double")
+            / qd,
+            4,
+        ).alias("cum_value"),
+        (
+            F.round((F.col("_q") - lag_q).cast("double") / qd, 4) + F.lit(0.0)
+        ).alias("derivative"),
+    ).orderBy("key", "bucket")

@@ -1873,3 +1873,67 @@ GROUP BY doc_id
 ORDER BY round(sum(sc), {round_to}) DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def adjacency_matrix_sql(filters: dict[str, list[str]]) -> str:
+    """Adjacency-matrix oracle (query/grouping.py adjacency_matrix):
+    per-doc boolean flags via list_has_all, single + pair buckets
+    unioned, empty buckets omitted (ES contract)."""
+    names = sorted(filters)
+
+    def _arr(terms: list[str]) -> str:
+        inner = ", ".join("'" + t.replace("'", "''") + "'" for t in dict.fromkeys(terms))
+        return f"[{inner}]"
+
+    flag_cols = ", ".join(
+        f"list_has_all(t, {_arr(filters[n])}) AS f{i}" for i, n in enumerate(names)
+    )
+    selects = []
+    for i, n in enumerate(names):
+        key = n.replace("'", "''")
+        selects.append(
+            f"SELECT '{key}' AS bucket_key, sum(CASE WHEN f{i} THEN 1 ELSE 0 END)::BIGINT AS n_docs FROM flags"
+        )
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            key = f"{names[i]}&{names[j]}".replace("'", "''")
+            selects.append(
+                f"SELECT '{key}', sum(CASE WHEN f{i} AND f{j} THEN 1 ELSE 0 END)::BIGINT FROM flags"
+            )
+    u = "\nUNION ALL ".join(selects)
+    return f"""
+WITH {TOKS_CTE},
+flags AS (SELECT doc_id, {flag_cols} FROM base),
+cells AS (
+{u}
+)
+SELECT bucket_key, n_docs FROM cells WHERE n_docs > 0 ORDER BY bucket_key
+"""
+
+
+def date_histogram_pipeline_sql(
+    interval: str = "day", key_col: str = "event_type", quantize: int = 100
+) -> str:
+    """Pipeline-agg oracle (query/grouping.py date_histogram_pipeline):
+    cumulative sum + derivative as window functions over the SAME
+    integer quantize-units, divided back only at emission; the
+    derivative's rounded emission adds +0.0::DOUBLE (signed-zero
+    rule — a negative bucket-over-bucket delta can round to -0.0)."""
+    fmt = {"day": "%Y-%m-%d", "hour": "%Y-%m-%d %H:00"}[interval]
+    qd = f"{float(quantize)!r}::DOUBLE"
+    return f"""
+WITH per AS (
+  SELECT {key_col} AS key,
+         strftime(date_trunc('{interval}', ts), '{fmt}') AS bucket,
+         count(*)::BIGINT AS n_events,
+         sum(CAST(round(value * {quantize}, 0) AS BIGINT)) AS q
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT key, bucket, n_events,
+       round(q::DOUBLE / {qd}, 4) AS sum_value,
+       round((sum(q) OVER (PARTITION BY key ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE / {qd}, 4) AS cum_value,
+       round((q - lag(q) OVER (PARTITION BY key ORDER BY bucket))::DOUBLE / {qd}, 4) + 0.0::DOUBLE AS derivative
+FROM per
+ORDER BY key, bucket
+"""

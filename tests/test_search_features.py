@@ -400,3 +400,64 @@ def test_phrase_suggest_corrects_the_typo(spark, docs, index_dir):
     # counts decrease, ties ordered (w1, w2)
     ns = [r.n_bigram for r in rows]
     assert ns == sorted(ns, reverse=True)
+
+
+def test_adjacency_matrix_counts(spark):
+    from ocaml_lucene_spark.query.grouping import adjacency_matrix
+
+    texts = {
+        0: "table hash",
+        1: "table dup",
+        2: "hash dup table",
+        3: "nothing",
+        4: "dup",
+    }
+    docs = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], "doc_id long, text string"
+    )
+    rows = {
+        r.bucket_key: r.n_docs
+        for r in adjacency_matrix(
+            docs, {"t": ["table"], "h": ["hash"], "d": ["dup"]}
+        ).collect()
+    }
+    assert rows == {
+        "t": 3, "h": 2, "d": 3,
+        # pairs keyed in sorted-name order; empty buckets omitted
+        "d&h": 1, "d&t": 2, "h&t": 2,
+    }
+
+
+def test_adjacency_matrix_omits_empty_buckets(spark):
+    from ocaml_lucene_spark.query.grouping import adjacency_matrix
+
+    docs = spark.createDataFrame([(0, "table only")], "doc_id long, text string")
+    keys = [r.bucket_key for r in adjacency_matrix(
+        docs, {"t": ["table"], "z": ["zebra"]}
+    ).collect()]
+    assert keys == ["t"]
+
+
+def test_histogram_pipeline_cumsum_and_derivative(spark):
+    from ocaml_lucene_spark.query.grouping import date_histogram_pipeline
+
+    rows = [
+        ("a", "2024-01-01 10:00:00", 1.25),
+        ("a", "2024-01-01 11:00:00", 2.00),
+        ("a", "2024-01-02 09:00:00", 0.50),
+        ("a", "2024-01-03 09:00:00", 4.75),
+        ("b", "2024-01-02 09:00:00", 10.00),
+    ]
+    events = spark.createDataFrame(
+        [(k, ts, v) for k, ts, v in rows], "event_type string, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = [
+        (r.key, r.bucket, r.n_events, r.sum_value, r.cum_value, r.derivative)
+        for r in date_histogram_pipeline(events).collect()
+    ]
+    assert got == [
+        ("a", "2024-01-01", 2, 3.25, 3.25, None),   # first bucket: null derivative
+        ("a", "2024-01-02", 1, 0.5, 3.75, -2.75),   # negative delta
+        ("a", "2024-01-03", 1, 4.75, 8.5, 4.25),
+        ("b", "2024-01-02", 1, 10.0, 10.0, None),
+    ]
