@@ -871,6 +871,15 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
             pre=2, post=2,
         )
 
+    def q_boilerplate_coverage(spark, sf):
+        # boilerplate span detection (C4/RefinedWeb cleaning, k-gram
+        # granularity): positions covered by a 3-gram present in >= 5
+        # distinct docs; one gram-df shuffle + frequent-set join +
+        # doc-co-partitioned position union — never quadratic
+        from ocaml_lucene_spark.operators.boilerplate import boilerplate_coverage
+
+        return boilerplate_coverage(_docs(spark, sf), k=3, min_df=5)
+
     def q_adjacency_matrix(spark, sf):
         # adjacency-matrix agg (ES): singles + pair intersections from
         # ONE tokenize pass (pair flags are products of the single
@@ -1377,18 +1386,18 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # the previous round's freshly-checked head moves to the tail.
     # Round-6 order: (1) the 41 entries cut from the r5 run (last
     # driver-checked in r4 — the rotation obligation from the r5
-    # verdict); (2) 9 NEW r6 rows inside the 50-row window; (3) 15 MORE
+    # verdict); (2) 9 NEW r6 rows inside the 50-row window; (3) 16 MORE
     # new r6 rows that did not fit the cap (ngram_contamination,
     # repetition_signals, pack_sequences, sample_stratified,
     # session_windows, dedup_clusters, function_score, phrase_suggest,
     # query_string, query_string_expand, intervals_ordered,
     # intervals_containing, bm25_analyzed, adjacency_matrix,
-    # histogram_pipeline — replica-verified locally,
+    # histogram_pipeline, boilerplate_coverage — replica-verified locally,
     # never driver-checked); (4) the 50 r5-checked entries as the
     # sacrificial tail, in their r5 order.
     # ROUND-7 ROTATION OBLIGATION: everything after position 50
     # (recount with list(queries())[50:] before trusting this comment)
-    # is either never-driver-checked (the 15 past-cut r6 rows — put
+    # is either never-driver-checked (the 16 past-cut r6 rows — put
     # them FIRST) or last checked in r5; all of it MUST occupy the
     # front of the r7 order, demoting this round's new rows and the
     # r6-checked head to the tail.
@@ -1462,6 +1471,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "intervals_containing": q_intervals_containing,
         "bm25_analyzed": q_bm25_analyzed,
         "adjacency_matrix": q_adjacency_matrix,
+        "boilerplate_coverage": q_boilerplate_coverage,
         "histogram_pipeline": q_histogram_pipeline,
         # -- r5-checked tail: sacrificial under a 50-row cut (all 50
         #    full-passed in CORRECTNESS_r05 except bigram_collocations,
@@ -1662,6 +1672,7 @@ def oracle_sql() -> dict[str, str]:
             {"table": ["table"], "hash": ["hash"], "dup": ["dup"]}
         ),
         "histogram_pipeline": osql.date_histogram_pipeline_sql("day"),
+        "boilerplate_coverage": osql.boilerplate_coverage_sql(k=3, min_df=5),
         "significant_terms": osql.significant_terms_sql(["table", "scan"], k=10),
         "percolate": osql.percolate_sql(
             [

@@ -1937,3 +1937,36 @@ SELECT key, bucket, n_events,
 FROM per
 ORDER BY key, bucket
 """
+
+
+def boilerplate_coverage_sql(k: int = 3, min_df: int = 5) -> str:
+    """Boilerplate-coverage oracle (operators/boilerplate.py
+    boilerplate_coverage): k-grams via the positional parallel unnest
+    + 1-based inclusive list slice; frequent set by distinct-doc
+    count; covered positions as a distinct (doc, start + offset)
+    union."""
+    return f"""
+WITH {TOKS_CTE},
+occ AS (
+  SELECT doc_id,
+         unnest(range(len(t) - {k} + 1)) AS start,
+         unnest(list_transform(range(len(t) - {k} + 1),
+                               i -> array_to_string(t[i+1:i+{k}], ' '))) AS gram
+  FROM base
+  WHERE len(t) >= {k}
+),
+hot AS (
+  SELECT gram
+  FROM (SELECT gram, count(DISTINCT doc_id) AS gdf FROM occ GROUP BY gram)
+  WHERE gdf >= {min_df}
+),
+cov AS (
+  SELECT DISTINCT doc_id, start + unnest(range({k})) AS p
+  FROM occ JOIN hot USING (gram)
+),
+percov AS (SELECT doc_id, count(*) AS n_covered FROM cov GROUP BY doc_id)
+SELECT b.doc_id, len(b.t)::BIGINT AS n_tokens,
+       coalesce(p.n_covered, 0)::BIGINT AS n_covered
+FROM base b LEFT JOIN percov p USING (doc_id)
+ORDER BY doc_id
+"""

@@ -128,3 +128,85 @@ def test_dedup_clusters_raises_without_convergence(spark):
     )
     with pytest.raises(RuntimeError, match="converge"):
         dedup_clusters(pairs, max_iters=1)
+
+
+# -- boilerplate span detection / removal ------------------------------
+
+
+def _bp_docs(spark):
+    texts = {
+        # "cookie banner text" appears in 3 docs -> frequent at min_df=3
+        0: "cookie banner text unique alpha beta",
+        1: "gamma cookie banner text delta",
+        2: "cookie banner text",
+        3: "totally clean document here",
+        4: "short",
+    }
+    return (
+        spark.createDataFrame(
+            [(d, t) for d, t in texts.items()], "doc_id long, text string"
+        ),
+        texts,
+    )
+
+
+def test_boilerplate_coverage_counts(spark):
+    from ocaml_lucene_spark.operators.boilerplate import boilerplate_coverage
+
+    docs, texts = _bp_docs(spark)
+    got = {
+        r.doc_id: (r.n_tokens, r.n_covered)
+        for r in boilerplate_coverage(docs, k=3, min_df=3).collect()
+    }
+    # covered = the 3 positions of 'cookie banner text' in each doc
+    # carrying it; every doc appears, clean docs with 0
+    assert got == {0: (6, 3), 1: (5, 3), 2: (3, 3), 3: (4, 0), 4: (1, 0)}
+
+
+def test_boilerplate_coverage_python_reference(spark):
+    """Overlapping frequent grams: covered positions are the UNION of
+    spans, pinned against a brute-force reference."""
+    from ocaml_lucene_spark.operators.boilerplate import boilerplate_coverage
+
+    import random
+
+    rng = random.Random(5)
+    vocab = ["a", "b", "c", "d"]
+    texts = {d: " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 14)))
+             for d in range(30)}
+    k, min_df = 2, 4
+    toks = {d: t.split() for d, t in texts.items()}
+    gdf = {}
+    for d, ts in toks.items():
+        for g in {tuple(ts[i:i + k]) for i in range(len(ts) - k + 1)}:
+            gdf[g] = gdf.get(g, 0) + 1
+    want = {}
+    for d, ts in toks.items():
+        cov = set()
+        for i in range(len(ts) - k + 1):
+            if gdf.get(tuple(ts[i:i + k]), 0) >= min_df:
+                cov.update(range(i, i + k))
+        want[d] = (len(ts), len(cov))
+    docs = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_covered)
+        for r in boilerplate_coverage(docs, k=k, min_df=min_df).collect()
+    }
+    assert got == want
+
+
+def test_remove_boilerplate_strips_covered_positions(spark):
+    from ocaml_lucene_spark.operators.boilerplate import remove_boilerplate
+
+    docs, texts = _bp_docs(spark)
+    got = {
+        r.doc_id: r.clean_tokens
+        for r in remove_boilerplate(docs, k=3, min_df=3).collect()
+    }
+    assert got[0] == ["unique", "alpha", "beta"]
+    assert got[1] == ["gamma", "delta"]
+    assert got[2] == []
+    assert got[3] == ["totally", "clean", "document", "here"]
+    assert got[4] == ["short"]
