@@ -871,6 +871,17 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
             pre=2, post=2,
         )
 
+    def q_mix_proportions(spark, sf):
+        # data mixing to target proportions: per-stratum acceptance
+        # fractions derived from fixed-order double arithmetic
+        # (scale = min(n/w); f = w*scale/n), replayed verbatim by the
+        # oracle — survivor sets are bit-identical
+        from ocaml_lucene_spark.operators.sampling import mix_to_proportions
+
+        return mix_to_proportions(
+            _docs(spark, sf), {"en": 1.0, "de": 1.0, "fr": 2.0}
+        )
+
     def q_boilerplate_coverage(spark, sf):
         # boilerplate span detection (C4/RefinedWeb cleaning, k-gram
         # granularity): positions covered by a 3-gram present in >= 5
@@ -1386,18 +1397,19 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # the previous round's freshly-checked head moves to the tail.
     # Round-6 order: (1) the 41 entries cut from the r5 run (last
     # driver-checked in r4 — the rotation obligation from the r5
-    # verdict); (2) 9 NEW r6 rows inside the 50-row window; (3) 16 MORE
+    # verdict); (2) 9 NEW r6 rows inside the 50-row window; (3) 17 MORE
     # new r6 rows that did not fit the cap (ngram_contamination,
     # repetition_signals, pack_sequences, sample_stratified,
     # session_windows, dedup_clusters, function_score, phrase_suggest,
     # query_string, query_string_expand, intervals_ordered,
     # intervals_containing, bm25_analyzed, adjacency_matrix,
-    # histogram_pipeline, boilerplate_coverage — replica-verified locally,
+    # histogram_pipeline, boilerplate_coverage, mix_proportions —
+    # replica-verified locally,
     # never driver-checked); (4) the 50 r5-checked entries as the
     # sacrificial tail, in their r5 order.
     # ROUND-7 ROTATION OBLIGATION: everything after position 50
     # (recount with list(queries())[50:] before trusting this comment)
-    # is either never-driver-checked (the 16 past-cut r6 rows — put
+    # is either never-driver-checked (the 17 past-cut r6 rows — put
     # them FIRST) or last checked in r5; all of it MUST occupy the
     # front of the r7 order, demoting this round's new rows and the
     # r6-checked head to the tail.
@@ -1472,6 +1484,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "bm25_analyzed": q_bm25_analyzed,
         "adjacency_matrix": q_adjacency_matrix,
         "boilerplate_coverage": q_boilerplate_coverage,
+        "mix_proportions": q_mix_proportions,
         "histogram_pipeline": q_histogram_pipeline,
         # -- r5-checked tail: sacrificial under a 50-row cut (all 50
         #    full-passed in CORRECTNESS_r05 except bigram_collocations,
@@ -1673,6 +1686,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "histogram_pipeline": osql.date_histogram_pipeline_sql("day"),
         "boilerplate_coverage": osql.boilerplate_coverage_sql(k=3, min_df=5),
+        "mix_proportions": oops.mix_to_proportions_sql(
+            {"en": 1.0, "de": 1.0, "fr": 2.0}
+        ),
         "significant_terms": osql.significant_terms_sql(["table", "scan"], k=10),
         "percolate": osql.percolate_sql(
             [

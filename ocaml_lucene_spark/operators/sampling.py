@@ -67,3 +67,44 @@ def sample_stratified(
         .select("doc_id", "stratum")
         .orderBy("doc_id")
     )
+
+
+def mix_to_proportions(
+    docs: DataFrame,
+    weights: dict[str, float],
+    stratum_col: str = "lang",
+    seed: int = 7,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Mix strata to TARGET proportions (the pretraining data-mixing
+    recipe expressed as weights, e.g. {en: 5, de: 2, fr: 1}): derive
+    the per-stratum acceptance fraction that realizes the mixture in
+    expectation while keeping the most-constrained stratum whole —
+    scale = min_s(n_s / w_s), fraction_s = w_s * scale / n_s — then
+    apply the deterministic md5-uniform filter (sample_stratified).
+
+    The fraction derivation is double arithmetic in a FIXED operation
+    order ((w * scale) / n after scale = min(n / w)), replayed
+    verbatim by the SQL oracle, so the survivor set is bit-identical.
+    Strata absent from ``weights`` are dropped. Returns
+    (doc_id, stratum) ordered by doc_id.
+
+    Scale shape: one tiny groupBy(stratum) count (|strata| rows to the
+    driver — the only collect), then sample_stratified's scan +
+    codegen'd filter; nothing shuffles at data size."""
+    if not weights:
+        raise ValueError("mix_to_proportions needs at least one stratum weight")
+    counts = {
+        r["stratum"]: r["n"]
+        for r in docs.groupBy(F.col(stratum_col).alias("stratum"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+        if r["stratum"] in weights
+    }
+    if not counts:
+        return docs.sparkSession.createDataFrame(
+            [], "doc_id long, stratum string"
+        )
+    scale = min(counts[s] / weights[s] for s in counts)
+    fractions = {s: weights[s] * scale / counts[s] for s in counts}
+    return sample_stratified(docs, fractions, stratum_col, seed, id_col)

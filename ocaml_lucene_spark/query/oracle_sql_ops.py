@@ -655,3 +655,37 @@ FROM reach
 GROUP BY node
 ORDER BY doc_id
 """
+
+
+def mix_to_proportions_sql(
+    weights: dict[str, float], stratum_col: str = "lang", seed: int = 7
+) -> str:
+    """Mix-to-proportions oracle (operators/sampling.mix_to_proportions):
+    re-derives the per-stratum acceptance fractions from the SAME
+    fixed-order double arithmetic — scale = min(n / w), fraction =
+    (w * scale) / n — then replays the md5-uniform filter. Division
+    and multiplication are IEEE-exact in both engines, so the
+    survivor sets are bit-identical."""
+    w_case = " ".join(
+        f"WHEN {stratum_col} = '{s}' THEN {float(w)!r}::DOUBLE"
+        for s, w in sorted(weights.items())
+    )
+    in_list = ", ".join(f"'{s}'" for s in sorted(weights))
+    return f"""
+WITH counts AS (
+  SELECT {stratum_col} AS stratum, count(*)::DOUBLE AS n,
+         (CASE {w_case.replace(stratum_col, stratum_col)} END) AS w
+  FROM documents
+  WHERE {stratum_col} IN ({in_list})
+  GROUP BY {stratum_col}
+),
+scaled AS (
+  SELECT stratum, (w * (SELECT min(n / w) FROM counts)) / n AS f FROM counts
+)
+SELECT d.doc_id, d.{stratum_col} AS stratum
+FROM documents d JOIN scaled s ON d.{stratum_col} = s.stratum
+WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || '|' || '{seed}'), 1, 15))::BIGINT::DOUBLE
+        / {float(16**15)!r}
+      < s.f
+ORDER BY d.doc_id
+"""

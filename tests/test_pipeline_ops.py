@@ -210,3 +210,36 @@ def test_remove_boilerplate_strips_covered_positions(spark):
     assert got[2] == []
     assert got[3] == ["totally", "clean", "document", "here"]
     assert got[4] == ["short"]
+
+
+def test_mix_to_proportions_keeps_constrained_stratum_whole(spark):
+    from ocaml_lucene_spark.operators.sampling import mix_to_proportions
+
+    rows = (
+        [(i, "en") for i in range(100)]
+        + [(1000 + i, "fr") for i in range(10)]
+        + [(2000 + i, "zz") for i in range(5)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = mix_to_proportions(docs, {"en": 1.0, "fr": 1.0}).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.stratum, []).append(r.doc_id)
+    # fr is the constrained stratum (10/1 < 100/1): kept whole
+    assert sorted(by["fr"]) == list(range(1000, 1010))
+    # en downsampled toward ~10 (md5-uniform, exact count varies)
+    assert 0 < len(by["en"]) < 100
+    # unweighted stratum dropped entirely
+    assert "zz" not in by
+
+
+def test_mix_to_proportions_is_deterministic(spark):
+    from ocaml_lucene_spark.operators.sampling import mix_to_proportions
+
+    rows = [(i, ["en", "fr"][i % 2]) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    a = [tuple(r) for r in mix_to_proportions(docs, {"en": 3.0, "fr": 1.0}).collect()]
+    b = [tuple(r) for r in mix_to_proportions(
+        docs.repartition(7), {"en": 3.0, "fr": 1.0}
+    ).collect()]
+    assert a == b and a
