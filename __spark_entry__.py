@@ -871,6 +871,26 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
             pre=2, post=2,
         )
 
+    def q_percentiles_agg(spark, sf):
+        # percentiles agg (ES, exact mode): per-lang linear-interp
+        # p50/p90/p99 of n_chars — Spark percentile() and DuckDB
+        # quantile_cont share the interpolation formula (measured
+        # bit-identical); positive values, plain round(.,4)
+        from ocaml_lucene_spark.query.grouping import percentiles_agg
+
+        return percentiles_agg(_docs(spark, sf))
+
+    def q_composite_agg(spark, sf):
+        # composite agg with after-key pagination: page of 10 buckets
+        # strictly after ('de','src15') in (lang, source) order — the
+        # after predicate pushes to the scan
+        from ocaml_lucene_spark.query.grouping import composite_agg
+
+        return composite_agg(
+            _docs(spark, sf), keys=("lang", "source"),
+            after=("de", "src15"), size=10,
+        )
+
     def q_mix_proportions(spark, sf):
         # data mixing to target proportions: per-stratum acceptance
         # fractions derived from fixed-order double arithmetic
@@ -1397,19 +1417,19 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # the previous round's freshly-checked head moves to the tail.
     # Round-6 order: (1) the 41 entries cut from the r5 run (last
     # driver-checked in r4 — the rotation obligation from the r5
-    # verdict); (2) 9 NEW r6 rows inside the 50-row window; (3) 17 MORE
+    # verdict); (2) 9 NEW r6 rows inside the 50-row window; (3) 19 MORE
     # new r6 rows that did not fit the cap (ngram_contamination,
     # repetition_signals, pack_sequences, sample_stratified,
     # session_windows, dedup_clusters, function_score, phrase_suggest,
     # query_string, query_string_expand, intervals_ordered,
     # intervals_containing, bm25_analyzed, adjacency_matrix,
-    # histogram_pipeline, boilerplate_coverage, mix_proportions —
+    # histogram_pipeline, boilerplate_coverage, mix_proportions, percentiles_agg, composite_agg —
     # replica-verified locally,
     # never driver-checked); (4) the 50 r5-checked entries as the
     # sacrificial tail, in their r5 order.
     # ROUND-7 ROTATION OBLIGATION: everything after position 50
     # (recount with list(queries())[50:] before trusting this comment)
-    # is either never-driver-checked (the 17 past-cut r6 rows — put
+    # is either never-driver-checked (the 19 past-cut r6 rows — put
     # them FIRST) or last checked in r5; all of it MUST occupy the
     # front of the r7 order, demoting this round's new rows and the
     # r6-checked head to the tail.
@@ -1485,6 +1505,8 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "adjacency_matrix": q_adjacency_matrix,
         "boilerplate_coverage": q_boilerplate_coverage,
         "mix_proportions": q_mix_proportions,
+        "percentiles_agg": q_percentiles_agg,
+        "composite_agg": q_composite_agg,
         "histogram_pipeline": q_histogram_pipeline,
         # -- r5-checked tail: sacrificial under a 50-row cut (all 50
         #    full-passed in CORRECTNESS_r05 except bigram_collocations,
@@ -1688,6 +1710,10 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_coverage": osql.boilerplate_coverage_sql(k=3, min_df=5),
         "mix_proportions": oops.mix_to_proportions_sql(
             {"en": 1.0, "de": 1.0, "fr": 2.0}
+        ),
+        "percentiles_agg": osql.percentiles_agg_sql(),
+        "composite_agg": osql.composite_agg_sql(
+            ("lang", "source"), ("de", "src15"), 10
         ),
         "significant_terms": osql.significant_terms_sql(["table", "scan"], k=10),
         "percolate": osql.percolate_sql(

@@ -682,3 +682,74 @@ def date_histogram_pipeline(
             F.round((F.col("_q") - lag_q).cast("double") / qd, 4) + F.lit(0.0)
         ).alias("derivative"),
     ).orderBy("key", "bucket")
+
+
+def percentiles_agg(
+    docs: DataFrame,
+    col: str = "n_chars",
+    key_col: str = "lang",
+    ps: tuple = (0.5, 0.9, 0.99),
+    round_to: int = 4,
+) -> DataFrame:
+    """Percentiles aggregation (ES `percentiles`, exact mode): linear-
+    interpolation percentiles of a doc-values column per key bucket.
+    Returns (key, p_50, p_90, ... one column per requested fraction)
+    ordered by key. Spark's exact `percentile` and DuckDB's
+    quantile_cont share the same interpolation formula
+    ((n-1)·p between sorted neighbors), measured bit-identical on
+    integer inputs — the gate rounds both sides to 4dp anyway per the
+    float-column convention. ES serves percentiles from a t-digest
+    sketch at scale; exact mode is the oracle-verifiable contract, and
+    the per-key sort lives inside one aggregate (no global sort)."""
+    p_list = ", ".join(repr(float(p)) for p in ps)
+    arr = F.expr(f"percentile({col}, array({p_list}))")
+    cols = [
+        F.round(F.element_at(F.col("_ps"), i + 1), round_to).alias(
+            f"p_{str(p).replace('0.', '').ljust(2, '0')}"
+        )
+        for i, p in enumerate(ps)
+    ]
+    return (
+        docs.groupBy(F.col(key_col).alias("key"))
+        .agg(arr.alias("_ps"))
+        .select("key", *cols)
+        .orderBy("key")
+    )
+
+
+def composite_agg(
+    docs: DataFrame,
+    keys: tuple = ("lang", "source"),
+    after: tuple | None = None,
+    size: int = 10,
+) -> DataFrame:
+    """Composite aggregation with after-key pagination (the ES
+    `composite` agg — the scalable way to page through a huge bucket
+    space in deterministic key order): buckets are the distinct key
+    tuples ordered lexicographically; a page returns the first
+    ``size`` buckets STRICTLY AFTER ``after`` (None = first page).
+    Returns (*keys, n_docs).
+
+    Scale shape: the after-key predicate pushes to the scan (a
+    row-group min/max prunable conjunction of comparisons), the
+    groupBy shuffles only surviving rows, and the page is a
+    TakeOrderedAndProject — each page touches one shuffle of
+    post-filter data, never the full bucket space."""
+    if after is not None and len(after) != len(keys):
+        raise ValueError("after key arity must match keys")
+    out = docs
+    if after is not None:
+        # lexicographic strictly-greater over the key tuple
+        cond = F.lit(False)
+        for i in range(len(keys)):
+            eq = F.lit(True)
+            for j in range(i):
+                eq = eq & (F.col(keys[j]) == F.lit(after[j]))
+            cond = cond | (eq & (F.col(keys[i]) > F.lit(after[i])))
+        out = out.filter(cond)
+    return (
+        out.groupBy(*[F.col(k) for k in keys])
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(*keys)
+        .limit(size)
+    )

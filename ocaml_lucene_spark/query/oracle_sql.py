@@ -1970,3 +1970,52 @@ SELECT b.doc_id, len(b.t)::BIGINT AS n_tokens,
 FROM base b LEFT JOIN percov p USING (doc_id)
 ORDER BY doc_id
 """
+
+
+def percentiles_agg_sql(
+    col: str = "n_chars",
+    key_col: str = "lang",
+    ps: tuple = (0.5, 0.9, 0.99),
+    round_to: int = 4,
+) -> str:
+    """Percentiles-agg oracle (query/grouping.py percentiles_agg):
+    quantile_cont shares Spark exact-percentile's interpolation
+    formula (measured bit-identical on integer inputs)."""
+    cols = ", ".join(
+        f"round(quantile_cont({col}, {float(p)!r}), {round_to}) AS "
+        f"p_{str(p).replace('0.', '').ljust(2, '0')}"
+        for p in ps
+    )
+    return f"""
+SELECT {key_col} AS key, {cols}
+FROM documents
+GROUP BY 1
+ORDER BY key
+"""
+
+
+def composite_agg_sql(
+    keys: tuple = ("lang", "source"),
+    after: tuple | None = None,
+    size: int = 10,
+) -> str:
+    """Composite-agg oracle (query/grouping.py composite_agg):
+    lexicographic strictly-after predicate + ordered LIMIT page."""
+    where = ""
+    if after is not None:
+        terms = []
+        for i in range(len(keys)):
+            eqs = [f"{keys[j]} = '{after[j]}'" for j in range(i)]
+            terms.append(
+                "(" + " AND ".join(eqs + [f"{keys[i]} > '{after[i]}'"]) + ")"
+            )
+        where = "WHERE " + " OR ".join(terms)
+    key_list = ", ".join(keys)
+    return f"""
+SELECT {key_list}, count(*)::BIGINT AS n_docs
+FROM documents
+{where}
+GROUP BY {key_list}
+ORDER BY {key_list}
+LIMIT {size}
+"""

@@ -461,3 +461,32 @@ def test_histogram_pipeline_cumsum_and_derivative(spark):
         ("a", "2024-01-03", 1, 4.75, 8.5, 4.25),
         ("b", "2024-01-02", 1, 10.0, 10.0, None),
     ]
+
+
+def test_composite_agg_pagination_walks_all_buckets(spark):
+    from ocaml_lucene_spark.query.grouping import composite_agg
+
+    rows = [(i, ["a", "b", "c"][i % 3], f"s{i % 4}") for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, source string")
+    all_rows = [tuple(r) for r in composite_agg(docs, size=100).collect()]
+    assert len(all_rows) == 12
+    # page through with size 5: concatenation == the full ordered set
+    pages, after = [], None
+    while True:
+        page = [tuple(r) for r in composite_agg(docs, after=after, size=5).collect()]
+        if not page:
+            break
+        pages.extend(page)
+        after = page[-1][:2]
+    assert pages == all_rows
+
+
+def test_percentiles_agg_known_values(spark):
+    from ocaml_lucene_spark.query.grouping import percentiles_agg
+
+    # n_chars 0..9 for one key: p50 = 4.5, p90 = 8.1, p99 = 8.91
+    docs = spark.createDataFrame(
+        [(i, "en", i) for i in range(10)], "doc_id long, lang string, n_chars long"
+    )
+    r = percentiles_agg(docs).collect()[0]
+    assert (r.key, r.p_50, r.p_90, r.p_99) == ("en", 4.5, 8.1, 8.91)
