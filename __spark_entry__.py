@@ -933,6 +933,17 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
 
         return date_histogram_pipeline(spark.read.parquet(f"{sf}/events.parquet"))
 
+    def q_intervals_unordered(spark, sf):
+        # Intervals.unordered + maxgaps: minimal unordered intervals
+        # are the label-alternating ADJACENT pairs of the merged
+        # position list (fuzzed == generic containment minimality)
+        from ocaml_lucene_spark.query.exec import intervals_unordered_indexed
+
+        return intervals_unordered_indexed(
+            spark, _ensure_index(spark, sf, positions=True), "table", "hash",
+            max_gaps=6,
+        )
+
     def q_bm25_analyzed(spark, sf):
         # analysis chain (Lucene `english`-light): StopFilter +
         # EnglishMinimalStem on BOTH sides — 'the' vanishes (stop
@@ -1417,19 +1428,19 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # the previous round's freshly-checked head moves to the tail.
     # Round-6 order: (1) the 41 entries cut from the r5 run (last
     # driver-checked in r4 — the rotation obligation from the r5
-    # verdict); (2) 9 NEW r6 rows inside the 50-row window; (3) 19 MORE
+    # verdict); (2) 9 NEW r6 rows inside the 50-row window; (3) 20 MORE
     # new r6 rows that did not fit the cap (ngram_contamination,
     # repetition_signals, pack_sequences, sample_stratified,
     # session_windows, dedup_clusters, function_score, phrase_suggest,
     # query_string, query_string_expand, intervals_ordered,
-    # intervals_containing, bm25_analyzed, adjacency_matrix,
+    # intervals_containing, intervals_unordered, bm25_analyzed, adjacency_matrix,
     # histogram_pipeline, boilerplate_coverage, mix_proportions, percentiles_agg, composite_agg —
     # replica-verified locally,
     # never driver-checked); (4) the 50 r5-checked entries as the
     # sacrificial tail, in their r5 order.
     # ROUND-7 ROTATION OBLIGATION: everything after position 50
     # (recount with list(queries())[50:] before trusting this comment)
-    # is either never-driver-checked (the 19 past-cut r6 rows — put
+    # is either never-driver-checked (the 20 past-cut r6 rows — put
     # them FIRST) or last checked in r5; all of it MUST occupy the
     # front of the r7 order, demoting this round's new rows and the
     # r6-checked head to the tail.
@@ -1501,6 +1512,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "query_string_expand": q_query_string_expand,
         "intervals_ordered": q_intervals_ordered,
         "intervals_containing": q_intervals_containing,
+        "intervals_unordered": q_intervals_unordered,
         "bm25_analyzed": q_bm25_analyzed,
         "adjacency_matrix": q_adjacency_matrix,
         "boilerplate_coverage": q_boilerplate_coverage,
@@ -1701,6 +1713,9 @@ def oracle_sql() -> dict[str, str]:
         "intervals_ordered": osql.intervals_ordered_sql("table", "hash", max_gaps=6),
         "intervals_containing": osql.intervals_containing_sql(
             "table", "hash", "dup", max_gaps=6
+        ),
+        "intervals_unordered": osql.intervals_unordered_sql(
+            "table", "hash", max_gaps=6
         ),
         "bm25_analyzed": osql.bm25_analyzed_sql(["the", "tables", "hash"], k=10),
         "adjacency_matrix": osql.adjacency_matrix_sql(

@@ -1646,3 +1646,50 @@ def intervals_containing_indexed(
         F.sum((~F.col("has_inner")).cast("long")).alias("n_not_containing"),
     )
     return _deleted_filter(spark, index_dir, out).orderBy("doc_id")
+
+
+def intervals_unordered_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    first: str,
+    second: str,
+    max_gaps: int = 6,
+) -> DataFrame:
+    """Intervals.maxgaps(max_gaps, Intervals.unordered(first, second))
+    under minimal-interval semantics: (doc_id, n_intervals, min_width)
+    ordered by doc_id.
+
+    For two DISTINCT single-term clauses the minimal unordered
+    intervals are exactly the label-alternating ADJACENT pairs of the
+    doc's merged position list: if any occurrence of either term lay
+    strictly inside a candidate [l, r], pairing it with whichever
+    endpoint has the other label yields a strictly nested candidate,
+    so [l, r] is not minimal; conversely an alternating adjacent pair
+    contains no other occurrence and nothing can nest inside it
+    (fuzzed against generic containment minimality in
+    tests/test_intervals.py).
+
+    Plan: one term-pushdown .pos decode for both clauses, one window
+    lag per doc partition (the same doc-key shuffle any per-doc agg
+    needs — position lists are per-doc short), then the gap filter
+    and one count aggregate."""
+    from pyspark.sql import Window
+
+    flat = flat_positions_df(spark, index_dir, [first, second]).filter(
+        F.col("term").isin([first, second])
+    )
+    w = Window.partitionBy("doc_id").orderBy("p")
+    adj = (
+        flat.withColumn("prev_p", F.lag("p").over(w))
+        .withColumn("prev_term", F.lag("term").over(w))
+        .filter(
+            F.col("prev_term").isNotNull()
+            & (F.col("prev_term") != F.col("term"))
+            & (F.col("p") - F.col("prev_p") <= max_gaps + 1)
+        )
+    )
+    out = adj.groupBy("doc_id").agg(
+        F.count("*").alias("n_intervals"),
+        F.min(F.col("p") - F.col("prev_p") + F.lit(1)).alias("min_width"),
+    )
+    return _deleted_filter(spark, index_dir, out).orderBy("doc_id")

@@ -2019,3 +2019,34 @@ GROUP BY {key_list}
 ORDER BY {key_list}
 LIMIT {size}
 """
+
+
+def intervals_unordered_sql(first: str, second: str, max_gaps: int = 6) -> str:
+    """Unordered-intervals oracle (query/exec.py
+    intervals_unordered_indexed): the label-alternating adjacent-pair
+    characterization replayed with a window lag over the positional
+    parallel unnest."""
+    f = first.replace("'", "''")
+    s = second.replace("'", "''")
+    return f"""
+WITH {TOKS_CTE},
+pos AS (
+  SELECT doc_id, unnest(t) AS term, unnest(range(len(t))) AS p FROM base
+),
+both_terms AS (
+  SELECT doc_id, term, p FROM pos WHERE term IN ('{f}', '{s}')
+),
+adj AS (
+  SELECT doc_id, term, p,
+         lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev_p,
+         lag(term) OVER (PARTITION BY doc_id ORDER BY p) AS prev_term
+  FROM both_terms
+)
+SELECT doc_id, count(*)::BIGINT AS n_intervals,
+       min(p - prev_p + 1)::BIGINT AS min_width
+FROM adj
+WHERE prev_term IS NOT NULL AND prev_term <> term
+  AND p - prev_p <= {max_gaps + 1}
+GROUP BY doc_id
+ORDER BY doc_id
+"""

@@ -174,3 +174,64 @@ def test_collapse_equals_generic_minimality_fuzz():
             earliest[p1] = min(earliest.get(p1, 10**9), p2)
         got = sorted((p1, p2) for p1, p2 in earliest.items())
         assert got == want, (seq, gaps)
+
+
+def _brute_minimal_unordered(toks, a, b, max_gaps):
+    """doc -> sorted minimal unordered (l, r): generic quadratic
+    containment over ALL cross pairs, minimality first, gaps after."""
+    pa, pb = _positions(toks, a), _positions(toks, b)
+    out = {}
+    for d in set(pa) & set(pb):
+        cands = sorted(
+            {(min(p1, p2), max(p1, p2)) for p1 in pa[d] for p2 in pb[d]}
+        )
+        minimal = [
+            (l, r)
+            for (l, r) in cands
+            if not any(
+                (q1, q2) != (l, r) and q1 >= l and q2 <= r for (q1, q2) in cands
+            )
+        ]
+        kept = sorted((l, r) for (l, r) in minimal if r - l - 1 <= max_gaps)
+        if kept:
+            out[d] = kept
+    return out
+
+
+@pytest.mark.parametrize("a,b,gaps", [("table", "hash", 2), ("table", "hash", 6),
+                                      ("dup", "scan", 4)])
+def test_intervals_unordered_matches_brute(spark, iv_index, a, b, gaps):
+    from ocaml_lucene_spark.query.exec import intervals_unordered_indexed
+
+    index_dir, toks = iv_index
+    want = {
+        d: (len(iv), min(r - l + 1 for l, r in iv))
+        for d, iv in _brute_minimal_unordered(toks, a, b, gaps).items()
+    }
+    got = {
+        r.doc_id: (r.n_intervals, r.min_width)
+        for r in intervals_unordered_indexed(
+            spark, index_dir, a, b, gaps
+        ).collect()
+    }
+    assert got == want
+
+
+def test_alternating_adjacency_equals_generic_minimality_fuzz():
+    """Pure-python fuzz of the unordered claim: label-alternating
+    adjacent pairs of the merged position list == generic containment
+    minimality (then gap-filter both)."""
+    rng = random.Random(123)
+    for _ in range(300):
+        n = rng.randint(2, 40)
+        seq = [rng.choice("ab.") for _ in range(n)]
+        toks = {0: ["a" if t == "a" else "b" if t == "b" else "pad" for t in seq]}
+        gaps = rng.randint(0, 5)
+        want = _brute_minimal_unordered(toks, "a", "b", gaps).get(0, [])
+        merged = [(i, t) for i, t in enumerate(seq) if t in "ab"]
+        got = sorted(
+            (p0, p1)
+            for (p0, t0), (p1, t1) in zip(merged, merged[1:])
+            if t0 != t1 and p1 - p0 <= gaps + 1
+        )
+        assert got == want, (seq, gaps)
