@@ -320,3 +320,41 @@ def test_pack_sequences_has_no_global_single_partition_window(spark):
     plan = _plan(pack_sequences(docs, budget=512))
     assert "Window" in plan, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_composite_agg_after_key_pushes_to_scan(spark):
+    """composite_agg's lexicographic after-key predicate must reach
+    the parquet scan as PushedFilters (row-group pruning over the
+    bucket keyspace) and the scan must read ONLY the key columns —
+    at 100 TB a page touches the pruned tail of the keyspace, never
+    the text."""
+    from ocaml_lucene_spark.query.grouping import composite_agg
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(composite_agg(docs, ("lang", "source"), ("de", "src15"), 10))
+    pushed = re.search(r"PushedFilters: \[(.*?)\]", plan)
+    assert pushed, plan
+    assert "GreaterThan(lang,de)" in pushed.group(1), pushed.group(1)
+    assert _read_schema_cols(plan) == {"lang", "source"}
+
+
+def test_percentiles_agg_reads_only_key_and_value(spark):
+    """percentiles_agg must prune the scan to (key, value) — the
+    text column never rides through the sort-based aggregate."""
+    from ocaml_lucene_spark.query.grouping import percentiles_agg
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(percentiles_agg(docs))
+    assert _read_schema_cols(plan) == {"lang", "n_chars"}
+
+
+def test_boilerplate_coverage_has_no_cartesian(spark):
+    """The frequent-gram join must stay an equi-join (broadcast or
+    shuffled hash on gram) — a cartesian/BNL join here is the
+    quadratic blowup the operator exists to avoid."""
+    from ocaml_lucene_spark.operators.boilerplate import boilerplate_coverage
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(boilerplate_coverage(docs, k=3, min_df=5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
