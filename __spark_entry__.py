@@ -1039,6 +1039,11 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         # occurrence fraction, top-2gram occupancy)
         return textstats.repetition_signals(_docs(spark, sf))
 
+    def q_unigram_logprob(spark, sf):
+        # CCNet-style unigram LM surprisal (quantized integer fold —
+        # the per-doc sum is order-free by construction)
+        return textstats.unigram_logprob(_docs(spark, sf))
+
     def q_query_string(spark, sf):
         # classic QueryParser: must/should/boost/must_not + a phrase
         # filter clause, compiled onto the boosted-disjunction algebra
@@ -1428,9 +1433,9 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # the previous round's freshly-checked head moves to the tail.
     # Round-6 order: (1) the 41 entries cut from the r5 run (last
     # driver-checked in r4 — the rotation obligation from the r5
-    # verdict); (2) 9 NEW r6 rows inside the 50-row window; (3) 20 MORE
+    # verdict); (2) 9 NEW r6 rows inside the 50-row window; (3) 21 MORE
     # new r6 rows that did not fit the cap (ngram_contamination,
-    # repetition_signals, pack_sequences, sample_stratified,
+    # repetition_signals, unigram_logprob, pack_sequences, sample_stratified,
     # session_windows, dedup_clusters, function_score, phrase_suggest,
     # query_string, query_string_expand, intervals_ordered,
     # intervals_containing, intervals_unordered, bm25_analyzed, adjacency_matrix,
@@ -1440,7 +1445,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # sacrificial tail, in their r5 order.
     # ROUND-7 ROTATION OBLIGATION: everything after position 50
     # (recount with list(queries())[50:] before trusting this comment)
-    # is either never-driver-checked (the 20 past-cut r6 rows — put
+    # is either never-driver-checked (the 21 past-cut r6 rows — put
     # them FIRST) or last checked in r5; all of it MUST occupy the
     # front of the r7 order, demoting this round's new rows and the
     # r6-checked head to the tail.
@@ -1502,6 +1507,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         #    round, never driver-checked): FIRST in line for r7 --
         "ngram_contamination": q_ngram_contamination,
         "repetition_signals": q_repetition_signals,
+        "unigram_logprob": q_unigram_logprob,
         "pack_sequences": q_pack_sequences,
         "sample_stratified": q_sample_stratified,
         "session_windows": q_session_windows,
@@ -1696,6 +1702,7 @@ def oracle_sql() -> dict[str, str]:
         "value_histogram": osql.value_histogram_sql(interval=25),
         "ngram_contamination": oops.ngram_contamination_sql(n=4, bench_mod=13),
         "repetition_signals": oops.repetition_signals_sql(),
+        "unigram_logprob": oops.unigram_logprob_sql(),
         "pack_sequences": oops.pack_sequences_sql(budget=2048),
         "sample_stratified": oops.sample_stratified_sql(
             {"en": 0.5, "de": 0.25, "zh": 0.125}, "lang", seed=7

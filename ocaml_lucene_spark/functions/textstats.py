@@ -258,3 +258,57 @@ def repetition_signals(
     )
     g2 = per_doc(2, "_unused2", "top_2gram_frac").select("doc_id", "top_2gram_frac")
     return g3.join(g2, "doc_id").orderBy("doc_id")
+
+def unigram_logprob(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_tokens, surprisal): CCNet-style unigram LM scoring —
+    surprisal = -(1/n) * sum over tokens of ln(c(t)/T), where c(t) is
+    the corpus count of t and T the corpus token total (Wenzek et al.
+    2020 filter web text by LM perplexity; the unigram model is its
+    deterministic, training-free core). High surprisal = rare-word doc.
+
+    Float-sum invariant (CLAUDE.md): the per-doc sum NEVER folds raw
+    doubles. Each term's log-probability is rounded to 6dp, quantized
+    to an integer in 1e-6 units, weighted by the integer tf, and summed
+    as longs — addition order can't change an integer sum — then
+    divided back once. The only cross-engine float op is ln(c/T)
+    itself, the same exposure PMI (bigram_collocations) already passes
+    the gate with.
+
+    Plan: explode -> groupBy (doc_id, term) tf [shuffle 1, map-side
+    combine], corpus counts reuse the same term-keyed data [vocab-sized,
+    Heaps-bounded], tf joins counts on term (AQE broadcasts the vocab
+    side when it fits), one-row totals broadcast, then a per-doc
+    groupBy [shuffle 2]. Same shape as bigram_collocations — both
+    scale-safe at corpus scale."""
+    toks = tokens_col(text_col)
+    tf = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    uni = tf.groupBy("w").agg(F.sum("tf").alias("c"))
+    totals = uni.select(F.sum("c").alias("T"))
+    contrib = F.round(
+        F.round(F.log(F.col("c") / F.col("T")), 6) * F.lit(1000000.0)
+    ).cast("long")
+    return (
+        tf.join(uni, "w")
+        .crossJoin(F.broadcast(totals))
+        .select("doc_id", "tf", (F.col("tf") * contrib).alias("ci"))
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("n_tokens"), F.sum("ci").alias("s"))
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            # identical operand order on both sides:
+            # -(s / 1e6 / n_tokens); surprisal >= 0 (every p <= 1), so
+            # the signed-zero +0.0 convention is not needed here.
+            F.round(
+                -(F.col("s").cast("double") / F.lit(1000000.0) / F.col("n_tokens")),
+                4,
+            ).alias("surprisal"),
+        )
+        .orderBy("doc_id")
+    )

@@ -689,3 +689,29 @@ WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || '|' || '{seed}'), 1, 15))::BIGINT
       < s.f
 ORDER BY d.doc_id
 """
+
+def unigram_logprob_sql() -> str:
+    """Unigram LM surprisal oracle (functions/textstats.unigram_logprob):
+    per-term log-probability rounded to 6dp, quantized to integer 1e-6
+    units, tf-weighted and summed as BIGINTs (order-free), divided back
+    once — the same quantized-fold contract as the engine. Operand
+    order of the final division matches the Spark expression exactly:
+    -(s / 1000000.0 / n_tokens)."""
+    return f"""
+WITH tok AS (SELECT doc_id, {TOKS} AS t FROM documents),
+w AS (SELECT doc_id, unnest(t) AS w FROM tok),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM w GROUP BY doc_id, w),
+uni AS (SELECT w, sum(tf) AS c FROM tf GROUP BY w),
+totals AS (SELECT sum(c)::DOUBLE AS T FROM uni),
+ci AS (
+  SELECT tf.doc_id, tf.tf,
+         tf.tf * CAST(round(round(ln(uni.c / t.T), 6) * 1000000.0) AS BIGINT) AS ci
+  FROM tf JOIN uni ON tf.w = uni.w CROSS JOIN totals t
+)
+SELECT doc_id,
+       sum(tf)::BIGINT AS n_tokens,
+       round(-(sum(ci)::DOUBLE / 1000000.0 / sum(tf)), 4) AS surprisal
+FROM ci
+GROUP BY doc_id
+ORDER BY doc_id
+"""

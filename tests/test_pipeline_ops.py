@@ -243,3 +243,35 @@ def test_mix_to_proportions_is_deterministic(spark):
         docs.repartition(7), {"en": 3.0, "fr": 1.0}
     ).collect()]
     assert a == b and a
+
+
+def test_unigram_logprob_partition_invariant_and_matches_python(docs):
+    from collections import Counter
+    import math
+
+    from ocaml_lucene_spark.functions.analysis import py_tokenize
+    from ocaml_lucene_spark.functions.textstats import unigram_logprob
+
+    a = [tuple(r) for r in unigram_logprob(docs).collect()]
+    b = [tuple(r) for r in unigram_logprob(docs.repartition(13)).collect()]
+    # the quantized integer fold makes the per-doc sum order-free:
+    # any partitioning gives the bit-identical result
+    assert a == b
+
+    texts = {r.doc_id: py_tokenize(r.text) for r in docs.collect()}
+    corpus = Counter()
+    for toks in texts.values():
+        corpus.update(toks)
+    T = float(sum(corpus.values()))
+    want = []
+    for d in sorted(texts):
+        toks = texts[d]
+        if not toks:
+            continue
+        tf = Counter(toks)
+        s = sum(
+            n * int(round(round(math.log(corpus[w] / T), 6) * 1000000.0))
+            for w, n in tf.items()
+        )
+        want.append((d, len(toks), round(-(s / 1000000.0 / len(toks)), 4)))
+    assert a == want
