@@ -1039,6 +1039,17 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         # occurrence fraction, top-2gram occupancy)
         return textstats.repetition_signals(_docs(spark, sf))
 
+    def q_sort_by_field(spark, sf):
+        # Lucene Sort / TopFieldDocs: top-k of the (table OR dup) match
+        # set ordered by the n_chars doc value, not relevance —
+        # TakeOrderedAndProject, never a global sort
+        from ocaml_lucene_spark.query.exec import search_sort_by_field_indexed
+
+        return search_sort_by_field_indexed(
+            spark, _ensure_index(spark, sf), _docs(spark, sf),
+            should=["table", "dup"], k=10,
+        )
+
     def q_unigram_logprob(spark, sf):
         # CCNet-style unigram LM surprisal (quantized integer fold —
         # the per-doc sum is order-free by construction)
@@ -1433,9 +1444,10 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # the previous round's freshly-checked head moves to the tail.
     # Round-6 order: (1) the 41 entries cut from the r5 run (last
     # driver-checked in r4 — the rotation obligation from the r5
-    # verdict); (2) 9 NEW r6 rows inside the 50-row window; (3) 21 MORE
+    # verdict); (2) 9 NEW r6 rows inside the 50-row window; (3) 22 MORE
     # new r6 rows that did not fit the cap (ngram_contamination,
-    # repetition_signals, unigram_logprob, pack_sequences, sample_stratified,
+    # repetition_signals, unigram_logprob, sort_by_field,
+    # pack_sequences, sample_stratified,
     # session_windows, dedup_clusters, function_score, phrase_suggest,
     # query_string, query_string_expand, intervals_ordered,
     # intervals_containing, intervals_unordered, bm25_analyzed, adjacency_matrix,
@@ -1445,7 +1457,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # sacrificial tail, in their r5 order.
     # ROUND-7 ROTATION OBLIGATION: everything after position 50
     # (recount with list(queries())[50:] before trusting this comment)
-    # is either never-driver-checked (the 21 past-cut r6 rows — put
+    # is either never-driver-checked (the 22 past-cut r6 rows — put
     # them FIRST) or last checked in r5; all of it MUST occupy the
     # front of the r7 order, demoting this round's new rows and the
     # r6-checked head to the tail.
@@ -1508,6 +1520,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "ngram_contamination": q_ngram_contamination,
         "repetition_signals": q_repetition_signals,
         "unigram_logprob": q_unigram_logprob,
+        "sort_by_field": q_sort_by_field,
         "pack_sequences": q_pack_sequences,
         "sample_stratified": q_sample_stratified,
         "session_windows": q_session_windows,
@@ -1703,6 +1716,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_contamination": oops.ngram_contamination_sql(n=4, bench_mod=13),
         "repetition_signals": oops.repetition_signals_sql(),
         "unigram_logprob": oops.unigram_logprob_sql(),
+        "sort_by_field": osql.search_sort_by_field_sql(should=["table", "dup"], k=10),
         "pack_sequences": oops.pack_sequences_sql(budget=2048),
         "sample_stratified": oops.sample_stratified_sql(
             {"en": 0.5, "de": 0.25, "zh": 0.125}, "lang", seed=7

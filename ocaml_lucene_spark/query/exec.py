@@ -1693,3 +1693,39 @@ def intervals_unordered_indexed(
         F.min(F.col("p") - F.col("prev_p") + F.lit(1)).alias("min_width"),
     )
     return _deleted_filter(spark, index_dir, out).orderBy("doc_id")
+
+
+def search_sort_by_field_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    field_docs: DataFrame,
+    must: list[str] | None = None,
+    should: list[str] | None = None,
+    must_not: list[str] | None = None,
+    field_col: str = "n_chars",
+    k: int = 10,
+    ascending: bool = False,
+) -> DataFrame:
+    """Lucene Sort / TopFieldDocs (``IndexSearcher.search(query, n,
+    Sort)``, reference surface: the search API the codec feeds —
+    /root/reference has no searcher, this completes it per SURVEY §2.5):
+    top-k of the filter-context match set ordered by a doc-values FIELD
+    instead of relevance. No scoring anywhere — the classic
+    sort-by-date/price listing query.
+
+    Plan: the unscored match set (doc-id-stream-only postings scan, one
+    doc_id shuffle) joins the doc-values column (2-column pruned scan)
+    on doc_id, then ``orderBy(...).limit(k)`` compiles to
+    TakeOrderedAndProject — per-partition heaps + driver merge of k
+    rows, never a global sort shuffle. The doc_id tie-break makes the
+    order total, so pagination cursors and the gate hash are
+    deterministic."""
+    matches = matching_docs_indexed(spark, index_dir, must, should, must_not)
+    dv = field_docs.select(F.col("doc_id"), F.col(field_col))
+    key = F.asc(field_col) if ascending else F.desc(field_col)
+    return (
+        matches.join(dv, "doc_id")
+        .orderBy(key, F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", field_col)
+    )

@@ -2050,3 +2050,27 @@ WHERE prev_term IS NOT NULL AND prev_term <> term
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+def search_sort_by_field_sql(
+    must: list[str] | None = None,
+    should: list[str] | None = None,
+    must_not: list[str] | None = None,
+    field_col: str = "n_chars",
+    k: int = 10,
+    ascending: bool = False,
+) -> str:
+    """Top-k of the boolean match set ordered by a document field
+    (oracle for exec.search_sort_by_field_indexed / Lucene's
+    Sort+TopFieldDocs). Independent mechanism: full match set, global
+    ORDER BY, LIMIT — exactly what the engine's TakeOrderedAndProject
+    plan must reproduce."""
+    inner = matching_docs_sql(must, should, must_not)
+    d = "ASC" if ascending else "DESC"
+    return f"""
+WITH m AS ({inner})
+SELECT m.doc_id, d.{field_col}::BIGINT AS {field_col}
+FROM m JOIN documents d ON m.doc_id = d.doc_id
+ORDER BY d.{field_col} {d}, m.doc_id ASC
+LIMIT {int(k)}
+"""

@@ -490,3 +490,31 @@ def test_percentiles_agg_known_values(spark):
     )
     r = percentiles_agg(docs).collect()[0]
     assert (r.key, r.p_50, r.p_90, r.p_99) == ("en", 4.5, 8.1, 8.91)
+
+
+def test_sort_by_field_plan_and_ascending(spark, docs, index_dir):
+    from ocaml_lucene_spark.query.exec import search_sort_by_field_indexed
+
+    desc = search_sort_by_field_indexed(
+        spark, index_dir, docs, should=["table", "dup"], k=10
+    )
+    # top-k by field must compile to TakeOrderedAndProject (per-partition
+    # heaps + driver merge), never a global Sort exchange
+    plan = desc._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    rows = desc.collect()
+    vals = [r.n_chars for r in rows]
+    assert vals == sorted(vals, reverse=True)
+    # doc_id tie-break makes the order total within equal field values
+    for a, b in zip(rows, rows[1:]):
+        assert (a.n_chars, -a.doc_id) > (b.n_chars, -b.doc_id) or (
+            a.n_chars == b.n_chars and a.doc_id < b.doc_id
+        )
+    asc = search_sort_by_field_indexed(
+        spark, index_dir, docs, should=["table", "dup"], k=10, ascending=True
+    ).collect()
+    avals = [r.n_chars for r in asc]
+    assert avals == sorted(avals)
+    # same match set feeds both directions: the ascending head must be
+    # disjoint from the descending head unless the set is tiny
+    assert {r.doc_id for r in asc}.isdisjoint({r.doc_id for r in rows})
