@@ -36,7 +36,7 @@ _CANON_ORDER = {
     "term_postings", "term_offsets", "highlight_topk",
     "phrase_counts", "phrase3_counts", "proximity_counts",
     "phrase_counts_indexed", "phrase3_counts_indexed",
-    "proximity_counts_indexed",
+    "proximity_counts_indexed", "multi_phrase_counts",
 }
 
 
@@ -1209,6 +1209,16 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
             ["slow", "hash", "batch"],
         )
 
+    def q_multi_phrase_counts(spark, sf):
+        # Lucene MultiPhraseQuery: per-slot alternative terms (the
+        # index-time-synonym / token-graph phrase); packed .pos stream
+        from ocaml_lucene_spark.query.exec import multi_phrase_counts_indexed
+
+        return multi_phrase_counts_indexed(
+            spark, _ensure_index(spark, sf, positions=True),
+            [["table", "slow"], ["hash", "batch"]],
+        )
+
     def q_proximity_counts(spark, sf):
         # proximity/sloppy-phrase primitive: RANGE JOIN on positions
         return bm25.proximity_counts(_docs(spark, sf), "table", "hash", window=5)
@@ -1451,7 +1461,8 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # session_windows, dedup_clusters, function_score, phrase_suggest,
     # query_string, query_string_expand, intervals_ordered,
     # intervals_containing, intervals_unordered, bm25_analyzed, adjacency_matrix,
-    # histogram_pipeline, boilerplate_coverage, mix_proportions, percentiles_agg, composite_agg —
+    # histogram_pipeline, boilerplate_coverage, mix_proportions, percentiles_agg,
+    # composite_agg, multi_phrase_counts —
     # replica-verified locally,
     # never driver-checked); (4) the 50 r5-checked entries as the
     # sacrificial tail, in their r5 order.
@@ -1539,6 +1550,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "percentiles_agg": q_percentiles_agg,
         "composite_agg": q_composite_agg,
         "histogram_pipeline": q_histogram_pipeline,
+        "multi_phrase_counts": q_multi_phrase_counts,
         # -- r5-checked tail: sacrificial under a 50-row cut (all 50
         #    full-passed in CORRECTNESS_r05 except bigram_collocations,
         #    whose signed-zero fix is replica-verified this round) --
@@ -1801,6 +1813,9 @@ def oracle_sql() -> dict[str, str]:
         "proximity_counts": osql.proximity_counts_sql("table", "hash", window=5),
         "proximity_counts_indexed": osql.proximity_counts_sql(
             "table", "hash", window=5
+        ),
+        "multi_phrase_counts": osql.multi_phrase_counts_sql(
+            [["table", "slow"], ["hash", "batch"]]
         ),
     }
     return {

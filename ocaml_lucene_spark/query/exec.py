@@ -470,6 +470,38 @@ def phrase_counts_indexed_multi(
     return cur.groupBy("doc_id").agg(F.count("*").alias("n_phrase"))
 
 
+def multi_phrase_counts_indexed(
+    spark: SparkSession, index_dir: str, slots: list[list[str]]
+) -> DataFrame:
+    """Lucene MultiPhraseQuery: an exact phrase where each position
+    slot accepts ANY of a set of alternative terms (the query type
+    Lucene builds for index-time synonyms / tokenizer graphs at a
+    position). (doc_id, n_phrase) counts every anchor position where
+    slot i (shifted down by i) matches one of its alternatives.
+
+    Same physical shape as ``phrase_counts_indexed_multi`` — flat
+    (doc_id, term, p) emission from the packed .pos stream with term
+    pushdown for the UNION of all alternatives, then a chain of JVM
+    equi-joins on (doc_id, anchor p). A position holds exactly one
+    token, so alternatives within a slot cannot double-count.
+
+    Reference semantics: multi-term positional intersection, the
+    positions stream consumed per
+    /root/reference/codec/lucene_84_postings_reader.ml:4-7."""
+    assert slots and all(slots), "empty slot in multi-phrase"
+    all_terms = [w for alts in slots for w in alts]
+    flat = flat_positions_df(spark, index_dir, all_terms)
+    cur = flat.filter(F.col("term").isin(slots[0])).select(
+        "doc_id", F.col("p").alias("pp")
+    )
+    for i, alts in enumerate(slots[1:], start=1):
+        nxt = flat.filter(F.col("term").isin(alts)).select(
+            "doc_id", (F.col("p") - i).alias("pp")
+        )
+        cur = cur.join(nxt, ["doc_id", "pp"])
+    return cur.groupBy("doc_id").agg(F.count("*").alias("n_phrase"))
+
+
 def _block_ub(r, w: float, avgdl: float) -> float:
     """Per-block score upper bound: exact block-max score from the
     stored pareto (tf, dl) frontier, computed with the SAME float

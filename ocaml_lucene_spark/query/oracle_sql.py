@@ -366,6 +366,34 @@ GROUP BY s0.doc_id
 """
 
 
+def multi_phrase_counts_sql(slots: list[list[str]]) -> str:
+    """MultiPhraseQuery oracle: slot i accepts any of its alternative
+    terms; same shift-and-join shape as phrase_counts_multi_sql
+    (textual mirror of exec.multi_phrase_counts_indexed)."""
+    slot_ctes = []
+    for i, alts in enumerate(slots):
+        in_list = ", ".join("'" + w.replace("'", "''") + "'" for w in alts)
+        slot_ctes.append(
+            f"s{i} AS (SELECT doc_id, p - {i} AS p FROM pos "
+            f"WHERE term IN ({in_list}))"
+        )
+    joins = "".join(
+        f" JOIN s{i} ON s0.doc_id = s{i}.doc_id AND s0.p = s{i}.p"
+        for i in range(1, len(slots))
+    )
+    return f"""
+WITH {TOKS_CTE},
+pos AS (
+  SELECT doc_id, unnest(t) AS term, unnest(range(len(t))) AS p
+  FROM base
+),
+{", ".join(slot_ctes)}
+SELECT s0.doc_id AS doc_id, count(*) AS n_phrase
+FROM s0{joins}
+GROUP BY s0.doc_id
+"""
+
+
 # -- char-offset oracles (the .pay-stream surface) --------------------
 # Token-run detection entirely in SQL: classify every character of the
 # source text ([a-zA-Z0-9] — exactly the CI token grammar for ASCII

@@ -90,6 +90,51 @@ def test_phrase_multi_matches_reference(spark, tmp_path_factory):
         assert got_indexed == expected, (words, got_indexed, expected)
 
 
+def test_multi_phrase_matches_reference(spark, tmp_path_factory):
+    """MultiPhraseQuery (per-slot alternatives) equals a pure-Python
+    sliding-window count over the alternative sets, incl. overlapping
+    alternatives across slots and a slot shared with its neighbour."""
+    from ocaml_lucene_spark.functions.analysis import py_tokenize
+    from ocaml_lucene_spark.query.exec import multi_phrase_counts_indexed
+
+    texts = {
+        0: "big data small data big table",
+        1: "large data big data data data",
+        2: "big big data large table",
+        3: "nothing relevant here",
+    }
+
+    def ref(slots):
+        out = {}
+        for d, t in texts.items():
+            toks = py_tokenize(t)
+            n = sum(
+                1
+                for i in range(len(toks) - len(slots) + 1)
+                if all(toks[i + j] in alts for j, alts in enumerate(slots))
+            )
+            if n:
+                out[d] = n
+        return out
+
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    index_dir = str(tmp_path_factory.mktemp("index_mphrase"))
+    build_index(docs, index_dir, n_partitions=2, with_positions=True)
+    for slots in (
+        [["big", "large"], ["data"]],
+        [["big", "large"], ["data", "table"]],
+        [["big"], ["big", "data"], ["data"]],   # slot shares a term
+        [["data"], ["data"]],                   # repeated-alt phrase
+        [["small", "large"], ["nothing"]],      # absent phrase
+    ):
+        expected = ref(slots)
+        got = {
+            r.doc_id: r.n_phrase
+            for r in multi_phrase_counts_indexed(spark, index_dir, slots).collect()
+        }
+        assert got == expected, (slots, got, expected)
+
+
 def test_proximity_counts_match_reference(spark, tmp_path_factory):
     """Range-join proximity (|p2-p1| <= window, p1 != p2) on both paths
     equals a brute-force pair count, incl. first == second (self-pairs
