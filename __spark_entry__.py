@@ -1219,6 +1219,15 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
             [["table", "slow"], ["hash", "batch"]],
         )
 
+    def q_bm25_boosting(spark, sf):
+        # Lucene BoostingQuery (ES `boosting`): positive disjunction
+        # scores; docs also matching a negative term are DEMOTED
+        # (raw sum x 0.5, single round at the end), never dropped
+        return bm25.bm25_topk_boosting(
+            _docs(spark, sf), ["table", "hash"], ["dup"],
+            negative_boost=0.5, k=10, round_to=4,
+        )
+
     def q_proximity_counts(spark, sf):
         # proximity/sloppy-phrase primitive: RANGE JOIN on positions
         return bm25.proximity_counts(_docs(spark, sf), "table", "hash", window=5)
@@ -1454,7 +1463,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # the previous round's freshly-checked head moves to the tail.
     # Round-6 order: (1) the 41 entries cut from the r5 run (last
     # driver-checked in r4 — the rotation obligation from the r5
-    # verdict); (2) 9 NEW r6 rows inside the 50-row window; (3) 22 MORE
+    # verdict); (2) 9 NEW r6 rows inside the 50-row window; (3) 23 MORE
     # new r6 rows that did not fit the cap (ngram_contamination,
     # repetition_signals, unigram_logprob, sort_by_field,
     # pack_sequences, sample_stratified,
@@ -1462,7 +1471,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # query_string, query_string_expand, intervals_ordered,
     # intervals_containing, intervals_unordered, bm25_analyzed, adjacency_matrix,
     # histogram_pipeline, boilerplate_coverage, mix_proportions, percentiles_agg,
-    # composite_agg, multi_phrase_counts —
+    # composite_agg, multi_phrase_counts, bm25_boosting —
     # replica-verified locally,
     # never driver-checked); (4) the 50 r5-checked entries as the
     # sacrificial tail, in their r5 order.
@@ -1551,6 +1560,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "composite_agg": q_composite_agg,
         "histogram_pipeline": q_histogram_pipeline,
         "multi_phrase_counts": q_multi_phrase_counts,
+        "bm25_boosting": q_bm25_boosting,
         # -- r5-checked tail: sacrificial under a 50-row cut (all 50
         #    full-passed in CORRECTNESS_r05 except bigram_collocations,
         #    whose signed-zero fix is replica-verified this round) --
@@ -1816,6 +1826,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "multi_phrase_counts": osql.multi_phrase_counts_sql(
             [["table", "slow"], ["hash", "batch"]]
+        ),
+        "bm25_boosting": osql.bm25_topk_boosting_sql(
+            ["table", "hash"], ["dup"], negative_boost=0.5, k=10
         ),
     }
     return {

@@ -245,6 +245,76 @@ def bm25_topk_synonym(
     )
 
 
+def bm25_topk_boosting(
+    docs: DataFrame,
+    positive: list[str],
+    negative: list[str],
+    negative_boost: float = 0.5,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> DataFrame:
+    """Lucene BoostingQuery (ES `boosting` query): docs are matched and
+    scored by the ``positive`` disjunction only; a doc that ALSO
+    matches any ``negative`` term keeps its rank-eligibility but has
+    its score multiplied by ``negative_boost`` (0 < nb < 1 demotes).
+    Unlike must_not, negative matches are demoted, never dropped.
+
+    Determinism contract: ONE round, at the end. The demotion
+    multiplies the RAW per-doc sum (query-term-order fold) by
+    ``negative_boost``, which must be exact-binary (0.5, 0.25, ...) so
+    the multiply is exact in IEEE binary (exponent decrement only) and
+    equivalence to the SQL oracle reduces to the standard bm25 sum
+    contract. Do NOT round the positive stage first: a 4dp-rounded
+    score times 0.5 lands EXACTLY on a 5dp half-boundary whenever the
+    4th decimal is odd, where Spark (decimal shortest-repr HALF_UP)
+    and DuckDB (binary-value round) disagree — measured 17/204
+    divergences on adversarial inputs. BM25 scores are strictly
+    positive, so no signed-zero normalization is needed.
+
+    Plan shape: the positive leg is the standard explode-under-isin +
+    broadcast-stats pipeline; the negative match set is a distinct
+    doc-id frame joined as a marker (left join on the aggregated
+    per-doc frame — only negative-term postings ever shuffle); top-k
+    is TakeOrderedAndProject AFTER demotion (the cut must see demoted
+    scores — demotion can reorder)."""
+    positive = list(dict.fromkeys(positive))
+    negative = list(dict.fromkeys(negative))
+    tf = candidate_tf(docs, positive, id_col, text_col)
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = corpus_stats(docs, id_col, text_col)
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "sc",
+            idf_expr(F.col("n_docs").cast("double"), F.col("df").cast("double"))
+            * tfn_expr(
+                F.col("tf").cast("double"), F.col("dl").cast("double"), F.col("avgdl")
+            ),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(_query_order_sum(positive).alias("raw"))
+    neg_docs = (
+        candidate_tf(docs, negative, id_col, text_col)
+        .select("doc_id")
+        .distinct()
+        .withColumn("neg_hit", F.lit(True))
+    )
+    demoted = agg.join(neg_docs, "doc_id", "left").select(
+        "doc_id",
+        F.round(
+            F.when(
+                F.col("neg_hit").isNotNull(),
+                F.lit(float(negative_boost)) * F.col("raw"),
+            ).otherwise(F.col("raw")),
+            round_to,
+        ).alias("score"),
+    )
+    return demoted.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def term_postings(
     docs: DataFrame, term: str, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

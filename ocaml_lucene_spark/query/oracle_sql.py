@@ -927,6 +927,54 @@ LIMIT {k}
 """
 
 
+def bm25_topk_boosting_sql(
+    positive: list[str],
+    negative: list[str],
+    negative_boost: float = 0.5,
+    k: int = 10,
+    round_to: int = 4,
+) -> str:
+    """BoostingQuery oracle (query/bm25.py bm25_topk_boosting): score
+    the positive disjunction, then multiply the RAW per-doc sum by
+    ``negative_boost`` for docs matching any negative term, rounding
+    ONCE at the end (the exact-binary multiply keeps the pre-round
+    double identical on both sides; a two-stage round diverges on 5dp
+    half-boundaries — see the engine docstring)."""
+    positive = list(dict.fromkeys(positive))
+    negative = list(dict.fromkeys(negative))
+    nb = float(negative_boost)
+    return f"""
+WITH {TOKS_CTE},
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM base),
+tf AS (
+  SELECT doc_id, term, dl, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(t) AS term FROM base)
+  WHERE term IN {_terms_in(positive)}
+  GROUP BY doc_id, term, dl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n - df + 0.5) / (df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl)) AS sc
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+),
+pos AS (SELECT doc_id, sum(sc) AS raw FROM scored GROUP BY doc_id),
+neg AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, unnest(t) AS term FROM base)
+  WHERE term IN {_terms_in(negative)}
+)
+SELECT p.doc_id,
+       round(p.raw * (CASE WHEN n.doc_id IS NOT NULL
+                           THEN {nb!r}::DOUBLE ELSE 1.0::DOUBLE END),
+             {round_to}) AS score
+FROM pos p LEFT JOIN neg n ON p.doc_id = n.doc_id
+ORDER BY score DESC, p.doc_id ASC
+LIMIT {k}
+"""
+
+
 def bm25_topk_where_sql(
     terms: list[str], where_sql: str, k: int = 10, round_to: int = 4
 ) -> str:

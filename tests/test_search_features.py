@@ -122,6 +122,57 @@ def test_boost_scales_single_term_scores(docs):
         assert abs(three[d] - 3.0 * s) < 2e-4  # rounded at 4dp on both sides
 
 
+def test_boosting_demotes_never_drops(docs):
+    from ocaml_lucene_spark.query.bm25 import bm25_topk_boosting
+
+    plain = {
+        r.doc_id: r.score
+        for r in bm25_topk(docs, ["table", "hash"], k=10000, round_to=4).collect()
+    }
+    boosted = {
+        r.doc_id: r.score
+        for r in bm25_topk_boosting(
+            docs, ["table", "hash"], ["dup"], negative_boost=0.5, k=10000
+        ).collect()
+    }
+    # same match set: negative terms demote, never drop (vs must_not)
+    assert set(plain) == set(boosted)
+    neg_docs = {
+        r.doc_id
+        for r in docs.select(
+            "doc_id",
+            F.expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')").alias("t"),
+        )
+        .filter(F.array_contains("t", "dup"))
+        .collect()
+    }
+    hit = 0
+    for d, s in plain.items():
+        if d in neg_docs:
+            hit += 1
+            # single-round contract: demoted = round(raw * 0.5), so it
+            # can differ from round(plain)*0.5 by at most the 4dp step
+            assert abs(boosted[d] - 0.5 * s) < 2e-4
+        else:
+            assert boosted[d] == s
+    assert hit > 0, "corpus must exercise the demotion path"
+
+
+def test_boosting_boost_one_reduces_to_bm25(docs):
+    from ocaml_lucene_spark.query.bm25 import bm25_topk_boosting
+
+    b1 = [
+        tuple(r)
+        for r in bm25_topk_boosting(
+            docs, ["table", "hash"], ["dup"], negative_boost=1.0, k=20
+        ).collect()
+    ]
+    plain = [
+        tuple(r) for r in bm25_topk(docs, ["table", "hash"], k=20, round_to=4).collect()
+    ]
+    assert b1 == plain
+
+
 def test_synonym_singleton_reduces_to_single_term_bm25(docs):
     syn = [tuple(r) for r in __import__("ocaml_lucene_spark.query.bm25", fromlist=["x"]).bm25_topk_synonym(docs, ["dup"], k=50).collect()]
     plain = [tuple(r) for r in bm25_topk(docs, ["dup"], k=50, round_to=4).collect()]
