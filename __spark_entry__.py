@@ -1026,6 +1026,42 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
 
         return value_histogram(spark.read.parquet(f"{sf}/events.parquet"), interval=25)
 
+    def q_extended_stats(spark, sf):
+        # extended_stats agg: exact integer moment folds (quantized
+        # units + decimal sum-of-squares), derived floats in a pinned
+        # expression order, variance clamped >= 0 before rounding
+        from ocaml_lucene_spark.query.grouping import extended_stats
+
+        return extended_stats(spark.read.parquet(f"{sf}/events.parquet"))
+
+    def q_rare_terms(spark, sf):
+        # rare_terms agg: long-tail terms, rarest first, capped at 100
+        # over the (df, term) total order. The synthetic vocab is tiny
+        # (31 closed-vocab terms, min df 25, median ~390), so the
+        # threshold sits at the ~25th percentile to return a real tail
+        from ocaml_lucene_spark.query.grouping import rare_terms
+
+        return rare_terms(_docs(spark, sf), max_doc_count=385, limit=100)
+
+    def q_multi_terms(spark, sf):
+        # multi_terms agg: (lang, source) tuple buckets, integer-only
+        # metrics, biggest buckets first
+        from ocaml_lucene_spark.query.grouping import multi_terms
+
+        return multi_terms(_docs(spark, sf), ("lang", "source"), "n_chars")
+
+    def q_token_budget_select(spark, sf):
+        # training-data selection under a token budget: greedy prefix
+        # of the (lexical_diversity desc, doc_id) ranking; engine runs
+        # the two-phase bucketed cut, the oracle a global window cumsum
+        from ocaml_lucene_spark.functions.textstats import quality_features
+        from ocaml_lucene_spark.operators.selection import token_budget_select
+
+        scored = quality_features(_docs(spark, sf)).select(
+            "doc_id", F.col("lexical_diversity").alias("score"), "n_tokens"
+        )
+        return token_budget_select(scored, budget=13000)
+
     def q_ngram_contamination(spark, sf):
         # benchmark decontamination: corpus docs sharing a 4-gram with
         # the deterministic benchmark subset (doc_id % 13 == 0); the
@@ -1463,7 +1499,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # the previous round's freshly-checked head moves to the tail.
     # Round-6 order: (1) the 41 entries cut from the r5 run (last
     # driver-checked in r4 — the rotation obligation from the r5
-    # verdict); (2) 9 NEW r6 rows inside the 50-row window; (3) 23 MORE
+    # verdict); (2) 9 NEW r6 rows inside the 50-row window; (3) 27 MORE
     # new r6 rows that did not fit the cap (ngram_contamination,
     # repetition_signals, unigram_logprob, sort_by_field,
     # pack_sequences, sample_stratified,
@@ -1471,7 +1507,8 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # query_string, query_string_expand, intervals_ordered,
     # intervals_containing, intervals_unordered, bm25_analyzed, adjacency_matrix,
     # histogram_pipeline, boilerplate_coverage, mix_proportions, percentiles_agg,
-    # composite_agg, multi_phrase_counts, bm25_boosting —
+    # composite_agg, multi_phrase_counts, bm25_boosting,
+    # extended_stats, rare_terms, multi_terms, token_budget_select —
     # replica-verified locally,
     # never driver-checked); (4) the 50 r5-checked entries as the
     # sacrificial tail, in their r5 order.
@@ -1561,6 +1598,10 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "histogram_pipeline": q_histogram_pipeline,
         "multi_phrase_counts": q_multi_phrase_counts,
         "bm25_boosting": q_bm25_boosting,
+        "extended_stats": q_extended_stats,
+        "rare_terms": q_rare_terms,
+        "multi_terms": q_multi_terms,
+        "token_budget_select": q_token_budget_select,
         # -- r5-checked tail: sacrificial under a 50-row cut (all 50
         #    full-passed in CORRECTNESS_r05 except bigram_collocations,
         #    whose signed-zero fix is replica-verified this round) --
@@ -1830,6 +1871,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_boosting": osql.bm25_topk_boosting_sql(
             ["table", "hash"], ["dup"], negative_boost=0.5, k=10
         ),
+        "extended_stats": osql.extended_stats_sql(),
+        "rare_terms": osql.rare_terms_sql(max_doc_count=385, limit=100),
+        "multi_terms": osql.multi_terms_sql(("lang", "source"), "n_chars"),
+        "token_budget_select": osql.token_budget_select_sql(budget=13000),
     }
     return {
         k: (_canon_sql(sql) if k in _CANON_ORDER else sql) for k, sql in out.items()

@@ -753,3 +753,151 @@ def composite_agg(
         .orderBy(*keys)
         .limit(size)
     )
+
+
+def extended_stats(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    quantize: int = 100,
+    round_to: int = 4,
+) -> DataFrame:
+    """Extended-stats aggregation (the Elasticsearch `extended_stats`
+    agg): per key-bucket count, min, max, sum, avg, sum of squares,
+    population variance and standard deviation. Returns
+    (key, n_events, min_val, max_val, sum_value, avg_value, sum_sq,
+    variance, std_dev) ordered by key.
+
+    Determinism: the input values are fixed-precision (1/quantize
+    units), so BOTH moments fold as exact integers — values snap to
+    long units (the _quantized_sum convention) and squares of those
+    longs sum in decimal(38,0). avg and variance are RATIOS OF EXACT
+    INTEGERS, which land exactly on 4dp half-boundaries with real
+    probability (avg = S_units/(Q*n): for n = 2000 that's a 1-in-20
+    chance per bucket) — and on an exact boundary Spark's
+    decimal-repr HALF_UP and DuckDB's binary-value round diverge. So
+    avg and variance are NOT rounded as doubles at all: the 4dp
+    half-away-from-zero rounding happens in integer arithmetic —
+    k = (2*|N|*10^4 + D) div (2*D) (both engines' integer division
+    truncates toward zero; N >= 0 here except avg's sign, split out)
+    — and only the final k/10^4 becomes a double, identical on both
+    sides by construction. variance's numerator n*SS - S^2 >= 0
+    exactly (Cauchy-Schwarz on integers), so no clamp is needed and
+    -0.0 cannot appear; avg carries the +0.0 signed-zero
+    normalization. sum, sum_sq, min, max are exact 1/Q- or 1/Q^2-unit
+    values where round() is the identity, and std = round(sqrt(
+    variance), 4) — a 4-decimal rational has no 5-decimal rational
+    square root ending in 5, so sqrt can never land exactly on a
+    boundary (the residual within-an-ulp risk is the same accepted
+    class as every BM25 score). Integer headroom: the variance
+    rounding computes 2*n*SS_u*10^4 ~ decimal(38,0), exact up to
+    ~1e33 — past that, shard the key space or raise quantize scale.
+    One groupBy, map-side partial aggregation — |keys| rows reach
+    the shuffle."""
+    q = int(quantize)
+    qv = F.round(F.col(value_col) * q, 0).cast("long").cast("decimal(38,0)")
+    agg = events.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").alias("n_events"),
+        F.min(value_col).alias("_min"),
+        F.max(value_col).alias("_max"),
+        F.sum(qv).alias("_s"),
+        F.sum((qv * qv).cast("decimal(38,0)")).alias("_ss"),
+    )
+    ten4 = 10 ** round_to
+    mid = agg.select(
+        "key",
+        "n_events",
+        "_min",
+        "_max",
+        "_s",
+        "_ss",
+        F.col("n_events").cast("decimal(38,0)").alias("_n"),
+    ).select(
+        "key",
+        "n_events",
+        "_min",
+        "_max",
+        "_s",
+        "_ss",
+        F.expr(
+            f"(2 * abs(_s) * {ten4} + {q} * _n) div (2 * {q} * _n)"
+        ).alias("_avg_k"),
+        F.expr(
+            f"(2 * (_n * _ss - _s * _s) * {ten4} + _n * _n * {q * q})"
+            f" div (2 * _n * _n * {q * q})"
+        ).alias("_var_k"),
+    )
+    sgn = F.when(F.col("_s") < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+    variance = F.col("_var_k").cast("double") / F.lit(float(ten4))
+    return mid.select(
+        "key",
+        "n_events",
+        F.round(F.col("_min"), round_to).alias("min_val"),
+        F.round(F.col("_max"), round_to).alias("max_val"),
+        (
+            F.round(F.col("_s").cast("double") / F.lit(float(q)), round_to)
+            + F.lit(0.0)
+        ).alias("sum_value"),
+        (
+            sgn * F.col("_avg_k").cast("double") / F.lit(float(ten4))
+            + F.lit(0.0)
+        ).alias("avg_value"),
+        F.round(
+            F.col("_ss").cast("double") / F.lit(float(q) * float(q)), round_to
+        ).alias("sum_sq"),
+        variance.alias("variance"),
+        F.round(F.sqrt(variance), round_to).alias("std_dev"),
+    ).orderBy("key")
+
+
+def rare_terms(
+    docs: DataFrame,
+    max_doc_count: int = 5,
+    limit: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rare-terms aggregation (the Elasticsearch `rare_terms` agg —
+    the long-tail inverse of significant/top terms): terms whose
+    document frequency is <= ``max_doc_count``, rarest first. Returns
+    (term, df) ordered (df asc, term asc) capped at ``limit`` — a
+    total order (term is unique after the groupBy), so the cap is
+    deterministic on both sides.
+
+    Scale shape: distinct-per-doc terms (array_distinct before the
+    explode — df counts docs, not occurrences), one shuffle on term
+    with map-side partial counts, then TakeOrderedAndProject for the
+    capped ascending cut. The df <= N filter cannot be pushed below
+    the aggregate (it IS the aggregate), but only |terms| rows ever
+    reach the final ordering."""
+    toks = _tokenized(docs, id_col, text_col)
+    return (
+        toks.select(F.explode(F.array_distinct("toks")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= int(max_doc_count))
+        .orderBy(F.asc("df"), F.asc("term"))
+        .limit(int(limit))
+    )
+
+
+def multi_terms(
+    docs: DataFrame,
+    keys: tuple = ("lang", "source"),
+    stat_col: str = "n_chars",
+) -> DataFrame:
+    """Multi-terms aggregation (the Elasticsearch `multi_terms` agg):
+    buckets keyed by a TUPLE of fields with doc count and an integer
+    stat sum, biggest buckets first. Returns
+    (*keys, n_docs, sum_<stat_col>) ordered (n_docs desc, *keys) — a
+    total order (the key tuple is unique per bucket). Integer-only
+    metrics, nothing to round. One groupBy on the composite key,
+    map-side partial aggregation."""
+    return (
+        docs.groupBy(*[F.col(k) for k in keys])
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col(stat_col).cast("long")).alias(f"sum_{stat_col}"),
+        )
+        .orderBy(F.desc("n_docs"), *[F.col(k) for k in keys])
+    )

@@ -2150,3 +2150,119 @@ FROM m JOIN documents d ON m.doc_id = d.doc_id
 ORDER BY d.{field_col} {d}, m.doc_id ASC
 LIMIT {int(k)}
 """
+
+
+def extended_stats_sql(
+    key_col: str = "event_type",
+    value_col: str = "value",
+    quantize: int = 100,
+    round_to: int = 4,
+) -> str:
+    """Extended-stats oracle (query/grouping.py extended_stats): both
+    moments fold as exact integers (BIGINT units -> DuckDB HUGEINT
+    sums), and avg / variance are rounded in INTEGER arithmetic —
+    k = (2*|N|*10^4 + D) // (2*D), truncation toward zero on both
+    engines — because those ratios of exact integers land exactly on
+    4dp half-boundaries with real probability, where double rounding
+    diverges between the engines (see the engine docstring)."""
+    q = int(quantize)
+    t4 = 10 ** int(round_to)
+    qf = f"{float(q)!r}::DOUBLE"
+    t4f = f"{float(t4)!r}::DOUBLE"
+    return f"""
+WITH a AS (
+  SELECT {key_col} AS key,
+         count(*)::BIGINT AS n_events,
+         min({value_col}) AS mn,
+         max({value_col}) AS mx,
+         sum(CAST(round({value_col} * {q}, 0) AS BIGINT))::HUGEINT AS s_u,
+         sum(CAST(round({value_col} * {q}, 0) AS BIGINT)
+             * CAST(round({value_col} * {q}, 0) AS BIGINT))::HUGEINT AS ss_u
+  FROM events GROUP BY 1
+),
+k AS (
+  SELECT key, n_events, mn, mx, s_u, ss_u,
+         n_events::HUGEINT AS n_h,
+         (2 * abs(s_u) * {t4} + {q} * n_events::HUGEINT)
+           // (2 * {q} * n_events::HUGEINT) AS avg_k,
+         (2 * (n_events::HUGEINT * ss_u - s_u * s_u) * {t4}
+            + n_events::HUGEINT * n_events::HUGEINT * {q * q})
+           // (2 * n_events::HUGEINT * n_events::HUGEINT * {q * q}) AS var_k
+  FROM a
+)
+SELECT key, n_events,
+       round(mn, {round_to}) AS min_val,
+       round(mx, {round_to}) AS max_val,
+       round(s_u::DOUBLE / {qf}, {round_to}) + 0.0::DOUBLE AS sum_value,
+       (CASE WHEN s_u < 0 THEN -1.0::DOUBLE ELSE 1.0::DOUBLE END)
+         * avg_k::DOUBLE / {t4f} + 0.0::DOUBLE AS avg_value,
+       round(ss_u::DOUBLE / ({qf} * {qf}), {round_to}) AS sum_sq,
+       var_k::DOUBLE / {t4f} AS variance,
+       round(sqrt(var_k::DOUBLE / {t4f}), {round_to}) AS std_dev
+FROM k
+ORDER BY key
+"""
+
+
+def rare_terms_sql(max_doc_count: int = 5, limit: int = 100) -> str:
+    """Rare-terms oracle (query/grouping.py rare_terms): df counts
+    docs (DISTINCT doc_id, term), ascending-rarity cut over the
+    (df, term) total order."""
+    return f"""
+WITH {TOKS_CTE},
+dfreq AS (
+  SELECT term, count(*)::BIGINT AS df
+  FROM (SELECT DISTINCT doc_id, unnest(t) AS term FROM base)
+  GROUP BY term
+)
+SELECT term, df FROM dfreq
+WHERE df <= {int(max_doc_count)}
+ORDER BY df ASC, term ASC
+LIMIT {int(limit)}
+"""
+
+
+def multi_terms_sql(
+    keys: tuple = ("lang", "source"), stat_col: str = "n_chars"
+) -> str:
+    """Multi-terms oracle (query/grouping.py multi_terms)."""
+    ks = ", ".join(keys)
+    return f"""
+SELECT {ks},
+       count(*)::BIGINT AS n_docs,
+       sum({stat_col})::BIGINT AS sum_{stat_col}
+FROM documents
+GROUP BY {ks}
+ORDER BY n_docs DESC, {ks}
+"""
+
+
+def token_budget_select_sql(budget: int) -> str:
+    """Token-budget selection oracle (operators/selection.py
+    token_budget_select): deliberately a DIFFERENT algorithm — one
+    global window cumsum greedy prefix over (score desc, doc_id asc)
+    — so the engine's two-phase bucketed cut is checked against the
+    definition it claims to equal. Score = the quality_features
+    lexical_diversity expression (rounded 4dp on both sides)."""
+    return f"""
+WITH {TOKS_CTE},
+q AS (
+  SELECT doc_id,
+         CASE WHEN len(t) > 0
+              THEN round(len(list_distinct(t))::BIGINT / len(t)::DOUBLE, 4)
+              ELSE 0 END AS score,
+         len(t)::BIGINT AS n_tokens
+  FROM base
+),
+c AS (
+  SELECT doc_id, score, n_tokens,
+         sum(n_tokens) OVER (
+           ORDER BY score DESC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM q
+)
+SELECT doc_id, score, n_tokens FROM c
+WHERE cum <= {int(budget)}
+ORDER BY score DESC, doc_id ASC
+"""

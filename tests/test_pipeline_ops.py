@@ -275,3 +275,145 @@ def test_unigram_logprob_partition_invariant_and_matches_python(docs):
         )
         want.append((d, len(toks), round(-(s / 1000000.0 / len(toks)), 4)))
     assert a == want
+
+
+def test_token_budget_select_matches_python_greedy_prefix(docs, spark):
+    from ocaml_lucene_spark.functions.textstats import quality_features
+    from ocaml_lucene_spark.operators.selection import token_budget_select
+
+    scored = quality_features(docs).select(
+        "doc_id", F.col("lexical_diversity").alias("score"), "n_tokens"
+    )
+    rows = [(r.doc_id, r.score, r.n_tokens) for r in scored.collect()]
+    ranked = sorted(rows, key=lambda r: (-r[1], r[0]))
+    total = sum(r[2] for r in rows)
+    # budgets probing: empty cut, mid-bucket boundary, everything
+    for budget in (0, 1, total // 7, total // 2, total - 1, total, total + 10):
+        cum, want = 0, []
+        for d, s, n in ranked:
+            if cum + n > budget:
+                break
+            cum += n
+            want.append((d, s, n))
+        got = [
+            (r.doc_id, r.score, r.n_tokens)
+            for r in token_budget_select(scored, budget=budget).collect()
+        ]
+        assert got == want, f"budget={budget}"
+
+
+def test_token_budget_select_bucket_quant_is_plan_only(docs):
+    from ocaml_lucene_spark.functions.textstats import quality_features
+    from ocaml_lucene_spark.operators.selection import token_budget_select
+
+    scored = quality_features(docs).select(
+        "doc_id", F.col("lexical_diversity").alias("score"), "n_tokens"
+    )
+    a = token_budget_select(scored, budget=5000, bucket_quant=100).collect()
+    b = token_budget_select(scored, budget=5000, bucket_quant=7).collect()
+    c = token_budget_select(scored, budget=5000, bucket_quant=100000).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b] == [tuple(r) for r in c]
+
+
+def test_extended_stats_matches_numpy_and_clamps_zero_variance(spark):
+    import math
+
+    from ocaml_lucene_spark.query.grouping import extended_stats
+
+    rows = [
+        ("a", 1.25), ("a", 1.25), ("a", 1.25),          # zero variance
+        ("b", 0.01), ("b", 490.02), ("b", 123.45), ("b", 2.00),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    got = {r.key: r for r in extended_stats(df).collect()}
+    # zero-variance bucket: exact 0.0 / 0.0, never -0.0 (repr check)
+    assert repr(got["a"].variance) == "0.0" and repr(got["a"].std_dev) == "0.0"
+    assert got["a"].avg_value == 1.25 and got["a"].sum_value == 3.75
+    from fractions import Fraction
+
+    def r4(fr):
+        # half-away-from-zero at 4dp on the EXACT rational — python's
+        # round() is banker's over binary doubles, the wrong reference
+        num, den = fr.numerator, fr.denominator
+        sgn = -1 if num < 0 else 1
+        return sgn * ((2 * abs(num) * 10000 + den) // (2 * den)) / 10000.0
+
+    vals = [v for k, v in rows if k == "b"]
+    n = len(vals)
+    s_u = sum(round(v * 100) for v in vals)
+    ss_u = sum(round(v * 100) ** 2 for v in vals)
+    var = Fraction(n * ss_u - s_u * s_u, n * n * 100 * 100)
+    b = got["b"]
+    assert b.n_events == n and b.min_val == 0.01 and b.max_val == 490.02
+    assert b.sum_value == s_u / 100.0
+    assert b.avg_value == r4(Fraction(s_u, 100 * n))
+    assert b.sum_sq == ss_u / 10000.0
+    assert b.variance == r4(var)
+    # the engine's documented contract: std = round(sqrt(ROUNDED var))
+    assert b.std_dev == round(math.sqrt(r4(var)), 4)
+
+
+def test_rare_terms_df_counts_docs_not_occurrences(spark):
+    from ocaml_lucene_spark.query.grouping import rare_terms
+
+    df = spark.createDataFrame(
+        [(0, "zebra zebra zebra common"), (1, "common"), (2, "common quokka")],
+        "doc_id long, text string",
+    )
+    got = [(r.term, r.df) for r in rare_terms(df, max_doc_count=1).collect()]
+    # repeated within one doc still df=1; ascending (df, term) order
+    assert got == [("quokka", 1), ("zebra", 1)]
+
+
+def test_multi_terms_orders_biggest_buckets_first(docs):
+    from ocaml_lucene_spark.query.grouping import multi_terms
+
+    rows = [tuple(r) for r in multi_terms(docs, ("lang", "source"), "n_chars").collect()]
+    counts = [r[2] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    # per-bucket integer sum cross-check against a collected groupBy
+    want = {}
+    for r in docs.select("lang", "source", "n_chars").collect():
+        k = (r.lang, r.source)
+        n, s = want.get(k, (0, 0))
+        want[k] = (n + 1, s + r.n_chars)
+    assert {(r[0], r[1]): (r[2], r[3]) for r in rows} == want
+
+
+def test_extended_stats_half_boundary_parity_with_duckdb(spark):
+    # avg/variance that land EXACTLY on 4dp half-boundaries: the
+    # integer-rounding contract must keep Spark and DuckDB repr-equal
+    # (double rounding diverges here — Spark HALF_UP on the shortest
+    # repr vs DuckDB on the binary value)
+    import duckdb
+
+    from ocaml_lucene_spark.query.grouping import extended_stats
+    from ocaml_lucene_spark.query.oracle_sql import extended_stats_sql
+
+    rows = [
+        # avg = (1.00 + 0.01)/2 = 0.505 (fine) ; crafted boundary set:
+        ("x", 0.01), ("x", 0.01), ("x", 0.01), ("x", 0.10),
+        # S_u = 13, n = 4 -> avg = 13/400 = 0.0325 ; var boundary:
+        ("y", 1.25), ("y", 1.25), ("y", 1.25),
+        ("b", 0.01), ("b", 490.02), ("b", 123.45), ("b", 2.00),
+        # avg exactly on a half boundary: S_u=5, n=2, Q=100 ->
+        # avg = 5/200 = 0.025 -> 4dp is exact; use S_u=1, n=8:
+        # 1/800 = 0.00125 -> x.xxx5 at 5dp? 0.0012|5 -> boundary!
+        ("z", 0.01), ("z", 0.00), ("z", 0.00), ("z", 0.00),
+        ("z", 0.00), ("z", 0.00), ("z", 0.00), ("z", 0.00),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    got = [tuple(r) for r in extended_stats(df).collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events AS SELECT * FROM (VALUES "
+        + ", ".join(f"('{k}', {v}::DOUBLE)" for k, v in rows)
+        + ") t(event_type, value)"
+    )
+    want = con.execute(extended_stats_sql()).fetchall()
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        assert repr(a) == repr(tuple(b)), (a, b)
+    # the z bucket's avg sits exactly on the 5dp half boundary
+    z = dict((r[0], r) for r in got)["z"]
+    assert z[5] == 0.0013  # half-away-from-zero, by integer contract
