@@ -1062,6 +1062,31 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         )
         return token_budget_select(scored, budget=13000)
 
+    def q_matrix_stats(spark, sf):
+        # matrix_stats agg (ES matrix_stats, 2 fields): exact HUGEINT/
+        # decimal moment folds; means/vars/cov integer-rounded,
+        # correlation's irrational sqrt denominator double-rounded
+        from ocaml_lucene_spark.query.grouping import matrix_stats
+
+        return matrix_stats(_docs(spark, sf), x_col="n_chars")
+
+    def q_moving_avg(spark, sf):
+        # moving_fn/moving_avg pipeline agg: trailing 3-bucket mean of
+        # the per-key date-histogram sums, integer-rounded ratio
+        from ocaml_lucene_spark.query.grouping import date_histogram_moving_avg
+
+        return date_histogram_moving_avg(
+            spark.read.parquet(f"{sf}/events.parquet"), window=3
+        )
+
+    def q_gopher_quality_filter(spark, sf):
+        # composite Gopher-rule cleaning verdict over the (already
+        # gate-green) quality + repetition metrics; failed = fixed-order
+        # comma-joined rule names
+        from ocaml_lucene_spark.functions.textstats import gopher_quality_filter
+
+        return gopher_quality_filter(_docs(spark, sf))
+
     def q_ngram_contamination(spark, sf):
         # benchmark decontamination: corpus docs sharing a 4-gram with
         # the deterministic benchmark subset (doc_id % 13 == 0); the
@@ -1499,7 +1524,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # the previous round's freshly-checked head moves to the tail.
     # Round-6 order: (1) the 41 entries cut from the r5 run (last
     # driver-checked in r4 — the rotation obligation from the r5
-    # verdict); (2) 9 NEW r6 rows inside the 50-row window; (3) 27 MORE
+    # verdict); (2) 9 NEW r6 rows inside the 50-row window; (3) 30 MORE
     # new r6 rows that did not fit the cap (ngram_contamination,
     # repetition_signals, unigram_logprob, sort_by_field,
     # pack_sequences, sample_stratified,
@@ -1508,7 +1533,8 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # intervals_containing, intervals_unordered, bm25_analyzed, adjacency_matrix,
     # histogram_pipeline, boilerplate_coverage, mix_proportions, percentiles_agg,
     # composite_agg, multi_phrase_counts, bm25_boosting,
-    # extended_stats, rare_terms, multi_terms, token_budget_select —
+    # extended_stats, rare_terms, multi_terms, token_budget_select,
+    # matrix_stats, moving_avg, gopher_quality_filter —
     # replica-verified locally,
     # never driver-checked); (4) the 50 r5-checked entries as the
     # sacrificial tail, in their r5 order.
@@ -1602,6 +1628,9 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "rare_terms": q_rare_terms,
         "multi_terms": q_multi_terms,
         "token_budget_select": q_token_budget_select,
+        "matrix_stats": q_matrix_stats,
+        "moving_avg": q_moving_avg,
+        "gopher_quality_filter": q_gopher_quality_filter,
         # -- r5-checked tail: sacrificial under a 50-row cut (all 50
         #    full-passed in CORRECTNESS_r05 except bigram_collocations,
         #    whose signed-zero fix is replica-verified this round) --
@@ -1875,6 +1904,9 @@ def oracle_sql() -> dict[str, str]:
         "rare_terms": osql.rare_terms_sql(max_doc_count=385, limit=100),
         "multi_terms": osql.multi_terms_sql(("lang", "source"), "n_chars"),
         "token_budget_select": osql.token_budget_select_sql(budget=13000),
+        "matrix_stats": osql.matrix_stats_sql(x_col="n_chars"),
+        "moving_avg": osql.date_histogram_moving_avg_sql(window=3),
+        "gopher_quality_filter": oops.gopher_quality_filter_sql(),
     }
     return {
         k: (_canon_sql(sql) if k in _CANON_ORDER else sql) for k, sql in out.items()

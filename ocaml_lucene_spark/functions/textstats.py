@@ -312,3 +312,65 @@ def unigram_logprob(
         )
         .orderBy("doc_id")
     )
+
+
+def gopher_quality_filter(
+    docs: DataFrame,
+    min_tokens: int = 20,
+    max_tokens: int = 90,
+    min_avg_token_len: float = 2.0,
+    max_avg_token_len: float = 4.8,
+    min_alnum_ratio: float = 0.8,
+    min_stopword_ratio: float = 0.005,
+    max_dup_3gram_frac: float = 0.1,
+    max_top_2gram_frac: float = 0.08,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Composite Gopher-style rule filter (Rae et al. 2021 §A1.1; the
+    C4/Gopher cleaning stage of a pretraining pipeline): every rule
+    thresholds one of the already-gate-green quality_features /
+    repetition_signals metrics, and a doc is kept iff NO rule fires.
+    Returns (doc_id, keep, n_failed, failed) ordered by doc_id, with
+    ``failed`` the comma-joined rule names in the FIXED rule order
+    below (deterministic string on both sides).
+
+    Determinism: every compared metric is the 4dp-ROUNDED output of
+    its source op — identical doubles on both engines — so the
+    strict-inequality threshold tests are exact; thresholds should be
+    short-decimal literals (the oracle casts them ::DOUBLE, dodging
+    DuckDB's DECIMAL literal arithmetic).
+
+    Scale shape: two metric scans (the quality pass and the shingle
+    pass) joined on doc_id — a production pipeline would cache the
+    tokenized frame across the two; the rule evaluation itself is one
+    codegen'd projection, no extra shuffle beyond the join."""
+    qf = quality_features(docs, id_col, text_col)
+    rep = repetition_signals(docs, id_col, text_col)
+    rules = [
+        ("n_tokens_low", F.col("n_tokens") < int(min_tokens)),
+        ("n_tokens_high", F.col("n_tokens") > int(max_tokens)),
+        ("avg_token_len_low", F.col("avg_token_len") < float(min_avg_token_len)),
+        ("avg_token_len_high", F.col("avg_token_len") > float(max_avg_token_len)),
+        ("alnum_ratio_low", F.col("alnum_ratio") < float(min_alnum_ratio)),
+        ("stopword_ratio_low", F.col("stopword_ratio") < float(min_stopword_ratio)),
+        ("dup_3gram_high", F.col("dup_3gram_frac") > float(max_dup_3gram_frac)),
+        ("top_2gram_high", F.col("top_2gram_frac") > float(max_top_2gram_frac)),
+    ]
+    failed = F.filter(
+        F.array(
+            *[F.when(cond, F.lit(name)).otherwise(F.lit(None)) for name, cond in rules]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        qf.join(rep, "doc_id")
+        .select(F.col("doc_id"), failed.alias("_failed"))
+        .select(
+            "doc_id",
+            (F.size("_failed") == 0).alias("keep"),
+            F.size("_failed").cast("long").alias("n_failed"),
+            F.array_join("_failed", ",").alias("failed"),
+        )
+        .orderBy("doc_id")
+    )

@@ -901,3 +901,156 @@ def multi_terms(
         )
         .orderBy(F.desc("n_docs"), *[F.col(k) for k in keys])
     )
+
+
+def _div_round_expr(num: str, den: str, ten4: int = 10000) -> str:
+    """SQL fragment: round-half-away-from-zero of num/den at 4dp as a
+    signed BIGINT of 1/ten4 units, in EXACT integer arithmetic —
+    k = sign(num) * ((2*|num|*ten4 + den) div (2*den)). Both Spark's
+    `div` and DuckDB's `//` truncate toward zero, so with the
+    abs/sign split the result is engine-identical; used wherever a
+    gate column is a RATIO OF EXACT INTEGERS (avg, variance, cov,
+    moving mean), because those land exactly on 4dp half-boundaries
+    with real probability and double rounding diverges there.
+    Operands must be decimal(38,0) columns/expressions."""
+    return (
+        f"(CASE WHEN ({num}) < 0 THEN -1 ELSE 1 END) * "
+        f"((2 * abs({num}) * {ten4} + ({den})) div (2 * ({den})))"
+    )
+
+
+def matrix_stats(
+    docs: DataFrame,
+    x_col: str = "n_chars",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> DataFrame:
+    """Matrix-stats aggregation (the Elasticsearch `matrix_stats` agg
+    over two fields): one row of (n_docs, mean_x, mean_y, var_x,
+    var_y, cov_xy, corr_xy) where x = a stored doc-values column and
+    y = the token count — the length-vs-tokenization correlation a
+    corpus-quality dashboard actually plots.
+
+    Determinism: both fields are integers, so all five sums (S_x,
+    S_y, S_xx, S_yy, S_xy) fold exactly in decimal(38,0); means,
+    variances and covariance are ratios of exact integers and round
+    via _div_round_expr (integer half-away-from-zero — never double
+    rounding). Covariance can be negative (sign split in the
+    fragment) and carries +0.0; variance numerators n*S_2 - S^2 >= 0
+    exactly. Correlation = N_xy / sqrt(M_x * M_y) has an irrational
+    denominator — sqrt of a non-square integer — so it can never sit
+    exactly on a rounding boundary (accepted residual class); NULL
+    when either field is constant (M = 0). One global aggregate,
+    partial+final — nothing but one row crosses the exchange."""
+    from ..functions.analysis import tokens_col
+    from ..session import ensure_compute_parallelism
+
+    ten4 = 10 ** round_to
+    base = ensure_compute_parallelism(docs).select(
+        F.col(x_col).cast("long").cast("decimal(38,0)").alias("x"),
+        F.size(tokens_col(text_col)).cast("long").cast("decimal(38,0)").alias("y"),
+    )
+    agg = base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("x").alias("_sx"),
+        F.sum("y").alias("_sy"),
+        F.sum(F.expr("x * x")).alias("_sxx"),
+        F.sum(F.expr("y * y")).alias("_syy"),
+        F.sum(F.expr("x * y")).alias("_sxy"),
+    )
+    mid = agg.select(
+        "n_docs", "_sx", "_sy", "_sxx", "_syy", "_sxy",
+        F.col("n_docs").cast("decimal(38,0)").alias("_n"),
+    ).select(
+        "n_docs", "_sx", "_sy", "_n",
+        F.expr("_n * _sxx - _sx * _sx").alias("_mx"),
+        F.expr("_n * _syy - _sy * _sy").alias("_my"),
+        F.expr("_n * _sxy - _sx * _sy").alias("_nxy"),
+    )
+    keys = mid.select(
+        "n_docs", "_mx", "_my", "_nxy",
+        F.expr(_div_round_expr("_sx", "_n", ten4)).alias("_mxk"),
+        F.expr(_div_round_expr("_sy", "_n", ten4)).alias("_myk"),
+        F.expr(_div_round_expr("_mx", "_n * _n", ten4)).alias("_vxk"),
+        F.expr(_div_round_expr("_my", "_n * _n", ten4)).alias("_vyk"),
+        F.expr(_div_round_expr("_nxy", "_n * _n", ten4)).alias("_cvk"),
+    )
+    t4 = F.lit(float(ten4))
+    corr = (
+        F.round(
+            F.col("_nxy").cast("double")
+            / F.sqrt(F.col("_mx").cast("double") * F.col("_my").cast("double")),
+            round_to,
+        )
+        + F.lit(0.0)
+    )
+    return keys.select(
+        "n_docs",
+        (F.col("_mxk").cast("double") / t4 + F.lit(0.0)).alias("mean_x"),
+        (F.col("_myk").cast("double") / t4 + F.lit(0.0)).alias("mean_y"),
+        (F.col("_vxk").cast("double") / t4).alias("var_x"),
+        (F.col("_vyk").cast("double") / t4).alias("var_y"),
+        (F.col("_cvk").cast("double") / t4 + F.lit(0.0)).alias("cov_xy"),
+        F.when((F.col("_mx") > 0) & (F.col("_my") > 0), corr).alias("corr_xy"),
+    )
+
+
+def date_histogram_moving_avg(
+    events: DataFrame,
+    window: int = 3,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    interval: str = "day",
+    value_col: str = "value",
+    quantize: int = 100,
+    round_to: int = 4,
+) -> DataFrame:
+    """Moving-average pipeline aggregation (ES `moving_fn` /
+    `moving_avg` with a trailing window INCLUDING the current bucket;
+    partial windows at each key's series head average over the
+    buckets seen so far). Returns (key, bucket, sum_value,
+    moving_avg) ordered (key, bucket).
+
+    Determinism: per-bucket sums stay INTEGER quantize-units through
+    the window (the pipeline-agg convention); the moving mean is
+    sum_units / (quantize * cnt) — a ratio of exact integers — and
+    rounds via _div_round_expr, with +0.0 (values can be negative).
+    Scale shape identical to date_histogram_pipeline: the window runs
+    over |buckets x keys| post-aggregate rows, partitioned by key."""
+    fmt = {"day": "yyyy-MM-dd", "hour": "yyyy-MM-dd HH:00"}[interval]
+    bucket = F.date_format(F.date_trunc(interval, F.col(ts_col)), fmt).alias("bucket")
+    per = events.groupBy(F.col(key_col).alias("key"), bucket).agg(
+        F.sum(F.round(F.col(value_col) * quantize, 0).cast("long")).alias("_q"),
+    )
+    ten4 = 10 ** round_to
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(-(int(window) - 1), 0)
+    )
+    mid = per.select(
+        "key",
+        "bucket",
+        "_q",
+        F.sum("_q").over(w).cast("decimal(38,0)").alias("_wsum"),
+        F.count("_q").over(w).cast("decimal(38,0)").alias("_wcnt"),
+    ).select(
+        "key",
+        "bucket",
+        "_q",
+        F.expr(
+            _div_round_expr("_wsum", f"{int(quantize)} * _wcnt", ten4)
+        ).alias("_mak"),
+    )
+    qd = F.lit(float(quantize))
+    return mid.select(
+        "key",
+        "bucket",
+        (F.round(F.col("_q").cast("double") / qd, round_to) + F.lit(0.0)).alias(
+            "sum_value"
+        ),
+        (
+            F.col("_mak").cast("double") / F.lit(float(ten4)) + F.lit(0.0)
+        ).alias("moving_avg"),
+    ).orderBy("key", "bucket")

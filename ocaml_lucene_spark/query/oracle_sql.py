@@ -2266,3 +2266,97 @@ SELECT doc_id, score, n_tokens FROM c
 WHERE cum <= {int(budget)}
 ORDER BY score DESC, doc_id ASC
 """
+
+
+def _div_round4_sql(num: str, den: str, ten4: int = 10000) -> str:
+    """DuckDB fragment mirroring grouping._div_round_expr: signed
+    half-away-from-zero rounding of num/den at 4dp in HUGEINT
+    arithmetic (// truncates toward zero, same as Spark's div)."""
+    return (
+        f"(CASE WHEN ({num}) < 0 THEN -1 ELSE 1 END) * "
+        f"((2 * abs({num}) * {ten4} + ({den})) // (2 * ({den})))"
+    )
+
+
+def matrix_stats_sql(x_col: str = "n_chars", round_to: int = 4) -> str:
+    """Matrix-stats oracle (query/grouping.py matrix_stats): exact
+    HUGEINT moment sums over (x = stored column, y = token count);
+    means/variances/covariance round via integer arithmetic,
+    correlation's sqrt denominator is irrational so double rounding
+    is safe (NULL when either field is constant)."""
+    t4 = 10 ** int(round_to)
+    t4f = f"{float(t4)!r}::DOUBLE"
+    return f"""
+WITH {TOKS_CTE},
+j AS (
+  SELECT d.{x_col}::HUGEINT AS x, len(b.t)::HUGEINT AS y
+  FROM base b JOIN documents d ON b.doc_id = d.doc_id
+),
+a AS (
+  SELECT count(*)::HUGEINT AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM j
+),
+m AS (
+  SELECT n, sx, sy,
+         n * sxx - sx * sx AS mx,
+         n * syy - sy * sy AS my,
+         n * sxy - sx * sy AS nxy
+  FROM a
+)
+SELECT n::BIGINT AS n_docs,
+       ({_div_round4_sql("sx", "n", t4)})::DOUBLE / {t4f} + 0.0::DOUBLE AS mean_x,
+       ({_div_round4_sql("sy", "n", t4)})::DOUBLE / {t4f} + 0.0::DOUBLE AS mean_y,
+       ({_div_round4_sql("mx", "n * n", t4)})::DOUBLE / {t4f} AS var_x,
+       ({_div_round4_sql("my", "n * n", t4)})::DOUBLE / {t4f} AS var_y,
+       ({_div_round4_sql("nxy", "n * n", t4)})::DOUBLE / {t4f} + 0.0::DOUBLE AS cov_xy,
+       CASE WHEN mx > 0 AND my > 0
+            THEN round(nxy::DOUBLE / sqrt(mx::DOUBLE * my::DOUBLE), {round_to})
+                 + 0.0::DOUBLE
+            ELSE NULL END AS corr_xy
+FROM m
+"""
+
+
+def date_histogram_moving_avg_sql(
+    window: int = 3,
+    interval: str = "day",
+    quantize: int = 100,
+    round_to: int = 4,
+) -> str:
+    """Moving-average pipeline-agg oracle (query/grouping.py
+    date_histogram_moving_avg): integer quantize-unit bucket sums,
+    trailing ROWS window, integer half-up rounding of the
+    sum/(quantize*cnt) ratio."""
+    fmt = {"day": "%Y-%m-%d", "hour": "%Y-%m-%d %H:00"}[interval]
+    q = int(quantize)
+    t4 = 10 ** int(round_to)
+    t4f = f"{float(t4)!r}::DOUBLE"
+    return f"""
+WITH per AS (
+  SELECT event_type AS key,
+         strftime(date_trunc('{interval}', ts), '{fmt}') AS bucket,
+         sum(CAST(round(value * {q}, 0) AS BIGINT)) AS q_units
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT key, bucket, q_units,
+         sum(q_units) OVER (
+           PARTITION BY key ORDER BY bucket
+           ROWS BETWEEN {int(window) - 1} PRECEDING AND CURRENT ROW
+         )::HUGEINT AS wsum,
+         count(q_units) OVER (
+           PARTITION BY key ORDER BY bucket
+           ROWS BETWEEN {int(window) - 1} PRECEDING AND CURRENT ROW
+         )::HUGEINT AS wcnt
+  FROM per
+)
+SELECT key, bucket,
+       round(q_units::DOUBLE / {float(q)!r}::DOUBLE, {round_to})
+         + 0.0::DOUBLE AS sum_value,
+       ({_div_round4_sql("wsum", f"{q} * wcnt", t4)})::DOUBLE / {t4f}
+         + 0.0::DOUBLE AS moving_avg
+FROM w
+ORDER BY key, bucket
+"""

@@ -715,3 +715,83 @@ FROM ci
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+def gopher_quality_filter_sql(
+    min_tokens: int = 20,
+    max_tokens: int = 90,
+    min_avg_token_len: float = 2.0,
+    max_avg_token_len: float = 4.8,
+    min_alnum_ratio: float = 0.8,
+    min_stopword_ratio: float = 0.005,
+    max_dup_3gram_frac: float = 0.1,
+    max_top_2gram_frac: float = 0.08,
+) -> str:
+    """Gopher-rule-filter oracle (functions/textstats
+    gopher_quality_filter): recomputes the quality + repetition
+    metrics independently (the two source oracles' expressions), then
+    evaluates the same fixed-order rule list; every float literal is
+    ::DOUBLE so DuckDB's DECIMAL literals never enter the compare."""
+    from ..functions.textstats import LANG_PROFILES
+
+    en = "[" + ", ".join(f"'{w}'" for w in LANG_PROFILES["en"]) + "]"
+    rules = [
+        ("n_tokens_low", f"q.n_tokens < {int(min_tokens)}"),
+        ("n_tokens_high", f"q.n_tokens > {int(max_tokens)}"),
+        ("avg_token_len_low", f"q.avg_token_len < {float(min_avg_token_len)!r}::DOUBLE"),
+        ("avg_token_len_high", f"q.avg_token_len > {float(max_avg_token_len)!r}::DOUBLE"),
+        ("alnum_ratio_low", f"q.alnum_ratio < {float(min_alnum_ratio)!r}::DOUBLE"),
+        ("stopword_ratio_low", f"q.stopword_ratio < {float(min_stopword_ratio)!r}::DOUBLE"),
+        ("dup_3gram_high", f"r.dup_3gram_frac > {float(max_dup_3gram_frac)!r}::DOUBLE"),
+        ("top_2gram_high", f"r.top_2gram_frac > {float(max_top_2gram_frac)!r}::DOUBLE"),
+    ]
+    arr = ", ".join(
+        f"CASE WHEN {cond} THEN '{name}' ELSE NULL END" for name, cond in rules
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, {TOKS} AS t FROM documents
+),
+qm AS (
+  SELECT doc_id,
+         len(t)::BIGINT AS n_tokens,
+         length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::DOUBLE AS alnum,
+         len(list_filter(t, x -> list_contains({en}, x)))::DOUBLE AS stop_hits,
+         length(text)::BIGINT AS n_chars
+  FROM base
+),
+q AS (
+  SELECT doc_id, n_tokens,
+         round(CASE WHEN n_tokens > 0 THEN alnum / n_tokens ELSE 0 END, 4) AS avg_token_len,
+         round(CASE WHEN n_tokens > 0 THEN stop_hits / n_tokens ELSE 0 END, 4) AS stopword_ratio,
+         round(CASE WHEN n_chars > 0 THEN alnum / n_chars ELSE 0 END, 4) AS alnum_ratio
+  FROM qm
+),
+g3 AS (SELECT doc_id, unnest({_shingle_case(3)}) AS g FROM base),
+c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g),
+a3 AS (
+  SELECT doc_id, sum(c) AS total3,
+         sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup3
+  FROM c3 GROUP BY doc_id
+),
+g2 AS (SELECT doc_id, unnest({_shingle_case(2)}) AS g FROM base),
+c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+a2 AS (SELECT doc_id, sum(c) AS total2, max(c) AS top2 FROM c2 GROUP BY doc_id),
+r AS (
+  SELECT a3.doc_id,
+         round(dup3::DOUBLE / total3::DOUBLE, 4) AS dup_3gram_frac,
+         round(top2::DOUBLE / total2::DOUBLE, 4) AS top_2gram_frac
+  FROM a3 JOIN a2 ON a3.doc_id = a2.doc_id
+),
+f AS (
+  SELECT q.doc_id,
+         list_filter([{arr}], x -> x IS NOT NULL) AS failed_list
+  FROM q JOIN r ON q.doc_id = r.doc_id
+)
+SELECT doc_id,
+       len(failed_list) = 0 AS keep,
+       len(failed_list)::BIGINT AS n_failed,
+       coalesce(list_aggregate(failed_list, 'string_agg', ','), '') AS failed
+FROM f
+ORDER BY doc_id
+"""

@@ -417,3 +417,117 @@ def test_extended_stats_half_boundary_parity_with_duckdb(spark):
     # the z bucket's avg sits exactly on the 5dp half boundary
     z = dict((r[0], r) for r in got)["z"]
     assert z[5] == 0.0013  # half-away-from-zero, by integer contract
+
+
+def test_matrix_stats_matches_fraction_reference(spark):
+    from fractions import Fraction
+
+    from ocaml_lucene_spark.query.grouping import matrix_stats
+
+    def r4(fr):
+        num, den = fr.numerator, fr.denominator
+        sgn = -1 if num < 0 else 1
+        return sgn * ((2 * abs(num) * 10000 + den) // (2 * den)) / 10000.0
+
+    # x long vs SHORT token count -> negative covariance
+    rows = [
+        (0, "a b c d e f g h", 10),
+        (1, "a b", 90),
+        (2, "a b c d", 50),
+        (3, "a", 99),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    got = matrix_stats(df, x_col="n_chars").collect()[0]
+    xs = [r[2] for r in rows]
+    ys = [len(r[1].split()) for r in rows]
+    n = len(rows)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(v * v for v in xs)
+    syy = sum(v * v for v in ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    mx, my, nxy = n * sxx - sx * sx, n * syy - sy * sy, n * sxy - sx * sy
+    assert got.n_docs == n
+    assert got.mean_x == r4(Fraction(sx, n)) and got.mean_y == r4(Fraction(sy, n))
+    assert got.var_x == r4(Fraction(mx, n * n)) and got.var_y == r4(Fraction(my, n * n))
+    assert got.cov_xy == r4(Fraction(nxy, n * n)) and got.cov_xy < 0
+    assert got.corr_xy == round(nxy / (mx * my) ** 0.5, 4) and got.corr_xy < 0
+
+
+def test_matrix_stats_constant_field_null_corr(spark):
+    from ocaml_lucene_spark.query.grouping import matrix_stats
+
+    df = spark.createDataFrame(
+        [(0, "a b", 7), (1, "a b c", 7)], "doc_id long, text string, n_chars long"
+    )
+    got = matrix_stats(df, x_col="n_chars").collect()[0]
+    assert got.var_x == 0.0 and got.corr_xy is None
+
+
+def test_moving_avg_trailing_window_python_reference(spark):
+    import datetime
+    from fractions import Fraction
+
+    from ocaml_lucene_spark.query.grouping import date_histogram_moving_avg
+
+    def r4(fr):
+        num, den = fr.numerator, fr.denominator
+        sgn = -1 if num < 0 else 1
+        return sgn * ((2 * abs(num) * 10000 + den) // (2 * den)) / 10000.0
+
+    rows = []
+    vals = [1.00, 2.00, 4.00, -8.00, 16.00]
+    for i, v in enumerate(vals):
+        rows.append((datetime.datetime(2024, 1, 1 + i), "click", v))
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    got = [
+        (r.bucket, r.sum_value, r.moving_avg)
+        for r in date_histogram_moving_avg(df, window=3).collect()
+    ]
+    units = [round(v * 100) for v in vals]
+    want = []
+    for i in range(len(vals)):
+        lo = max(0, i - 2)
+        w = units[lo : i + 1]
+        want.append(
+            (
+                f"2024-01-{i + 1:02d}",
+                units[i] / 100.0,
+                r4(Fraction(sum(w), 100 * len(w))),
+            )
+        )
+    assert got == want
+
+
+def test_gopher_quality_filter_rules_fire_individually(spark):
+    from ocaml_lucene_spark.functions.textstats import gopher_quality_filter
+
+    stop = "the of and to in is was for on as"  # 10 stopwords
+    # 6-letter words keep alnum_ratio (letters / letters+spaces) >= 0.8
+    good = stop + " planet bridge stream forest window silver market garden rocket violet"
+    docs = spark.createDataFrame(
+        [
+            (0, good),                               # passes everything
+            (1, "tiny doc"),                          # n_tokens_low
+            (2, stop + " " + " ".join(f"w{i}" for i in range(100))),  # n_tokens_high
+            (3, stop + " " + "a b c d e f g h i j"),  # avg_token_len_low
+            (4, stop + " " + " ".join("extraordinarily" for _ in range(10))),
+            # ^ avg_token_len_high + repetition rules
+            (5, " ".join(f"x{i}" for i in range(25))),  # stopword_ratio_low
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.keep, r.failed) for r in gopher_quality_filter(docs).collect()}
+    assert got[0] == (True, "")
+    assert got[1][0] is False and "n_tokens_low" in got[1][1]
+    assert got[2][0] is False and "n_tokens_high" in got[2][1]
+    assert got[3][0] is False and "avg_token_len_low" in got[3][1]
+    assert got[4][0] is False and "avg_token_len_high" in got[4][1]
+    assert "dup_3gram_high" in got[4][1]  # repeated word -> dup 3-grams
+    assert got[5][0] is False and "stopword_ratio_low" in got[5][1]
+    # failed names keep the fixed rule order
+    assert got[4][1].split(",") == sorted(
+        got[4][1].split(","),
+        key=["n_tokens_low", "n_tokens_high", "avg_token_len_low",
+             "avg_token_len_high", "alnum_ratio_low", "stopword_ratio_low",
+             "dup_3gram_high", "top_2gram_high"].index,
+    )
