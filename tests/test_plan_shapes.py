@@ -358,3 +358,69 @@ def test_boilerplate_coverage_has_no_cartesian(spark):
     plan = _plan(boilerplate_coverage(docs, k=3, min_df=5))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_extended_stats_is_one_partial_final_agg_no_window(spark):
+    """extended_stats must be ONE groupBy with map-side partial
+    aggregation (partial_count/partial_min... before the key
+    exchange) and no window/sort — only |keys| rows may cross the
+    shuffle; the scan reads just (key, value)."""
+    from ocaml_lucene_spark.query.grouping import extended_stats
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = _plan(extended_stats(events))
+    assert "Window" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+    assert _read_schema_cols(plan) == {"event_type", "value"}
+
+
+def test_matrix_stats_single_global_agg_reads_two_columns(spark):
+    """matrix_stats: one global partial+final aggregate; the scan
+    reads ONLY (x_col, text) — a single row crosses the exchange."""
+    from ocaml_lucene_spark.query.grouping import matrix_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(matrix_stats(docs, x_col="n_chars"))
+    assert "Window" not in plan, plan
+    assert _read_schema_cols(plan) == {"n_chars", "text"}
+
+
+def test_moving_avg_window_is_key_partitioned(spark):
+    """The moving-average window must partition by key AFTER the
+    histogram aggregate — a SinglePartition window over the raw
+    events would serialize the table through one task."""
+    from ocaml_lucene_spark.query.grouping import date_histogram_moving_avg
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = _plan(date_histogram_moving_avg(events, window=3))
+    assert "Window" in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_token_budget_select_windows_only_the_boundary_bucket(spark):
+    """token_budget_select's phase-2 window must be partitioned by
+    the bucket expression (the filtered boundary bucket), never a
+    SinglePartition global window over the scored frame; the full
+    buckets pass through as a plain filter union."""
+    from pyspark.sql import functions as F
+
+    from ocaml_lucene_spark.functions.textstats import quality_features
+    from ocaml_lucene_spark.operators.selection import token_budget_select
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    scored = quality_features(docs).select(
+        "doc_id", F.col("lexical_diversity").alias("score"), "n_tokens"
+    )
+    plan = _plan(token_budget_select(scored, budget=5000))
+    assert "Window" in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_rare_terms_cut_is_take_ordered(spark):
+    """rare_terms' capped ascending cut must plan as
+    TakeOrderedAndProject, not a global Sort + Limit."""
+    from ocaml_lucene_spark.query.grouping import rare_terms
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(rare_terms(docs, max_doc_count=385, limit=100))
+    assert "TakeOrderedAndProject" in plan, plan
