@@ -751,6 +751,82 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
                 f.write("ok")
         return spark.read.parquet(out).orderBy("bucket", "event_type")
 
+    def q_streamed_sessions(spark, sf):
+        # watermarked streaming sessionization (append mode): same
+        # 4-batch harness as q_streamed_histogram — ordered past /
+        # recent events, a re-delivered late copy in its OWN batch
+        # (one-batch watermark lag: it must be dropped, not start a
+        # phantom 1-event session), and a far-future sentinel under an
+        # out-of-domain user (-999) whose never-closed session flushes
+        # every real one. Oracle = the BATCH session_windows SQL over
+        # the clean events table: stream-batch parity is the contract.
+        import hashlib
+        import os
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from ocaml_lucene_spark.streaming.sessions import streaming_session_windows
+
+        import ocaml_lucene_spark as pkg
+
+        key = hashlib.md5(f"{pkg.__version__}|{sf}|ssess".encode()).hexdigest()[:10]
+        base = f"/tmp/olspark_entry_ssess_{key}"
+        out = os.path.join(base, "out")
+        if _needs_build(base, marker="_done"):
+            src, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
+            os.makedirs(src, exist_ok=True)
+            t = pq.read_table(f"{sf}/events.parquet")
+            t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending")]))
+            cut = int(t.num_rows * 0.6)
+            b0, rest = t.slice(0, cut), t.slice(cut)
+            late = t.slice(0, 1)
+            late = late.set_column(
+                late.schema.get_field_index("event_id"),
+                "event_id",
+                pa.array([-1], pa.int64()),
+            )
+            max_ts = t.column("ts")[t.num_rows - 1].as_py()
+            import datetime as _dt
+
+            sentinel = pa.table(
+                {
+                    "event_id": pa.array([-2], pa.int64()),
+                    "ts": pa.array(
+                        [max_ts + _dt.timedelta(days=30)], pa.timestamp("us")
+                    ),
+                    "user_id": pa.array([-999], pa.int64()),
+                    "event_type": pa.array(["sentinel"]),
+                    "value": pa.array([0.0], pa.float64()),
+                    "props": pa.array(["{}"]),
+                }
+            ).cast(t.schema)
+            for i, tb in enumerate((b0, rest, late, sentinel)):
+                p = f"{src}/b{i}.parquet"
+                pq.write_table(tb, p)
+                os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+            stream = (
+                spark.readStream.schema(
+                    "event_id long, ts timestamp, user_id long, "
+                    "event_type string, value double, props string"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            q = (
+                streaming_session_windows(stream, gap="6 hours", watermark="1 hour")
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            with open(os.path.join(base, "_done"), "w") as f:
+                f.write("ok")
+        return spark.read.parquet(out).orderBy("user_id", "start_us")
+
     def q_match_stats(spark, sf):
         # ES-style stats agg: min/max/avg of n_chars over the
         # conjunctive match set (one row; semi-join + global aggregate)
@@ -1524,7 +1600,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # the previous round's freshly-checked head moves to the tail.
     # Round-6 order: (1) the 41 entries cut from the r5 run (last
     # driver-checked in r4 — the rotation obligation from the r5
-    # verdict); (2) 9 NEW r6 rows inside the 50-row window; (3) 30 MORE
+    # verdict); (2) 9 NEW r6 rows inside the 50-row window; (3) 31 MORE
     # new r6 rows that did not fit the cap (ngram_contamination,
     # repetition_signals, unigram_logprob, sort_by_field,
     # pack_sequences, sample_stratified,
@@ -1534,7 +1610,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # histogram_pipeline, boilerplate_coverage, mix_proportions, percentiles_agg,
     # composite_agg, multi_phrase_counts, bm25_boosting,
     # extended_stats, rare_terms, multi_terms, token_budget_select,
-    # matrix_stats, moving_avg, gopher_quality_filter —
+    # matrix_stats, moving_avg, gopher_quality_filter, streamed_sessions —
     # replica-verified locally,
     # never driver-checked); (4) the 50 r5-checked entries as the
     # sacrificial tail, in their r5 order.
@@ -1631,6 +1707,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "matrix_stats": q_matrix_stats,
         "moving_avg": q_moving_avg,
         "gopher_quality_filter": q_gopher_quality_filter,
+        "streamed_sessions": q_streamed_sessions,
         # -- r5-checked tail: sacrificial under a 50-row cut (all 50
         #    full-passed in CORRECTNESS_r05 except bigram_collocations,
         #    whose signed-zero fix is replica-verified this round) --
@@ -1907,6 +1984,7 @@ def oracle_sql() -> dict[str, str]:
         "matrix_stats": osql.matrix_stats_sql(x_col="n_chars"),
         "moving_avg": osql.date_histogram_moving_avg_sql(window=3),
         "gopher_quality_filter": oops.gopher_quality_filter_sql(),
+        "streamed_sessions": osql.session_windows_sql(gap_hours=6),
     }
     return {
         k: (_canon_sql(sql) if k in _CANON_ORDER else sql) for k, sql in out.items()
