@@ -1530,6 +1530,13 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     def q_ann_brute(spark, sf):
         return ann.brute_force_topk(_vecs(spark, sf), _query_vec(sf), k=10, exclude_self=0)
 
+    def q_knn_filtered(spark, sf):
+        # ES 8 knn-with-filter: label predicate restricts candidates
+        # BEFORE the exact cosine ranking (pushdown + TakeOrdered)
+        return ann.knn_filtered_topk(
+            _vecs(spark, sf), _query_vec(sf), filter_label=3, k=10
+        )
+
     def q_ann_lsh(spark, sf):
         return ann.lsh_topk(_vecs(spark, sf), _query_vec(sf), k=10, n_bits=8)
 
@@ -1600,7 +1607,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # the previous round's freshly-checked head moves to the tail.
     # Round-6 order: (1) the 41 entries cut from the r5 run (last
     # driver-checked in r4 — the rotation obligation from the r5
-    # verdict); (2) 9 NEW r6 rows inside the 50-row window; (3) 31 MORE
+    # verdict); (2) 9 NEW r6 rows inside the 50-row window; (3) 32 MORE
     # new r6 rows that did not fit the cap (ngram_contamination,
     # repetition_signals, unigram_logprob, sort_by_field,
     # pack_sequences, sample_stratified,
@@ -1610,7 +1617,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # histogram_pipeline, boilerplate_coverage, mix_proportions, percentiles_agg,
     # composite_agg, multi_phrase_counts, bm25_boosting,
     # extended_stats, rare_terms, multi_terms, token_budget_select,
-    # matrix_stats, moving_avg, gopher_quality_filter, streamed_sessions —
+    # matrix_stats, moving_avg, gopher_quality_filter, streamed_sessions, knn_filtered —
     # replica-verified locally,
     # never driver-checked); (4) the 50 r5-checked entries as the
     # sacrificial tail, in their r5 order.
@@ -1708,6 +1715,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "moving_avg": q_moving_avg,
         "gopher_quality_filter": q_gopher_quality_filter,
         "streamed_sessions": q_streamed_sessions,
+        "knn_filtered": q_knn_filtered,
         # -- r5-checked tail: sacrificial under a 50-row cut (all 50
         #    full-passed in CORRECTNESS_r05 except bigram_collocations,
         #    whose signed-zero fix is replica-verified this round) --
@@ -1985,6 +1993,7 @@ def oracle_sql() -> dict[str, str]:
         "moving_avg": osql.date_histogram_moving_avg_sql(window=3),
         "gopher_quality_filter": oops.gopher_quality_filter_sql(),
         "streamed_sessions": osql.session_windows_sql(gap_hours=6),
+        "knn_filtered": oops.knn_filtered_topk_sql(qv, filter_label=3, k=10),
     }
     return {
         k: (_canon_sql(sql) if k in _CANON_ORDER else sql) for k, sql in out.items()

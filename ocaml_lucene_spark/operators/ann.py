@@ -452,3 +452,31 @@ def embedding_near_dup_pairs_indexed(
         "vec_id", F.col("embedding").alias("v"), "bucket"
     )
     return _bucketed_pair_join(b, min_sim, max_bucket_size)
+
+
+def knn_filtered_topk(
+    vecs: DataFrame,
+    query_vec: list[float],
+    filter_label: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Pre-filtered exact kNN (the Elasticsearch 8 `knn` query with a
+    `filter` clause): the metadata predicate restricts candidates
+    BEFORE the similarity ranking, so the top-k is exact over the
+    filtered subset — never post-filtered approximate results that
+    can return fewer than k.
+
+    Scale shape: the label equality pushes down to the parquet scan
+    (row-group zone maps / partition pruning if the layout partitions
+    by label), so the cosine only runs over the filter's selectivity
+    slice; top-k is TakeOrderedAndProject. sim carries the +0.0
+    signed-zero normalization (cosines can round to -0.0)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    df = vecs.filter(F.col(label_col) == int(filter_label)).select(
+        F.col(id_col).alias("vec_id"),
+        (F.round(cosine_col(F.col(vec_col), q), 4) + F.lit(0.0)).alias("sim"),
+    )
+    return df.orderBy(F.desc("sim"), F.asc("vec_id")).limit(k)

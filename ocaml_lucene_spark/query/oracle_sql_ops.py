@@ -795,3 +795,20 @@ SELECT doc_id,
 FROM f
 ORDER BY doc_id
 """
+
+
+def knn_filtered_topk_sql(
+    query_vec: list[float], filter_label: int, k: int = 10
+) -> str:
+    """Pre-filtered exact-kNN oracle (operators/ann.knn_filtered_topk):
+    WHERE label = X before the cosine ranking; + 0.0 mirrors the
+    engine's signed-zero normalization."""
+    q = "[" + ", ".join(repr(float(x)) for x in query_vec) + "]::DOUBLE[]"
+    return f"""
+WITH q AS (SELECT {q} AS qv)
+SELECT vec_id, round({_cos("embedding", "qv")}, 4) + 0.0::DOUBLE AS sim
+FROM embeddings, q
+WHERE label = {int(filter_label)}
+ORDER BY sim DESC, vec_id ASC
+LIMIT {k}
+"""

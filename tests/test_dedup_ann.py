@@ -426,3 +426,24 @@ def test_lsh_multiprobe_improves_recall(spark, vecs):
         r4.append(len(exact & a4) / 10)
     assert np.mean(r4) >= np.mean(r1), (r1, r4)
     assert np.mean(r4) > 0.2, r4
+
+
+def test_knn_filtered_equals_brute_force_over_filtered_subset(spark):
+    from ocaml_lucene_spark.operators.ann import brute_force_topk, knn_filtered_topk
+
+    vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    import pyarrow.parquet as pq
+
+    qv = pq.read_table(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).column("embedding").to_pylist()[0]
+    got = [(r.vec_id, r.sim) for r in knn_filtered_topk(vecs, qv, filter_label=3, k=5).collect()]
+    want = [
+        (r.vec_id, r.sim)
+        for r in brute_force_topk(vecs.filter("label = 3"), qv, k=5).collect()
+    ]
+    # same ranking as exact search restricted to the filter (modulo the
+    # +0.0 signed-zero normalization the filtered path adds)
+    assert [(v, s + 0.0) for v, s in want] == got
+    labels = {r.vec_id: r.label for r in vecs.select("vec_id", "label").collect()}
+    assert all(labels[v] == 3 for v, _ in got)
