@@ -1155,6 +1155,31 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
             spark.read.parquet(f"{sf}/events.parquet"), window=3
         )
 
+    def q_date_range_facets(spark, sf):
+        # ES date_range agg: named OVERLAPPING [from, to) buckets as
+        # independent conditional sums (one aggregate row, stack)
+        from ocaml_lucene_spark.query.grouping import date_range_facets
+
+        return date_range_facets(
+            spark.read.parquet(f"{sf}/events.parquet"),
+            [
+                ("first_week", "2024-01-01", "2024-01-08"),
+                ("mid_month", "2024-01-05", "2024-01-20"),
+                ("from_jan20", "2024-01-20", None),
+                ("all", None, None),
+            ],
+        )
+
+    def q_auto_date_histogram(spark, sf):
+        # ES auto_date_histogram: the (hour, day) ladder picks hour for
+        # this corpus (720 buckets <= 1000); the oracle re-derives the
+        # choice with its own date_diff ladder
+        from ocaml_lucene_spark.query.grouping import auto_date_histogram
+
+        return auto_date_histogram(
+            spark.read.parquet(f"{sf}/events.parquet"), target_buckets=1000
+        )
+
     def q_gopher_quality_filter(spark, sf):
         # composite Gopher-rule cleaning verdict over the (already
         # gate-green) quality + repetition metrics; failed = fixed-order
@@ -1607,7 +1632,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # the previous round's freshly-checked head moves to the tail.
     # Round-6 order: (1) the 41 entries cut from the r5 run (last
     # driver-checked in r4 — the rotation obligation from the r5
-    # verdict); (2) 9 NEW r6 rows inside the 50-row window; (3) 32 MORE
+    # verdict); (2) 9 NEW r6 rows inside the 50-row window; (3) 34 MORE
     # new r6 rows that did not fit the cap (ngram_contamination,
     # repetition_signals, unigram_logprob, sort_by_field,
     # pack_sequences, sample_stratified,
@@ -1617,7 +1642,8 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # histogram_pipeline, boilerplate_coverage, mix_proportions, percentiles_agg,
     # composite_agg, multi_phrase_counts, bm25_boosting,
     # extended_stats, rare_terms, multi_terms, token_budget_select,
-    # matrix_stats, moving_avg, gopher_quality_filter, streamed_sessions, knn_filtered —
+    # matrix_stats, moving_avg, gopher_quality_filter, streamed_sessions, knn_filtered,
+    # date_range_facets, auto_date_histogram —
     # replica-verified locally,
     # never driver-checked); (4) the 50 r5-checked entries as the
     # sacrificial tail, in their r5 order.
@@ -1716,6 +1742,8 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "gopher_quality_filter": q_gopher_quality_filter,
         "streamed_sessions": q_streamed_sessions,
         "knn_filtered": q_knn_filtered,
+        "date_range_facets": q_date_range_facets,
+        "auto_date_histogram": q_auto_date_histogram,
         # -- r5-checked tail: sacrificial under a 50-row cut (all 50
         #    full-passed in CORRECTNESS_r05 except bigram_collocations,
         #    whose signed-zero fix is replica-verified this round) --
@@ -1994,6 +2022,15 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality_filter": oops.gopher_quality_filter_sql(),
         "streamed_sessions": osql.session_windows_sql(gap_hours=6),
         "knn_filtered": oops.knn_filtered_topk_sql(qv, filter_label=3, k=10),
+        "date_range_facets": osql.date_range_facets_sql(
+            [
+                ("first_week", "2024-01-01", "2024-01-08"),
+                ("mid_month", "2024-01-05", "2024-01-20"),
+                ("from_jan20", "2024-01-20", None),
+                ("all", None, None),
+            ]
+        ),
+        "auto_date_histogram": osql.auto_date_histogram_sql(target_buckets=1000),
     }
     return {
         k: (_canon_sql(sql) if k in _CANON_ORDER else sql) for k, sql in out.items()

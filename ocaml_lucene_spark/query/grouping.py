@@ -1054,3 +1054,101 @@ def date_histogram_moving_avg(
             F.col("_mak").cast("double") / F.lit(float(ten4)) + F.lit(0.0)
         ).alias("moving_avg"),
     ).orderBy("key", "bucket")
+
+
+def date_range_facets(
+    events: DataFrame,
+    ranges: list[tuple],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    quantize: int = 100,
+) -> DataFrame:
+    """Date-range aggregation (the Elasticsearch `date_range` agg):
+    named [from, to) ranges — ``(name, lo_iso|None, hi_iso|None)``,
+    None = unbounded — which MAY overlap: each bucket counts its
+    matching events independently (overlap is why this is not a
+    groupBy: it's the filters_agg one-pass shape — every range
+    evaluates as a conditional sum inside ONE aggregate row, then
+    stack unpivots). Returns (range_name, n_events, sum_value)
+    ordered by range_name; sums fold quantized longs (engine-wide
+    float-total convention). One scan, one single-row exchange,
+    however many ranges ride along."""
+    if not ranges:
+        raise ValueError("date_range_facets needs at least one range")
+    named = sorted(ranges, key=lambda r: r[0])
+    aggs = []
+    for i, (name, lo, hi) in enumerate(named):
+        c = F.lit(True)
+        if lo is not None:
+            c = c & (F.col(ts_col) >= F.lit(lo).cast("timestamp"))
+        if hi is not None:
+            c = c & (F.col(ts_col) < F.lit(hi).cast("timestamp"))
+        aggs.append(F.sum(F.when(c, 1).otherwise(0)).cast("long").alias(f"_n_{i}"))
+        aggs.append(
+            F.sum(
+                F.when(
+                    c, F.round(F.col(value_col) * quantize, 0).cast("long")
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias(f"_q_{i}")
+        )
+    one = events.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', _n_{i}, _q_{i}" for i, (name, _lo, _hi) in enumerate(named)
+    )
+    return (
+        one.select(
+            F.expr(
+                f"stack({len(named)}, {stack_args}) AS (range_name, n_events, _q)"
+            )
+        )
+        .select(
+            "range_name",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.round(
+                F.col("_q").cast("double") / F.lit(float(quantize)), 4
+            ).alias("sum_value"),
+        )
+        .orderBy("range_name")
+    )
+
+
+def auto_date_histogram(
+    events: DataFrame,
+    target_buckets: int = 1000,
+    ts_col: str = "ts",
+    keys: tuple = (),
+    value_col: str = "value",
+    quantize: int | None = 100,
+) -> DataFrame:
+    """Auto-interval date histogram (the Elasticsearch
+    `auto_date_histogram` agg): picks the finest interval from the
+    ladder (hour, day) whose bucket count stays <= ``target_buckets``,
+    then runs the standard date_histogram at it. Returns
+    (interval, bucket, keys..., n_events, sum_value) with the chosen
+    interval as a literal column so the gate hash pins the CHOICE,
+    not just the buckets.
+
+    The choice reads one (min, max) row to the driver — bucket count
+    = truncated-boundary crossings + 1, the same arithmetic the SQL
+    oracle's date_diff ladder computes, so both sides pick the same
+    rung. Spans past the ladder raise (the synthetic corpus spans 30
+    days; extend the ladder before the data does)."""
+    row = events.agg(F.min(ts_col).alias("mn"), F.max(ts_col).alias("mx")).collect()[0]
+    mn, mx = row["mn"], row["mx"]
+    if mn is None:
+        raise ValueError("auto_date_histogram: empty input")
+    h0 = mn.replace(minute=0, second=0, microsecond=0)
+    h1 = mx.replace(minute=0, second=0, microsecond=0)
+    n_hours = int((h1 - h0).total_seconds() // 3600) + 1
+    n_days = (mx.date() - mn.date()).days + 1
+    if n_hours <= int(target_buckets):
+        interval = "hour"
+    elif n_days <= int(target_buckets):
+        interval = "day"
+    else:
+        raise ValueError(
+            f"auto_date_histogram: {n_days} daily buckets exceed the "
+            f"target {target_buckets}; extend the interval ladder"
+        )
+    out = date_histogram(events, ts_col, keys, interval, value_col, quantize)
+    return out.select(F.lit(interval).alias("interval"), "*")

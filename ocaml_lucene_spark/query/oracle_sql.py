@@ -2360,3 +2360,80 @@ SELECT key, bucket,
 FROM w
 ORDER BY key, bucket
 """
+
+
+def date_range_facets_sql(
+    ranges: list[tuple], quantize: int = 100
+) -> str:
+    """Date-range-facet oracle (query/grouping.py date_range_facets):
+    possibly-overlapping named [from, to) buckets as independent
+    conditional sums."""
+    parts = []
+    for name, lo, hi in sorted(ranges, key=lambda r: r[0]):
+        conds = []
+        if lo is not None:
+            conds.append(f"ts >= '{lo}'::TIMESTAMP")
+        if hi is not None:
+            conds.append(f"ts < '{hi}'::TIMESTAMP")
+        cond = " AND ".join(conds) if conds else "TRUE"
+        parts.append(
+            f"""SELECT '{name}' AS range_name,
+       sum(CASE WHEN {cond} THEN 1 ELSE 0 END)::BIGINT AS n_events,
+       round(sum(CASE WHEN {cond}
+                      THEN CAST(round(value * {int(quantize)}, 0) AS BIGINT)
+                      ELSE 0 END)::DOUBLE / {float(quantize)!r}::DOUBLE,
+             4) AS sum_value
+FROM events"""
+        )
+    body = "\nUNION ALL\n".join(parts)
+    return f"""
+SELECT * FROM (
+{body}
+) ORDER BY range_name
+"""
+
+
+def auto_date_histogram_sql(
+    target_buckets: int = 1000, quantize: int = 100
+) -> str:
+    """Auto-date-histogram oracle (query/grouping.py
+    auto_date_histogram): the interval choice is computed IN SQL
+    (date_diff ladder — crossings + 1, the engine's arithmetic), so
+    the oracle picks its own rung rather than baking the engine's
+    in."""
+    t = int(target_buckets)
+    q = int(quantize)
+    qsum = (
+        f"round(sum(CAST(round(value * {q}, 0) AS BIGINT))::DOUBLE"
+        f" / {float(q)!r}::DOUBLE, 4)"
+    )
+    return f"""
+WITH span AS (
+  SELECT date_diff('hour', min(ts), max(ts)) + 1 AS nh,
+         date_diff('day', min(ts), max(ts)) + 1 AS nd
+  FROM events
+),
+choice AS (
+  SELECT CASE WHEN nh <= {t} THEN 'hour'
+              WHEN nd <= {t} THEN 'day' END AS iv
+  FROM span
+),
+h AS (
+  SELECT 'hour' AS iv,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS bucket,
+         count(*)::BIGINT AS n_events,
+         {qsum} AS sum_value
+  FROM events GROUP BY 2
+),
+d AS (
+  SELECT 'day' AS iv,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
+         count(*)::BIGINT AS n_events,
+         {qsum} AS sum_value
+  FROM events GROUP BY 2
+),
+u AS (SELECT * FROM h UNION ALL SELECT * FROM d)
+SELECT u.iv AS interval, bucket, n_events, sum_value
+FROM u JOIN choice ON u.iv = choice.iv
+ORDER BY bucket
+"""

@@ -569,3 +569,34 @@ def test_sort_by_field_plan_and_ascending(spark, docs, index_dir):
     # same match set feeds both directions: the ascending head must be
     # disjoint from the descending head unless the set is tiny
     assert {r.doc_id for r in asc}.isdisjoint({r.doc_id for r in rows})
+
+
+def test_auto_date_histogram_ladder_picks_day_at_small_target(spark):
+    from ocaml_lucene_spark.query.grouping import auto_date_histogram, date_histogram
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    # 30 daily buckets <= 100 < 720 hourly: the ladder must step to day
+    got = auto_date_histogram(events, target_buckets=100).collect()
+    assert all(r.interval == "day" for r in got)
+    want = [tuple(r) for r in date_histogram(events, keys=()).collect()]
+    assert [tuple(r)[1:] for r in got] == want
+    # and too-small targets raise (past the ladder)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ladder"):
+        auto_date_histogram(events, target_buckets=5)
+
+
+def test_date_range_facets_overlapping_ranges_count_independently(spark):
+    from ocaml_lucene_spark.query.grouping import date_range_facets
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    rows = {r.range_name: r.n_events for r in date_range_facets(
+        events,
+        [("all", None, None), ("jan_a", "2024-01-01", "2024-01-16"),
+         ("jan_b", "2024-01-10", None)],
+    ).collect()}
+    total = events.count()
+    assert rows["all"] == total
+    # overlap [01-10, 01-16) is double-counted across jan_a/jan_b
+    assert rows["jan_a"] + rows["jan_b"] > total
