@@ -2437,3 +2437,64 @@ SELECT u.iv AS interval, bucket, n_events, sum_value
 FROM u JOIN choice ON u.iv = choice.iv
 ORDER BY bucket
 """
+
+
+def snippet_topk_sql(
+    terms: list[str], k: int = 10, width: int = 8, round_to: int = 4
+) -> str:
+    """Passage-selection oracle (query/highlight.py snippet_topk):
+    bm25 top-k body, then every query-term hit anchors a width-token
+    window, a per-doc self-join counts hits per window, and
+    row_number picks (n_hits desc, win_start asc). The token-position
+    stream is DuckDB's positional parallel-unnest zip; the snippet is
+    the 1-based-inclusive list slice."""
+    terms = list(dict.fromkeys(terms))
+    return f"""
+WITH {TOKS_CTE},
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM base),
+tf AS (
+  SELECT doc_id, term, dl, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(t) AS term FROM base)
+  WHERE term IN {_terms_in(terms)}
+  GROUP BY doc_id, term, dl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n - df + 0.5) / (df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl)) AS sc
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+),
+top AS (
+  SELECT doc_id, round(sum(sc), {round_to}) AS score
+  FROM scored GROUP BY doc_id
+  ORDER BY round(sum(sc), {round_to}) DESC, doc_id ASC
+  LIMIT {k}
+),
+ktoks AS (SELECT b.doc_id, top.score, b.t FROM base b JOIN top ON b.doc_id = top.doc_id),
+hits AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, unnest(t) AS tok, unnest(range(len(t))) AS pos FROM ktoks
+  ) WHERE tok IN {_terms_in(terms)}
+),
+counted AS (
+  SELECT a.doc_id, a.pos AS win_start, count(*) AS n_hits
+  FROM hits a JOIN hits o ON a.doc_id = o.doc_id
+   AND o.pos >= a.pos AND o.pos < a.pos + {width}
+  GROUP BY a.doc_id, a.pos
+),
+best AS (
+  SELECT doc_id, win_start, n_hits,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY n_hits DESC, win_start ASC
+         ) AS rn
+  FROM counted
+)
+SELECT kt.doc_id, kt.score,
+       b.win_start::BIGINT AS win_start,
+       b.n_hits::BIGINT AS n_hits,
+       array_to_string(kt.t[b.win_start + 1 : b.win_start + {width}], ' ') AS snippet
+FROM best b JOIN ktoks kt ON b.doc_id = kt.doc_id
+WHERE b.rn = 1
+ORDER BY kt.score DESC, kt.doc_id ASC
+"""

@@ -600,3 +600,20 @@ def test_date_range_facets_overlapping_ranges_count_independently(spark):
     assert rows["all"] == total
     # overlap [01-10, 01-16) is double-counted across jan_a/jan_b
     assert rows["jan_a"] + rows["jan_b"] > total
+
+
+def test_snippet_topk_picks_densest_earliest_window(spark):
+    from ocaml_lucene_spark.query.highlight import snippet_topk
+
+    rows = [
+        # hits at 0 and 9 (far apart) then a dense cluster at 20,21,23
+        (0, "table x x x x x x x x hash x x x x x x x x x x table hash x hash"),
+        (1, "x table x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in snippet_topk(df, ["table", "hash"], k=10, width=4).collect()}
+    # doc 0: window [20, 24) holds hits 20,21,23 -> 3 hits, beats any
+    # 2-hit window; earliest tie-break is exercised by doc 1 (1 hit,
+    # window anchored at its only hit)
+    assert (got[0].win_start, got[0].n_hits, got[0].snippet) == (20, 3, "table hash x hash")
+    assert (got[1].win_start, got[1].n_hits, got[1].snippet) == (1, 1, "table x")
