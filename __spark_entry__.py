@@ -1155,6 +1155,15 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
             spark.read.parquet(f"{sf}/events.parquet"), window=3
         )
 
+    def q_bm25_combined_fields(spark, sf):
+        # CombinedFieldQuery (BM25F-lite): text + source blend into
+        # one synthetic field (weighted tf/dl sums, single df) —
+        # unlike DisMax, multi-field hits ACCUMULATE
+        return bm25.bm25_topk_combined_fields(
+            _docs(spark, sf), ["table", "src3"],
+            {"text": 1.0, "source": 2.0}, k=10,
+        )
+
     def q_snippet_topk(spark, sf):
         # UnifiedHighlighter passage selection: best dense query-term
         # window per top-k doc (token-level snippet; char offsets are
@@ -1640,7 +1649,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # the previous round's freshly-checked head moves to the tail.
     # Round-6 order: (1) the 41 entries cut from the r5 run (last
     # driver-checked in r4 — the rotation obligation from the r5
-    # verdict); (2) 9 NEW r6 rows inside the 50-row window; (3) 35 MORE
+    # verdict); (2) 9 NEW r6 rows inside the 50-row window; (3) 36 MORE
     # new r6 rows that did not fit the cap (ngram_contamination,
     # repetition_signals, unigram_logprob, sort_by_field,
     # pack_sequences, sample_stratified,
@@ -1651,7 +1660,8 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # composite_agg, multi_phrase_counts, bm25_boosting,
     # extended_stats, rare_terms, multi_terms, token_budget_select,
     # matrix_stats, moving_avg, gopher_quality_filter, streamed_sessions, knn_filtered,
-    # date_range_facets, auto_date_histogram, snippet_topk —
+    # date_range_facets, auto_date_histogram, snippet_topk,
+    # bm25_combined_fields —
     # replica-verified locally,
     # never driver-checked); (4) the 50 r5-checked entries as the
     # sacrificial tail, in their r5 order.
@@ -1753,6 +1763,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "date_range_facets": q_date_range_facets,
         "auto_date_histogram": q_auto_date_histogram,
         "snippet_topk": q_snippet_topk,
+        "bm25_combined_fields": q_bm25_combined_fields,
         # -- r5-checked tail: sacrificial under a 50-row cut (all 50
         #    full-passed in CORRECTNESS_r05 except bigram_collocations,
         #    whose signed-zero fix is replica-verified this round) --
@@ -2041,6 +2052,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "auto_date_histogram": osql.auto_date_histogram_sql(target_buckets=1000),
         "snippet_topk": osql.snippet_topk_sql(["table", "hash"], k=10, width=8),
+        "bm25_combined_fields": osql.bm25_topk_combined_fields_sql(
+            ["table", "src3"], {"text": 1.0, "source": 2.0}, k=10
+        ),
     }
     return {
         k: (_canon_sql(sql) if k in _CANON_ORDER else sql) for k, sql in out.items()

@@ -462,3 +462,70 @@ def explain_score(
         )
         .orderBy("term")
     )
+
+
+def bm25_topk_combined_fields(
+    docs: DataFrame,
+    terms: list[str],
+    field_weights: dict[str, float] | None = None,
+    k: int = 10,
+    id_col: str = "doc_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """Lucene CombinedFieldQuery / ES `combined_fields` (Robertson's
+    simple BM25F): the fields blend into ONE synthetic field —
+    tf_c(t,d) = sum_f w_f * tf_f(t,d), dl_c(d) = sum_f w_f * dl_f(d),
+    df(t) counts docs with tf_c > 0, and the standard BM25 formula
+    runs over (tf_c, dl_c, avgdl_c). Unlike DisMax (best field wins),
+    a term matching in several fields accumulates.
+
+    Determinism: weights must be exact-binary (1.0, 2.0, 0.5, ...) so
+    every weighted sum of integer tf/dl is an exactly-representable
+    double — order-independent, no float-fold contract needed below
+    the standard per-doc term fold (_query_order_sum). Fields process
+    in sorted-name order on both sides (irrelevant given exactness,
+    pinned anyway). avgdl folds integer-valued doubles (exact to
+    2^53).
+
+    Plan: one dl projection per doc (no join — all field sizes in one
+    select), one explode-under-isin per field unioned before the
+    (doc_id, term) aggregate — the candidate_tf shape per field;
+    stats broadcast; top-k TakeOrderedAndProject."""
+    terms = list(dict.fromkeys(terms))
+    fw = sorted((field_weights or {"text": 1.0, "source": 2.0}).items())
+    dl_expr = None
+    for fcol, wt in fw:
+        piece = F.size(tokens_col(fcol)).cast("double") * F.lit(float(wt))
+        dl_expr = piece if dl_expr is None else dl_expr + piece
+    dlc = ensure_compute_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"), dl_expr.alias("dl")
+    )
+    stats = dlc.agg(
+        F.count("*").alias("n_docs"), (F.sum("dl") / F.count("*")).alias("avgdl")
+    )
+    occ = None
+    for fcol, wt in fw:
+        part = (
+            ensure_compute_parallelism(docs)
+            .select(F.col(id_col).alias("doc_id"), tokens_col(fcol).alias("toks"))
+            .select("doc_id", F.explode("toks").alias("term"))
+            .filter(F.col("term").isin(terms))
+            .select("doc_id", "term", F.lit(float(wt)).alias("w"))
+        )
+        occ = part if occ is None else occ.unionByName(part)
+    tf = occ.groupBy("doc_id", "term").agg(F.sum("w").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dlc, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "sc",
+            idf_expr(F.col("n_docs").cast("double"), F.col("df").cast("double"))
+            * tfn_expr(F.col("tf"), F.col("dl"), F.col("avgdl")),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.round(_query_order_sum(terms), round_to).alias("score")
+    )
+    return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -2498,3 +2498,58 @@ FROM best b JOIN ktoks kt ON b.doc_id = kt.doc_id
 WHERE b.rn = 1
 ORDER BY kt.score DESC, kt.doc_id ASC
 """
+
+
+def bm25_topk_combined_fields_sql(
+    terms: list[str],
+    field_weights: dict[str, float] | None = None,
+    k: int = 10,
+    round_to: int = 4,
+) -> str:
+    """CombinedFieldQuery oracle (query/bm25.py
+    bm25_topk_combined_fields): occurrence-level weighted union across
+    fields in sorted-name order; all weighted sums are exact-binary
+    doubles."""
+    terms = list(dict.fromkeys(terms))
+    fw = sorted((field_weights or {"text": 1.0, "source": 2.0}).items())
+
+    def toks(col: str) -> str:
+        return (
+            f"list_filter(regexp_split_to_array(lower({col}), '[^a-z0-9]+'),"
+            " x -> x <> '')"
+        )
+
+    dl_expr = " + ".join(
+        f"{float(w)!r}::DOUBLE * len({toks(c)})" for c, w in fw
+    )
+    occ = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, unnest({toks(c)}) AS term, {float(w)!r}::DOUBLE AS w"
+        f" FROM documents"
+        for c, w in fw
+    )
+    return f"""
+WITH dlc AS (SELECT doc_id, {dl_expr} AS dl FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl) / count(*) AS avgdl FROM dlc),
+occ AS (
+  {occ}
+),
+tfc AS (
+  SELECT doc_id, term, sum(w) AS tf FROM occ
+  WHERE term IN {_terms_in(terms)}
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
+scored AS (
+  SELECT tfc.doc_id,
+         ln(1.0 + (s.n - df + 0.5) / (df + 0.5))
+           * (tfc.tf * 2.2) / (tfc.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / s.avgdl)) AS sc
+  FROM tfc JOIN dfreq USING (term)
+       JOIN dlc d ON tfc.doc_id = d.doc_id
+       CROSS JOIN stats s
+)
+SELECT doc_id, round(sum(sc), {round_to}) AS score
+FROM scored
+GROUP BY doc_id
+ORDER BY round(sum(sc), {round_to}) DESC, doc_id ASC
+LIMIT {k}
+"""

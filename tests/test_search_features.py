@@ -617,3 +617,43 @@ def test_snippet_topk_picks_densest_earliest_window(spark):
     # window anchored at its only hit)
     assert (got[0].win_start, got[0].n_hits, got[0].snippet) == (20, 3, "table hash x hash")
     assert (got[1].win_start, got[1].n_hits, got[1].snippet) == (1, 1, "table x")
+
+
+def test_combined_fields_accumulates_across_fields_unlike_dismax(spark):
+    from ocaml_lucene_spark.query.bm25 import bm25_topk_combined_fields
+
+    rows = [
+        (0, "table join", "table"),   # term in BOTH fields
+        (1, "table join", "other"),   # text only
+        (2, "scan merge", "table"),   # source only
+        (3, "scan merge", "other"),   # no match
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.doc_id: r.score for r in bm25_topk_combined_fields(
+        df, ["table"], {"text": 1.0, "source": 2.0}, k=10
+    ).collect()}
+    assert set(got) == {0, 1, 2}
+    # the both-fields doc has tf_c = 1*1 + 2*1 = 3: strictly the best
+    assert got[0] > got[1] and got[0] > got[2]
+    # python reference for doc 0: df over the synthetic field = 3,
+    # n = 4, dl_c = w1*2 + w2*1, avgdl = mean of dl_c
+    import math
+
+    dls = {0: 1.0 * 2 + 2.0 * 1, 1: 1.0 * 2 + 2.0 * 1,
+           2: 1.0 * 2 + 2.0 * 1, 3: 1.0 * 2 + 2.0 * 1}
+    avgdl = sum(dls.values()) / 4
+    idf = math.log(1.0 + (4 - 3 + 0.5) / (3 + 0.5))
+    tf0 = 3.0
+    want0 = round(idf * (tf0 * 2.2) / (tf0 + 1.2 * (1 - 0.75 + 0.75 * dls[0] / avgdl)), 4)
+    assert got[0] == want0
+
+
+def test_combined_fields_weight_one_single_field_reduces_to_bm25(spark):
+    from ocaml_lucene_spark.query.bm25 import bm25_topk_combined_fields
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = [tuple(r) for r in bm25_topk_combined_fields(
+        docs, ["table", "hash"], {"text": 1.0}, k=20
+    ).collect()]
+    b = [tuple(r) for r in bm25_topk(docs, ["table", "hash"], k=20, round_to=4).collect()]
+    assert a == b
