@@ -1155,6 +1155,23 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
             spark.read.parquet(f"{sf}/events.parquet"), window=3
         )
 
+    def q_bm25_pinned(spark, sf):
+        # ES pinned query: promoted ids first in list order (id 9999
+        # does not exist and id 3 may not match — both paths covered),
+        # organic (score desc, doc_id) follows
+        from ocaml_lucene_spark.query.similarity import bm25_pinned_topk
+
+        return bm25_pinned_topk(
+            _docs(spark, sf), ["table", "hash"], [42, 7, 3], k=10
+        )
+
+    def q_random_score(spark, sf):
+        # function_score random_score(seed, doc_id): reproducible
+        # random ranking via the md5 uniform (partitioning-independent)
+        from ocaml_lucene_spark.query.similarity import random_score_topk
+
+        return random_score_topk(_docs(spark, sf), "table", seed=7, k=10)
+
     def q_bm25_combined_fields(spark, sf):
         # CombinedFieldQuery (BM25F-lite): text + source blend into
         # one synthetic field (weighted tf/dl sums, single df) —
@@ -1649,7 +1666,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # the previous round's freshly-checked head moves to the tail.
     # Round-6 order: (1) the 41 entries cut from the r5 run (last
     # driver-checked in r4 — the rotation obligation from the r5
-    # verdict); (2) 9 NEW r6 rows inside the 50-row window; (3) 36 MORE
+    # verdict); (2) 9 NEW r6 rows inside the 50-row window; (3) 38 MORE
     # new r6 rows that did not fit the cap (ngram_contamination,
     # repetition_signals, unigram_logprob, sort_by_field,
     # pack_sequences, sample_stratified,
@@ -1661,7 +1678,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # extended_stats, rare_terms, multi_terms, token_budget_select,
     # matrix_stats, moving_avg, gopher_quality_filter, streamed_sessions, knn_filtered,
     # date_range_facets, auto_date_histogram, snippet_topk,
-    # bm25_combined_fields —
+    # bm25_combined_fields, bm25_pinned, random_score —
     # replica-verified locally,
     # never driver-checked); (4) the 50 r5-checked entries as the
     # sacrificial tail, in their r5 order.
@@ -1764,6 +1781,8 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "auto_date_histogram": q_auto_date_histogram,
         "snippet_topk": q_snippet_topk,
         "bm25_combined_fields": q_bm25_combined_fields,
+        "bm25_pinned": q_bm25_pinned,
+        "random_score": q_random_score,
         # -- r5-checked tail: sacrificial under a 50-row cut (all 50
         #    full-passed in CORRECTNESS_r05 except bigram_collocations,
         #    whose signed-zero fix is replica-verified this round) --
@@ -2055,6 +2074,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_combined_fields": osql.bm25_topk_combined_fields_sql(
             ["table", "src3"], {"text": 1.0, "source": 2.0}, k=10
         ),
+        "bm25_pinned": osql.bm25_pinned_topk_sql(["table", "hash"], [42, 7, 3], k=10),
+        "random_score": osql.random_score_topk_sql("table", seed=7, k=10),
     }
     return {
         k: (_canon_sql(sql) if k in _CANON_ORDER else sql) for k, sql in out.items()

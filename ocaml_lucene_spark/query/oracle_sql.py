@@ -2553,3 +2553,73 @@ GROUP BY doc_id
 ORDER BY round(sum(sc), {round_to}) DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def bm25_pinned_topk_sql(
+    terms: list[str], pinned_ids: list[int], k: int = 10, round_to: int = 4
+) -> str:
+    """Pinned-query oracle (query/similarity.py bm25_pinned_topk):
+    pinned ids first in list order (score 0.0 when unmatched), then
+    organic (score desc, doc_id) minus the pinned."""
+    terms = list(dict.fromkeys(terms))
+    pinned_ids = list(dict.fromkeys(int(i) for i in pinned_ids))
+    pin_rows = ", ".join(f"({d}, {p})" for p, d in enumerate(pinned_ids))
+    return f"""
+WITH {TOKS_CTE},
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM base),
+tf AS (
+  SELECT doc_id, term, dl, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(t) AS term FROM base)
+  WHERE term IN {_terms_in(terms)}
+  GROUP BY doc_id, term, dl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n - df + 0.5) / (df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl)) AS sc
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+),
+organic AS (
+  SELECT doc_id, round(sum(sc), {round_to}) AS score FROM scored GROUP BY doc_id
+),
+pin(doc_id, pos) AS (VALUES {pin_rows}),
+alldocs AS (
+  SELECT d.doc_id,
+         coalesce(o.score, 0.0::DOUBLE) AS score,
+         p.pos
+  FROM documents d
+  LEFT JOIN organic o ON d.doc_id = o.doc_id
+  LEFT JOIN pin p ON d.doc_id = p.doc_id
+)
+SELECT doc_id, score, pos IS NOT NULL AS pinned
+FROM alldocs
+WHERE pos IS NOT NULL OR score > 0.0::DOUBLE
+ORDER BY (pos IS NOT NULL) DESC, coalesce(pos, 2147483647) ASC,
+         score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def random_score_topk_sql(
+    must_term: str, seed: int = 7, k: int = 10, round_to: int = 6
+) -> str:
+    """random_score oracle (query/similarity.py random_score_topk):
+    the sample_stratified md5 uniform, replayed independently."""
+    t = must_term.replace("'", "''")
+    return f"""
+WITH {TOKS_CTE},
+match AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, unnest(t) AS term FROM base)
+  WHERE term = '{t}'
+)
+SELECT doc_id,
+       round(
+         ('0x' || substr(md5(doc_id::VARCHAR || '|' || '{seed}'), 1, 15))::BIGINT::DOUBLE
+           / {float(16**15)!r},
+         {round_to}) AS rscore
+FROM match
+ORDER BY rscore DESC, doc_id ASC
+LIMIT {k}
+"""

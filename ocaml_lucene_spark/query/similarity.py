@@ -242,3 +242,93 @@ def bm25_topk_analyzed(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def bm25_pinned_topk(
+    docs: DataFrame,
+    terms: list[str],
+    pinned_ids: list[int],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> DataFrame:
+    """Pinned query (the Elasticsearch `pinned` query): the listed doc
+    ids rank FIRST, in the given order, whether or not they match the
+    organic query (non-matching pinned docs carry score 0.0); organic
+    results follow in (score desc, doc_id) with pinned ids removed.
+    Returns (doc_id, score, pinned) limit k.
+
+    Plan: the pinned list is driver-literal (a handful of ids) — it
+    broadcasts into the score table; ordering is a two-group sort key
+    (group, position | score), still TakeOrderedAndProject."""
+    from .grouping import _bm25_doc_scores
+
+    pinned_ids = list(dict.fromkeys(int(i) for i in pinned_ids))
+    spark = docs.sparkSession
+    scores = _bm25_doc_scores(docs, terms, id_col, text_col, round_to)
+    pin = spark.createDataFrame(
+        [(d, p) for p, d in enumerate(pinned_ids)], "doc_id long, _pos int"
+    )
+    joined = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(scores, "doc_id", "left")
+        .withColumn("score", F.coalesce(F.col("score"), F.lit(0.0)))
+        .join(F.broadcast(pin), "doc_id", "left")
+    )
+    # organic rows without a score never matched: drop unless pinned
+    out = joined.filter(F.col("_pos").isNotNull() | (F.col("score") > 0.0))
+    return (
+        out.select(
+            "doc_id",
+            "score",
+            F.col("_pos").isNotNull().alias("pinned"),
+            F.coalesce(F.col("_pos"), F.lit(2147483647)).alias("_ord"),
+        )
+        .orderBy(
+            F.desc("pinned"), F.asc("_ord"), F.desc("score"), F.asc("doc_id")
+        )
+        .select("doc_id", "score", "pinned")
+        .limit(k)
+    )
+
+
+def random_score_topk(
+    docs: DataFrame,
+    must_term: str,
+    seed: int = 7,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """function_score random_score with a seed + field (the ES
+    deterministic-shuffle idiom): matching docs rank by
+    u = md5(doc_id|seed)/16^15 — a pure function of (doc_id, seed),
+    identical across runs/partitionings/cluster sizes, replayable in
+    SQL (the sample_stratified uniform). Returns (doc_id, rscore)
+    ordered (rscore desc, doc_id) limit k — the reproducible random
+    eval-subset draw a training pipeline uses."""
+    from .bm25 import _tokenized
+
+    toks = _tokenized(docs, id_col, text_col)
+    match = toks.filter(F.array_contains("toks", must_term)).select("doc_id")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws("|", F.col("doc_id").cast("string"), F.lit(str(seed)))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(16**15))
+    )
+    return (
+        match.select("doc_id", F.round(u, round_to).alias("rscore"))
+        .orderBy(F.desc("rscore"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -657,3 +657,35 @@ def test_combined_fields_weight_one_single_field_reduces_to_bm25(spark):
     ).collect()]
     b = [tuple(r) for r in bm25_topk(docs, ["table", "hash"], k=20, round_to=4).collect()]
     assert a == b
+
+
+def test_pinned_order_and_unmatched_pinned_doc(spark):
+    from ocaml_lucene_spark.query.similarity import bm25_pinned_topk
+
+    rows = [
+        (0, "table table table"),
+        (1, "table x"),
+        (2, "nothing relevant"),
+        (3, "table y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r.doc_id, r.pinned, r.score) for r in bm25_pinned_topk(
+        df, ["table"], [3, 2], k=10
+    ).collect()]
+    # pinned first IN LIST ORDER (3 then 2 — 2 does not match, score 0)
+    assert [g[0] for g in got[:2]] == [3, 2]
+    assert got[0][1] is True and got[1] == (2, True, 0.0)
+    # organic follows, best first, pinned ids absent
+    assert [g[0] for g in got[2:]] == [0, 1]
+    assert all(g[1] is False for g in got[2:])
+
+
+def test_random_score_is_partitioning_invariant(spark):
+    from ocaml_lucene_spark.query.similarity import random_score_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = [tuple(r) for r in random_score_topk(docs, "table", seed=7, k=25).collect()]
+    b = [tuple(r) for r in random_score_topk(docs.repartition(13), "table", seed=7, k=25).collect()]
+    assert a == b
+    c = [tuple(r) for r in random_score_topk(docs, "table", seed=8, k=25).collect()]
+    assert a != c
