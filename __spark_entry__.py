@@ -1155,6 +1155,15 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
             spark.read.parquet(f"{sf}/events.parquet"), window=3
         )
 
+    def q_clean_dedup_select(spark, sf):
+        # END-TO-END training-data pipeline: Gopher cleaning -> exact
+        # dedup among survivors -> quality-ranked token-budget prefix;
+        # the gate pins the stage BOUNDARIES, each stage being
+        # individually green elsewhere
+        from ocaml_lucene_spark.operators.pipeline import clean_dedup_select
+
+        return clean_dedup_select(_docs(spark, sf), budget=8000)
+
     def q_bm25_pinned(spark, sf):
         # ES pinned query: promoted ids first in list order (id 9999
         # does not exist and id 3 may not match — both paths covered),
@@ -1666,7 +1675,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # the previous round's freshly-checked head moves to the tail.
     # Round-6 order: (1) the 41 entries cut from the r5 run (last
     # driver-checked in r4 — the rotation obligation from the r5
-    # verdict); (2) 9 NEW r6 rows inside the 50-row window; (3) 38 MORE
+    # verdict); (2) 9 NEW r6 rows inside the 50-row window; (3) 39 MORE
     # new r6 rows that did not fit the cap (ngram_contamination,
     # repetition_signals, unigram_logprob, sort_by_field,
     # pack_sequences, sample_stratified,
@@ -1678,7 +1687,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # extended_stats, rare_terms, multi_terms, token_budget_select,
     # matrix_stats, moving_avg, gopher_quality_filter, streamed_sessions, knn_filtered,
     # date_range_facets, auto_date_histogram, snippet_topk,
-    # bm25_combined_fields, bm25_pinned, random_score —
+    # bm25_combined_fields, bm25_pinned, random_score, clean_dedup_select —
     # replica-verified locally,
     # never driver-checked); (4) the 50 r5-checked entries as the
     # sacrificial tail, in their r5 order.
@@ -1783,6 +1792,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "bm25_combined_fields": q_bm25_combined_fields,
         "bm25_pinned": q_bm25_pinned,
         "random_score": q_random_score,
+        "clean_dedup_select": q_clean_dedup_select,
         # -- r5-checked tail: sacrificial under a 50-row cut (all 50
         #    full-passed in CORRECTNESS_r05 except bigram_collocations,
         #    whose signed-zero fix is replica-verified this round) --
@@ -2076,6 +2086,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_pinned": osql.bm25_pinned_topk_sql(["table", "hash"], [42, 7, 3], k=10),
         "random_score": osql.random_score_topk_sql("table", seed=7, k=10),
+        "clean_dedup_select": oops.clean_dedup_select_sql(budget=8000),
     }
     return {
         k: (_canon_sql(sql) if k in _CANON_ORDER else sql) for k, sql in out.items()

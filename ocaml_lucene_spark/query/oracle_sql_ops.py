@@ -717,21 +717,20 @@ ORDER BY doc_id
 """
 
 
-def gopher_quality_filter_sql(
-    min_tokens: int = 20,
-    max_tokens: int = 90,
-    min_avg_token_len: float = 2.0,
-    max_avg_token_len: float = 4.8,
-    min_alnum_ratio: float = 0.8,
-    min_stopword_ratio: float = 0.005,
-    max_dup_3gram_frac: float = 0.1,
-    max_top_2gram_frac: float = 0.08,
+def _gopher_rule_ctes(
+    min_tokens: int,
+    max_tokens: int,
+    min_avg_token_len: float,
+    max_avg_token_len: float,
+    min_alnum_ratio: float,
+    min_stopword_ratio: float,
+    max_dup_3gram_frac: float,
+    max_top_2gram_frac: float,
 ) -> str:
-    """Gopher-rule-filter oracle (functions/textstats
-    gopher_quality_filter): recomputes the quality + repetition
-    metrics independently (the two source oracles' expressions), then
-    evaluates the same fixed-order rule list; every float literal is
-    ::DOUBLE so DuckDB's DECIMAL literals never enter the compare."""
+    """Shared WITH-body: quality + repetition metrics -> per-doc
+    failed-rule list (CTE `f`); used by gopher_quality_filter_sql and
+    the clean->dedup->select pipeline oracle so the rule semantics
+    cannot drift between them."""
     from ..functions.textstats import LANG_PROFILES
 
     en = "[" + ", ".join(f"'{w}'" for w in LANG_PROFILES["en"]) + "]"
@@ -748,8 +747,7 @@ def gopher_quality_filter_sql(
     arr = ", ".join(
         f"CASE WHEN {cond} THEN '{name}' ELSE NULL END" for name, cond in rules
     )
-    return f"""
-WITH base AS (
+    return f"""base AS (
   SELECT doc_id, text, {TOKS} AS t FROM documents
 ),
 qm AS (
@@ -787,13 +785,88 @@ f AS (
   SELECT q.doc_id,
          list_filter([{arr}], x -> x IS NOT NULL) AS failed_list
   FROM q JOIN r ON q.doc_id = r.doc_id
-)
+)"""
+
+
+def gopher_quality_filter_sql(
+    min_tokens: int = 20,
+    max_tokens: int = 90,
+    min_avg_token_len: float = 2.0,
+    max_avg_token_len: float = 4.8,
+    min_alnum_ratio: float = 0.8,
+    min_stopword_ratio: float = 0.005,
+    max_dup_3gram_frac: float = 0.1,
+    max_top_2gram_frac: float = 0.08,
+) -> str:
+    """Gopher-rule-filter oracle (functions/textstats
+    gopher_quality_filter): recomputes the quality + repetition
+    metrics independently (the two source oracles' expressions), then
+    evaluates the same fixed-order rule list; every float literal is
+    ::DOUBLE so DuckDB's DECIMAL literals never enter the compare."""
+    ctes = _gopher_rule_ctes(
+        min_tokens, max_tokens, min_avg_token_len, max_avg_token_len,
+        min_alnum_ratio, min_stopword_ratio, max_dup_3gram_frac,
+        max_top_2gram_frac,
+    )
+    return f"""
+WITH {ctes}
 SELECT doc_id,
        len(failed_list) = 0 AS keep,
        len(failed_list)::BIGINT AS n_failed,
        coalesce(list_aggregate(failed_list, 'string_agg', ','), '') AS failed
 FROM f
 ORDER BY doc_id
+"""
+
+
+def clean_dedup_select_sql(
+    budget: int,
+    min_tokens: int = 20,
+    max_tokens: int = 90,
+    min_avg_token_len: float = 2.0,
+    max_avg_token_len: float = 4.8,
+    min_alnum_ratio: float = 0.8,
+    min_stopword_ratio: float = 0.005,
+    max_dup_3gram_frac: float = 0.1,
+    max_top_2gram_frac: float = 0.08,
+) -> str:
+    """Oracle for the end-to-end training-data pipeline
+    (operators/pipeline.clean_dedup_select): Gopher cleaning (shared
+    rule CTEs) -> exact dedup (min doc_id per md5(text) among kept) ->
+    lexical-diversity-ranked greedy token-budget prefix (the
+    token_budget_select window formulation)."""
+    ctes = _gopher_rule_ctes(
+        min_tokens, max_tokens, min_avg_token_len, max_avg_token_len,
+        min_alnum_ratio, min_stopword_ratio, max_dup_3gram_frac,
+        max_top_2gram_frac,
+    )
+    return f"""
+WITH {ctes},
+kept AS (SELECT doc_id FROM f WHERE len(failed_list) = 0),
+canon AS (
+  SELECT min(d.doc_id) AS doc_id
+  FROM documents d JOIN kept USING (doc_id)
+  GROUP BY md5(d.text)
+),
+sel AS (
+  SELECT b.doc_id,
+         CASE WHEN len(b.t) > 0
+              THEN round(len(list_distinct(b.t))::BIGINT / len(b.t)::DOUBLE, 4)
+              ELSE 0 END AS score,
+         len(b.t)::BIGINT AS n_tokens
+  FROM base b JOIN canon USING (doc_id)
+),
+c AS (
+  SELECT doc_id, score, n_tokens,
+         sum(n_tokens) OVER (
+           ORDER BY score DESC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM sel
+)
+SELECT doc_id, score, n_tokens FROM c
+WHERE cum <= {int(budget)}
+ORDER BY score DESC, doc_id ASC
 """
 
 

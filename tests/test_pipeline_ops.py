@@ -531,3 +531,26 @@ def test_gopher_quality_filter_rules_fire_individually(spark):
              "avg_token_len_high", "alnum_ratio_low", "stopword_ratio_low",
              "dup_3gram_high", "top_2gram_high"].index,
     )
+
+
+def test_clean_dedup_select_stage_boundaries(spark):
+    from ocaml_lucene_spark.operators.pipeline import clean_dedup_select
+
+    stop = "the of and to in is was for on as"
+    clean_a = stop + " planet bridge stream forest window silver market garden rocket violet"
+    clean_b = stop + " carbon helium silica cobalt nickel copper indium gallium barium cesium"
+    rows = [
+        (0, clean_a),          # kept, canonical of the dup pair
+        (1, clean_a),          # exact dup of 0 -> dropped by dedup
+        (2, clean_b),          # kept
+        (3, "tiny"),           # fails cleaning
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    all_in = [
+        (r.doc_id, r.n_tokens)
+        for r in clean_dedup_select(df, budget=10_000).collect()
+    ]
+    assert sorted(d for d, _ in all_in) == [0, 2]  # dup + dirty gone
+    # budget binds: only the best-ranked doc fits half the tokens
+    tight = clean_dedup_select(df, budget=all_in[0][1]).collect()
+    assert len(tight) == 1
