@@ -424,3 +424,34 @@ def test_rare_terms_cut_is_take_ordered(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = _plan(rare_terms(docs, max_doc_count=385, limit=100))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_snippet_tokenize_is_candidate_bounded(spark):
+    """snippet_topk must broadcast the k-row top-k into the tokenized
+    scan (BroadcastHashJoin) — the window-counting self-join only ever
+    sees the k result docs' tokens, never the corpus."""
+    from ocaml_lucene_spark.query.highlight import snippet_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(snippet_topk(docs, ["table", "hash"], k=10, width=8))
+    assert "BroadcastHashJoin" in plan, plan
+    # (the one BroadcastNestedLoopJoin is bm25's 1-row corpus-stats
+    # cross join — a broadcast by construction, present in every
+    # logical bm25 plan)
+    assert "CartesianProduct" not in plan
+
+
+def test_combined_fields_single_dl_projection_no_cartesian(spark):
+    """combined_fields computes every field's weighted dl in ONE
+    projection (no per-field join) and broadcasts df/stats — the only
+    non-broadcast join keys on doc_id."""
+    from ocaml_lucene_spark.query.bm25 import bm25_topk_combined_fields
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(
+        bm25_topk_combined_fields(docs, ["table", "src3"], {"text": 1.0, "source": 2.0})
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan
+    # dl is one pass over (text, source): the scan never reads more
+    assert _read_schema_cols(plan) <= {"doc_id", "text", "source"}
