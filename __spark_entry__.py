@@ -947,6 +947,26 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
             pre=2, post=2,
         )
 
+    def q_span_containing(spark, sf):
+        # SpanContainingQuery: ordered near(table, hash, slop=3) big
+        # spans that contain a 'scan' occurrence
+        from ocaml_lucene_spark.query.exec import span_containing_indexed
+
+        return span_containing_indexed(
+            spark, _ensure_index(spark, sf, positions=True),
+            "table", "hash", "scan", slop=3,
+        )
+
+    def q_span_within(spark, sf):
+        # SpanWithinQuery: 'scan' occurrences sitting inside an
+        # ordered near(table, hash, slop=3) span — the dual
+        from ocaml_lucene_spark.query.exec import span_within_indexed
+
+        return span_within_indexed(
+            spark, _ensure_index(spark, sf, positions=True),
+            "scan", "table", "hash", slop=3,
+        )
+
     def q_percentiles_agg(spark, sf):
         # percentiles agg (ES, exact mode): per-lang linear-interp
         # p50/p90/p99 of n_chars — Spark percentile() and DuckDB
@@ -1675,7 +1695,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # the previous round's freshly-checked head moves to the tail.
     # Round-6 order: (1) the 41 entries cut from the r5 run (last
     # driver-checked in r4 — the rotation obligation from the r5
-    # verdict); (2) 9 NEW r6 rows inside the 50-row window; (3) 39 MORE
+    # verdict); (2) 9 NEW r6 rows inside the 50-row window; (3) 41 MORE
     # new r6 rows that did not fit the cap (ngram_contamination,
     # repetition_signals, unigram_logprob, sort_by_field,
     # pack_sequences, sample_stratified,
@@ -1687,7 +1707,8 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # extended_stats, rare_terms, multi_terms, token_budget_select,
     # matrix_stats, moving_avg, gopher_quality_filter, streamed_sessions, knn_filtered,
     # date_range_facets, auto_date_histogram, snippet_topk,
-    # bm25_combined_fields, bm25_pinned, random_score, clean_dedup_select —
+    # bm25_combined_fields, bm25_pinned, random_score, clean_dedup_select,
+    # span_containing, span_within —
     # replica-verified locally,
     # never driver-checked); (4) the 50 r5-checked entries as the
     # sacrificial tail, in their r5 order.
@@ -1793,6 +1814,8 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "bm25_pinned": q_bm25_pinned,
         "random_score": q_random_score,
         "clean_dedup_select": q_clean_dedup_select,
+        "span_containing": q_span_containing,
+        "span_within": q_span_within,
         # -- r5-checked tail: sacrificial under a 50-row cut (all 50
         #    full-passed in CORRECTNESS_r05 except bigram_collocations,
         #    whose signed-zero fix is replica-verified this round) --
@@ -2087,6 +2110,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_pinned": osql.bm25_pinned_topk_sql(["table", "hash"], [42, 7, 3], k=10),
         "random_score": osql.random_score_topk_sql("table", seed=7, k=10),
         "clean_dedup_select": oops.clean_dedup_select_sql(budget=8000),
+        "span_containing": osql.span_containing_sql("table", "hash", "scan", slop=3),
+        "span_within": osql.span_within_sql("scan", "table", "hash", slop=3),
     }
     return {
         k: (_canon_sql(sql) if k in _CANON_ORDER else sql) for k, sql in out.items()

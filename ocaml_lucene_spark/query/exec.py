@@ -1761,3 +1761,89 @@ def search_sort_by_field_indexed(
         .limit(k)
         .select("doc_id", field_col)
     )
+
+
+def span_containing_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    first: str,
+    second: str,
+    inner: str,
+    slop: int = 3,
+) -> DataFrame:
+    """SpanContainingQuery: spans of `big` = ordered near(first,
+    second, slop) that CONTAIN an occurrence of ``inner`` (Lucene
+    containment over [start, end) spans: p1 <= p <= p2 for the
+    single-term little span). Returns (doc_id, n_spans) — the count
+    of DISTINCT containing big spans — ordered by doc_id.
+
+    Plan: ONE term-pushdown .pos decode for all three terms, the
+    ordered-near band join forms big spans, then a left-semi position
+    join keeps spans containing an inner hit — pairs beyond the
+    containment check never materialize."""
+    flat = flat_positions_df(spark, index_dir, [first, second, inner])
+    a = flat.filter(F.col("term") == first).select("doc_id", F.col("p").alias("p1"))
+    b = flat.filter(F.col("term") == second).select(
+        F.col("doc_id").alias("doc_id_b"), F.col("p").alias("p2")
+    )
+    big = a.join(
+        b,
+        (F.col("doc_id") == F.col("doc_id_b"))
+        & (F.col("p2") - F.col("p1") > 0)
+        & (F.col("p2") - F.col("p1") <= slop + 1),
+    ).select("doc_id", "p1", "p2")
+    inn = flat.filter(F.col("term") == inner).select(
+        F.col("doc_id").alias("doc_id_i"), F.col("p").alias("pi")
+    )
+    containing = big.join(
+        inn,
+        (F.col("doc_id") == F.col("doc_id_i"))
+        & (F.col("pi") >= F.col("p1"))
+        & (F.col("pi") <= F.col("p2")),
+        "left_semi",
+    )
+    # big rows are already distinct (p1, p2) pairs — positions are
+    # unique per term — and the semi-join preserves that; no distinct
+    # (it would add a shuffle)
+    out = containing.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    return _deleted_filter(spark, index_dir, out).orderBy("doc_id")
+
+
+def span_within_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    inner: str,
+    first: str,
+    second: str,
+    slop: int = 3,
+) -> DataFrame:
+    """SpanWithinQuery: occurrences of ``inner`` that sit WITHIN a
+    span of big = ordered near(first, second, slop) — the dual of
+    span_containing (little survives instead of big). Returns
+    (doc_id, n_spans, first_pos) over surviving inner occurrences,
+    ordered by doc_id. Same single-decode + semi-join plan."""
+    flat = flat_positions_df(spark, index_dir, [first, second, inner])
+    a = flat.filter(F.col("term") == first).select(
+        F.col("doc_id").alias("doc_id_a"), F.col("p").alias("p1")
+    )
+    b = flat.filter(F.col("term") == second).select(
+        F.col("doc_id").alias("doc_id_b"), F.col("p").alias("p2")
+    )
+    big = a.join(
+        b,
+        (F.col("doc_id_a") == F.col("doc_id_b"))
+        & (F.col("p2") - F.col("p1") > 0)
+        & (F.col("p2") - F.col("p1") <= slop + 1),
+    ).select(F.col("doc_id_a"), "p1", "p2")
+    inn = flat.filter(F.col("term") == inner).select("doc_id", F.col("p").alias("pi"))
+    within = inn.join(
+        big,
+        (F.col("doc_id") == F.col("doc_id_a"))
+        & (F.col("pi") >= F.col("p1"))
+        & (F.col("pi") <= F.col("p2")),
+        "left_semi",
+    )
+    out = within.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"), F.min("pi").alias("first_pos")
+    )
+    return _deleted_filter(spark, index_dir, out).orderBy("doc_id")

@@ -2623,3 +2623,62 @@ FROM match
 ORDER BY rscore DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def span_containing_sql(
+    first: str, second: str, inner: str, slop: int = 3
+) -> str:
+    """SpanContaining oracle (query/exec.py span_containing_indexed):
+    distinct ordered-near big spans containing an inner occurrence."""
+    f = first.replace("'", "''")
+    s = second.replace("'", "''")
+    i = inner.replace("'", "''")
+    return f"""
+WITH {TOKS_CTE},
+pos AS (
+  SELECT doc_id, unnest(t) AS term, unnest(range(len(t))) AS p FROM base
+),
+big AS (
+  SELECT a.doc_id, a.p1, b.p2
+  FROM (SELECT doc_id, p AS p1 FROM pos WHERE term = '{f}') a
+  JOIN (SELECT doc_id, p AS p2 FROM pos WHERE term = '{s}') b
+    ON a.doc_id = b.doc_id AND b.p2 - a.p1 > 0 AND b.p2 - a.p1 <= {slop + 1}
+),
+containing AS (
+  SELECT DISTINCT big.doc_id, big.p1, big.p2
+  FROM big JOIN (SELECT doc_id, p AS pi FROM pos WHERE term = '{i}') inn
+    ON big.doc_id = inn.doc_id AND inn.pi >= big.p1 AND inn.pi <= big.p2
+)
+SELECT doc_id, count(*)::BIGINT AS n_spans
+FROM containing GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def span_within_sql(
+    inner: str, first: str, second: str, slop: int = 3
+) -> str:
+    """SpanWithin oracle (query/exec.py span_within_indexed): inner
+    occurrences inside an ordered-near big span."""
+    f = first.replace("'", "''")
+    s = second.replace("'", "''")
+    i = inner.replace("'", "''")
+    return f"""
+WITH {TOKS_CTE},
+pos AS (
+  SELECT doc_id, unnest(t) AS term, unnest(range(len(t))) AS p FROM base
+),
+big AS (
+  SELECT a.doc_id, a.p1, b.p2
+  FROM (SELECT doc_id, p AS p1 FROM pos WHERE term = '{f}') a
+  JOIN (SELECT doc_id, p AS p2 FROM pos WHERE term = '{s}') b
+    ON a.doc_id = b.doc_id AND b.p2 - a.p1 > 0 AND b.p2 - a.p1 <= {slop + 1}
+),
+within AS (
+  SELECT DISTINCT inn.doc_id, inn.pi
+  FROM (SELECT doc_id, p AS pi FROM pos WHERE term = '{i}') inn
+  JOIN big ON big.doc_id = inn.doc_id
+          AND inn.pi >= big.p1 AND inn.pi <= big.p2
+)
+SELECT doc_id, count(*)::BIGINT AS n_spans, min(pi)::BIGINT AS first_pos
+FROM within GROUP BY doc_id ORDER BY doc_id
+"""

@@ -433,3 +433,44 @@ def test_phrase_prefix_exact_term_prefix_equals_phrase_counts(spark, pos_index):
     got = {r.doc_id: r.n_matches for r in phrase_prefix_counts_indexed(spark, index_dir, a, prefix).collect()}
     want = {r.doc_id: r.n_phrase for r in phrase_counts_indexed(spark, index_dir, a, b).collect()}
     assert got == want
+
+
+def test_span_containing_and_within_python_reference(spark, pos_index):
+    from ocaml_lucene_spark.query.exec import (
+        span_containing_indexed,
+        span_within_indexed,
+    )
+
+    index_dir, oracle = pos_index
+    a, b = _common_pair(oracle)
+    toks = _doc_tokens(oracle)
+    # inner = the most frequent term overall (best containment odds)
+    from collections import Counter
+
+    inner = Counter(t for ts in toks.values() for t in ts).most_common(1)[0][0]
+    slop = 3
+    want_contain, want_within = {}, {}
+    for d, ts in toks.items():
+        p1s = [i for i, t in enumerate(ts) if t == a]
+        p2s = [i for i, t in enumerate(ts) if t == b]
+        pis = [i for i, t in enumerate(ts) if t == inner]
+        big = [
+            (x, y) for x in p1s for y in p2s if 0 < y - x <= slop + 1
+        ]
+        contain = {(x, y) for (x, y) in big if any(x <= p <= y for p in pis)}
+        within = {p for p in pis if any(x <= p <= y for (x, y) in big)}
+        if contain:
+            want_contain[d] = len(contain)
+        if within:
+            want_within[d] = (len(within), min(within))
+    got_c = {
+        r.doc_id: r.n_spans
+        for r in span_containing_indexed(spark, index_dir, a, b, inner, slop).collect()
+    }
+    got_w = {
+        r.doc_id: (r.n_spans, r.first_pos)
+        for r in span_within_indexed(spark, index_dir, inner, a, b, slop).collect()
+    }
+    assert got_c == want_contain
+    assert got_w == want_within
+    assert want_contain, "corpus must exercise containment"
