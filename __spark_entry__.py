@@ -1029,6 +1029,34 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
 
         return date_histogram_pipeline(spark.read.parquet(f"{sf}/events.parquet"))
 
+    def q_bucket_selector(spark, sf):
+        # ES bucket_selector (the aggregation DSL's HAVING): survival
+        # compares INTEGER quantize-units to an integer threshold —
+        # exact on both engines; ordered (key, bucket)
+        from ocaml_lucene_spark.query.grouping import bucket_selector
+
+        return bucket_selector(
+            spark.read.parquet(f"{sf}/events.parquet"), min_sum=3300.0
+        )
+
+    def q_bucket_sort(spark, sf):
+        # ES bucket_sort with from/size: total order (sum_value DESC,
+        # key, bucket) over integer-units sums, offset 2 + limit 12 —
+        # the cut is exact on both engines
+        from ocaml_lucene_spark.query.grouping import bucket_sort
+
+        return bucket_sort(
+            spark.read.parquet(f"{sf}/events.parquet"), size=12, from_=2
+        )
+
+    def q_serial_diff(spark, sf):
+        # ES serial_diff (lag=7 on daily buckets = week-over-week):
+        # long-units lag difference, divided back once; the signed
+        # diff carries +0.0; NULL for each key's first 7 buckets
+        from ocaml_lucene_spark.query.grouping import serial_diff
+
+        return serial_diff(spark.read.parquet(f"{sf}/events.parquet"), lag=7)
+
     def q_intervals_unordered(spark, sf):
         # Intervals.unordered + maxgaps: minimal unordered intervals
         # are the label-alternating ADJACENT pairs of the merged
@@ -1708,7 +1736,8 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # matrix_stats, moving_avg, gopher_quality_filter, streamed_sessions, knn_filtered,
     # date_range_facets, auto_date_histogram, snippet_topk,
     # bm25_combined_fields, bm25_pinned, random_score, clean_dedup_select,
-    # span_containing, span_within —
+    # span_containing, span_within, bucket_selector, bucket_sort,
+    # serial_diff —
     # replica-verified locally,
     # never driver-checked); (4) the 50 r5-checked entries as the
     # sacrificial tail, in their r5 order.
@@ -1816,6 +1845,9 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "clean_dedup_select": q_clean_dedup_select,
         "span_containing": q_span_containing,
         "span_within": q_span_within,
+        "bucket_selector": q_bucket_selector,
+        "bucket_sort": q_bucket_sort,
+        "serial_diff": q_serial_diff,
         # -- r5-checked tail: sacrificial under a 50-row cut (all 50
         #    full-passed in CORRECTNESS_r05 except bigram_collocations,
         #    whose signed-zero fix is replica-verified this round) --
@@ -2112,6 +2144,9 @@ def oracle_sql() -> dict[str, str]:
         "clean_dedup_select": oops.clean_dedup_select_sql(budget=8000),
         "span_containing": osql.span_containing_sql("table", "hash", "scan", slop=3),
         "span_within": osql.span_within_sql("scan", "table", "hash", slop=3),
+        "bucket_selector": osql.bucket_selector_sql(min_sum=3300.0),
+        "bucket_sort": osql.bucket_sort_sql(size=12, from_=2),
+        "serial_diff": osql.serial_diff_sql(lag=7),
     }
     return {
         k: (_canon_sql(sql) if k in _CANON_ORDER else sql) for k, sql in out.items()

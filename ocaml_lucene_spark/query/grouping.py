@@ -1056,6 +1056,153 @@ def date_histogram_moving_avg(
     ).orderBy("key", "bucket")
 
 
+def _quantized_key_histogram(
+    events: DataFrame,
+    ts_col: str,
+    key_col: str,
+    interval: str,
+    value_col: str,
+    quantize: int,
+) -> DataFrame:
+    """Shared per-(key, bucket) integer histogram: (key, bucket,
+    n_events, _q) where _q is the value sum in INTEGER quantize-units
+    (the _quantized_sum convention — order-independent long folds).
+    One groupBy with map-side partial aggregation; every bucket-
+    pipeline agg below runs over its |buckets x keys| output, never
+    the raw events."""
+    fmt = {"day": "yyyy-MM-dd", "hour": "yyyy-MM-dd HH:00"}[interval]
+    bucket = F.date_format(F.date_trunc(interval, F.col(ts_col)), fmt).alias("bucket")
+    return events.groupBy(F.col(key_col).alias("key"), bucket).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col(value_col) * quantize, 0).cast("long")).alias("_q"),
+    )
+
+
+def bucket_selector(
+    events: DataFrame,
+    min_sum: float,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    interval: str = "day",
+    value_col: str = "value",
+    quantize: int = 100,
+) -> DataFrame:
+    """Bucket-selector pipeline aggregation (the Elasticsearch
+    `bucket_selector` agg): keep only histogram buckets whose value
+    sum passes the predicate (sum_value > min_sum) — the HAVING of the
+    aggregation DSL. Returns (key, bucket, n_events, sum_value)
+    ordered by (key, bucket).
+
+    Determinism: the predicate compares INTEGER quantize-units against
+    an integer threshold (min_sum must be a short decimal with at most
+    1/quantize precision — asserted), so bucket survival can never
+    depend on float rounding; the emitted sum divides the long back
+    once (shared _quantized_sum convention).
+
+    Scale shape: the filter runs AFTER the histogram groupBy, over
+    |buckets x keys| rows — a projection, no extra shuffle."""
+    thr = float(min_sum) * int(quantize)
+    thr_i = int(round(thr))
+    if abs(thr - thr_i) > 1e-9:
+        raise ValueError(
+            f"min_sum={min_sum} has more precision than 1/{quantize} "
+            "— the integer-units predicate would not be exact"
+        )
+    per = _quantized_key_histogram(events, ts_col, key_col, interval, value_col, quantize)
+    return (
+        per.filter(F.col("_q") > thr_i)
+        .select(
+            "key",
+            "bucket",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.round(F.col("_q").cast("double") / F.lit(float(quantize)), 4).alias(
+                "sum_value"
+            ),
+        )
+        .orderBy("key", "bucket")
+    )
+
+
+def bucket_sort(
+    events: DataFrame,
+    size: int = 12,
+    from_: int = 0,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    interval: str = "day",
+    value_col: str = "value",
+    quantize: int = 100,
+) -> DataFrame:
+    """Bucket-sort pipeline aggregation (the Elasticsearch
+    `bucket_sort` agg with from/size): order histogram buckets by
+    their metric and truncate — the "top N buckets by revenue" shape.
+    Returns (key, bucket, n_events, sum_value) in (sum_value DESC,
+    key, bucket) order, rows [from_, from_+size).
+
+    Determinism: the sort key is the integer-units sum (distinct longs
+    can't collide after the divide-back at quantize<=10^4 and 4dp
+    emission), tie-broken by (key, bucket) — a total order, so the
+    offset/limit cut is exact on both engines.
+
+    Scale shape: sort + limit over |buckets x keys| rows AFTER the
+    groupBy — TakeOrdered-sized, never a data-volume sort."""
+    per = _quantized_key_histogram(events, ts_col, key_col, interval, value_col, quantize)
+    out = (
+        per.select(
+            "key",
+            "bucket",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.round(F.col("_q").cast("double") / F.lit(float(quantize)), 4).alias(
+                "sum_value"
+            ),
+        )
+        .orderBy(F.desc("sum_value"), "key", "bucket")
+    )
+    if from_:
+        out = out.offset(int(from_))
+    return out.limit(int(size))
+
+
+def serial_diff(
+    events: DataFrame,
+    lag: int = 7,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    interval: str = "day",
+    value_col: str = "value",
+    quantize: int = 100,
+) -> DataFrame:
+    """Serial-differencing pipeline aggregation (the Elasticsearch
+    `serial_diff` agg): value_t - value_{t-lag} along each key's
+    bucket series — the seasonality-removal transform (lag=7 on daily
+    buckets differences week-over-week). Returns (key, bucket,
+    sum_value, diff_value) ordered by (key, bucket); diff_value is
+    NULL for each key's first ``lag`` buckets (the ES contract).
+
+    Determinism: the difference is LONG integer-units minus integer-
+    units — exact in any partial-aggregate order — divided back once;
+    it can go negative, so the rounded emission adds +0.0 (engine-wide
+    signed-zero rule). The lag is positional over the bucket-string
+    order within the key, same ORDER BY on both engines.
+
+    Scale shape: one window over |buckets x keys| rows partitioned by
+    key, after the histogram groupBy — no large-window hazard."""
+    if lag < 1:
+        raise ValueError("serial_diff needs lag >= 1")
+    per = _quantized_key_histogram(events, ts_col, key_col, interval, value_col, quantize)
+    w = Window.partitionBy("key").orderBy("bucket")
+    qd = F.lit(float(quantize))
+    lag_q = F.lag("_q", int(lag)).over(w)
+    return per.select(
+        "key",
+        "bucket",
+        F.round(F.col("_q").cast("double") / qd, 4).alias("sum_value"),
+        (F.round((F.col("_q") - lag_q).cast("double") / qd, 4) + F.lit(0.0)).alias(
+            "diff_value"
+        ),
+    ).orderBy("key", "bucket")
+
+
 def date_range_facets(
     events: DataFrame,
     ranges: list[tuple],

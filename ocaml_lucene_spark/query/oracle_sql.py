@@ -2015,6 +2015,82 @@ ORDER BY key, bucket
 """
 
 
+_QHIST_CTE = """
+per AS (
+  SELECT {key_col} AS key,
+         strftime(date_trunc('{interval}', ts), '{fmt}') AS bucket,
+         count(*)::BIGINT AS n_events,
+         sum(CAST(round(value * {quantize}, 0) AS BIGINT)) AS q
+  FROM events
+  GROUP BY 1, 2
+)"""
+
+
+def _qhist(interval: str, key_col: str, quantize: int) -> str:
+    fmt = {"day": "%Y-%m-%d", "hour": "%Y-%m-%d %H:00"}[interval]
+    return _QHIST_CTE.format(
+        key_col=key_col, interval=interval, fmt=fmt, quantize=quantize
+    )
+
+
+def bucket_selector_sql(
+    min_sum: float,
+    interval: str = "day",
+    key_col: str = "event_type",
+    quantize: int = 100,
+) -> str:
+    """Bucket-selector oracle (query/grouping.py bucket_selector): the
+    survival predicate compares INTEGER quantize-units to an integer
+    threshold — same exactness contract as the engine."""
+    thr_i = int(round(float(min_sum) * int(quantize)))
+    qd = f"{float(quantize)!r}::DOUBLE"
+    return f"""
+WITH {_qhist(interval, key_col, quantize)}
+SELECT key, bucket, n_events, round(q::DOUBLE / {qd}, 4) AS sum_value
+FROM per
+WHERE q > {thr_i}
+ORDER BY key, bucket
+"""
+
+
+def bucket_sort_sql(
+    size: int = 12,
+    from_: int = 0,
+    interval: str = "day",
+    key_col: str = "event_type",
+    quantize: int = 100,
+) -> str:
+    """Bucket-sort oracle: same total order (sum_value DESC, key,
+    bucket) and the same offset/limit cut as the engine."""
+    qd = f"{float(quantize)!r}::DOUBLE"
+    return f"""
+WITH {_qhist(interval, key_col, quantize)}
+SELECT key, bucket, n_events, round(q::DOUBLE / {qd}, 4) AS sum_value
+FROM per
+ORDER BY sum_value DESC, key, bucket
+LIMIT {int(size)} OFFSET {int(from_)}
+"""
+
+
+def serial_diff_sql(
+    lag: int = 7,
+    interval: str = "day",
+    key_col: str = "event_type",
+    quantize: int = 100,
+) -> str:
+    """Serial-diff oracle: long-units lag difference divided back at
+    emission, +0.0::DOUBLE on the signed column (signed-zero rule)."""
+    qd = f"{float(quantize)!r}::DOUBLE"
+    return f"""
+WITH {_qhist(interval, key_col, quantize)}
+SELECT key, bucket,
+       round(q::DOUBLE / {qd}, 4) AS sum_value,
+       round((q - lag(q, {int(lag)}) OVER (PARTITION BY key ORDER BY bucket))::DOUBLE / {qd}, 4) + 0.0::DOUBLE AS diff_value
+FROM per
+ORDER BY key, bucket
+"""
+
+
 def boilerplate_coverage_sql(k: int = 3, min_df: int = 5) -> str:
     """Boilerplate-coverage oracle (operators/boilerplate.py
     boilerplate_coverage): k-grams via the positional parallel unnest
