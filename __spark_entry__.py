@@ -1049,6 +1049,24 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
             spark.read.parquet(f"{sf}/events.parquet"), size=12, from_=2
         )
 
+    def q_weighted_avg(spark, sf):
+        # ES weighted_avg with the weight from the JSON props field:
+        # integer numerator/denominator, quotient rounded in integer
+        # arithmetic (_div_round_expr — the ratio-of-exact-integers
+        # rule); get_json_object <-> json_extract bit-identical on
+        # integer fields; ordered by key
+        from ocaml_lucene_spark.query.grouping import weighted_avg
+
+        return weighted_avg(spark.read.parquet(f"{sf}/events.parquet"))
+
+    def q_top_metrics(spark, sf):
+        # ES top_metrics (size=1): latest metric per key via ONE
+        # groupBy carrying max(struct(ts, id, value)) — never a
+        # window over raw events; ts emitted as epoch micros
+        from ocaml_lucene_spark.query.grouping import top_metrics
+
+        return top_metrics(spark.read.parquet(f"{sf}/events.parquet"))
+
     def q_serial_diff(spark, sf):
         # ES serial_diff (lag=7 on daily buckets = week-over-week):
         # long-units lag difference, divided back once; the signed
@@ -1737,7 +1755,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # date_range_facets, auto_date_histogram, snippet_topk,
     # bm25_combined_fields, bm25_pinned, random_score, clean_dedup_select,
     # span_containing, span_within, bucket_selector, bucket_sort,
-    # serial_diff —
+    # serial_diff, weighted_avg, top_metrics —
     # replica-verified locally,
     # never driver-checked); (4) the 50 r5-checked entries as the
     # sacrificial tail, in their r5 order.
@@ -1848,6 +1866,8 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "bucket_selector": q_bucket_selector,
         "bucket_sort": q_bucket_sort,
         "serial_diff": q_serial_diff,
+        "weighted_avg": q_weighted_avg,
+        "top_metrics": q_top_metrics,
         # -- r5-checked tail: sacrificial under a 50-row cut (all 50
         #    full-passed in CORRECTNESS_r05 except bigram_collocations,
         #    whose signed-zero fix is replica-verified this round) --
@@ -2147,6 +2167,8 @@ def oracle_sql() -> dict[str, str]:
         "bucket_selector": osql.bucket_selector_sql(min_sum=3300.0),
         "bucket_sort": osql.bucket_sort_sql(size=12, from_=2),
         "serial_diff": osql.serial_diff_sql(lag=7),
+        "weighted_avg": osql.weighted_avg_sql(),
+        "top_metrics": osql.top_metrics_sql(),
     }
     return {
         k: (_canon_sql(sql) if k in _CANON_ORDER else sql) for k, sql in out.items()

@@ -1056,6 +1056,99 @@ def date_histogram_moving_avg(
     ).orderBy("key", "bucket")
 
 
+def weighted_avg(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    props_col: str = "props",
+    weight_field: str = "k",
+    quantize: int = 100,
+    round_to: int = 4,
+) -> DataFrame:
+    """Weighted-average aggregation (the Elasticsearch `weighted_avg`
+    agg) with the weight pulled from a JSON object field — the
+    semi-structured `props` column a web-events table actually
+    carries. Returns (key, n_events, sum_weight, weighted_avg) =
+    sum(value·w) / sum(w) per key, ordered by key; NULL when a key's
+    weights sum to zero (the ES empty-weight contract).
+
+    Determinism: value snaps to integer quantize-units, the weight is
+    an integer JSON field, so numerator (Σ q·w) and denominator
+    (quantize·Σ w) are exact longs; the quotient — a RATIO OF EXACT
+    INTEGERS that can land on 4dp half-boundaries — rounds via
+    _div_round_expr (integer half-away-from-zero), never as a double.
+    JSON extraction is `get_json_object($.field)` ↔ DuckDB
+    `json_extract`, bit-identical for integer fields.
+
+    Scale shape: ONE groupBy with map-side partial aggregation — the
+    JSON parse is a per-row scan expression (codegen'd, no UDF), and
+    only |keys| rows cross the exchange."""
+    ten4 = 10 ** round_to
+    w = F.get_json_object(F.col(props_col), f"$.{weight_field}").cast("long")
+    q = F.round(F.col(value_col) * quantize, 0).cast("long")
+    agg = events.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(w).cast("decimal(38,0)").alias("_sw"),
+        F.sum(q * w).cast("decimal(38,0)").alias("_num"),
+    )
+    return agg.select(
+        "key",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("_sw").cast("long").alias("sum_weight"),
+        F.when(
+            F.col("_sw") > 0,
+            F.expr(
+                _div_round_expr("_num", f"{int(quantize)} * _sw", ten4)
+            ).cast("double")
+            / F.lit(float(ten4)),
+        ).alias("weighted_avg"),
+    ).orderBy("key")
+
+
+def top_metrics(
+    events: DataFrame,
+    key_col: str = "event_type",
+    sort_col: str = "ts",
+    metric_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Top-metrics aggregation (the Elasticsearch `top_metrics` agg,
+    size=1): per key, the metric value of the row with the LATEST sort
+    value — "last reading per sensor". Returns (key, ts_us, event_id,
+    top_value) ordered by key, with the sort bound emitted as an epoch
+    MICROSECOND integer (the session_windows contract: timestamps
+    never enter gate output).
+
+    Determinism: the winner is max(struct(ts, id, value)) — a
+    lexicographic max over (unique-ts, id) so ties on ts break on the
+    integer id, identical on both engines; no floats participate in
+    the ordering.
+
+    Scale shape: ONE groupBy carrying a constant-size struct through
+    map-side partial aggregation — deliberately NOT a window over the
+    raw events (a per-key sort of the full table); only |keys| rows
+    cross the exchange, the 100 TB plan you'd actually want."""
+    mx = F.max(
+        F.struct(
+            F.col(sort_col).alias("ts"),
+            F.col(id_col).alias("event_id"),
+            F.col(metric_col).alias("v"),
+        )
+    ).alias("_mx")
+    return (
+        events.groupBy(F.col(key_col).alias("key"))
+        .agg(mx)
+        .select(
+            "key",
+            # parquet ts reads as TIMESTAMP_NTZ; session TZ pinned UTC
+            F.unix_micros(F.col("_mx.ts").cast("timestamp")).alias("ts_us"),
+            F.col("_mx.event_id").cast("long").alias("event_id"),
+            F.round(F.col("_mx.v"), 4).alias("top_value"),
+        )
+        .orderBy("key")
+    )
+
+
 def _quantized_key_histogram(
     events: DataFrame,
     ts_col: str,

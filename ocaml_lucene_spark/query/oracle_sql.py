@@ -2354,6 +2354,57 @@ def _div_round4_sql(num: str, den: str, ten4: int = 10000) -> str:
     )
 
 
+def weighted_avg_sql(
+    key_col: str = "event_type",
+    weight_field: str = "k",
+    quantize: int = 100,
+    round_to: int = 4,
+) -> str:
+    """Weighted-avg oracle (query/grouping.py weighted_avg): HUGEINT
+    numerator/denominator, quotient rounded in integer arithmetic via
+    _div_round4_sql — the ratio-of-exact-integers rule; NULL on
+    zero-weight keys."""
+    t4 = 10 ** int(round_to)
+    t4f = f"{float(t4)!r}::DOUBLE"
+    return f"""
+WITH a AS (
+  SELECT {key_col} AS key,
+         count(*)::BIGINT AS n_events,
+         sum(json_extract(props, '$.{weight_field}')::BIGINT)::HUGEINT AS sw,
+         sum(CAST(round(value * {quantize}, 0) AS BIGINT)
+             * json_extract(props, '$.{weight_field}')::BIGINT)::HUGEINT AS num
+  FROM events
+  GROUP BY 1
+)
+SELECT key, n_events, sw::BIGINT AS sum_weight,
+       CASE WHEN sw > 0
+            THEN ({_div_round4_sql("num", f"{int(quantize)} * sw", t4)})::DOUBLE / {t4f}
+       END AS weighted_avg
+FROM a
+ORDER BY key
+"""
+
+
+def top_metrics_sql(key_col: str = "event_type") -> str:
+    """Top-metrics oracle (query/grouping.py top_metrics): latest row
+    per key by (ts DESC, event_id DESC) — the oracle replays it as a
+    window rank; the engine's max(struct) is the scale-safe
+    equivalent. epoch_us matches unix_micros under the pinned-UTC
+    session."""
+    return f"""
+SELECT {key_col} AS key,
+       epoch_us(ts) AS ts_us,
+       event_id::BIGINT AS event_id,
+       round(value, 4) AS top_value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY {key_col} ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+ORDER BY key
+"""
+
+
 def matrix_stats_sql(x_col: str = "n_chars", round_to: int = 4) -> str:
     """Matrix-stats oracle (query/grouping.py matrix_stats): exact
     HUGEINT moment sums over (x = stored column, y = token count);

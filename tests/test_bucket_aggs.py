@@ -14,6 +14,8 @@ from ocaml_lucene_spark.query.grouping import (
     bucket_selector,
     bucket_sort,
     serial_diff,
+    top_metrics,
+    weighted_avg,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -77,6 +79,51 @@ def test_serial_diff_hand_series(spark):
         ("2024-03-04", 5.0, 2.5),
         ("2024-03-05", 1.0, -1.0),
     ]
+
+
+def test_weighted_avg_matches_python(events):
+    import json
+
+    agg: dict[str, tuple] = {}
+    for r in events.select("event_type", "value", "props").collect():
+        k = json.loads(r.props)["k"]
+        n, sw, num = agg.get(r.event_type, (0, 0, 0))
+        agg[r.event_type] = (n + 1, sw + k, num + round(r.value * 100) * k)
+    got = {r.key: tuple(r)[1:] for r in weighted_avg(events).collect()}
+    assert set(got) == set(agg)
+    for k, (n, sw, num) in agg.items():
+        gn, gsw, gwa = got[k]
+        assert (gn, gsw) == (n, sw)
+        # integer-rounding reference (all values positive here):
+        # k = (2*N*10^4 + D) div 2D with D = 100*sw
+        want = (2 * num * 10**4 + 100 * sw) // (2 * 100 * sw)
+        assert gwa == want / 10**4, k
+
+
+def test_weighted_avg_zero_weight_key_is_null(spark):
+    rows = [("a", 5.0, '{"k": 0}'), ("a", 7.0, '{"k": 0}'), ("b", 2.0, '{"k": 3}')]
+    df = spark.createDataFrame(rows, "event_type string, value double, props string")
+    got = {r.key: (r.sum_weight, r.weighted_avg) for r in weighted_avg(df).collect()}
+    assert got["a"] == (0, None)
+    assert got["b"] == (3, 2.0)
+
+
+def test_top_metrics_is_latest_row_per_key(events):
+    want = {}
+    for r in events.select("event_type", "ts", "event_id", "value").collect():
+        cur = want.get(r.event_type)
+        key = (r.ts, r.event_id)
+        if cur is None or key > (cur[0], cur[1]):
+            want[r.event_type] = (r.ts, r.event_id, round(r.value, 4))
+    got = {r.key: (r.ts_us, r.event_id, r.top_value) for r in top_metrics(events).collect()}
+    assert set(got) == set(want)
+    epoch = dt.datetime(1970, 1, 1)
+    for k, (ts, eid, v) in want.items():
+        # exact epoch micros from timedelta components (float seconds
+        # would lose precision past 2^53 ns)
+        delta = ts - epoch
+        us = (delta.days * 86_400 + delta.seconds) * 1_000_000 + delta.microseconds
+        assert got[k] == (us, eid, v), k
 
 
 def test_serial_diff_null_prefix_per_key(events):
