@@ -1049,6 +1049,15 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
             spark.read.parquet(f"{sf}/events.parquet"), size=12, from_=2
         )
 
+    def q_terms_shard_topk(spark, sf):
+        # ES terms agg DISTRIBUTED semantics: per-shard top shard_size
+        # (shard = doc_id % 3, cluster-size-invariant), coordinator
+        # merge of returned counts only, doc_count_error_upper_bound
+        # per bucket; true df always in [doc_count, doc_count + err]
+        from ocaml_lucene_spark.query.grouping import terms_shard_topk
+
+        return terms_shard_topk(_docs(spark, sf))
+
     def q_weighted_avg(spark, sf):
         # ES weighted_avg with the weight from the JSON props field:
         # integer numerator/denominator, quotient rounded in integer
@@ -1755,7 +1764,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # date_range_facets, auto_date_histogram, snippet_topk,
     # bm25_combined_fields, bm25_pinned, random_score, clean_dedup_select,
     # span_containing, span_within, bucket_selector, bucket_sort,
-    # serial_diff, weighted_avg, top_metrics —
+    # serial_diff, weighted_avg, top_metrics, terms_shard_topk —
     # replica-verified locally,
     # never driver-checked); (4) the 50 r5-checked entries as the
     # sacrificial tail, in their r5 order.
@@ -1868,6 +1877,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "serial_diff": q_serial_diff,
         "weighted_avg": q_weighted_avg,
         "top_metrics": q_top_metrics,
+        "terms_shard_topk": q_terms_shard_topk,
         # -- r5-checked tail: sacrificial under a 50-row cut (all 50
         #    full-passed in CORRECTNESS_r05 except bigram_collocations,
         #    whose signed-zero fix is replica-verified this round) --
@@ -2169,6 +2179,7 @@ def oracle_sql() -> dict[str, str]:
         "serial_diff": osql.serial_diff_sql(lag=7),
         "weighted_avg": osql.weighted_avg_sql(),
         "top_metrics": osql.top_metrics_sql(),
+        "terms_shard_topk": osql.terms_shard_topk_sql(),
     }
     return {
         k: (_canon_sql(sql) if k in _CANON_ORDER else sql) for k, sql in out.items()

@@ -1392,3 +1392,82 @@ def auto_date_histogram(
         )
     out = date_histogram(events, ts_col, keys, interval, value_col, quantize)
     return out.select(F.lit(interval).alias("interval"), "*")
+
+
+def terms_shard_topk(
+    docs: DataFrame,
+    n_shards: int = 3,
+    shard_size: int = 15,
+    size: int = 30,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sharded terms aggregation with error bounds (the Elasticsearch
+    `terms` agg's DISTRIBUTED semantics: each shard returns only its
+    local top `shard_size` terms, the coordinator merges what it
+    received, and every returned bucket carries a
+    doc_count_error_upper_bound). Returns (term, doc_count,
+    error_upper) — doc_count sums only the counts the "shards"
+    actually returned (it can undercount, exactly like ES), and
+    error_upper = sum over non-returning shards of that shard's
+    last-returned count (0 for exhausted shards: a shard that
+    returned its whole term list can't be hiding anything). The true
+    df is ALWAYS in [doc_count, doc_count + error_upper] — the ES
+    guarantee, pinned by test.
+
+    Shards are doc_id % n_shards — a pure function of the doc id, so
+    the decomposition (and therefore the approximate counts) is
+    cluster-size- and partitioning-invariant, the same determinism
+    rule as docID assignment.
+
+    Determinism: per-shard ranking is (cnt DESC, term ASC) row_number
+    — a total order; all arithmetic is integer.
+
+    Scale shape: df per (shard, term) is the standard distinct +
+    groupBy shuffle; everything after runs over vocab-bounded rows
+    (Heaps law), with the per-shard window partitioned by shard and
+    the |shards|-row stats table broadcast. On a real cluster the
+    "shards" map to index segments and the per-shard pass is
+    segment-local — this operator demonstrates the coordinator merge
+    + error-bound algebra at full fidelity."""
+    from ..functions.analysis import tokens_col
+
+    occ = (
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("term")
+        )
+        .distinct()
+        .select((F.col("doc_id") % n_shards).alias("shard"), "term")
+    )
+    per = occ.groupBy("shard", "term").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("shard").orderBy(F.desc("cnt"), F.asc("term"))
+    ranked = per.select(
+        "shard",
+        "term",
+        "cnt",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("shard")).alias("n_terms"),
+    )
+    kept = ranked.filter(F.col("rn") <= int(shard_size))
+    sstat = kept.groupBy("shard").agg(
+        F.when(F.max("n_terms") <= int(shard_size), F.lit(0))
+        .otherwise(F.min("cnt"))
+        .cast("long")
+        .alias("last_eff")
+    )
+    total_err = sstat.agg(F.sum("last_eff").alias("_te"))
+    cand = (
+        kept.join(F.broadcast(sstat), "shard")
+        .groupBy("term")
+        .agg(
+            F.sum("cnt").cast("long").alias("doc_count"),
+            F.sum("last_eff").cast("long").alias("_covered"),
+        )
+        .crossJoin(F.broadcast(total_err))
+        .select(
+            "term",
+            "doc_count",
+            (F.col("_te") - F.col("_covered")).cast("long").alias("error_upper"),
+        )
+    )
+    return cand.orderBy(F.desc("doc_count"), "term").limit(int(size))

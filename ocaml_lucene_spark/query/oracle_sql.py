@@ -2405,6 +2405,48 @@ ORDER BY key
 """
 
 
+def terms_shard_topk_sql(
+    n_shards: int = 3, shard_size: int = 15, size: int = 30
+) -> str:
+    """Sharded-terms-agg oracle (query/grouping.py terms_shard_topk):
+    replays the full ES distributed algebra — per-shard (cnt DESC,
+    term) top shard_size, coordinator merge summing only RETURNED
+    counts, error_upper = sum of non-returning shards' last-returned
+    counts (0 for exhausted shards)."""
+    return f"""
+WITH {TOKS_CTE},
+occ AS (
+  -- distinct over (doc, term) BEFORE the shard projection: cnt must
+  -- count DOCS per (shard, term), not collapse a shard to one row
+  SELECT doc_id % {int(n_shards)} AS shard, term
+  FROM (SELECT DISTINCT doc_id, unnest(t) AS term FROM base)
+),
+per AS (SELECT shard, term, count(*)::BIGINT AS cnt FROM occ GROUP BY 1, 2),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY shard ORDER BY cnt DESC, term ASC) AS rn,
+         count(*) OVER (PARTITION BY shard) AS n_terms
+  FROM per
+),
+kept AS (SELECT * FROM ranked WHERE rn <= {int(shard_size)}),
+sstat AS (
+  SELECT shard,
+         CASE WHEN max(n_terms) <= {int(shard_size)} THEN 0 ELSE min(cnt) END::BIGINT AS last_eff
+  FROM kept GROUP BY shard
+),
+tot AS (SELECT sum(last_eff)::BIGINT AS te FROM sstat),
+cand AS (
+  SELECT term, sum(cnt)::BIGINT AS doc_count, sum(s.last_eff)::BIGINT AS covered
+  FROM kept k JOIN sstat s USING (shard)
+  GROUP BY term
+)
+SELECT term, doc_count, (tot.te - covered)::BIGINT AS error_upper
+FROM cand, tot
+ORDER BY doc_count DESC, term ASC
+LIMIT {int(size)}
+"""
+
+
 def matrix_stats_sql(x_col: str = "n_chars", round_to: int = 4) -> str:
     """Matrix-stats oracle (query/grouping.py matrix_stats): exact
     HUGEINT moment sums over (x = stored column, y = token count);

@@ -137,3 +137,69 @@ def test_serial_diff_null_prefix_per_key(events):
         # of every key are NULL, everything after is populated
         assert all(r.diff_value is None for r in series[:lag]), k
         assert all(r.diff_value is not None for r in series[lag:]), k
+
+
+def test_terms_shard_topk_bound_guarantee(spark):
+    """The ES contract: for every returned bucket, the TRUE doc count
+    lies in [doc_count, doc_count + error_upper] — checked against an
+    exact df computed with no sharding at all (non-circular)."""
+    from pyspark.sql import functions as F
+
+    from ocaml_lucene_spark.functions.analysis import tokens_col
+    from ocaml_lucene_spark.query.grouping import terms_shard_topk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = terms_shard_topk(docs, n_shards=3, shard_size=10, size=25).collect()
+    true_df = {
+        r.term: r.df
+        for r in docs.select(
+            F.col("doc_id"), F.explode(F.array_distinct(tokens_col("text"))).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .collect()
+    }
+    # candidate union is <= n_shards * shard_size; at sf0.001 with
+    # shard overlap that's ~21 terms — the cut, not the corpus, limits
+    assert 0 < len(got) <= 25
+    under = 0
+    for r in got:
+        t = true_df[r.term]
+        assert r.doc_count <= t <= r.doc_count + r.error_upper, (r, t)
+        under += int(r.doc_count < t)
+    # the approximation must actually bite somewhere at shard_size=10
+    # (otherwise the test is vacuous)
+    assert under > 0
+
+
+def test_terms_shard_topk_matches_python_replay(spark):
+    from ocaml_lucene_spark.functions.analysis import py_tokenize
+    from ocaml_lucene_spark.query.grouping import terms_shard_topk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_shards, shard_size, size = 3, 10, 25
+    per: dict[int, dict[str, int]] = {s: {} for s in range(n_shards)}
+    for r in docs.select("doc_id", "text").collect():
+        s = r.doc_id % n_shards
+        for t in set(py_tokenize(r.text)):
+            per[s][t] = per[s].get(t, 0) + 1
+    kept, last_eff = {}, {}
+    for s, cnts in per.items():
+        ranked = sorted(cnts.items(), key=lambda kv: (-kv[1], kv[0]))[:shard_size]
+        kept[s] = dict(ranked)
+        last_eff[s] = 0 if len(cnts) <= shard_size else min(c for _, c in ranked)
+    terms = {t for d in kept.values() for t in d}
+    merged = []
+    for t in terms:
+        dc = sum(kept[s].get(t, 0) for s in kept)
+        err = sum(last_eff[s] for s in kept if t not in kept[s])
+        merged.append((t, dc, err))
+    merged.sort(key=lambda x: (-x[1], x[0]))
+    want = merged[:size]
+    got = [
+        (r.term, r.doc_count, r.error_upper)
+        for r in terms_shard_topk(
+            docs, n_shards=n_shards, shard_size=shard_size, size=size
+        ).collect()
+    ]
+    assert got == want
