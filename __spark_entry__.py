@@ -1049,6 +1049,17 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
             spark.read.parquet(f"{sf}/events.parquet"), size=12, from_=2
         )
 
+    def q_span_multi(spark, sf):
+        # SpanMultiTermQueryWrapper: PrefixQuery 'sc*' lifted into the
+        # span algebra as the FIRST leg of an ordered SpanNear with
+        # 'table' (slop 3) — zero-job FST expansion (lexicographic cap
+        # 50), one .pos decode for expansion + second
+        from ocaml_lucene_spark.query.exec import span_multi_near_indexed
+
+        return span_multi_near_indexed(
+            spark, _ensure_index(spark, sf, positions=True), "sc", "table", slop=3
+        )
+
     def q_terms_shard_topk(spark, sf):
         # ES terms agg DISTRIBUTED semantics: per-shard top shard_size
         # (shard = doc_id % 3, cluster-size-invariant), coordinator
@@ -1764,7 +1775,8 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # date_range_facets, auto_date_histogram, snippet_topk,
     # bm25_combined_fields, bm25_pinned, random_score, clean_dedup_select,
     # span_containing, span_within, bucket_selector, bucket_sort,
-    # serial_diff, weighted_avg, top_metrics, terms_shard_topk —
+    # serial_diff, weighted_avg, top_metrics, terms_shard_topk,
+    # span_multi —
     # replica-verified locally,
     # never driver-checked); (4) the 50 r5-checked entries as the
     # sacrificial tail, in their r5 order.
@@ -1878,6 +1890,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "weighted_avg": q_weighted_avg,
         "top_metrics": q_top_metrics,
         "terms_shard_topk": q_terms_shard_topk,
+        "span_multi": q_span_multi,
         # -- r5-checked tail: sacrificial under a 50-row cut (all 50
         #    full-passed in CORRECTNESS_r05 except bigram_collocations,
         #    whose signed-zero fix is replica-verified this round) --
@@ -2180,6 +2193,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_avg": osql.weighted_avg_sql(),
         "top_metrics": osql.top_metrics_sql(),
         "terms_shard_topk": osql.terms_shard_topk_sql(),
+        "span_multi": osql.span_multi_near_sql("sc", "table", slop=3),
     }
     return {
         k: (_canon_sql(sql) if k in _CANON_ORDER else sql) for k, sql in out.items()

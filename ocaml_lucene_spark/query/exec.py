@@ -1572,6 +1572,56 @@ def phrase_prefix_counts_indexed(
     return _deleted_filter(spark, index_dir, out).orderBy("doc_id")
 
 
+def span_multi_near_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    prefix: str,
+    second: str,
+    slop: int = 3,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """SpanMultiTermQueryWrapper: a multi-term query (here a
+    PrefixQuery) lifted into the span algebra and composed under an
+    ordered SpanNear — docs where ANY term starting with ``prefix`` is
+    followed by ``second`` within ``slop`` intervening positions
+    (0 < p2 - p1 <= slop + 1). Returns (doc_id, n_pairs) ordered by
+    doc_id. The generalization of phrase_prefix_counts_indexed (its
+    adjacency is the slop=0 band with the expansion as the SECOND
+    leg); here the expansion is the FIRST leg and the band is sloppy.
+
+    The prefix expands against the in-memory FST dictionary with ZERO
+    Spark jobs, capped at ``max_expansions`` in LEXICOGRAPHIC order
+    (the engine-wide expansion determinism contract — the oracle
+    re-derives the same cap from distinct corpus terms). Only then
+    does the .pos decode run, term-filtered to expansion + second at
+    the scan; the union of expansion positions is free (one decode,
+    In(term,...) pushdown), the near is the usual doc-co-partitioned
+    band join + one count aggregate."""
+    from .term_index import prefix_stats_mem
+
+    expansions = sorted(prefix_stats_mem(index_dir, prefix))[:max_expansions]
+    if not expansions:
+        return spark.createDataFrame([], "doc_id long, n_pairs long")
+    flat = flat_positions_df(spark, index_dir, expansions + [second])
+    a = flat.filter(F.col("term").isin(expansions)).select(
+        "doc_id", F.col("p").alias("p1")
+    )
+    b = flat.filter(F.col("term") == second).select(
+        F.col("doc_id").alias("doc_id_b"), F.col("p").alias("p2")
+    )
+    out = (
+        a.join(
+            b,
+            (F.col("doc_id") == F.col("doc_id_b"))
+            & (F.col("p2") - F.col("p1") > 0)
+            & (F.col("p2") - F.col("p1") <= slop + 1),
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    return _deleted_filter(spark, index_dir, out).orderBy("doc_id")
+
+
 def _minimal_ordered_intervals(
     spark: SparkSession, index_dir: str, first: str, second: str, max_gaps: int
 ) -> DataFrame:

@@ -1541,6 +1541,34 @@ ORDER BY a.doc_id
 """
 
 
+def span_multi_near_sql(
+    prefix: str, second: str, slop: int = 3, max_expansions: int = 50
+) -> str:
+    """SpanMultiTermQueryWrapper oracle (query/exec.py
+    span_multi_near_indexed): the prefix expansion re-derived
+    independently (distinct corpus terms LIKE 'prefix%', lexicographic
+    cap — the shared contract), its positions unioned as the FIRST
+    span leg, then the ordered band 0 < p2 - p1 <= slop + 1."""
+    s = second.replace("'", "''")
+    p = prefix.replace("'", "''").replace("%", "\\%").replace("_", "\\_")
+    return f"""
+WITH {TOKS_CTE},
+pos AS (
+  SELECT doc_id, unnest(t) AS term, unnest(range(len(t))) AS p FROM base
+),
+expansions AS (
+  SELECT DISTINCT term FROM pos WHERE term LIKE '{p}%' ESCAPE '\\'
+  ORDER BY term LIMIT {max_expansions}
+)
+SELECT a.doc_id, count(*)::BIGINT AS n_pairs
+FROM (SELECT doc_id, p AS p1 FROM pos WHERE term IN (SELECT term FROM expansions)) a
+JOIN (SELECT doc_id, p AS p2 FROM pos WHERE term = '{s}') b
+  ON a.doc_id = b.doc_id AND b.p2 - a.p1 > 0 AND b.p2 - a.p1 <= {slop + 1}
+GROUP BY a.doc_id
+ORDER BY a.doc_id
+"""
+
+
 def top_hits_by_group_sql(
     terms: list[str], group_col: str = "lang", per_group: int = 2, round_to: int = 4
 ) -> str:

@@ -474,3 +474,62 @@ def test_span_containing_and_within_python_reference(spark, pos_index):
     assert got_c == want_contain
     assert got_w == want_within
     assert want_contain, "corpus must exercise containment"
+
+
+def test_span_multi_reduces_to_span_near_on_singleton_expansion(spark, pos_index):
+    """A prefix expanding to exactly one dictionary term must make
+    SpanMultiTermQueryWrapper(near) identical to the plain ordered
+    SpanNear on that term; and a multi-term expansion must equal the
+    union of the per-term ordered nears (counts add — the legs'
+    position sets are disjoint across distinct terms)."""
+    from pyspark.sql import functions as F
+
+    from ocaml_lucene_spark.query.exec import (
+        span_multi_near_indexed,
+        span_near_ordered_indexed,
+    )
+    from ocaml_lucene_spark.query.term_index import prefix_stats_mem
+
+    index_dir, oracle = pos_index
+    vocab = sorted(oracle.positions)
+    second = max(vocab, key=lambda t: sum(len(v) for v in oracle.positions[t].values()))
+    # find a prefix with exactly one expansion and one with several
+    singleton, multi = None, None
+    for t in vocab:
+        for plen in range(2, len(t) + 1):
+            pfx = t[:plen]
+            exp = sorted(prefix_stats_mem(index_dir, pfx))
+            if len(exp) == 1 and singleton is None:
+                singleton = pfx
+            if len(exp) > 1 and multi is None:
+                # the engine caps at 50 lexicographic — mirror it
+                multi = (pfx, exp[:50])
+        if singleton and multi:
+            break
+    assert singleton and multi
+
+    got = {
+        r.doc_id: r.n_pairs
+        for r in span_multi_near_indexed(
+            spark, index_dir, singleton, second, slop=3
+        ).collect()
+    }
+    exp_term = sorted(prefix_stats_mem(index_dir, singleton))[0]
+    want = {
+        r.doc_id: r.n_pairs
+        for r in span_near_ordered_indexed(
+            spark, index_dir, exp_term, second, slop=3
+        ).collect()
+    }
+    assert got == want
+
+    pfx, exp = multi
+    got_m = {
+        r.doc_id: r.n_pairs
+        for r in span_multi_near_indexed(spark, index_dir, pfx, second, slop=3).collect()
+    }
+    want_m: dict[int, int] = {}
+    for t in exp:
+        for r in span_near_ordered_indexed(spark, index_dir, t, second, slop=3).collect():
+            want_m[r.doc_id] = want_m.get(r.doc_id, 0) + r.n_pairs
+    assert got_m == want_m
