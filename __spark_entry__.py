@@ -1346,6 +1346,13 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         # the per-doc sum is order-free by construction)
         return textstats.unigram_logprob(_docs(spark, sf))
 
+    def q_dsir_importance(spark, sf):
+        # DSIR importance weights (Xie et al. 2023): mean per-token
+        # log-likelihood ratio target-vs-raw unigram LM, add-one
+        # smoothed; quantized integer folds, integer-rounded mean,
+        # +0.0 on the signed result
+        return textstats.dsir_importance(_docs(spark, sf), target_lang="en")
+
     def q_query_string(spark, sf):
         # classic QueryParser: must/should/boost/must_not + a phrase
         # filter clause, compiled onto the boosted-disjunction algebra
@@ -1776,7 +1783,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # bm25_combined_fields, bm25_pinned, random_score, clean_dedup_select,
     # span_containing, span_within, bucket_selector, bucket_sort,
     # serial_diff, weighted_avg, top_metrics, terms_shard_topk,
-    # span_multi —
+    # span_multi, dsir_importance —
     # replica-verified locally,
     # never driver-checked); (4) the 50 r5-checked entries as the
     # sacrificial tail, in their r5 order.
@@ -1891,6 +1898,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "top_metrics": q_top_metrics,
         "terms_shard_topk": q_terms_shard_topk,
         "span_multi": q_span_multi,
+        "dsir_importance": q_dsir_importance,
         # -- r5-checked tail: sacrificial under a 50-row cut (all 50
         #    full-passed in CORRECTNESS_r05 except bigram_collocations,
         #    whose signed-zero fix is replica-verified this round) --
@@ -2194,6 +2202,7 @@ def oracle_sql() -> dict[str, str]:
         "top_metrics": osql.top_metrics_sql(),
         "terms_shard_topk": osql.terms_shard_topk_sql(),
         "span_multi": osql.span_multi_near_sql("sc", "table", slop=3),
+        "dsir_importance": oops.dsir_importance_sql(target_lang="en"),
     }
     return {
         k: (_canon_sql(sql) if k in _CANON_ORDER else sql) for k, sql in out.items()

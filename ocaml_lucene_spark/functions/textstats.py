@@ -374,3 +374,95 @@ def gopher_quality_filter(
         )
         .orderBy("doc_id")
     )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target_lang: str = "en",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """(doc_id, n_tokens, logratio): DSIR-style importance weights
+    (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling"): score each doc by the mean per-token
+    log-likelihood ratio between a TARGET unigram distribution (the
+    ``lang_col == target_lang`` subset) and the RAW corpus
+    distribution — logratio = (1/n) * sum over tokens of
+    ln(p_T(w)) - ln(p_R(w)), add-one smoothed over the corpus vocab
+    (p(w) = (c(w)+1)/(T+V)). High logratio = looks like the target;
+    sampling proportional to exp(logratio·n) IS importance resampling.
+
+    Float-sum invariant (CLAUDE.md): each distribution's per-term
+    log-probability is rounded to 6dp and quantized to integer 1e-6
+    units SEPARATELY (the unigram_logprob idiom — ln over a division
+    of exact integers-as-doubles, IEEE-identical cross-engine); the
+    per-doc sum folds tf-weighted integer DIFFERENCES as longs, and
+    the final mean — a ratio of exact integers that can land on 4dp
+    half-boundaries — rounds via _div_round_expr in integer
+    arithmetic, with +0.0 (logratio is signed).
+
+    Plan: one explode -> (doc, term) tf [shuffle 1, map-side combine];
+    target and raw counts come from the SAME term-keyed aggregate
+    (conditional sum — no second pass over the data); vocab-sized
+    stats join back (AQE broadcasts when it fits), one-row totals
+    broadcast, one per-doc groupBy [shuffle 2]. Same scale-safe shape
+    as bigram_collocations / unigram_logprob."""
+    from ..query.grouping import _div_round_expr
+
+    toks = tokens_col(text_col)
+    tf = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            (F.col(lang_col) == target_lang).alias("is_t"),
+            F.explode(toks).alias("w"),
+        )
+        .groupBy("doc_id", "is_t", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    uni = tf.groupBy("w").agg(
+        F.sum("tf").alias("c_r"),
+        F.sum(F.when(F.col("is_t"), F.col("tf")).otherwise(0)).alias("c_t"),
+    )
+    totals = uni.agg(
+        F.sum("c_r").alias("TR"),
+        F.sum("c_t").alias("TT"),
+        F.count("*").alias("V"),
+    )
+    k_t = F.round(
+        F.round(
+            F.log(
+                (F.col("c_t") + F.lit(1)).cast("double")
+                / (F.col("TT") + F.col("V")).cast("double")
+            ),
+            6,
+        )
+        * F.lit(1000000.0)
+    ).cast("long")
+    k_r = F.round(
+        F.round(
+            F.log(
+                (F.col("c_r") + F.lit(1)).cast("double")
+                / (F.col("TR") + F.col("V")).cast("double")
+            ),
+            6,
+        )
+        * F.lit(1000000.0)
+    ).cast("long")
+    return (
+        tf.join(uni, "w")
+        .crossJoin(F.broadcast(totals))
+        .select("doc_id", "tf", (F.col("tf") * (k_t - k_r)).alias("ci"))
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("_n"), F.sum("ci").alias("_s"))
+        .select(
+            "doc_id",
+            F.col("_n").cast("long").alias("n_tokens"),
+            (
+                F.expr(_div_round_expr("_s", "1000000 * _n")).cast("double")
+                / F.lit(10000.0)
+                + F.lit(0.0)
+            ).alias("logratio"),
+        )
+        .orderBy("doc_id")
+    )

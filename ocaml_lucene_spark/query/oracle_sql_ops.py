@@ -885,3 +885,41 @@ WHERE label = {int(filter_label)}
 ORDER BY sim DESC, vec_id ASC
 LIMIT {k}
 """
+
+
+def dsir_importance_sql(target_lang: str = "en") -> str:
+    """DSIR importance-weight oracle (functions/textstats.
+    dsir_importance): target/raw unigram log-probs each rounded to 6dp
+    and quantized to integer 1e-6 units, tf-weighted integer
+    differences summed as BIGINTs, mean rounded in integer arithmetic
+    (the ratio-of-exact-integers rule) with +0.0 on the signed
+    result."""
+    t = target_lang.replace("'", "''")
+    div = (
+        "(CASE WHEN (s) < 0 THEN -1 ELSE 1 END) * "
+        "((2 * abs(s) * 10000 + (1000000 * n)) // (2 * (1000000 * n)))"
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, lang = '{t}' AS is_t, {TOKS} AS t FROM documents),
+w AS (SELECT doc_id, is_t, unnest(t) AS w FROM tok),
+tf AS (SELECT doc_id, is_t, w, count(*) AS tf FROM w GROUP BY doc_id, is_t, w),
+uni AS (
+  SELECT w, sum(tf) AS c_r, sum(CASE WHEN is_t THEN tf ELSE 0 END) AS c_t
+  FROM tf GROUP BY w
+),
+totals AS (SELECT sum(c_r) AS tr, sum(c_t) AS tt, count(*) AS v FROM uni),
+ci AS (
+  SELECT tf.doc_id, tf.tf,
+         tf.tf * (
+           CAST(round(round(ln((uni.c_t + 1)::DOUBLE / (t.tt + t.v)::DOUBLE), 6) * 1000000.0) AS BIGINT)
+           - CAST(round(round(ln((uni.c_r + 1)::DOUBLE / (t.tr + t.v)::DOUBLE), 6) * 1000000.0) AS BIGINT)
+         ) AS ci
+  FROM tf JOIN uni ON tf.w = uni.w CROSS JOIN totals t
+),
+per AS (SELECT doc_id, sum(tf)::HUGEINT AS n, sum(ci)::HUGEINT AS s FROM ci GROUP BY doc_id)
+SELECT doc_id,
+       n::BIGINT AS n_tokens,
+       ({div})::DOUBLE / 10000.0 + 0.0::DOUBLE AS logratio
+FROM per
+ORDER BY doc_id
+"""

@@ -554,3 +554,47 @@ def test_clean_dedup_select_stage_boundaries(spark):
     # budget binds: only the best-ranked doc fits half the tokens
     tight = clean_dedup_select(df, budget=all_in[0][1]).collect()
     assert len(tight) == 1
+
+
+def test_dsir_importance_matches_python_reference(docs):
+    """Exact integer replay of the quantized-fold contract, plus the
+    semantic sanity check: target-language docs must score higher on
+    average than the rest (the signal DSIR resamples on)."""
+    import math
+
+    from ocaml_lucene_spark.functions.analysis import py_tokenize
+    from ocaml_lucene_spark.functions.textstats import dsir_importance
+
+    rows = docs.select("doc_id", "lang", "text").collect()
+    c_r: dict[str, int] = {}
+    c_t: dict[str, int] = {}
+    per_doc: dict[int, dict[str, int]] = {}
+    langs = {}
+    for r in rows:
+        langs[r.doc_id] = r.lang
+        tfs: dict[str, int] = {}
+        for w in py_tokenize(r.text):
+            tfs[w] = tfs.get(w, 0) + 1
+        per_doc[r.doc_id] = tfs
+        for w, tf in tfs.items():
+            c_r[w] = c_r.get(w, 0) + tf
+            if r.lang == "en":
+                c_t[w] = c_t.get(w, 0) + tf
+    TR, TT, V = sum(c_r.values()), sum(c_t.values()), len(c_r)
+    want = {}
+    for d, tfs in per_doc.items():
+        s, n = 0, 0
+        for w, tf in tfs.items():
+            kt = round(round(math.log((c_t.get(w, 0) + 1) / (TT + V)), 6) * 1e6)
+            kr = round(round(math.log((c_r[w] + 1) / (TR + V)), 6) * 1e6)
+            s += tf * (kt - kr)
+            n += tf
+        sign = -1 if s < 0 else 1
+        k = sign * ((2 * abs(s) * 10**4 + 1000000 * n) // (2 * 1000000 * n))
+        want[d] = (n, k / 10**4 + 0.0)
+    got = {r.doc_id: (r.n_tokens, r.logratio) for r in dsir_importance(docs).collect()}
+    assert got == want
+    en = [v for d, (_, v) in got.items() if langs[d] == "en"]
+    rest = [v for d, (_, v) in got.items() if langs[d] != "en"]
+    assert en and rest
+    assert sum(en) / len(en) > sum(rest) / len(rest)
