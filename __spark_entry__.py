@@ -1325,6 +1325,13 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         bench = docs.filter(F.col("doc_id") % 13 == 0)
         return dedup.ngram_contamination(docs, bench, n=4)
 
+    def q_cross_doc_repetition(spark, sf):
+        # Lee-et-al-style cross-document duplicated-span signal:
+        # fraction of each doc's 3-gram occurrences whose gram appears
+        # in >= 2 distinct docs; ratio of exact integers, integer-
+        # rounded; two shuffles, no self-join
+        return dedup.cross_doc_repetition(_docs(spark, sf), n=3)
+
     def q_repetition_signals(spark, sf):
         # Gopher-style within-doc repetition filters (dup-3gram
         # occurrence fraction, top-2gram occupancy)
@@ -1783,7 +1790,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # bm25_combined_fields, bm25_pinned, random_score, clean_dedup_select,
     # span_containing, span_within, bucket_selector, bucket_sort,
     # serial_diff, weighted_avg, top_metrics, terms_shard_topk,
-    # span_multi, dsir_importance —
+    # span_multi, dsir_importance, cross_doc_repetition —
     # replica-verified locally,
     # never driver-checked); (4) the 50 r5-checked entries as the
     # sacrificial tail, in their r5 order.
@@ -1899,6 +1906,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "terms_shard_topk": q_terms_shard_topk,
         "span_multi": q_span_multi,
         "dsir_importance": q_dsir_importance,
+        "cross_doc_repetition": q_cross_doc_repetition,
         # -- r5-checked tail: sacrificial under a 50-row cut (all 50
         #    full-passed in CORRECTNESS_r05 except bigram_collocations,
         #    whose signed-zero fix is replica-verified this round) --
@@ -2203,6 +2211,7 @@ def oracle_sql() -> dict[str, str]:
         "terms_shard_topk": osql.terms_shard_topk_sql(),
         "span_multi": osql.span_multi_near_sql("sc", "table", slop=3),
         "dsir_importance": oops.dsir_importance_sql(target_lang="en"),
+        "cross_doc_repetition": oops.cross_doc_repetition_sql(n=3),
     }
     return {
         k: (_canon_sql(sql) if k in _CANON_ORDER else sql) for k, sql in out.items()

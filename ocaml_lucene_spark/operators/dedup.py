@@ -517,3 +517,61 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     ).orderBy("doc_id")
+
+
+def cross_doc_repetition(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_grams, cross_dup_frac): per-doc fraction of word
+    n-gram OCCURRENCES whose n-gram also appears in at least one
+    OTHER document — the corpus-level duplicated-substring signal
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better": docs dominated by cross-document repeated spans
+    are boilerplate/template suspects even when no whole-doc dup
+    fires). The within-doc complement is repetition_signals'
+    dup_3gram_frac; this one compares against the REST of the corpus
+    (df counts distinct DOCS, so a gram repeated only inside one doc
+    does not count).
+
+    Determinism: counts-over-counts — the fraction is a RATIO OF
+    EXACT INTEGERS and rounds via _div_round_expr (integer
+    half-away-from-zero); non-negative, no signed-zero exposure.
+
+    Scale shape: shingle explode -> per-(doc, gram) occurrence counts
+    [shuffle 1, map-side combine]; gram df = count over the distinct
+    (doc, gram) frame reusing the same keyed data [gram-vocab-sized,
+    Heaps-bounded]; df joins back on gram (AQE broadcasts when it
+    fits) and one per-doc regroup [shuffle 2]. No self-join, no pair
+    materialization — the same two-shuffle shape as
+    bigram_collocations."""
+    from ..query.grouping import _div_round_expr
+
+    occ = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(shingles_col(F.col(text_col), n)).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("occ"))
+    )
+    gdf = occ.groupBy("g").agg(F.count("*").alias("df"))
+    return (
+        occ.join(gdf, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("occ").alias("_total"),
+            F.sum(F.when(F.col("df") >= 2, F.col("occ")).otherwise(0)).alias("_dup"),
+        )
+        .select(
+            "doc_id",
+            F.col("_total").cast("long").alias("n_grams"),
+            (
+                F.expr(_div_round_expr("_dup", "_total")).cast("double")
+                / F.lit(10000.0)
+            ).alias("cross_dup_frac"),
+        )
+        .orderBy("doc_id")
+    )

@@ -923,3 +923,33 @@ SELECT doc_id,
 FROM per
 ORDER BY doc_id
 """
+
+
+def cross_doc_repetition_sql(n: int = 3) -> str:
+    """Cross-doc repetition oracle (operators/dedup.
+    cross_doc_repetition): gram df counts DISTINCT docs; the fraction
+    rounds in HUGEINT arithmetic (ratio-of-exact-integers rule)."""
+    div = (
+        "((2 * dup * 10000 + total) // (2 * total))"
+    )
+    return f"""
+WITH {_shingles(n)},
+occ AS (
+  SELECT doc_id, g, count(*) AS occ
+  FROM (SELECT doc_id, unnest(shingles) AS g FROM sh)
+  GROUP BY doc_id, g
+),
+gdf AS (SELECT g, count(*) AS df FROM occ GROUP BY g),
+per AS (
+  SELECT doc_id,
+         sum(occ)::HUGEINT AS total,
+         sum(CASE WHEN gdf.df >= 2 THEN occ ELSE 0 END)::HUGEINT AS dup
+  FROM occ JOIN gdf USING (g)
+  GROUP BY doc_id
+)
+SELECT doc_id,
+       total::BIGINT AS n_grams,
+       ({div})::DOUBLE / 10000.0 AS cross_dup_frac
+FROM per
+ORDER BY doc_id
+"""

@@ -598,3 +598,26 @@ def test_dsir_importance_matches_python_reference(docs):
     rest = [v for d, (_, v) in got.items() if langs[d] != "en"]
     assert en and rest
     assert sum(en) / len(en) > sum(rest) / len(rest)
+
+
+def test_cross_doc_repetition_hand_corpus(spark):
+    """Hand corpus separating the three cases: a gram repeated only
+    WITHIN one doc does not count (df counts distinct docs), a gram
+    shared across docs counts on both sides, short docs fall back to
+    the whole-doc shingle."""
+    from ocaml_lucene_spark.operators.dedup import cross_doc_repetition
+
+    rows = [
+        (0, "a b c x y z a b c"),   # 'a b c' repeats within doc only
+        (1, "p q r a b c"),          # shares 'a b c' with doc 0
+        (2, "u v w"),                # single 3-gram, unshared
+        (3, "hi"),                   # short doc: whole-doc shingle
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_grams, r.cross_dup_frac) for r in cross_doc_repetition(df, n=3).collect()}
+    # doc 0: 7 grams, occurrences of 'a b c' (x2) shared with doc 1
+    assert got[0] == (7, round((2 * 10**4 * 2 + 7) // (2 * 7) / 10**4, 4))
+    # doc 1: 4 grams, 1 shared occurrence -> 0.25 exactly
+    assert got[1] == (4, 0.25)
+    assert got[2] == (1, 0.0)
+    assert got[3] == (1, 0.0)
