@@ -455,3 +455,61 @@ def test_combined_fields_single_dl_projection_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     # dl is one pass over (text, source): the scan never reads more
     assert _read_schema_cols(plan) <= {"doc_id", "text", "source"}
+
+
+def test_weighted_avg_is_one_partial_final_agg_no_window(spark):
+    """weighted_avg: the JSON weight extraction is a scan expression
+    feeding ONE groupBy with map-side partial aggregation — no window,
+    no second pass; the scan reads only (key, value, props)."""
+    from ocaml_lucene_spark.query.grouping import weighted_avg
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = _plan(weighted_avg(events))
+    assert "Window" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+    assert _read_schema_cols(plan) == {"event_type", "value", "props"}
+
+
+def test_top_metrics_is_one_agg_not_a_window(spark):
+    """top_metrics must be the max(struct) aggregate — a window
+    row_number over the raw events would shuffle and sort the whole
+    table; only |keys| rows may cross the exchange."""
+    from ocaml_lucene_spark.query.grouping import top_metrics
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = _plan(top_metrics(events))
+    assert "Window" not in plan, plan
+    # struct max compiles to SortAggregate (structs aren't hash-
+    # aggregable) — the property that matters is the PARTIAL stage
+    # before the key exchange, so only |keys| rows shuffle
+    assert "partial_max" in plan, plan
+    assert _read_schema_cols(plan) == {"event_type", "ts", "event_id", "value"}
+
+
+def test_bucket_pipeline_aggs_window_after_histogram(spark):
+    """serial_diff's window partitions by key over the histogram
+    output (never SinglePartition over raw events); bucket_sort's cut
+    is a plain sort+limit over |buckets x keys| rows (TakeOrdered or
+    a GlobalLimit — both fine at that cardinality), with the
+    histogram groupBy underneath."""
+    from ocaml_lucene_spark.query.grouping import bucket_sort, serial_diff
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = _plan(serial_diff(events, lag=7))
+    assert "Window" in plan and "SinglePartition" not in plan, plan
+
+    plan2 = _plan(bucket_sort(events, size=5, from_=2))
+    assert "HashAggregate" in plan2, plan2
+    assert "Window" not in plan2, plan2
+
+
+def test_terms_shard_topk_broadcasts_shard_stats(spark):
+    """terms_shard_topk: the |shards|-row stats table must broadcast
+    into the candidate merge (no shuffle join against a 3-row side),
+    and the final cut must be TakeOrdered-shaped, not a global sort."""
+    from ocaml_lucene_spark.query.grouping import terms_shard_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(terms_shard_topk(docs))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
