@@ -1325,6 +1325,17 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         bench = docs.filter(F.col("doc_id") % 13 == 0)
         return dedup.ngram_contamination(docs, bench, n=4)
 
+    def q_rank_eval(spark, sf):
+        # ES _rank_eval API: precision@k / recall@k / MRR / DCG@k of
+        # the OR-query BM25 ranking against the judged set {docs
+        # containing BOTH terms}; integer-rounded ratios, DCG gains
+        # quantized at 1e-6 before the fold
+        from ocaml_lucene_spark.query.rank_eval import rank_eval
+
+        return rank_eval(
+            _docs(spark, sf), ["table", "hash"], ["table", "hash"], k=10
+        )
+
     def q_cross_doc_repetition(spark, sf):
         # Lee-et-al-style cross-document duplicated-span signal:
         # fraction of each doc's 3-gram occurrences whose gram appears
@@ -1790,7 +1801,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # bm25_combined_fields, bm25_pinned, random_score, clean_dedup_select,
     # span_containing, span_within, bucket_selector, bucket_sort,
     # serial_diff, weighted_avg, top_metrics, terms_shard_topk,
-    # span_multi, dsir_importance, cross_doc_repetition —
+    # span_multi, dsir_importance, cross_doc_repetition, rank_eval —
     # replica-verified locally,
     # never driver-checked); (4) the 50 r5-checked entries as the
     # sacrificial tail, in their r5 order.
@@ -1907,6 +1918,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "span_multi": q_span_multi,
         "dsir_importance": q_dsir_importance,
         "cross_doc_repetition": q_cross_doc_repetition,
+        "rank_eval": q_rank_eval,
         # -- r5-checked tail: sacrificial under a 50-row cut (all 50
         #    full-passed in CORRECTNESS_r05 except bigram_collocations,
         #    whose signed-zero fix is replica-verified this round) --
@@ -2212,6 +2224,7 @@ def oracle_sql() -> dict[str, str]:
         "span_multi": osql.span_multi_near_sql("sc", "table", slop=3),
         "dsir_importance": oops.dsir_importance_sql(target_lang="en"),
         "cross_doc_repetition": oops.cross_doc_repetition_sql(n=3),
+        "rank_eval": osql.rank_eval_sql(["table", "hash"], ["table", "hash"], k=10),
     }
     return {
         k: (_canon_sql(sql) if k in _CANON_ORDER else sql) for k, sql in out.items()

@@ -1203,6 +1203,55 @@ bm25 AS (
 )"""
 
 
+def rank_eval_sql(
+    terms: list[str], judged_must: list[str], k: int = 10
+) -> str:
+    """Rank-eval oracle (query/rank_eval.rank_eval): same (score DESC,
+    doc_id) rank assignment, judged set re-derived independently
+    (conjunctive containment), precision/recall/MRR in integer
+    arithmetic, DCG gains quantized to 1e-6 units before the fold."""
+    judged_must = list(dict.fromkeys(judged_must))
+    return f"""
+WITH {_bm25_topn_cte(terms, k)},
+ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM bm25
+),
+judged AS (
+  SELECT doc_id
+  FROM (SELECT DISTINCT doc_id, unnest(t) AS term FROM base)
+  WHERE term IN {_terms_in(judged_must)}
+  GROUP BY doc_id HAVING count(*) = {len(judged_must)}
+),
+nj AS (SELECT count(*)::BIGINT AS n_judged FROM judged),
+flagged AS (
+  SELECT r.rank, CASE WHEN j.doc_id IS NULL THEN 0 ELSE 1 END AS rel
+  FROM ranked r LEFT JOIN judged j USING (doc_id)
+),
+a AS (
+  SELECT sum(rel)::HUGEINT AS nh,
+         min(CASE WHEN rel = 1 THEN rank END)::HUGEINT AS mr,
+         sum(CASE WHEN rel = 1
+                  THEN CAST(round(round(1.0::DOUBLE / log2(rank + 1), 6) * 1000000.0) AS BIGINT)
+                  ELSE 0 END)::HUGEINT AS s
+  FROM flagged
+)
+SELECT {int(k)}::BIGINT AS k,
+       nj.n_judged,
+       a.nh::BIGINT AS n_hits,
+       ({_div_round4_sql("a.nh", str(int(k)))})::DOUBLE / 10000.0 AS precision_at_k,
+       CASE WHEN nj.n_judged > 0
+            THEN ({_div_round4_sql("a.nh", "nj.n_judged")})::DOUBLE / 10000.0
+       END AS recall_at_k,
+       CASE WHEN a.nh > 0
+            THEN ({_div_round4_sql("1", "a.mr")})::DOUBLE / 10000.0
+            ELSE 0.0::DOUBLE
+       END AS mrr,
+       ({_div_round4_sql("a.s", "1000000")})::DOUBLE / 10000.0 AS dcg_at_k
+FROM a, nj
+"""
+
+
 def rescore_topk_sql(
     terms: list[str],
     query_vec: list[float],

@@ -689,3 +689,41 @@ def test_random_score_is_partitioning_invariant(spark):
     assert a == b
     c = [tuple(r) for r in random_score_topk(docs, "table", seed=8, k=25).collect()]
     assert a != c
+
+
+def test_rank_eval_hand_corpus(spark):
+    """Judged = docs containing both words; query ranks by 'a' OR 'b'.
+    Metrics checked against hand-computed values, including the
+    no-hits edge (mrr = dcg = 0.0)."""
+    import math
+
+    from ocaml_lucene_spark.query.bm25 import bm25_topk
+    from ocaml_lucene_spark.query.rank_eval import rank_eval
+
+    rows = [
+        (0, "a a a b"),      # both -> judged, high score
+        (1, "a a"),           # only a
+        (2, "b a"),           # both -> judged
+        (3, "c c c"),         # neither
+        (4, "a b b b"),       # both -> judged
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    k = 3
+    got = rank_eval(df, ["a", "b"], ["a", "b"], k=k).collect()[0]
+    ranking = [r.doc_id for r in bm25_topk(df, ["a", "b"], "or", k=k).collect()]
+    judged = {0, 2, 4}
+    hits = [(i + 1, d) for i, d in enumerate(ranking) if d in judged]
+    n_hits = len(hits)
+    assert got.k == k and got.n_judged == 3 and got.n_hits == n_hits
+    assert got.precision_at_k == round((2 * n_hits * 10**4 + k) // (2 * k) / 10**4, 4)
+    assert got.recall_at_k == round((2 * n_hits * 10**4 + 3) // (2 * 3) / 10**4, 4)
+    first = hits[0][0]
+    assert got.mrr == ((2 * 10**4 + first) // (2 * first)) / 10**4
+    s = sum(round(round(1.0 / math.log2(r + 1), 6) * 1e6) for r, _ in hits)
+    assert got.dcg_at_k == ((2 * int(s) * 10**4 + 10**6) // (2 * 10**6)) / 10**4
+
+    # no-hit edge: judged set that never matches the ranking
+    got0 = rank_eval(df, ["a", "b"], ["c"], k=k).collect()[0]
+    # judged = {3}; doc 3 scores 0 on a/b so can't be in the top-3
+    assert got0.n_hits == 0 and got0.mrr == 0.0 and got0.dcg_at_k == 0.0
+    assert got0.precision_at_k == 0.0 and got0.recall_at_k == 0.0
