@@ -1325,6 +1325,18 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         bench = docs.filter(F.col("doc_id") % 13 == 0)
         return dedup.ngram_contamination(docs, bench, n=4)
 
+    def q_diversified_sampler(spark, sf):
+        # ES diversified_sampler + sub-agg: top-50 sample of the
+        # 'table OR hash' match capped at 2 docs per source, lang
+        # facet over the sample; rounded-score total order on both
+        # sides
+        from ocaml_lucene_spark.query.grouping import diversified_sample_facets
+
+        return diversified_sample_facets(
+            _docs(spark, sf), ["table", "hash"],
+            dedup_col="source", max_per_key=2, sample_size=50, facet_col="lang",
+        )
+
     def q_rank_eval(spark, sf):
         # ES _rank_eval API: precision@k / recall@k / MRR / DCG@k of
         # the OR-query BM25 ranking against the judged set {docs
@@ -1801,7 +1813,8 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # bm25_combined_fields, bm25_pinned, random_score, clean_dedup_select,
     # span_containing, span_within, bucket_selector, bucket_sort,
     # serial_diff, weighted_avg, top_metrics, terms_shard_topk,
-    # span_multi, dsir_importance, cross_doc_repetition, rank_eval —
+    # span_multi, dsir_importance, cross_doc_repetition, rank_eval,
+    # diversified_sampler —
     # replica-verified locally,
     # never driver-checked); (4) the 50 r5-checked entries as the
     # sacrificial tail, in their r5 order.
@@ -1919,6 +1932,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "dsir_importance": q_dsir_importance,
         "cross_doc_repetition": q_cross_doc_repetition,
         "rank_eval": q_rank_eval,
+        "diversified_sampler": q_diversified_sampler,
         # -- r5-checked tail: sacrificial under a 50-row cut (all 50
         #    full-passed in CORRECTNESS_r05 except bigram_collocations,
         #    whose signed-zero fix is replica-verified this round) --
@@ -2225,6 +2239,10 @@ def oracle_sql() -> dict[str, str]:
         "dsir_importance": oops.dsir_importance_sql(target_lang="en"),
         "cross_doc_repetition": oops.cross_doc_repetition_sql(n=3),
         "rank_eval": osql.rank_eval_sql(["table", "hash"], ["table", "hash"], k=10),
+        "diversified_sampler": osql.diversified_sample_facets_sql(
+            ["table", "hash"], dedup_col="source", max_per_key=2,
+            sample_size=50, facet_col="lang",
+        ),
     }
     return {
         k: (_canon_sql(sql) if k in _CANON_ORDER else sql) for k, sql in out.items()

@@ -1471,3 +1471,54 @@ def terms_shard_topk(
         )
     )
     return cand.orderBy(F.desc("doc_count"), "term").limit(int(size))
+
+
+def diversified_sample_facets(
+    docs: DataFrame,
+    terms: list[str],
+    dedup_col: str = "source",
+    max_per_key: int = 2,
+    sample_size: int = 50,
+    facet_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Diversified-sampler aggregation (the Elasticsearch
+    `diversified_sampler` agg with a sub-aggregation): restrict a
+    sub-agg to a SAMPLE of the best-scoring matches, with at most
+    ``max_per_key`` docs per ``dedup_col`` value (the anti-bias knob —
+    one hot domain can't flood the sample), then run the facet
+    sub-agg over the sample. Returns (facet_value, n_docs) ordered by
+    facet_value.
+
+    Sample selection is fully deterministic: per-doc BM25 scores are
+    rounded BEFORE any ranking (the collapse contract), the per-key
+    cap keeps row_number <= max_per_key over (score DESC, doc_id),
+    and the global cut takes the top ``sample_size`` by the same
+    total order.
+
+    Scale shape: score agg (one doc_id shuffle) -> join the 3-column
+    (id, dedup, facet) projection -> ONE window partitioned by the
+    dedup key (the same shuffle a groupBy needs) -> global
+    TakeOrdered(sample_size) -> facet groupBy over <= sample_size
+    rows. No driver loops; the sample never materializes beyond one
+    TakeOrdered."""
+    scores = _bm25_doc_scores(docs, terms, id_col, text_col, round_to=4)
+    keys = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(dedup_col).alias("_dk"),
+        F.col(facet_col).alias("facet_value"),
+    )
+    w = Window.partitionBy("_dk").orderBy(F.desc("score"), F.asc("doc_id"))
+    sample = (
+        scores.join(keys, "doc_id")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= int(max_per_key))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(int(sample_size))
+    )
+    return (
+        sample.groupBy("facet_value")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("facet_value")
+    )

@@ -1203,6 +1203,40 @@ bm25 AS (
 )"""
 
 
+def diversified_sample_facets_sql(
+    terms: list[str],
+    dedup_col: str = "source",
+    max_per_key: int = 2,
+    sample_size: int = 50,
+    facet_col: str = "lang",
+) -> str:
+    """Diversified-sampler oracle (query/grouping.py
+    diversified_sample_facets): per-key cap then global cut, both over
+    the rounded (score DESC, doc_id) total order — the limit inside
+    _bm25_topn_cte is set past the corpus so the scored set is
+    complete."""
+    return f"""
+WITH {_bm25_topn_cte(terms, 1_000_000_000)},
+j AS (
+  SELECT b.doc_id, b.score, d.{dedup_col} AS dk, d.{facet_col} AS facet_value
+  FROM bm25 b JOIN documents d USING (doc_id)
+),
+capped AS (
+  SELECT *, row_number() OVER (PARTITION BY dk ORDER BY score DESC, doc_id ASC) AS rn
+  FROM j
+),
+sample AS (
+  SELECT * FROM capped WHERE rn <= {int(max_per_key)}
+  ORDER BY score DESC, doc_id ASC
+  LIMIT {int(sample_size)}
+)
+SELECT facet_value, count(*)::BIGINT AS n_docs
+FROM sample
+GROUP BY facet_value
+ORDER BY facet_value
+"""
+
+
 def rank_eval_sql(
     terms: list[str], judged_must: list[str], k: int = 10
 ) -> str:

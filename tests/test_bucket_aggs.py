@@ -203,3 +203,39 @@ def test_terms_shard_topk_matches_python_replay(spark):
         ).collect()
     ]
     assert got == want
+
+
+def test_diversified_sampler_matches_python_replay(spark):
+    """Replay the sample selection in python from the engine's own
+    rounded per-doc scores (the selection, cap, and cut are the
+    contract; the scores themselves are gate-checked elsewhere) and
+    check the facet counts + the per-key cap property."""
+    from ocaml_lucene_spark.query.grouping import (
+        _bm25_doc_scores,
+        diversified_sample_facets,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    terms, cap, n = ["table", "hash"], 2, 30
+    scores = {r.doc_id: r.score for r in _bm25_doc_scores(docs, terms).collect()}
+    meta = {r.doc_id: (r.source, r.lang) for r in docs.select("doc_id", "source", "lang").collect()}
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    per_key: dict[str, int] = {}
+    sample = []
+    for d, s in ranked:
+        src = meta[d][0]
+        if per_key.get(src, 0) < cap:
+            per_key[src] = per_key.get(src, 0) + 1
+            sample.append(d)
+    sample = sample[:n]
+    want: dict[str, int] = {}
+    for d in sample:
+        want[meta[d][1]] = want.get(meta[d][1], 0) + 1
+    got = {
+        r.facet_value: r.n_docs
+        for r in diversified_sample_facets(
+            docs, terms, max_per_key=cap, sample_size=n
+        ).collect()
+    }
+    assert got == want
+    assert sum(got.values()) == len(sample) <= n
