@@ -1325,6 +1325,30 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         bench = docs.filter(F.col("doc_id") % 13 == 0)
         return dedup.ngram_contamination(docs, bench, n=4)
 
+    def q_hll_users(spark, sf):
+        # ES cardinality agg = HyperLogLog: 64 md5-bucketed registers,
+        # integer harmonic fold, 709/1000 alpha, integer-rounded raw
+        # estimate; ~150 distinct users/key -> the small-range linear-
+        # counting branch fires (v_empty > 0, raw <= 160)
+        from ocaml_lucene_spark.query.grouping import hll_cardinality
+
+        ev = spark.read.parquet(f"{sf}/events.parquet").select(
+            "event_type", F.col("user_id").cast("string").alias("item")
+        )
+        return hll_cardinality(ev, item_col="item")
+
+    def q_hll_values(spark, sf):
+        # same sketch over the 2-decimal value column canonicalized to
+        # integer cents (double->string is never hashed); ~1800
+        # distinct/key -> the raw-estimator branch
+        from ocaml_lucene_spark.query.grouping import hll_cardinality
+
+        ev = spark.read.parquet(f"{sf}/events.parquet").select(
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("long").cast("string").alias("item"),
+        )
+        return hll_cardinality(ev, item_col="item")
+
     def q_diversified_sampler(spark, sf):
         # ES diversified_sampler + sub-agg: top-50 sample of the
         # 'table OR hash' match capped at 2 docs per source, lang
@@ -1814,7 +1838,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # span_containing, span_within, bucket_selector, bucket_sort,
     # serial_diff, weighted_avg, top_metrics, terms_shard_topk,
     # span_multi, dsir_importance, cross_doc_repetition, rank_eval,
-    # diversified_sampler —
+    # diversified_sampler, hll_users, hll_values —
     # replica-verified locally,
     # never driver-checked); (4) the 50 r5-checked entries as the
     # sacrificial tail, in their r5 order.
@@ -1933,6 +1957,8 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "cross_doc_repetition": q_cross_doc_repetition,
         "rank_eval": q_rank_eval,
         "diversified_sampler": q_diversified_sampler,
+        "hll_users": q_hll_users,
+        "hll_values": q_hll_values,
         # -- r5-checked tail: sacrificial under a 50-row cut (all 50
         #    full-passed in CORRECTNESS_r05 except bigram_collocations,
         #    whose signed-zero fix is replica-verified this round) --
@@ -2239,6 +2265,10 @@ def oracle_sql() -> dict[str, str]:
         "dsir_importance": oops.dsir_importance_sql(target_lang="en"),
         "cross_doc_repetition": oops.cross_doc_repetition_sql(n=3),
         "rank_eval": osql.rank_eval_sql(["table", "hash"], ["table", "hash"], k=10),
+        "hll_users": osql.hll_cardinality_sql(item_expr="user_id::VARCHAR"),
+        "hll_values": osql.hll_cardinality_sql(
+            item_expr="CAST(round(value * 100, 0) AS BIGINT)::VARCHAR"
+        ),
         "diversified_sampler": osql.diversified_sample_facets_sql(
             ["table", "hash"], dedup_col="source", max_per_key=2,
             sample_size=50, facet_col="lang",

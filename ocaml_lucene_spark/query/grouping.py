@@ -1522,3 +1522,101 @@ def diversified_sample_facets(
         .agg(F.count("*").alias("n_docs"))
         .orderBy("facet_value")
     )
+
+
+def hll_cardinality(
+    events: DataFrame,
+    key_col: str = "event_type",
+    item_col: str = "item",
+    m: int = 64,
+) -> DataFrame:
+    """HyperLogLog cardinality sketch (what the Elasticsearch
+    `cardinality` agg actually runs): per key, estimate the distinct
+    count of ``item_col`` (a STRING column — callers canonicalize:
+    integers via CAST, fixed-precision doubles via their integer
+    units, never raw double→string) from m first-bits-bucketed
+    leading-zero registers. Returns (key, exact_distinct, v_empty,
+    hll_estimate) ordered by key; exact_distinct is the evaluation
+    baseline (a production run at 10^12 items omits it — the sketch
+    is the point), v_empty the count of untouched registers.
+
+    Flajolet et al.'s estimator with the small-range correction:
+    register j = first 6 md5 bits, rank = leading zeros of the next
+    60 bits + 1 (61 for an all-zero suffix); raw estimate
+    alpha_64 * m^2 / sum_j 2^-M_j; when raw <= 2.5m and empty
+    registers remain, linear counting m*ln(m/V) takes over.
+
+    Determinism: the hash is md5 (bit-identical cross-engine, the
+    simhash/sampling idiom); ranks come from bin()-length integer
+    arithmetic, registers are integer maxes; the harmonic sum folds
+    2^(61-M_j) as exact integers in decimal(38,0) (dyadic doubles
+    would need 66 significant bits — a float fold would be order-
+    sensitive), and the raw estimate is a RATIO OF EXACT INTEGERS
+    (alpha_64 = 709/1000 exactly) rounded via _div_round_expr. The
+    branch compares that integer-rounded estimate — both engines
+    branch identically. Linear counting's ln(m/V) is a float of
+    small-integer ratios, the gate-proven PMI exposure class.
+
+    Scale shape: THE mergeable-sketch plan — groupBy (key, register)
+    max(rank) with map-side combine means each executor ships at most
+    m rows per key regardless of data volume; the register fold is a
+    second |keys x m| aggregate. The exact_distinct baseline is the
+    only data-volume-sized aggregate and exists for the gate."""
+    if m != 64:
+        raise ValueError("hll_cardinality: alpha is hardwired for m=64 (709/1000)")
+    h = F.md5(F.col(item_col))
+    j = F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % m
+    w = F.conv(F.substring(h, 3, 15), 16, 10).cast("long")
+    rank = F.when(w > 0, F.lit(61) - F.length(F.bin(w))).otherwise(F.lit(61))
+    regs = (
+        events.select(F.col(key_col).alias("key"), j.alias("j"), rank.alias("r"))
+        .groupBy("key", "j")
+        .agg(F.max("r").alias("M"))
+    )
+    per = regs.groupBy("key").agg(
+        F.count("*").alias("_present"),
+        # each term fits a long (<= 2^61) but 64 of them don't: cast
+        # BEFORE the fold so the sum accumulates in decimal(38,0)
+        F.sum(
+            F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 61 - M) AS DECIMAL(38,0))")
+        ).alias("_sp"),
+    )
+    num = 709 * m * m * (2 ** 61)
+    per = per.select(
+        "key",
+        (F.lit(m) - F.col("_present")).cast("long").alias("v_empty"),
+        (
+            F.col("_sp")
+            + (F.lit(m) - F.col("_present")).cast("decimal(38,0)")
+            * F.expr(f"CAST('{2 ** 61}' AS DECIMAL(38,0))")
+        ).alias("_S"),
+    )
+    est_raw = (
+        F.expr(
+            _div_round_expr(
+                f"CAST('{num}' AS DECIMAL(38,0))", "CAST(1000 AS DECIMAL(38,0)) * _S"
+            )
+        ).cast("double")
+        / F.lit(10000.0)
+    )
+    exact = events.groupBy(F.col(key_col).alias("key")).agg(
+        F.countDistinct(F.col(item_col)).cast("long").alias("exact_distinct")
+    )
+    out = per.select(
+        "key",
+        "v_empty",
+        est_raw.alias("_raw"),
+        F.when(
+            (F.col("v_empty") > 0) & (est_raw <= F.lit(2.5 * m)),
+            F.round(
+                F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_empty")), 4
+            ),
+        )
+        .otherwise(est_raw)
+        .alias("hll_estimate"),
+    )
+    return (
+        exact.join(out, "key")
+        .select("key", "exact_distinct", "v_empty", "hll_estimate")
+        .orderBy("key")
+    )

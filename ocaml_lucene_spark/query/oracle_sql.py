@@ -1203,6 +1203,55 @@ bm25 AS (
 )"""
 
 
+def hll_cardinality_sql(
+    key_col: str = "event_type", item_expr: str = "user_id::VARCHAR", m: int = 64
+) -> str:
+    """HLL oracle (query/grouping.py hll_cardinality): same md5
+    bucketing/ranks, HUGEINT harmonic fold, integer-rounded raw
+    estimate (alpha = 709/1000), identical branch predicate.
+    ``item_expr`` must canonicalize exactly like the Spark side."""
+    if m != 64:
+        raise ValueError("alpha hardwired for m=64")
+    num = 709 * m * m * (2 ** 61)
+    div = (
+        f"((2 * ('{num}'::HUGEINT) * 10000 + (1000::HUGEINT * S)) // (2 * (1000::HUGEINT * S)))"
+    )
+    return f"""
+WITH h AS (
+  SELECT {key_col} AS key,
+         ('0x' || substr(md5({item_expr}), 1, 2))::BIGINT % {m} AS j,
+         ('0x' || substr(md5({item_expr}), 3, 15))::BIGINT AS w
+  FROM events
+),
+regs AS (
+  SELECT key, j,
+         max(CASE WHEN w > 0 THEN 61 - length(bin(w)) ELSE 61 END) AS M
+  FROM h GROUP BY key, j
+),
+per AS (
+  SELECT key,
+         ({m} - count(*))::BIGINT AS v_empty,
+         sum((1::BIGINT << (61 - M))::HUGEINT)::HUGEINT
+           + ({m} - count(*))::HUGEINT * ('{2 ** 61}'::HUGEINT) AS S
+  FROM regs GROUP BY key
+),
+est AS (
+  SELECT key, v_empty, ({div})::DOUBLE / 10000.0 AS raw FROM per
+),
+exact AS (
+  SELECT {key_col} AS key, count(DISTINCT {item_expr})::BIGINT AS exact_distinct
+  FROM events GROUP BY 1
+)
+SELECT e.key, x.exact_distinct, e.v_empty,
+       CASE WHEN e.v_empty > 0 AND e.raw <= {2.5 * m}
+            THEN round({float(m)!r}::DOUBLE * ln({float(m)!r}::DOUBLE / e.v_empty), 4)
+            ELSE e.raw
+       END AS hll_estimate
+FROM est e JOIN exact x USING (key)
+ORDER BY e.key
+"""
+
+
 def diversified_sample_facets_sql(
     terms: list[str],
     dedup_col: str = "source",
