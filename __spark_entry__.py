@@ -1692,6 +1692,63 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
                 f.write("ok")
         return spark.read.parquet(out).select("doc_id", "text_hash")
 
+    def q_streamed_term_counts(spark, sf):
+        # COMPLETE-mode running aggregate (the third streaming mode
+        # next to the append-mode histogram and the custom-state
+        # dedup): term ttf accumulated across 3 ordered micro-batches;
+        # the final table must equal the one-shot batch aggregate —
+        # stream-batch parity is the contract. Top-20 by (ttf DESC,
+        # term) — a total order.
+        import hashlib
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocaml_lucene_spark.streaming.term_counts import streaming_term_counts
+
+        import ocaml_lucene_spark as pkg
+
+        key = hashlib.md5(f"{pkg.__version__}|{sf}|stermc".encode()).hexdigest()[:10]
+        base = f"/tmp/olspark_entry_stermc_{key}"
+        out = os.path.join(base, "out")
+        if _needs_build(base, marker="_done"):
+            src, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
+            os.makedirs(src, exist_ok=True)
+            t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+            ids = t.column("doc_id").to_numpy()
+            for i in range(3):
+                p = f"{src}/b{i}.parquet"
+                pq.write_table(t.filter(pa.array(ids % 3 == i)), p)
+                os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            qname = f"stermc_{key}"
+            q = (
+                streaming_term_counts(stream)
+                .writeStream.format("memory")
+                .queryName(qname)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            # persist the FINAL complete-mode table (memory sinks die
+            # with the session; the gate result must be re-readable)
+            spark.table(qname).write.mode("overwrite").parquet(out)
+            with open(os.path.join(base, "_done"), "w") as f:
+                f.write("ok")
+        return (
+            spark.read.parquet(out)
+            .select("term", F.col("ttf").cast("long").alias("ttf"))
+            .orderBy(F.desc("ttf"), "term")
+            .limit(20)
+        )
+
     def q_dedup_exact(spark, sf):
         return dedup.exact_dup_groups(_docs(spark, sf))
 
@@ -1838,7 +1895,8 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # span_containing, span_within, bucket_selector, bucket_sort,
     # serial_diff, weighted_avg, top_metrics, terms_shard_topk,
     # span_multi, dsir_importance, cross_doc_repetition, rank_eval,
-    # diversified_sampler, hll_users, hll_values —
+    # diversified_sampler, hll_users, hll_values,
+    # streamed_term_counts —
     # replica-verified locally,
     # never driver-checked); (4) the 50 r5-checked entries as the
     # sacrificial tail, in their r5 order.
@@ -1959,6 +2017,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "diversified_sampler": q_diversified_sampler,
         "hll_users": q_hll_users,
         "hll_values": q_hll_values,
+        "streamed_term_counts": q_streamed_term_counts,
         # -- r5-checked tail: sacrificial under a 50-row cut (all 50
         #    full-passed in CORRECTNESS_r05 except bigram_collocations,
         #    whose signed-zero fix is replica-verified this round) --
@@ -2265,6 +2324,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_importance": oops.dsir_importance_sql(target_lang="en"),
         "cross_doc_repetition": oops.cross_doc_repetition_sql(n=3),
         "rank_eval": osql.rank_eval_sql(["table", "hash"], ["table", "hash"], k=10),
+        "streamed_term_counts": osql.streamed_term_counts_sql(k=20),
         "hll_users": osql.hll_cardinality_sql(item_expr="user_id::VARCHAR"),
         "hll_values": osql.hll_cardinality_sql(
             item_expr="CAST(round(value * 100, 0) AS BIGINT)::VARCHAR"

@@ -1203,6 +1203,20 @@ bm25 AS (
 )"""
 
 
+def streamed_term_counts_sql(k: int = 20) -> str:
+    """Stream-batch parity oracle for the complete-mode running term
+    aggregate (streaming/term_counts.py): the one-shot batch ttf over
+    the same corpus, same (ttf DESC, term) total order and cut."""
+    return f"""
+WITH {TOKS_CTE}
+SELECT term, count(*)::BIGINT AS ttf
+FROM (SELECT unnest(t) AS term FROM base)
+GROUP BY term
+ORDER BY ttf DESC, term ASC
+LIMIT {int(k)}
+"""
+
+
 def hll_cardinality_sql(
     key_col: str = "event_type", item_expr: str = "user_id::VARCHAR", m: int = 64
 ) -> str:
