@@ -513,3 +513,53 @@ def test_terms_shard_topk_broadcasts_shard_stats(spark):
     plan = _plan(terms_shard_topk(docs))
     assert "BroadcastHashJoin" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_hll_register_fold_is_partial_final_no_window(spark):
+    """hll_cardinality: both the (key, register) max and the per-key
+    register fold must carry a PARTIAL stage (map-side combine — each
+    executor ships <= m rows per key), with no window and no join
+    wider than the key join against the exact baseline."""
+    from pyspark.sql import functions as F
+
+    from ocaml_lucene_spark.query.grouping import hll_cardinality
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_type", F.col("user_id").cast("string").alias("item")
+    )
+    plan = _plan(hll_cardinality(ev, item_col="item"))
+    assert "Window" not in plan, plan
+    assert "partial_max" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_and_cross_doc_have_no_cartesian_or_window(spark):
+    """The two-shuffle textstats shapes: explode -> keyed aggregate ->
+    vocab join-back -> per-doc regroup. The only nested-loop join
+    allowed is the one-row totals broadcast (dsir); no window, no
+    cartesian product."""
+    from ocaml_lucene_spark.functions.textstats import dsir_importance
+    from ocaml_lucene_spark.operators.dedup import cross_doc_repetition
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for df in (dsir_importance(docs), cross_doc_repetition(docs, n=3)):
+        plan = _plan(df)
+        assert "Window" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+
+def test_diversified_sampler_window_is_dedup_key_partitioned(spark):
+    """The per-key cap window partitions by the dedup key (one key
+    shuffle, same as a groupBy) and the global cut is TakeOrdered —
+    never a SinglePartition window or a full sort."""
+    from ocaml_lucene_spark.query.grouping import diversified_sample_facets
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(diversified_sample_facets(docs, ["table", "hash"]))
+    # the cap window partitions by the dedup key (Spark also applies
+    # the WindowGroupLimit pushdown for the rn <= cap filter); the one
+    # SinglePartition exchange in the plan is bm25's 1-row corpus-
+    # stats broadcast, so assert the window spec itself instead
+    assert "windowspecdefinition(_dk" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
