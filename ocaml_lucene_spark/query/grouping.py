@@ -178,17 +178,25 @@ def facet_counts_indexed(
     )
 
 
+def _units_sum(value_col: str, quantize: int):
+    """The single owner of the snap-to-units fold: each value snaps to
+    an integer multiple of 1/quantize, the sum accumulates LONGS —
+    order-independent by construction. Every quantized aggregate
+    (histograms, pipelines, sessions) builds on this expression so the
+    snap convention can never drift between call sites."""
+    return F.sum(F.round(F.col(value_col) * quantize, 0).cast("long"))
+
+
 def _quantized_sum(value_col: str, quantize: int | None):
-    """Order-independent rounded sum: snap each value to integer
-    1/quantize units, fold LONGS, divide back — exact regardless of
-    partial-aggregate order (the engine invariant that float gate
-    totals never come from partial float sums). None = raw float sum
-    for non-fixed-precision inputs."""
+    """Order-independent rounded sum: the _units_sum long fold divided
+    back once — exact regardless of partial-aggregate order (the
+    engine invariant that float gate totals never come from partial
+    float sums). None = raw float sum for non-fixed-precision
+    inputs."""
     if quantize is None:
         return F.round(F.sum(value_col), 4)
     return F.round(
-        F.sum(F.round(F.col(value_col) * quantize, 0).cast("long")).cast("double")
-        / F.lit(float(quantize)),
+        _units_sum(value_col, quantize).cast("double") / F.lit(float(quantize)),
         4,
     )
 
@@ -663,7 +671,7 @@ def date_histogram_pipeline(
     bucket = F.date_format(F.date_trunc(interval, F.col(ts_col)), fmt).alias("bucket")
     per = events.groupBy(F.col(key_col).alias("key"), bucket).agg(
         F.count("*").alias("n_events"),
-        F.sum(F.round(F.col(value_col) * quantize, 0).cast("long")).alias("_q"),
+        _units_sum(value_col, quantize).alias("_q"),
     )
     w = Window.partitionBy("key").orderBy("bucket")
     qd = F.lit(float(quantize))
@@ -1021,7 +1029,7 @@ def date_histogram_moving_avg(
     fmt = {"day": "yyyy-MM-dd", "hour": "yyyy-MM-dd HH:00"}[interval]
     bucket = F.date_format(F.date_trunc(interval, F.col(ts_col)), fmt).alias("bucket")
     per = events.groupBy(F.col(key_col).alias("key"), bucket).agg(
-        F.sum(F.round(F.col(value_col) * quantize, 0).cast("long")).alias("_q"),
+        _units_sum(value_col, quantize).alias("_q"),
     )
     ten4 = 10 ** round_to
     w = (
@@ -1088,8 +1096,12 @@ def weighted_avg(
     q = F.round(F.col(value_col) * quantize, 0).cast("long")
     agg = events.groupBy(F.col(key_col).alias("key")).agg(
         F.count("*").alias("n_events"),
-        F.sum(w).cast("decimal(38,0)").alias("_sw"),
-        F.sum(q * w).cast("decimal(38,0)").alias("_num"),
+        # cast BEFORE the fold: per-row q·w ≈ 10^7, so a long sum
+        # wraps past ~10^12 rows per key — exactly the scale this
+        # operator claims; decimal(38,0) accumulation keeps the
+        # "exact integers" contract true (the hll fold does the same)
+        F.sum(w.cast("decimal(38,0)")).alias("_sw"),
+        F.sum((q * w).cast("decimal(38,0)")).alias("_num"),
     )
     return agg.select(
         "key",
@@ -1167,7 +1179,7 @@ def _quantized_key_histogram(
     bucket = F.date_format(F.date_trunc(interval, F.col(ts_col)), fmt).alias("bucket")
     return events.groupBy(F.col(key_col).alias("key"), bucket).agg(
         F.count("*").alias("n_events"),
-        F.sum(F.round(F.col(value_col) * quantize, 0).cast("long")).alias("_q"),
+        _units_sum(value_col, quantize).alias("_q"),
     )
 
 
@@ -1605,7 +1617,6 @@ def hll_cardinality(
     out = per.select(
         "key",
         "v_empty",
-        est_raw.alias("_raw"),
         F.when(
             (F.col("v_empty") > 0) & (est_raw <= F.lit(2.5 * m)),
             F.round(

@@ -60,7 +60,10 @@ def rank_eval(
     k); DCG@k = sum over relevant hits of 1/log2(rank+1). Ties and
     cuts follow the engine-wide (score DESC, doc_id) total order, so
     rank assignments are exactly reproducible."""
-    ranked = bm25_topk(docs, terms, "or", k=k)
+    # round_to=4 is the engine-wide round-BEFORE-ranking contract: the
+    # oracle's cut and rank assignment order by the ROUNDED score, so
+    # an unrounded engine ranking could break near-ties differently
+    ranked = bm25_topk(docs, terms, "or", k=k, round_to=4)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     # the window is over the k result rows only — single partition by
     # construction and bounded by k, never a data-volume sort

@@ -710,7 +710,8 @@ def test_rank_eval_hand_corpus(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     k = 3
     got = rank_eval(df, ["a", "b"], ["a", "b"], k=k).collect()[0]
-    ranking = [r.doc_id for r in bm25_topk(df, ["a", "b"], "or", k=k).collect()]
+    # round_to=4 mirrors rank_eval's internal ranking contract
+    ranking = [r.doc_id for r in bm25_topk(df, ["a", "b"], "or", k=k, round_to=4).collect()]
     judged = {0, 2, 4}
     hits = [(i + 1, d) for i, d in enumerate(ranking) if d in judged]
     n_hits = len(hits)
