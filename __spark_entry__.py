@@ -1372,6 +1372,14 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
             _docs(spark, sf), ["table", "hash"], ["table", "hash"], k=10
         )
 
+    def q_dup_spans(spark, sf):
+        # ExactSubstr dedup (Lee et al. 2022): maximal token spans
+        # whose 5-grams appear in >= 2 distinct docs — the cut list a
+        # cleaning pass consumes; all-integer, bespoke total order
+        # (doc_id, span_start). n=5 on this corpus = planted dup docs
+        # (full-doc spans) plus a handful of organic collisions
+        return dedup.dup_spans(_docs(spark, sf), n=5)
+
     def q_cross_doc_repetition(spark, sf):
         # Lee-et-al-style cross-document duplicated-span signal:
         # fraction of each doc's 3-gram occurrences whose gram appears
@@ -1879,7 +1887,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # the previous round's freshly-checked head moves to the tail.
     # Round-6 order: (1) the 41 entries cut from the r5 run (last
     # driver-checked in r4 — the rotation obligation from the r5
-    # verdict); (2) 9 NEW r6 rows inside the 50-row window; (3) 41 MORE
+    # verdict); (2) 9 NEW r6 rows inside the 50-row window; (3) 42 MORE
     # new r6 rows that did not fit the cap (ngram_contamination,
     # repetition_signals, unigram_logprob, sort_by_field,
     # pack_sequences, sample_stratified,
@@ -1896,13 +1904,13 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # serial_diff, weighted_avg, top_metrics, terms_shard_topk,
     # span_multi, dsir_importance, cross_doc_repetition, rank_eval,
     # diversified_sampler, hll_users, hll_values,
-    # streamed_term_counts —
+    # streamed_term_counts, dup_spans —
     # replica-verified locally,
     # never driver-checked); (4) the 50 r5-checked entries as the
     # sacrificial tail, in their r5 order.
     # ROUND-7 ROTATION OBLIGATION: everything after position 50
     # (recount with list(queries())[50:] before trusting this comment)
-    # is either never-driver-checked (the 56 past-cut r6 rows — put
+    # is either never-driver-checked (the 57 past-cut r6 rows — put
     # them FIRST) or last checked in r5; all of it MUST occupy the
     # front of the r7 order, demoting this round's new rows and the
     # r6-checked head to the tail.
@@ -2018,6 +2026,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "hll_users": q_hll_users,
         "hll_values": q_hll_values,
         "streamed_term_counts": q_streamed_term_counts,
+        "dup_spans": q_dup_spans,
         # -- r5-checked tail: sacrificial under a 50-row cut (all 50
         #    full-passed in CORRECTNESS_r05 except bigram_collocations,
         #    whose signed-zero fix is replica-verified this round) --
@@ -2329,6 +2338,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_values": osql.hll_cardinality_sql(
             item_expr="CAST(round(value * 100, 0) AS BIGINT)::VARCHAR"
         ),
+        "dup_spans": oops.dup_spans_sql(n=5),
         "diversified_sampler": osql.diversified_sample_facets_sql(
             ["table", "hash"], dedup_col="source", max_per_key=2,
             sample_size=50, facet_col="lang",

@@ -575,3 +575,74 @@ def cross_doc_repetition(
         )
         .orderBy("doc_id")
     )
+
+
+def dup_spans(
+    docs: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, span_start, span_end, span_len): maximal token spans
+    covered by word n-grams appearing in >= 2 DISTINCT documents —
+    the ExactSubstr dedup surface (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"), re-expressed for
+    Spark: the suffix-array sort becomes a shuffle on the n-gram, the
+    duplicated-range merge becomes gaps-and-islands over token
+    positions. cross_doc_repetition reports the per-doc FRACTION of
+    this signal; this one emits the actual cut list a cleaning pass
+    consumes. span_start/span_end are 1-based token positions,
+    inclusive; a lone duplicated n-gram yields span_len == n, and
+    overlapping duplicated grams merge (consecutive start positions
+    form one island).
+
+    Determinism: pure integer arithmetic end-to-end; the output
+    carries a bespoke total order (doc_id, span_start) — island
+    starts are unique within a doc, so the order is total.
+
+    Scale shape: position explode -> gram df over distinct docs
+    [shuffle 1, map-side partial agg]; LEFT-SEMI join back on gram
+    flags duplicated occurrences (row count preserved — no pair
+    materialization, so hot boilerplate grams cannot explode the
+    join); islands take one per-doc window [shuffle 2, partition
+    bounded by doc length]. Docs shorter than n tokens cannot form an
+    n-gram and are excluded on BOTH sides (no whole-doc fallback
+    shingle here, unlike shingles_col).
+    """
+    from pyspark.sql import Window
+
+    toks = tokens_col(F.col(text_col))
+    pos = (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("t"))
+        .filter(F.size("t") >= n)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - n),
+                    lambda i: F.array_join(F.slice("t", i + 1, n), " "),
+                )
+            ).alias("pos0", "g"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+    )
+    dupg = (
+        pos.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("g")
+    )
+    flagged = pos.join(dupg, "g", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = flagged.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(F.min("pos").alias("_s"), F.max("pos").alias("_e"))
+        .select(
+            "doc_id",
+            F.col("_s").cast("long").alias("span_start"),
+            (F.col("_e") + n - 1).cast("long").alias("span_end"),
+            (F.col("_e") + n - F.col("_s")).cast("long").alias("span_len"),
+        )
+        .orderBy("doc_id", "span_start")
+    )

@@ -925,6 +925,42 @@ ORDER BY doc_id
 """
 
 
+def dup_spans_sql(n: int = 5) -> str:
+    """ExactSubstr duplicated-span oracle (operators/dedup.dup_spans):
+    positions via the positional parallel-unnest zip (the snippet_topk
+    idiom), gram df over DISTINCT docs, gaps-and-islands merge. Docs
+    with fewer than n tokens are excluded on both sides. All-integer;
+    bespoke total order (doc_id, span_start)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {TOKS} AS t FROM documents
+),
+pos AS (
+  SELECT doc_id,
+         unnest(range(len(t) - {n} + 1)) + 1 AS pos,
+         unnest(list_transform(range(len(t) - {n} + 1),
+                i -> array_to_string(t[i+1:i+{n}], ' '))) AS g
+  FROM toks WHERE len(t) >= {n}
+),
+dupg AS (
+  SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df FROM pos GROUP BY g)
+  WHERE df >= 2
+),
+d AS (SELECT doc_id, pos FROM pos WHERE g IN (SELECT g FROM dupg)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM d
+)
+SELECT doc_id,
+       min(pos)::BIGINT AS span_start,
+       (max(pos) + {n} - 1)::BIGINT AS span_end,
+       (max(pos) + {n} - min(pos))::BIGINT AS span_len
+FROM isl GROUP BY doc_id, grp
+ORDER BY doc_id, span_start
+"""
+
+
 def cross_doc_repetition_sql(n: int = 3) -> str:
     """Cross-doc repetition oracle (operators/dedup.
     cross_doc_repetition): gram df counts DISTINCT docs; the fraction

@@ -447,3 +447,58 @@ def test_knn_filtered_equals_brute_force_over_filtered_subset(spark):
     assert [(v, s + 0.0) for v, s in want] == got
     labels = {r.vec_id: r.label for r in vecs.select("vec_id", "label").collect()}
     assert all(labels[v] == 3 for v, _ in got)
+
+
+def test_dup_spans_planted_boundaries(spark):
+    """Hand-built corpus with known duplicated spans (n=3): the shared
+    7-token run between docs 0 and 1 must come back as ONE merged
+    island with exact 1-based inclusive boundaries; within-doc-only
+    repetition must NOT fire (df counts distinct docs); docs shorter
+    than n are excluded outright."""
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 tokens
+    d0 = f"one two three {shared} four five six"        # shared at pos 4..10
+    d1 = f"{shared} seven eight nine"                   # shared at pos 1..7
+    d2 = "rep rep rep rep rep unique words here only"   # within-doc rep only
+    d3 = "too short"                                    # < n tokens
+    docs = spark.createDataFrame(
+        [(0, d0), (1, d1), (2, d2), (3, d3)], "doc_id long, text string"
+    )
+    got = [tuple(r) for r in dedup.dup_spans(docs, n=3).collect()]
+    assert got == [(0, 4, 10, 7), (1, 1, 7, 7)], got
+
+
+def test_dup_spans_matches_python_brute_force(spark, docs):
+    """Non-SQL reference: recompute duplicated spans in pure Python
+    (token n-grams, df over distinct docs, island merge) over a
+    deterministic corpus slice and require exact equality."""
+    import re
+
+    n = 4
+    sub = docs.filter(F.col("doc_id") % 7 == 0)
+    texts = {r.doc_id: r.text for r in sub.collect()}
+    toks = {
+        d: [t for t in re.split(r"[^a-z0-9]+", txt.lower()) if t]
+        for d, txt in texts.items()
+    }
+    posmap = {
+        d: [(i + 1, " ".join(t[i : i + n])) for i in range(len(t) - n + 1)]
+        for d, t in toks.items()
+        if len(t) >= n
+    }
+    df_docs: dict[str, set] = {}
+    for d, pgs in posmap.items():
+        for _, g in pgs:
+            df_docs.setdefault(g, set()).add(d)
+    expected = []
+    for d in sorted(posmap):
+        dup_pos = [p for p, g in posmap[d] if len(df_docs[g]) >= 2]
+        run: list[int] = []
+        for p in dup_pos + [None]:
+            if run and (p is None or p != run[-1] + 1):
+                expected.append((d, run[0], run[-1] + n - 1, run[-1] + n - run[0]))
+                run = []
+            if p is not None:
+                run.append(p)
+    got = [tuple(r) for r in dedup.dup_spans(sub, n=n).collect()]
+    assert got == expected
+    assert len(got) > 0  # the planted dups make the slice non-degenerate

@@ -563,3 +563,18 @@ def test_diversified_sampler_window_is_dedup_key_partitioned(spark):
     assert "windowspecdefinition(_dk" in plan, plan
     assert "WindowGroupLimit" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_dup_spans_semi_join_and_doc_partitioned_window(spark):
+    """dup_spans' join-back on the gram must be LEFT-SEMI (row-count
+    preserving — a hot boilerplate gram must never multiply position
+    rows) and the island window must partition by doc_id, never
+    SinglePartition; no cartesian product anywhere."""
+    from ocaml_lucene_spark.operators.dedup import dup_spans
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(dup_spans(docs, n=5))
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" in plan, plan
+    assert "SinglePartition" not in plan, plan
