@@ -1380,6 +1380,15 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         # (full-doc spans) plus a handful of organic collisions
         return dedup.dup_spans(_docs(spark, sf), n=5)
 
+    def q_complete_fuzzy(spark, sf):
+        # typo-tolerant completion (FuzzyCompletionQuery): terms some
+        # prefix of which is within 1 edit of the typed "sta" —
+        # stream/spark/scan/small via one edit, table via its "ta"
+        # prefix; ranked (df desc, term asc), zero Spark jobs
+        from ocaml_lucene_spark.query.suggest import complete_fuzzy
+
+        return complete_fuzzy(spark, _ensure_index(spark, sf), "sta", max_edits=1, k=10)
+
     def q_cross_doc_repetition(spark, sf):
         # Lee-et-al-style cross-document duplicated-span signal:
         # fraction of each doc's 3-gram occurrences whose gram appears
@@ -1887,7 +1896,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # the previous round's freshly-checked head moves to the tail.
     # Round-6 order: (1) the 41 entries cut from the r5 run (last
     # driver-checked in r4 — the rotation obligation from the r5
-    # verdict); (2) 9 NEW r6 rows inside the 50-row window; (3) 42 MORE
+    # verdict); (2) 9 NEW r6 rows inside the 50-row window; (3) 43 MORE
     # new r6 rows that did not fit the cap (ngram_contamination,
     # repetition_signals, unigram_logprob, sort_by_field,
     # pack_sequences, sample_stratified,
@@ -1904,13 +1913,13 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # serial_diff, weighted_avg, top_metrics, terms_shard_topk,
     # span_multi, dsir_importance, cross_doc_repetition, rank_eval,
     # diversified_sampler, hll_users, hll_values,
-    # streamed_term_counts, dup_spans —
+    # streamed_term_counts, dup_spans, complete_fuzzy —
     # replica-verified locally,
     # never driver-checked); (4) the 50 r5-checked entries as the
     # sacrificial tail, in their r5 order.
     # ROUND-7 ROTATION OBLIGATION: everything after position 50
     # (recount with list(queries())[50:] before trusting this comment)
-    # is either never-driver-checked (the 57 past-cut r6 rows — put
+    # is either never-driver-checked (the 58 past-cut r6 rows — put
     # them FIRST) or last checked in r5; all of it MUST occupy the
     # front of the r7 order, demoting this round's new rows and the
     # r6-checked head to the tail.
@@ -2027,6 +2036,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "hll_values": q_hll_values,
         "streamed_term_counts": q_streamed_term_counts,
         "dup_spans": q_dup_spans,
+        "complete_fuzzy": q_complete_fuzzy,
         # -- r5-checked tail: sacrificial under a 50-row cut (all 50
         #    full-passed in CORRECTNESS_r05 except bigram_collocations,
         #    whose signed-zero fix is replica-verified this round) --
@@ -2339,6 +2349,7 @@ def oracle_sql() -> dict[str, str]:
             item_expr="CAST(round(value * 100, 0) AS BIGINT)::VARCHAR"
         ),
         "dup_spans": oops.dup_spans_sql(n=5),
+        "complete_fuzzy": osql.complete_fuzzy_sql("sta", max_edits=1, k=10),
         "diversified_sampler": osql.diversified_sample_facets_sql(
             ["table", "hash"], dedup_col="source", max_per_key=2,
             sample_size=50, facet_col="lang",

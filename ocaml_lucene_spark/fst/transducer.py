@@ -332,5 +332,75 @@ class Fst:
 
         yield from walk(self.root, b"", self.out.empty, list(range(m + 1)), b"")
 
+    def fuzzy_prefix_items(self, query: str, k: int):
+        """(key, output) for every accepted key having SOME char-level
+        prefix within ``k`` Levenshtein edits of ``query`` — the
+        FuzzyCompletionQuery expansion source (Lucene suggest's
+        typo-tolerant autocomplete: the typed prefix may itself
+        contain edits, and every completion of a matching dictionary
+        prefix qualifies). Same lazy DP-row DFS as levenshtein_items,
+        but acceptance is row[m] <= k at ANY codepoint boundary, not
+        only at final nodes: the FIRST (shallowest) qualifying node
+        emits its ENTIRE subtree — every term below completes a
+        qualifying prefix — and the DP stops there, so each term is
+        yielded exactly once via its shallowest qualifying ancestor.
+        Subtrees prune when min(row) > k (no extension of a row all
+        above k can come back down). len(query) <= k makes the ROOT
+        qualify (the empty prefix is within k edits) and the whole
+        dictionary enumerates, mirroring the exhaustive reference.
+        Yields in ascending byte order."""
+        q = query
+        m = len(q)
+
+        def step(row, c):
+            new = [row[0] + 1]
+            for j in range(1, m + 1):
+                new.append(
+                    min(row[j] + 1, new[j - 1] + 1, row[j - 1] + (c != q[j - 1]))
+                )
+            return new
+
+        def utf8_need(b0: int) -> int:
+            if b0 < 0x80:
+                return 1
+            if b0 < 0xE0:
+                return 2
+            if b0 < 0xF0:
+                return 3
+            return 4
+
+        def subtree(addr, prefix: bytes, acc):
+            final, final_output, arcs = self._read_node(addr)
+            if final:
+                yield prefix, self.out.add(acc, final_output)
+            for label, output, target in arcs:
+                yield from subtree(
+                    target, prefix + bytes([label]), self.out.add(acc, output)
+                )
+
+        def walk(addr, prefix: bytes, acc, row, pending: bytes):
+            if not pending and row[m] <= k:
+                yield from subtree(addr, prefix, acc)
+                return
+            _final, _fo, arcs = self._read_node(addr)
+            for label, output, target in arcs:
+                nb = pending + bytes([label])
+                if len(nb) < utf8_need(nb[0]):
+                    nrow, npending = row, nb  # mid-codepoint: row holds
+                else:
+                    nrow = step(row, nb.decode("utf-8"))
+                    npending = b""
+                    if min(nrow) > k:
+                        continue  # prune the whole subtree
+                yield from walk(
+                    target,
+                    prefix + bytes([label]),
+                    self.out.add(acc, output),
+                    nrow,
+                    npending,
+                )
+
+        yield from walk(self.root, b"", self.out.empty, list(range(m + 1)), b"")
+
     def num_bytes(self) -> int:
         return len(self.data)

@@ -1169,6 +1169,30 @@ LIMIT {k}
 """
 
 
+def complete_fuzzy_sql(prefix: str, max_edits: int = 1, k: int = 10) -> str:
+    """Fuzzy-completion oracle (query/suggest.py complete_fuzzy):
+    acceptance re-derived independently as min over NON-EMPTY char
+    prefixes p of term of levenshtein(p, prefix) <= max_edits (DuckDB
+    levenshtein is plain edit distance, the same DP the FST walk
+    steps). The empty prefix is excluded here, so gate prefixes must
+    be longer than max_edits (complete_fuzzy's documented contract);
+    ranked (df desc, term asc) like complete_prefix."""
+    return f"""
+WITH {TOKS_CTE},
+tf AS (
+  SELECT doc_id, term
+  FROM (SELECT doc_id, unnest(t) AS term FROM base)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
+SELECT term, df FROM dfreq
+WHERE list_min(list_transform(range(1, length(term) + 1),
+        i -> levenshtein(term[1:i], '{prefix}'))) <= {max_edits}
+ORDER BY df DESC, term ASC
+LIMIT {k}
+"""
+
+
 def _cos_sql(a: str, b: str) -> str:
     # the ONE cosine SQL, shared with the ANN oracles — never a copy
     from .oracle_sql_ops import _cos

@@ -69,6 +69,36 @@ def complete_prefix(
     return spark.createDataFrame(rows, "term string, df long")
 
 
+def complete_fuzzy(
+    spark: SparkSession,
+    index_dir: str,
+    prefix: str,
+    max_edits: int = 1,
+    k: int = 10,
+) -> DataFrame:
+    """Typo-tolerant completion suggester (Lucene suggest's
+    FuzzyCompletionQuery): top-k dictionary terms some prefix of which
+    is within ``max_edits`` Levenshtein edits of the typed ``prefix``,
+    ranked (df desc, term asc) like complete_prefix — autocomplete
+    that survives a typo in the already-typed characters. The
+    candidate walk is the subtree-emitting Levenshtein-automaton∩FST
+    DFS (fst/transducer.fuzzy_prefix_items; zero Spark jobs), with an
+    exhaustive DP-scan reference equality-tested in tests/test_fst.py.
+    The SQL oracle re-derives acceptance independently as
+    min over non-empty prefixes p of levenshtein(p, prefix) — use a
+    ``prefix`` longer than ``max_edits`` so the empty prefix can never
+    qualify on the engine side (the oracle only enumerates non-empty
+    prefixes)."""
+    from .term_index import fuzzy_prefix_stats_mem
+
+    stats = fuzzy_prefix_stats_mem(index_dir, prefix, max_edits)
+    rows = sorted(
+        ((t, int(df)) for t, (df, _ttf) in stats.items()),
+        key=lambda r: (-r[1], r[0]),
+    )[:k]
+    return spark.createDataFrame(rows, "term string, df long")
+
+
 def phrase_suggest(
     spark: SparkSession,
     index_dir: str,

@@ -249,6 +249,60 @@ def fuzzy_stats_mem(
     return out
 
 
+def _some_prefix_within(term: str, query: str, k: int) -> bool:
+    """True when ANY char-level prefix of ``term`` (including the
+    empty one) is within k Levenshtein edits of ``query`` — the
+    exhaustive FuzzyCompletion acceptance check. One DP over the term:
+    row i's last cell is lev(term[:i], query)."""
+    m = len(query)
+    row = list(range(m + 1))
+    if row[m] <= k:
+        return True
+    for c in term:
+        new = [row[0] + 1]
+        for j in range(1, m + 1):
+            new.append(
+                min(row[j] + 1, new[j - 1] + 1, row[j - 1] + (c != query[j - 1]))
+            )
+        row = new
+        if row[m] <= k:
+            return True
+        if min(row) > k:
+            return False
+    return False
+
+
+def fuzzy_prefix_stats_mem(
+    index_dir: str, prefix: str, max_edits: int = 1, use_automaton: bool = True
+) -> dict[str, tuple[int, int]]:
+    """FuzzyCompletionQuery expansion: term -> (df, ttf) for every
+    dictionary term some prefix of which is within ``max_edits``
+    Levenshtein edits of the typed ``prefix``, from the in-memory
+    dictionaries with zero Spark jobs. Default path is the
+    subtree-emitting automaton ∩ FST walk (Fst.fuzzy_prefix_items);
+    ``use_automaton=False`` keeps the exhaustive per-term DP scan as
+    an independent reference (the two are asserted equal over full
+    dictionaries in tests/test_fst.py, the fuzzy_stats_mem pattern)."""
+    if not use_automaton:
+        return {
+            t: v
+            for t, v in all_stats_mem(index_dir).items()
+            if _some_prefix_within(t, prefix, max_edits)
+        }
+    out: dict[str, tuple[int, int]] = {}
+    for row in seg.list_segments(index_dir):
+        ti = load_term_index(index_dir, row["segment"])
+        for key, ordinal in ti.fst.fuzzy_prefix_items(prefix, max_edits):
+            t = key.decode("utf-8")
+            df, ttf = int(ti.dfs[ordinal]), int(ti.ttfs[ordinal])
+            if t in out:
+                pdf, pttf = out[t]
+                out[t] = (pdf + df, pttf + ttf)
+            else:
+                out[t] = (df, ttf)
+    return out
+
+
 def seek_exact_mem(index_dir: str, term: str) -> dict | None:
     """seek_exact served purely from in-memory term dictionaries:
     aggregates (df, ttf) across live segments; None (no Spark job at

@@ -248,3 +248,65 @@ class TestRegexIntersection:
         for pat in ["^abc", r"a\d", "(?i)x", "a(?=b)", r"(a)\1", "(?s)a.b"]:
             with _pytest.raises(UnsupportedRegexError):
                 compile_nfa(pat)
+
+
+class TestFuzzyPrefixIntersection:
+    """FuzzyCompletionQuery expansion: the subtree-emitting automaton ∩
+    FST walk (fuzzy_prefix_items) must equal the exhaustive per-term
+    some-prefix-within-k DP filter over the FULL dictionary — incl.
+    multi-byte UTF-8 keys (char-level edits), the empty query, and
+    len(query) <= k (where the root qualifies and the whole dictionary
+    enumerates)."""
+
+    def _build(self, words):
+        b = FstBuilder()
+        for i, w in enumerate(sorted(set(words))):
+            b.add(w.encode("utf-8"), i)
+        return b.finish(), sorted(set(words))
+
+    def _check(self, fst, words, query, k):
+        from ocaml_lucene_spark.query.term_index import _some_prefix_within
+
+        hits = list(fst.fuzzy_prefix_items(query, k))
+        got = [key.decode("utf-8") for key, _ in hits]
+        expect = [w for w in words if _some_prefix_within(w, query, k)]
+        # sorted byte order, each term exactly once, ordinals intact
+        assert got == expect, (query, k, set(got) ^ set(expect))
+        for key, o in hits:
+            assert words[o] == key.decode("utf-8")
+
+    def test_ascii_dictionary(self):
+        import random
+
+        rng = random.Random(7)
+        words = ["sort", "short", "sport", "spark", "sparkle", "park",
+                 "query", "qery", "a", "ab", "abc", "table", "tables",
+                 "tablet", "cable"]
+        words += ["".join(rng.choice("abcd") for _ in range(rng.randint(1, 7)))
+                  for _ in range(300)]
+        fst, words = self._build(words)
+        for q in ["tabl", "tabel", "spark", "xyz", "qqq", "ab", "", "a"]:
+            for k in (0, 1, 2):
+                self._check(fst, words, q, k)
+
+    def test_multibyte_utf8_char_level_edits(self):
+        words = ["cafe", "café", "caffé", "cafeteria", "caféteria",
+                 "naive", "naïve", "日本", "日本語", "uber", "über"]
+        fst, words = self._build(words)
+        for q in ["café", "cafe", "naïv", "日本", "übe"]:
+            for k in (0, 1, 2):
+                self._check(fst, words, q, k)
+
+    def test_short_query_enumerates_whole_dictionary(self):
+        fst, words = self._build(["alpha", "beta", "gamma"])
+        # len(query)=1 <= k=1: the EMPTY prefix qualifies for every term
+        self._check(fst, words, "x", 1)
+        got = [k.decode() for k, _ in fst.fuzzy_prefix_items("x", 1)]
+        assert got == words
+
+    def test_each_term_emitted_once_via_shallowest_ancestor(self):
+        # "table" has two qualifying prefixes for query "tabl", k=1
+        # ("tabl" d=0 and "table" d=1) — must still be emitted once
+        fst, words = self._build(["table", "tables", "tab"])
+        got = [k.decode() for k, _ in fst.fuzzy_prefix_items("tabl", 1)]
+        assert got == ["tab", "table", "tables"]  # "tab" d=1 qualifies too

@@ -95,6 +95,31 @@ def test_spell_suggest_matches_exhaustive_dictionary(spark, index_dir):
     assert got, "probe term must have at least one candidate"
 
 
+def test_complete_fuzzy_matches_exhaustive_and_beats_plain_prefix(spark, index_dir):
+    from ocaml_lucene_spark.query.term_index import (
+        _some_prefix_within,
+        fuzzy_prefix_stats_mem,
+    )
+
+    got = [
+        tuple(r)
+        for r in suggest.complete_fuzzy(spark, index_dir, "sta", max_edits=1, k=50).collect()
+    ]
+    stats = all_stats_mem(index_dir)
+    want = sorted(
+        ((t, df) for t, (df, _ttf) in stats.items() if _some_prefix_within(t, "sta", 1)),
+        key=lambda r: (-r[1], r[0]),
+    )[:50]
+    assert got == want
+    assert got, "probe prefix must have candidates"
+    # typo tolerance: must include a term that does NOT start with "sta"
+    assert any(not t.startswith("sta") for t, _ in got), got
+    # the automaton path equals the exhaustive stats path wholesale
+    assert fuzzy_prefix_stats_mem(index_dir, "sta", 1) == fuzzy_prefix_stats_mem(
+        index_dir, "sta", 1, use_automaton=False
+    )
+
+
 def test_tfidf_and_bm25_rank_differently_but_share_plan_shape(docs):
     # ClassicSimilarity is a different formula; both orderings are
     # internally consistent (score desc, doc_id asc)
