@@ -1380,6 +1380,16 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         # (full-doc spans) plus a handful of organic collisions
         return dedup.dup_spans(_docs(spark, sf), n=5)
 
+    def q_stats_bucket(spark, sf):
+        # ES sibling pipeline aggs (stats_bucket subsuming max/min/
+        # avg/sum_bucket): per key, stats over its per-day histogram
+        # of value sums + the extreme buckets' labels; integer
+        # quantize-units, avg via _div_round_expr, ties scalarize to
+        # the lexicographically first bucket on both sides
+        from ocaml_lucene_spark.query.grouping import stats_bucket
+
+        return stats_bucket(spark.read.parquet(f"{sf}/events.parquet"))
+
     def q_complete_fuzzy(spark, sf):
         # typo-tolerant completion (FuzzyCompletionQuery): terms some
         # prefix of which is within 1 edit of the typed "sta" —
@@ -1896,7 +1906,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # the previous round's freshly-checked head moves to the tail.
     # Round-6 order: (1) the 41 entries cut from the r5 run (last
     # driver-checked in r4 — the rotation obligation from the r5
-    # verdict); (2) 9 NEW r6 rows inside the 50-row window; (3) 43 MORE
+    # verdict); (2) 9 NEW r6 rows inside the 50-row window; (3) 44 MORE
     # new r6 rows that did not fit the cap (ngram_contamination,
     # repetition_signals, unigram_logprob, sort_by_field,
     # pack_sequences, sample_stratified,
@@ -1913,13 +1923,13 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # serial_diff, weighted_avg, top_metrics, terms_shard_topk,
     # span_multi, dsir_importance, cross_doc_repetition, rank_eval,
     # diversified_sampler, hll_users, hll_values,
-    # streamed_term_counts, dup_spans, complete_fuzzy —
+    # streamed_term_counts, dup_spans, complete_fuzzy, stats_bucket —
     # replica-verified locally,
     # never driver-checked); (4) the 50 r5-checked entries as the
     # sacrificial tail, in their r5 order.
     # ROUND-7 ROTATION OBLIGATION: everything after position 50
     # (recount with list(queries())[50:] before trusting this comment)
-    # is either never-driver-checked (the 58 past-cut r6 rows — put
+    # is either never-driver-checked (the 59 past-cut r6 rows — put
     # them FIRST) or last checked in r5; all of it MUST occupy the
     # front of the r7 order, demoting this round's new rows and the
     # r6-checked head to the tail.
@@ -2037,6 +2047,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "streamed_term_counts": q_streamed_term_counts,
         "dup_spans": q_dup_spans,
         "complete_fuzzy": q_complete_fuzzy,
+        "stats_bucket": q_stats_bucket,
         # -- r5-checked tail: sacrificial under a 50-row cut (all 50
         #    full-passed in CORRECTNESS_r05 except bigram_collocations,
         #    whose signed-zero fix is replica-verified this round) --
@@ -2350,6 +2361,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dup_spans": oops.dup_spans_sql(n=5),
         "complete_fuzzy": osql.complete_fuzzy_sql("sta", max_edits=1, k=10),
+        "stats_bucket": osql.stats_bucket_sql("day"),
         "diversified_sampler": osql.diversified_sample_facets_sql(
             ["table", "hash"], dedup_col="source", max_per_key=2,
             sample_size=50, facet_col="lang",

@@ -692,6 +692,68 @@ def date_histogram_pipeline(
     ).orderBy("key", "bucket")
 
 
+def stats_bucket(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    interval: str = "day",
+    value_col: str = "value",
+    quantize: int = 100,
+) -> DataFrame:
+    """Sibling pipeline aggregations (ES ``stats_bucket`` — subsuming
+    ``max_bucket`` / ``min_bucket`` / ``avg_bucket`` / ``sum_bucket``):
+    one row per key summarizing that key's per-interval histogram of
+    value sums: (key, n_buckets, min_value, max_value, avg_value,
+    total_value, min_bucket, max_bucket). min_bucket/max_bucket are
+    the bucket LABELS holding the extreme sums; ES returns a keys
+    ARRAY on ties — this engine scalarizes deterministically to the
+    lexicographically FIRST such bucket string (min over struct, so
+    ties can never depend on partitioning).
+
+    Determinism: bucket sums are INTEGER quantize-units (_units_sum);
+    min/max/total divide back exactly (multiples of 1/quantize — no
+    rounding involved); avg is a RATIO OF EXACT INTEGERS and rounds
+    via _div_round_expr; every emitted float adds +0.0 (value sums
+    can be negative in general).
+
+    Scale shape: histogram groupBy [one shuffle, map-side combine],
+    then a key-level regroup over |keys x buckets| rows — bucket
+    count grows with time span, not data volume; no window at all."""
+    fmt = {"day": "yyyy-MM-dd", "hour": "yyyy-MM-dd HH:00"}[interval]
+    bucket = F.date_format(F.date_trunc(interval, F.col(ts_col)), fmt).alias("bucket")
+    per = events.groupBy(F.col(key_col).alias("key"), bucket).agg(
+        _units_sum(value_col, quantize).alias("_q")
+    )
+    qd = F.lit(float(quantize))
+    agg = per.groupBy("key").agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.min("_q").alias("_min"),
+        F.max("_q").alias("_max"),
+        F.sum("_q").cast("decimal(38,0)").alias("_sum"),
+        F.min(F.struct(F.col("_q").alias("q"), F.col("bucket").alias("b"))).alias(
+            "_minrow"
+        ),
+        F.min(F.struct((-F.col("_q")).alias("nq"), F.col("bucket").alias("b"))).alias(
+            "_maxrow"
+        ),
+    )
+    avg_units = F.expr(
+        _div_round_expr("_sum", f"cast(n_buckets as decimal(38,0)) * {quantize}")
+    )
+    return agg.select(
+        "key",
+        "n_buckets",
+        (F.round(F.col("_min").cast("double") / qd, 4) + F.lit(0.0)).alias("min_value"),
+        (F.round(F.col("_max").cast("double") / qd, 4) + F.lit(0.0)).alias("max_value"),
+        (avg_units.cast("double") / F.lit(10000.0) + F.lit(0.0)).alias("avg_value"),
+        (F.round(F.col("_sum").cast("double") / qd, 4) + F.lit(0.0)).alias(
+            "total_value"
+        ),
+        F.col("_minrow.b").alias("min_bucket"),
+        F.col("_maxrow.b").alias("max_bucket"),
+    ).orderBy("key")
+
+
 def percentiles_agg(
     docs: DataFrame,
     col: str = "n_chars",

@@ -2542,6 +2542,42 @@ ORDER BY score DESC, doc_id ASC
 """
 
 
+def stats_bucket_sql(
+    interval: str = "day", key_col: str = "event_type", quantize: int = 100
+) -> str:
+    """Sibling pipeline-agg oracle (query/grouping.py stats_bucket):
+    same integer quantize-units histogram (_qhist), key-level stats in
+    HUGEINT, avg via _div_round4_sql (ratio of exact integers), and
+    the min/max bucket labels re-derived INDEPENDENTLY as
+    min(CASE WHEN q = extreme THEN bucket END) over a join — the
+    engine uses min-over-struct; both scalarize ties to the
+    lexicographically first bucket. Every float adds +0.0::DOUBLE."""
+    qd = f"{float(quantize)!r}::DOUBLE"
+    avg = _div_round4_sql("sumq", f"n_buckets::HUGEINT * {quantize}")
+    return f"""
+WITH {_qhist(interval, key_col, quantize)},
+agg AS (
+  SELECT key, count(*)::BIGINT AS n_buckets,
+         min(q) AS minq, max(q) AS maxq, sum(q)::HUGEINT AS sumq
+  FROM per GROUP BY key
+),
+lbl AS (
+  SELECT per.key,
+         min(CASE WHEN q = minq THEN bucket END) AS min_bucket,
+         min(CASE WHEN q = maxq THEN bucket END) AS max_bucket
+  FROM per JOIN agg USING (key) GROUP BY per.key
+)
+SELECT agg.key AS key, n_buckets,
+       round(minq::DOUBLE / {qd}, 4) + 0.0::DOUBLE AS min_value,
+       round(maxq::DOUBLE / {qd}, 4) + 0.0::DOUBLE AS max_value,
+       ({avg})::DOUBLE / 10000.0 + 0.0::DOUBLE AS avg_value,
+       round(sumq::DOUBLE / {qd}, 4) + 0.0::DOUBLE AS total_value,
+       min_bucket, max_bucket
+FROM agg JOIN lbl ON agg.key = lbl.key
+ORDER BY key
+"""
+
+
 def _div_round4_sql(num: str, den: str, ten4: int = 10000) -> str:
     """DuckDB fragment mirroring grouping._div_round_expr: signed
     half-away-from-zero rounding of num/den at 4dp in HUGEINT

@@ -267,3 +267,53 @@ def test_hll_cardinality_accuracy_and_invariances(spark):
     # (linear counting), larger ones may fill all 64 (raw estimator)
     u = hll_cardinality(users, item_col="item").collect()
     assert any(r.v_empty > 0 for r in u)
+
+
+def test_stats_bucket_hand_series_and_tie_scalarization(spark):
+    from ocaml_lucene_spark.query.grouping import stats_bucket
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        # key "a": bucket sums 3.0, 5.0, 5.0, 1.0 — max TIES on days
+        # 2 and 3 -> max_bucket must be the lexicographically FIRST
+        ("a", base + dt.timedelta(days=0), 3.0),
+        ("a", base + dt.timedelta(days=1), 2.0),
+        ("a", base + dt.timedelta(days=1), 3.0),
+        ("a", base + dt.timedelta(days=2), 5.0),
+        ("a", base + dt.timedelta(days=3), 1.0),
+        # key "b": one bucket, negative sum (signed-zero / sign path)
+        ("b", base, -2.5),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    got = [tuple(r) for r in stats_bucket(df).collect()]
+    assert got == [
+        # avg of (3.0, 5.0, 5.0, 1.0) = 3.5 exactly
+        ("a", 4, 1.0, 5.0, 3.5, 14.0, "2024-03-04", "2024-03-02"),
+        ("b", 1, -2.5, -2.5, -2.5, -2.5, "2024-03-01", "2024-03-01"),
+    ], got
+
+
+def test_stats_bucket_matches_python_replay(events):
+    from ocaml_lucene_spark.query.grouping import stats_bucket
+
+    ref = _py_histogram(events)
+    per = {}
+    for (k, b), (_n, q) in ref.items():
+        per.setdefault(k, []).append((b, q))
+    expected = []
+    for k in sorted(per):
+        qs = [q for _b, q in per[k]]
+        n, total = len(qs), sum(qs)
+        # avg: integer half-away-from-zero of total/(n*100) at 4dp
+        num, den = abs(total) * 10000 * 2, 2 * n * 100
+        avg = (1 if total >= 0 else -1) * ((num + n * 100) // den) / 10000.0
+        min_q, max_q = min(qs), max(qs)
+        expected.append(
+            (
+                k, n, min_q / 100.0, max_q / 100.0, avg, total / 100.0,
+                min(b for b, q in per[k] if q == min_q),
+                min(b for b, q in per[k] if q == max_q),
+            )
+        )
+    got = [tuple(r) for r in stats_bucket(events).collect()]
+    assert got == expected

@@ -578,3 +578,17 @@ def test_dup_spans_semi_join_and_doc_partitioned_window(spark):
     assert "CartesianProduct" not in plan, plan
     assert "Window" in plan, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_stats_bucket_is_two_aggs_no_window(spark):
+    """The sibling pipeline agg is histogram groupBy -> key regroup —
+    two partial/final aggregate pairs, NO window (the argmin/argmax
+    labels come from min-over-struct inside the aggregate, never a
+    per-key sort) and no cartesian product."""
+    from ocaml_lucene_spark.query.grouping import stats_bucket
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = _plan(stats_bucket(ev))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("HashAggregate") == 4, plan  # 2 x (partial+final)
