@@ -1390,6 +1390,14 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
 
         return stats_bucket(spark.read.parquet(f"{sf}/events.parquet"))
 
+    def q_percentile_ranks(spark, sf):
+        # ES percentile_ranks, exact mode: per-lang empirical-CDF
+        # percent of docs with n_chars <= each probe value; ratios of
+        # exact integers via _div_round_expr; one groupBy, no window
+        from ocaml_lucene_spark.query.grouping import percentile_ranks
+
+        return percentile_ranks(_docs(spark, sf))
+
     def q_complete_fuzzy(spark, sf):
         # typo-tolerant completion (FuzzyCompletionQuery): terms some
         # prefix of which is within 1 edit of the typed "sta" —
@@ -1906,7 +1914,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # the previous round's freshly-checked head moves to the tail.
     # Round-6 order: (1) the 41 entries cut from the r5 run (last
     # driver-checked in r4 — the rotation obligation from the r5
-    # verdict); (2) 9 NEW r6 rows inside the 50-row window; (3) 44 MORE
+    # verdict); (2) 9 NEW r6 rows inside the 50-row window; (3) 45 MORE
     # new r6 rows that did not fit the cap (ngram_contamination,
     # repetition_signals, unigram_logprob, sort_by_field,
     # pack_sequences, sample_stratified,
@@ -1923,13 +1931,14 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # serial_diff, weighted_avg, top_metrics, terms_shard_topk,
     # span_multi, dsir_importance, cross_doc_repetition, rank_eval,
     # diversified_sampler, hll_users, hll_values,
-    # streamed_term_counts, dup_spans, complete_fuzzy, stats_bucket —
+    # streamed_term_counts, dup_spans, complete_fuzzy, stats_bucket,
+    # percentile_ranks —
     # replica-verified locally,
     # never driver-checked); (4) the 50 r5-checked entries as the
     # sacrificial tail, in their r5 order.
     # ROUND-7 ROTATION OBLIGATION: everything after position 50
     # (recount with list(queries())[50:] before trusting this comment)
-    # is either never-driver-checked (the 59 past-cut r6 rows — put
+    # is either never-driver-checked (the 60 past-cut r6 rows — put
     # them FIRST) or last checked in r5; all of it MUST occupy the
     # front of the r7 order, demoting this round's new rows and the
     # r6-checked head to the tail.
@@ -2048,6 +2057,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "dup_spans": q_dup_spans,
         "complete_fuzzy": q_complete_fuzzy,
         "stats_bucket": q_stats_bucket,
+        "percentile_ranks": q_percentile_ranks,
         # -- r5-checked tail: sacrificial under a 50-row cut (all 50
         #    full-passed in CORRECTNESS_r05 except bigram_collocations,
         #    whose signed-zero fix is replica-verified this round) --
@@ -2362,6 +2372,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": oops.dup_spans_sql(n=5),
         "complete_fuzzy": osql.complete_fuzzy_sql("sta", max_edits=1, k=10),
         "stats_bucket": osql.stats_bucket_sql("day"),
+        "percentile_ranks": osql.percentile_ranks_sql(),
         "diversified_sampler": osql.diversified_sample_facets_sql(
             ["table", "hash"], dedup_col="source", max_per_key=2,
             sample_size=50, facet_col="lang",

@@ -787,6 +787,49 @@ def percentiles_agg(
     )
 
 
+def percentile_ranks(
+    docs: DataFrame,
+    col: str = "n_chars",
+    key_col: str = "lang",
+    values: tuple = (100, 250, 400),
+) -> DataFrame:
+    """Percentile-ranks aggregation (ES ``percentile_ranks``, exact
+    mode): for each probe value, the PERCENT of the key bucket's rows
+    with ``col`` <= value — the empirical CDF, the sketch-free inverse
+    of percentiles_agg (ES serves this from t-digest at scale; exact
+    mode is the oracle-verifiable contract). Returns
+    (key, n_docs, rank_<v>...) ordered by key.
+
+    Determinism: each percent is 100·count/n — a RATIO OF EXACT
+    INTEGERS — rounded via _div_round_expr (never as a double: with
+    n_docs a multiple of 20, 100·c/n lands exactly on 4dp
+    half-boundaries). Non-negative by construction (no signed-zero
+    exposure).
+
+    Scale shape: ONE groupBy over the key [one shuffle, map-side
+    combine]; the probe comparisons are conditional counts inside the
+    same aggregate — no sort, no window, no second pass."""
+    conds = [
+        F.sum(F.when(F.col(col) <= v, 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias(f"_c_{i}")
+        for i, v in enumerate(values)
+    ]
+    agg = docs.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").cast("long").alias("n_docs"), *conds
+    )
+    ranks = [
+        (
+            F.expr(
+                _div_round_expr(f"100 * _c_{i}", "cast(n_docs as decimal(38,0))")
+            ).cast("double")
+            / F.lit(10000.0)
+        ).alias(f"rank_{v}")
+        for i, v in enumerate(values)
+    ]
+    return agg.select("key", "n_docs", *ranks).orderBy("key")
+
+
 def composite_agg(
     docs: DataFrame,
     keys: tuple = ("lang", "source"),

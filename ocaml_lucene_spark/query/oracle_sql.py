@@ -2322,6 +2322,25 @@ ORDER BY doc_id
 """
 
 
+def percentile_ranks_sql(
+    col: str = "n_chars", key_col: str = "lang", values: tuple = (100, 250, 400)
+) -> str:
+    """Percentile-ranks oracle (query/grouping.py percentile_ranks):
+    empirical CDF as percent, each rank a ratio of exact integers via
+    _div_round4_sql in HUGEINT arithmetic."""
+    rank_cols = ",\n       ".join(
+        f"({_div_round4_sql(f'100 * sum(CASE WHEN {col} <= {v} THEN 1 ELSE 0 END)::HUGEINT', 'count(*)::HUGEINT')})::DOUBLE / 10000.0 AS rank_{v}"
+        for v in values
+    )
+    return f"""
+SELECT {key_col} AS key, count(*)::BIGINT AS n_docs,
+       {rank_cols}
+FROM documents
+GROUP BY 1
+ORDER BY key
+"""
+
+
 def percentiles_agg_sql(
     col: str = "n_chars",
     key_col: str = "lang",

@@ -568,6 +568,21 @@ def test_percentiles_agg_known_values(spark):
     assert (r.key, r.p_50, r.p_90, r.p_99) == ("en", 4.5, 8.1, 8.91)
 
 
+def test_percentile_ranks_known_values_and_half_boundary(spark):
+    from ocaml_lucene_spark.query.grouping import percentile_ranks
+
+    # n_chars 0..9 for "en": <=4 -> 5/10 = 50%, <=8 -> 90%;
+    # "de" has n_chars 0,2,..,14: <=4 -> 3/8 = 37.5%, <=8 -> 5/8 =
+    # 62.5% — 100*c/n lands EXACTLY on a .5 representation, the
+    # half-boundary class _div_round_expr exists for
+    docs = spark.createDataFrame(
+        [(i, "en", i) for i in range(10)] + [(100 + i, "de", 2 * i) for i in range(8)],
+        "doc_id long, lang string, n_chars long",
+    )
+    got = [tuple(r) for r in percentile_ranks(docs, values=(4, 8)).collect()]
+    assert got == [("de", 8, 37.5, 62.5), ("en", 10, 50.0, 90.0)], got
+
+
 def test_sort_by_field_plan_and_ascending(spark, docs, index_dir):
     from ocaml_lucene_spark.query.exec import search_sort_by_field_indexed
 
