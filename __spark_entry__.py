@@ -1398,6 +1398,23 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
 
         return percentile_ranks(_docs(spark, sf))
 
+    def q_mad_agg(spark, sf):
+        # ES median_absolute_deviation, exact mode: per event_type the
+        # median of |value - median(value)| — both percentile passes on
+        # exact integers (doubled cent units, then integer deviations),
+        # the bit-identical interpolation domain; median adds +0.0
+        from ocaml_lucene_spark.query.grouping import mad_agg
+
+        return mad_agg(spark.read.parquet(f"{sf}/events.parquet"))
+
+    def q_boxplot_agg(spark, sf):
+        # ES boxplot, exact mode: per-lang five-number summary + Tukey
+        # whiskers (nearest data values inside the 1.5*IQR fences);
+        # integer inputs make every quantile an exact .25 multiple
+        from ocaml_lucene_spark.query.grouping import boxplot_agg
+
+        return boxplot_agg(_docs(spark, sf))
+
     def q_complete_fuzzy(spark, sf):
         # typo-tolerant completion (FuzzyCompletionQuery): terms some
         # prefix of which is within 1 edit of the typed "sta" —
@@ -2058,6 +2075,8 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "complete_fuzzy": q_complete_fuzzy,
         "stats_bucket": q_stats_bucket,
         "percentile_ranks": q_percentile_ranks,
+        "mad_agg": q_mad_agg,
+        "boxplot_agg": q_boxplot_agg,
         # -- r5-checked tail: sacrificial under a 50-row cut (all 50
         #    full-passed in CORRECTNESS_r05 except bigram_collocations,
         #    whose signed-zero fix is replica-verified this round) --
@@ -2373,6 +2392,8 @@ def oracle_sql() -> dict[str, str]:
         "complete_fuzzy": osql.complete_fuzzy_sql("sta", max_edits=1, k=10),
         "stats_bucket": osql.stats_bucket_sql("day"),
         "percentile_ranks": osql.percentile_ranks_sql(),
+        "mad_agg": osql.mad_agg_sql(),
+        "boxplot_agg": osql.boxplot_agg_sql(),
         "diversified_sampler": osql.diversified_sample_facets_sql(
             ["table", "hash"], dedup_col="source", max_per_key=2,
             sample_size=50, facet_col="lang",

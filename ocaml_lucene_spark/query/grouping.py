@@ -1736,3 +1736,115 @@ def hll_cardinality(
         .select("key", "exact_distinct", "v_empty", "hll_estimate")
         .orderBy("key")
     )
+
+
+def mad_agg(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    quantize: int = 100,
+) -> DataFrame:
+    """Median-absolute-deviation aggregation (ES
+    ``median_absolute_deviation``, exact mode): per key, the median of
+    |x - median(x)| — the robust dispersion metric ES serves from a
+    t-digest sketch at scale; exact mode is the oracle-verifiable
+    contract (same stance as percentiles_agg).
+
+    Determinism: values snap to integer quantize-units DOUBLED
+    (``d = 2 * round(value * quantize)``), so the interpolated median
+    of the even integers is itself an exact INTEGER-valued double
+    (midpoint of two even ints), the deviations |d - med| are exact
+    integers, and the second percentile again runs on integer inputs —
+    the domain where Spark ``percentile`` and DuckDB ``quantile_cont``
+    are measured bit-identical ((n-1)·p interpolation). Emitted median
+    is a multiple of 1/(2·quantize) and mad of 1/(4·quantize): exact
+    short decimals at 4dp, never a rounding boundary. median can go
+    negative -> + 0.0 (engine-wide signed-zero rule); mad >= 0 by
+    construction.
+
+    Scale shape: two key-grouped exact-percentile aggregates with the
+    |keys|-row median table broadcast back between them — no global
+    sort, no window; the per-key sort lives inside the aggregate."""
+    base = events.select(
+        F.col(key_col).alias("key"),
+        (F.round(F.col(value_col) * quantize, 0).cast("long") * 2).alias("d"),
+    )
+    med = base.groupBy("key").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.expr("percentile(d, 0.5)").alias("_med2"),
+    )
+    dev = base.join(F.broadcast(med.select("key", "_med2")), "key").select(
+        "key", F.abs(F.col("d") - F.col("_med2")).cast("long").alias("dev2")
+    )
+    mad = dev.groupBy("key").agg(F.expr("percentile(dev2, 0.5)").alias("_mad2"))
+    qd = F.lit(float(2 * quantize))
+    return (
+        med.join(mad, "key")
+        .select(
+            "key",
+            "n_events",
+            (F.round(F.col("_med2") / qd, 4) + F.lit(0.0)).alias("median"),
+            F.round(F.col("_mad2") / qd, 4).alias("mad"),
+        )
+        .orderBy("key")
+    )
+
+
+def boxplot_agg(
+    docs: DataFrame,
+    col: str = "n_chars",
+    key_col: str = "lang",
+) -> DataFrame:
+    """Boxplot aggregation (ES ``boxplot``, exact mode): per key the
+    five-number summary — q1/q2/q3 (exact linear-interpolation
+    percentiles), IQR, and Tukey whiskers: the SMALLEST data point
+    >= q1 - 1.5·IQR and the LARGEST <= q3 + 1.5·IQR (ES boxplot's
+    whisker contract — nearest actual values inside the fences, not
+    the fences themselves). ES serves this from t-digest at scale;
+    exact mode is the oracle-verifiable contract.
+
+    Determinism: integer inputs make every quantile a multiple of
+    0.25 ((n-1)·p interpolation at p in {.25,.5,.75}) — exact short
+    decimals, no rounding boundary; 1.5 is exact-binary so the fences
+    are exact doubles, identical on both engines, and the whisker
+    comparisons are exact. Whiskers are data values (longs).
+
+    Scale shape: one percentile aggregate, the |keys|-row quantile
+    table broadcast back, one conditional min/max aggregate — no
+    global sort, no window."""
+    base = docs.select(F.col(key_col).alias("key"), F.col(col).alias("x"))
+    q = base.groupBy("key").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.expr("percentile(x, array(0.25D, 0.5D, 0.75D))").alias("_q"),
+    ).select(
+        "key",
+        "n_docs",
+        F.element_at("_q", 1).alias("_q1"),
+        F.element_at("_q", 2).alias("_q2"),
+        F.element_at("_q", 3).alias("_q3"),
+    )
+    iqr = F.col("_q3") - F.col("_q1")
+    fenced = base.join(F.broadcast(q), "key").select(
+        "key",
+        "x",
+        (F.col("_q1") - F.lit(1.5) * iqr).alias("_lo"),
+        (F.col("_q3") + F.lit(1.5) * iqr).alias("_hi"),
+    )
+    whisk = fenced.groupBy("key").agg(
+        F.min(F.when(F.col("x") >= F.col("_lo"), F.col("x"))).alias("lower_whisker"),
+        F.max(F.when(F.col("x") <= F.col("_hi"), F.col("x"))).alias("upper_whisker"),
+    )
+    return (
+        q.join(whisk, "key")
+        .select(
+            "key",
+            "n_docs",
+            F.round("_q1", 4).alias("q1"),
+            F.round("_q2", 4).alias("q2"),
+            F.round("_q3", 4).alias("q3"),
+            F.round(iqr, 4).alias("iqr"),
+            "lower_whisker",
+            "upper_whisker",
+        )
+        .orderBy("key")
+    )

@@ -3104,3 +3104,67 @@ within AS (
 SELECT doc_id, count(*)::BIGINT AS n_spans, min(pi)::BIGINT AS first_pos
 FROM within GROUP BY doc_id ORDER BY doc_id
 """
+
+
+def mad_agg_sql(
+    key_col: str = "event_type",
+    value_col: str = "value",
+    quantize: int = 100,
+) -> str:
+    """MAD oracle (query/grouping.py mad_agg): both percentile passes
+    run on exact integers (doubled quantize-units, then integer
+    deviations), where quantile_cont shares Spark exact-percentile's
+    (n-1)·p interpolation bit-identically; median adds +0.0 (can go
+    negative), mad >= 0."""
+    q2 = f"{float(2 * int(quantize))!r}::DOUBLE"
+    return f"""
+WITH b AS (
+  SELECT {key_col} AS key,
+         CAST(round({value_col} * {int(quantize)}, 0) AS BIGINT) * 2 AS d
+  FROM events
+),
+m AS (
+  SELECT key, count(*)::BIGINT AS n_events, quantile_cont(d, 0.5) AS med2
+  FROM b GROUP BY 1
+),
+dv AS (
+  SELECT b.key, CAST(abs(b.d - m.med2) AS BIGINT) AS dev2
+  FROM b JOIN m USING (key)
+),
+md AS (SELECT key, quantile_cont(dev2, 0.5) AS mad2 FROM dv GROUP BY 1)
+SELECT key, n_events,
+       round(med2 / {q2}, 4) + 0.0::DOUBLE AS median,
+       round(mad2 / {q2}, 4) AS mad
+FROM m JOIN md USING (key)
+ORDER BY key
+"""
+
+
+def boxplot_agg_sql(col: str = "n_chars", key_col: str = "lang") -> str:
+    """Boxplot oracle (query/grouping.py boxplot_agg): quantile_cont on
+    integer inputs (bit-identical interpolation), exact-binary 1.5
+    fences, whiskers = nearest data values inside the fences."""
+    return f"""
+WITH q AS (
+  SELECT {key_col} AS key, count(*)::BIGINT AS n_docs,
+         quantile_cont({col}, 0.25) AS q1,
+         quantile_cont({col}, 0.5)  AS q2,
+         quantile_cont({col}, 0.75) AS q3
+  FROM documents GROUP BY 1
+),
+w AS (
+  SELECT d.{key_col} AS key,
+         min(CASE WHEN d.{col} >= q.q1 - 1.5::DOUBLE * (q.q3 - q.q1)
+                  THEN d.{col} END) AS lower_whisker,
+         max(CASE WHEN d.{col} <= q.q3 + 1.5::DOUBLE * (q.q3 - q.q1)
+                  THEN d.{col} END) AS upper_whisker
+  FROM documents d JOIN q ON d.{key_col} = q.key
+  GROUP BY 1
+)
+SELECT key, n_docs,
+       round(q1, 4) AS q1, round(q2, 4) AS q2, round(q3, 4) AS q3,
+       round(q3 - q1, 4) AS iqr,
+       lower_whisker, upper_whisker
+FROM q JOIN w USING (key)
+ORDER BY key
+"""

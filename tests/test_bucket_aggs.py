@@ -317,3 +317,50 @@ def test_stats_bucket_matches_python_replay(events):
         )
     got = [tuple(r) for r in stats_bucket(events).collect()]
     assert got == expected
+
+
+def test_mad_agg_matches_numpy(spark):
+    import numpy as np
+
+    from ocaml_lucene_spark.query.grouping import mad_agg
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    got = {r.key: r for r in mad_agg(events).collect()}
+    vals = {}
+    for r in events.select("event_type", "value").collect():
+        vals.setdefault(r.event_type, []).append(round(r.value * 100))
+    for k, units in vals.items():
+        a = np.array(units, dtype=np.float64)
+        med = float(np.percentile(a, 50))
+        mad = float(np.percentile(np.abs(a - med), 50))
+        assert got[k].n_events == len(units)
+        assert got[k].median == round(med / 100, 4) + 0.0
+        assert got[k].mad == round(mad / 100, 4)
+
+
+def test_mad_agg_hand_values(spark):
+    from ocaml_lucene_spark.query.grouping import mad_agg
+
+    # values 1.00..5.00: median 3.00, |dev| = [2,1,0,1,2] -> mad 1.00;
+    # second key has an interpolated (even-count) median: [1.00, 2.00]
+    # -> median 1.50, devs [.5,.5] -> mad 0.50
+    rows = [(i, "a", 1.0 + i) for i in range(5)] + [(9, "b", 1.0), (10, "b", 2.0)]
+    events = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    got = [tuple(r) for r in mad_agg(events).collect()]
+    assert got == [("a", 5, 3.0, 1.0), ("b", 2, 1.5, 0.5)], got
+
+
+def test_boxplot_whiskers_exclude_outliers(spark):
+    from ocaml_lucene_spark.query.grouping import boxplot_agg
+
+    # 0..9 plus an outlier 1000: q1=2.5, q3=7.75 (n=11), iqr=5.25,
+    # hi fence = 15.625 -> upper whisker is 9, NOT 1000; lower fence
+    # -5.375 -> lower whisker 0
+    docs = spark.createDataFrame(
+        [(i, "en", i) for i in range(10)] + [(99, "en", 1000)],
+        "doc_id long, lang string, n_chars long",
+    )
+    r = boxplot_agg(docs).collect()[0]
+    assert (r.key, r.n_docs) == ("en", 11)
+    assert (r.q1, r.q2, r.q3, r.iqr) == (2.5, 5.0, 7.5, 5.0)
+    assert (r.lower_whisker, r.upper_whisker) == (0, 9)
