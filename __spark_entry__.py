@@ -1415,6 +1415,36 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
 
         return boxplot_agg(_docs(spark, sf))
 
+    def q_terms_set(spark, sf):
+        # CoveringQuery / ES terms_set: per-doc minimum_should_match
+        # threshold 1 + (n_chars % 3) read from doc-values; score =
+        # the disjunctive BM25 sum over matching terms, rounded once
+        from ocaml_lucene_spark.query.bm25 import terms_set_topk
+
+        return terms_set_topk(
+            _docs(spark, sf), ["table", "hash", "order", "spark"], k=10
+        )
+
+    def q_rank_feature(spark, sf):
+        # ES rank_feature (saturation): bm25 + 2.0 * x/(x+300) on
+        # n_chars — ONE round on the combined raw (boosting contract);
+        # the saturation division is IEEE-exact on both engines
+        from ocaml_lucene_spark.query.similarity import rank_feature_topk
+
+        return rank_feature_topk(_docs(spark, sf), ["table", "hash"], k=10)
+
+    def q_distance_feature(spark, sf):
+        # ES distance_feature on a date field: recency score
+        # pivot/(pivot+|ts-origin|) — a ratio of exact integer micros,
+        # rounded via _div_round_expr (integer half-away-from-zero)
+        from ocaml_lucene_spark.query.similarity import distance_feature_topk
+
+        return distance_feature_topk(
+            spark.read.parquet(f"{sf}/events.parquet"),
+            origin="2024-01-15 00:00:00", pivot_hours=72,
+            event_type="click", k=20,
+        )
+
     def q_complete_fuzzy(spark, sf):
         # typo-tolerant completion (FuzzyCompletionQuery): terms some
         # prefix of which is within 1 edit of the typed "sta" —
@@ -2077,6 +2107,9 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "percentile_ranks": q_percentile_ranks,
         "mad_agg": q_mad_agg,
         "boxplot_agg": q_boxplot_agg,
+        "terms_set": q_terms_set,
+        "rank_feature": q_rank_feature,
+        "distance_feature": q_distance_feature,
         # -- r5-checked tail: sacrificial under a 50-row cut (all 50
         #    full-passed in CORRECTNESS_r05 except bigram_collocations,
         #    whose signed-zero fix is replica-verified this round) --
@@ -2394,6 +2427,14 @@ def oracle_sql() -> dict[str, str]:
         "percentile_ranks": osql.percentile_ranks_sql(),
         "mad_agg": osql.mad_agg_sql(),
         "boxplot_agg": osql.boxplot_agg_sql(),
+        "terms_set": osql.terms_set_sql(
+            ["table", "hash", "order", "spark"], k=10
+        ),
+        "rank_feature": osql.rank_feature_sql(["table", "hash"], k=10),
+        "distance_feature": osql.distance_feature_sql(
+            origin="2024-01-15 00:00:00", pivot_hours=72,
+            event_type="click", k=20,
+        ),
         "diversified_sampler": osql.diversified_sample_facets_sql(
             ["table", "hash"], dedup_col="source", max_per_key=2,
             sample_size=50, facet_col="lang",

@@ -529,3 +529,70 @@ def bm25_topk_combined_fields(
         F.round(_query_order_sum(terms), round_to).alias("score")
     )
     return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def terms_set_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    msm_mod: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> DataFrame:
+    """Lucene CoveringQuery (the ES `terms_set` query): a doc matches
+    when the number of DISTINCT query terms it contains reaches a
+    PER-DOC threshold read from a numeric field
+    (minimum_should_match_field) — unlike bool minShouldMatch, whose
+    threshold is one query-wide constant. The table has no dedicated
+    msm field, so the threshold derives deterministically from the
+    stored n_chars doc-values column: required = 1 + (n_chars % mod),
+    values in 1..mod.
+
+    Scoring is CoveringQuery's: the sum of the matching TermQuery
+    sub-scorers — the standard disjunctive BM25 sum over the terms
+    present, folded in query-term order (_query_order_sum), rounded
+    once (irrational idf logs keep it off 4dp boundaries). Returns
+    (doc_id, n_matched, required, score) ordered (score desc, doc_id).
+
+    Plan: the standard candidate-tf pipeline; n_matched falls out of
+    the same per-doc aggregate as the score (tf rows are already
+    distinct per (doc, term)); one join of the 2-column threshold
+    projection, filter, TakeOrderedAndProject."""
+    terms = list(dict.fromkeys(terms))
+    tf = candidate_tf(docs, terms, id_col, text_col)
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = corpus_stats(docs, id_col, text_col)
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "sc",
+            idf_expr(F.col("n_docs").cast("double"), F.col("df").cast("double"))
+            * tfn_expr(
+                F.col("tf").cast("double"), F.col("dl").cast("double"), F.col("avgdl")
+            ),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_matched"),
+        _query_order_sum(terms).alias("raw"),
+    )
+    req = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (F.lit(1) + F.col("n_chars") % F.lit(int(msm_mod)))
+        .cast("long")
+        .alias("required"),
+    )
+    return (
+        agg.join(req, "doc_id")
+        .filter(F.col("n_matched") >= F.col("required"))
+        .select(
+            "doc_id",
+            "n_matched",
+            "required",
+            F.round("raw", round_to).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -3168,3 +3168,122 @@ SELECT key, n_docs,
 FROM q JOIN w USING (key)
 ORDER BY key
 """
+
+
+def terms_set_sql(
+    terms: list[str], k: int = 10, msm_mod: int = 3, round_to: int = 4
+) -> str:
+    """CoveringQuery / terms_set oracle (query/bm25.py terms_set_topk):
+    per-doc threshold 1 + (n_chars % mod); n_matched = distinct query
+    terms present; score = the standard disjunctive BM25 sum rounded
+    once."""
+    terms = list(dict.fromkeys(terms))
+    return f"""
+WITH {TOKS_CTE},
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM base),
+tf AS (
+  SELECT doc_id, term, dl, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(t) AS term FROM base)
+  WHERE term IN {_terms_in(terms)}
+  GROUP BY doc_id, term, dl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n - df + 0.5) / (df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl)) AS sc
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_matched, sum(sc) AS raw
+  FROM scored GROUP BY doc_id
+),
+req AS (
+  SELECT doc_id, (1 + n_chars % {int(msm_mod)})::BIGINT AS required
+  FROM documents
+)
+SELECT a.doc_id, a.n_matched, r.required, round(a.raw, {round_to}) AS score
+FROM agg a JOIN req r USING (doc_id)
+WHERE a.n_matched >= r.required
+ORDER BY score DESC, a.doc_id ASC
+LIMIT {k}
+"""
+
+
+def rank_feature_sql(
+    terms: list[str],
+    k: int = 10,
+    feature_col: str = "n_chars",
+    pivot: int = 300,
+    boost: float = 2.0,
+    round_to: int = 4,
+) -> str:
+    """rank_feature saturation oracle (query/similarity.py
+    rank_feature_topk): raw bm25 + boost * x/(x+pivot), rounded ONCE
+    (the bm25_topk_boosting contract); the division is one IEEE op on
+    exactly-representable integers, the boost literal ::DOUBLE-cast
+    (bare 1.0 is DECIMAL in DuckDB and changes the arithmetic)."""
+    terms = list(dict.fromkeys(terms))
+    return f"""
+WITH {TOKS_CTE},
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM base),
+tf AS (
+  SELECT doc_id, term, dl, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(t) AS term FROM base)
+  WHERE term IN {_terms_in(terms)}
+  GROUP BY doc_id, term, dl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n - df + 0.5) / (df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl)) AS sc
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+),
+agg AS (SELECT doc_id, sum(sc) AS raw FROM scored GROUP BY doc_id)
+SELECT a.doc_id,
+       round(a.raw + {float(boost)!r}::DOUBLE
+               * (d.{feature_col}::DOUBLE / (d.{feature_col} + {int(pivot)})::DOUBLE),
+             {round_to}) AS score,
+       d.{feature_col}::BIGINT AS feature
+FROM agg a JOIN documents d USING (doc_id)
+ORDER BY score DESC, a.doc_id ASC
+LIMIT {k}
+"""
+
+
+def distance_feature_sql(
+    origin: str = "2024-01-15 00:00:00",
+    pivot_hours: int = 72,
+    event_type: str | None = "click",
+    k: int = 20,
+) -> str:
+    """distance_feature(date) oracle (query/similarity.py
+    distance_feature_topk): integer-micros distance, score =
+    pivot/(pivot+dist) rounded via _div_round4_sql (ratio of exact
+    integers — the 4dp half-boundary hazard is real here)."""
+    from datetime import datetime, timezone
+
+    origin_us = int(
+        datetime.strptime(origin, "%Y-%m-%d %H:%M:%S")
+        .replace(tzinfo=timezone.utc)
+        .timestamp()
+        * 1_000_000
+    )
+    pivot_us = int(pivot_hours) * 3_600_000_000
+    where = (
+        f"WHERE event_type = '{event_type}'" if event_type is not None else ""
+    )
+    return f"""
+WITH d AS (
+  SELECT event_id, epoch_us(ts) AS ts_us,
+         abs(epoch_us(ts) - {origin_us}) AS dist
+  FROM events {where}
+)
+SELECT event_id, ts_us,
+       ({_div_round4_sql(str(pivot_us), f"{pivot_us} + dist")})::DOUBLE
+         / 10000.0 AS score
+FROM d
+ORDER BY score DESC, event_id ASC
+LIMIT {k}
+"""

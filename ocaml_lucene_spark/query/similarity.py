@@ -332,3 +332,129 @@ def random_score_topk(
         .orderBy(F.desc("rscore"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def rank_feature_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    feature_col: str = "n_chars",
+    pivot: int = 300,
+    boost: float = 2.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> DataFrame:
+    """ES `rank_feature` query (saturation function) in a bool should
+    beside a match query — the static-quality boost idiom (pagerank /
+    length / freshness stored as a feature field):
+    score = bm25(terms) + boost * sat(x), sat(x) = x / (x + pivot).
+
+    Determinism: ONE round at the end, on raw_bm25 + boost*sat — the
+    bm25_topk_boosting contract (the bm25 leg's irrational idf logs
+    keep the sum off 4dp half-boundaries; rounding the stages
+    separately would put boost*sat — a RATIO OF EXACT INTEGERS —
+    exactly on boundaries). sat is one IEEE division of two exactly-
+    representable integers (x, x+pivot), correctly rounded and
+    bit-identical cross-engine; the fold is raw + (boost * sat) in
+    that association on both sides. bm25 > 0 so no signed zero.
+
+    Plan: the standard explode-under-isin + broadcast-stats pipeline,
+    plus one join of the 2-column (id, feature) projection; top-k is
+    TakeOrderedAndProject after the combine (the feature can reorder
+    any bm25 prefix). Scale shape identical to bm25_function_score."""
+    terms = list(dict.fromkeys(terms))
+    tf = candidate_tf(docs, terms, id_col, text_col)
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = corpus_stats(docs, id_col, text_col)
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "sc",
+            idf_expr(F.col("n_docs").cast("double"), F.col("df").cast("double"))
+            * tfn_expr(
+                F.col("tf").cast("double"), F.col("dl").cast("double"), F.col("avgdl")
+            ),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(_query_order_sum(terms).alias("raw"))
+    feat = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(feature_col).alias("feature")
+    )
+    sat = F.col("feature").cast("double") / (
+        F.col("feature") + F.lit(int(pivot))
+    ).cast("double")
+    return (
+        agg.join(feat, "doc_id")
+        .select(
+            "doc_id",
+            F.round(F.col("raw") + F.lit(float(boost)) * sat, round_to).alias(
+                "score"
+            ),
+            F.col("feature").cast("long").alias("feature"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def distance_feature_topk(
+    events: DataFrame,
+    origin: str = "2024-01-15 00:00:00",
+    pivot_hours: int = 72,
+    event_type: str | None = "click",
+    k: int = 20,
+) -> DataFrame:
+    """ES `distance_feature` query on a date field — the recency boost:
+    score = pivot / (pivot + |ts - origin|), ranked desc. Filtered to
+    one event_type (the must clause), returning the k events nearest
+    the origin instant with their proximity score.
+
+    Determinism: all arithmetic is INTEGER micros (parquet ts reads as
+    TIMESTAMP_NTZ -> cast to timestamp under the pinned-UTC session
+    before unix_micros — the session_windows contract); the score is a
+    RATIO OF EXACT INTEGERS pivot_us/(pivot_us+dist), which lands on
+    4dp half-boundaries with real probability, so it rounds via
+    grouping._div_round_expr (integer half-away-from-zero), never as a
+    double. score > 0 always — no signed zero. ts emits epoch micros.
+
+    Plan: one filtered scan, a per-row projection, and a global top-k
+    (TakeOrderedAndProject) — no shuffle beyond the final cut."""
+    from datetime import datetime, timezone
+
+    from .grouping import _div_round_expr
+
+    origin_us = int(
+        datetime.strptime(origin, "%Y-%m-%d %H:%M:%S")
+        .replace(tzinfo=timezone.utc)
+        .timestamp()
+        * 1_000_000
+    )
+    pivot_us = int(pivot_hours) * 3_600_000_000
+    base = events
+    if event_type is not None:
+        base = base.filter(F.col("event_type") == event_type)
+    dist = F.abs(
+        F.unix_micros(F.col("ts").cast("timestamp")) - F.lit(origin_us)
+    )
+    units = F.expr(
+        _div_round_expr(
+            f"cast({pivot_us} as decimal(38,0))",
+            f"cast({pivot_us} as decimal(38,0)) + cast(_dist as decimal(38,0))",
+        )
+    )
+    return (
+        base.select(
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            dist.alias("_dist"),
+        )
+        .select(
+            "event_id",
+            "ts_us",
+            (units.cast("double") / F.lit(10000.0)).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("event_id"))
+        .limit(k)
+    )

@@ -768,3 +768,77 @@ def test_rank_eval_hand_corpus(spark):
     # judged = {3}; doc 3 scores 0 on a/b so can't be in the top-3
     assert got0.n_hits == 0 and got0.mrr == 0.0 and got0.dcg_at_k == 0.0
     assert got0.precision_at_k == 0.0 and got0.recall_at_k == 0.0
+
+
+def test_terms_set_per_doc_threshold(spark):
+    from ocaml_lucene_spark.query.bm25 import bm25_topk, terms_set_topk
+
+    # n_chars % 3 drives required: 2 -> 3, 0 -> 1
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma filler", 2),   # 3 of 4 terms, req 3 -> in
+            (2, "alpha beta filler filler", 2),  # 2 of 4 terms, req 3 -> out
+            (3, "alpha filler filler extra", 0), # 1 of 4 terms, req 1 -> in
+        ],
+        "doc_id long, text string, n_chars long",
+    )
+    q = ["alpha", "beta", "gamma", "delta"]
+    rows = {r.doc_id: r for r in terms_set_topk(docs, q, k=10).collect()}
+    assert set(rows) == {1, 3}
+    assert (rows[1].n_matched, rows[1].required) == (3, 3)
+    assert (rows[3].n_matched, rows[3].required) == (1, 1)
+    # CoveringQuery scores as the plain disjunctive BM25 sum
+    plain = {
+        r.doc_id: r.score
+        for r in bm25_topk(docs, q, k=10, round_to=4).collect()
+    }
+    for d, r in rows.items():
+        assert r.score == plain[d]
+
+
+def test_rank_feature_saturation_reorders(spark):
+    from ocaml_lucene_spark.query.similarity import rank_feature_topk
+
+    # identical text -> identical bm25; the feature decides the order
+    docs = spark.createDataFrame(
+        [(1, "table filler", 100), (2, "table filler", 400)],
+        "doc_id long, text string, n_chars long",
+    )
+    rows = rank_feature_topk(docs, ["table"], k=10, pivot=300, boost=2.0).collect()
+    assert [r.doc_id for r in rows] == [2, 1]
+    assert [r.feature for r in rows] == [400, 100]
+    # the gap is exactly 2*(sat(400)-sat(100)) after the shared round
+    got_gap = round(rows[0].score - rows[1].score, 4)
+    want_gap = round(2.0 * (400 / 700 - 100 / 400), 4)
+    assert abs(got_gap - want_gap) <= 1e-4
+
+
+def test_distance_feature_hand_distances(spark):
+    from ocaml_lucene_spark.query.similarity import distance_feature_topk
+
+    from datetime import datetime
+
+    o = datetime(2024, 1, 15, 0, 0, 0)
+    h = 3_600_000_000  # micros per hour
+
+    def ts(us):
+        return datetime.utcfromtimestamp(
+            (int(o.timestamp() * 1e6) + us) / 1e6
+        )
+
+    events = spark.createDataFrame(
+        [
+            (1, o, 7, "click", 0.0, "{}"),              # dist 0    -> 1.0
+            (2, ts(72 * h), 7, "click", 0.0, "{}"),     # = pivot   -> 0.5
+            (3, ts(-216 * h), 7, "click", 0.0, "{}"),   # 3*pivot   -> 0.25
+            (4, ts(1), 7, "view", 0.0, "{}"),           # filtered out
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    rows = distance_feature_topk(
+        events, origin="2024-01-15 00:00:00", pivot_hours=72, k=10
+    ).collect()
+    assert [(r.event_id, r.score) for r in rows] == [
+        (1, 1.0), (2, 0.5), (3, 0.25)
+    ]
