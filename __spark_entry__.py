@@ -1445,6 +1445,22 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
             event_type="click", k=20,
         )
 
+    def q_string_stats(spark, sf):
+        # ES string_stats over the source keyword field: lengths +
+        # char-distribution Shannon entropy (unigram_logprob idiom:
+        # per-char log2 quantized at 6dp separately, integer fold)
+        from ocaml_lucene_spark.query.grouping import string_stats
+
+        return string_stats(_docs(spark, sf), col="source")
+
+    def q_t_test(spark, sf):
+        # ES t_test (Welch, the heteroscedastic default): click vs
+        # error values; exact integer moments, pinned IEEE op order,
+        # sqrt denominator keeps t off 4dp boundaries; t signed -> +0.0
+        from ocaml_lucene_spark.query.grouping import t_test
+
+        return t_test(spark.read.parquet(f"{sf}/events.parquet"))
+
     def q_complete_fuzzy(spark, sf):
         # typo-tolerant completion (FuzzyCompletionQuery): terms some
         # prefix of which is within 1 edit of the typed "sta" —
@@ -2110,6 +2126,8 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "terms_set": q_terms_set,
         "rank_feature": q_rank_feature,
         "distance_feature": q_distance_feature,
+        "string_stats": q_string_stats,
+        "t_test": q_t_test,
         # -- r5-checked tail: sacrificial under a 50-row cut (all 50
         #    full-passed in CORRECTNESS_r05 except bigram_collocations,
         #    whose signed-zero fix is replica-verified this round) --
@@ -2435,6 +2453,8 @@ def oracle_sql() -> dict[str, str]:
             origin="2024-01-15 00:00:00", pivot_hours=72,
             event_type="click", k=20,
         ),
+        "string_stats": osql.string_stats_sql(col="source"),
+        "t_test": osql.t_test_sql(),
         "diversified_sampler": osql.diversified_sample_facets_sql(
             ["table", "hash"], dedup_col="source", max_per_key=2,
             sample_size=50, facet_col="lang",

@@ -1848,3 +1848,144 @@ def boxplot_agg(
         )
         .orderBy("key")
     )
+
+
+def string_stats(docs: DataFrame, col: str = "source") -> DataFrame:
+    """String-stats aggregation (the Elasticsearch `string_stats` agg
+    over a keyword field): one row of (n_values, min_length,
+    max_length, avg_length, entropy) — Shannon entropy (log2) of the
+    CHARACTER distribution across all field values, ES's
+    show_distribution source metric.
+
+    Determinism: lengths are integers; avg_length is a RATIO OF EXACT
+    INTEGERS -> _div_round_expr. Entropy follows the unigram_logprob
+    idiom exactly: -sum_c (c/N)*log2(c/N) = -(1/N) * sum_c c*log2(c/N);
+    each char's log2(c/N) quantizes to 1e-6 units SEPARATELY, weights
+    by the exact integer count c, folds as integers (order-free), and
+    divides back once — the only cross-engine float op is log2 over a
+    division of exact integers, the exposure the PMI/surprisal rows
+    already pass the gate with. entropy > 0 whenever two distinct
+    chars exist; no signed-zero exposure here.
+
+    Scale shape: the first groupBy collapses to DISTINCT field values
+    (keyword cardinality, not row count); chars explode over that
+    small frame only. One row out."""
+    vals = docs.groupBy(F.col(col).alias("v")).agg(
+        F.count("*").cast("decimal(38,0)").alias("nv")
+    )
+    lens = vals.agg(
+        F.sum("nv").alias("_n"),
+        F.min(F.length("v")).cast("long").alias("min_length"),
+        F.max(F.length("v")).cast("long").alias("max_length"),
+        F.sum(
+            (F.col("nv") * F.length("v")).cast("decimal(38,0)")
+        ).alias("_sl"),
+    )
+    ch = vals.select(
+        "nv", F.explode(F.split("v", "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    cc = ch.groupBy("ch").agg(F.sum("nv").alias("c"))
+    tot = cc.agg(F.sum("c").alias("N"))
+    units = F.round(
+        F.round(
+            F.log2(F.col("c").cast("double") / F.col("N").cast("double")), 6
+        )
+        * F.lit(1000000.0)
+    ).cast("long")
+    ent = (
+        cc.crossJoin(F.broadcast(tot))
+        .select((F.col("c") * units).cast("decimal(38,0)").alias("ci"), "N")
+        .groupBy("N")
+        .agg(F.sum("ci").alias("_s"))
+        .select(
+            F.round(
+                -(
+                    F.col("_s").cast("double")
+                    / F.lit(1000000.0)
+                    / F.col("N").cast("double")
+                ),
+                4,
+            ).alias("entropy")
+        )
+    )
+    return lens.crossJoin(ent).select(
+        F.col("_n").cast("long").alias("n_values"),
+        "min_length",
+        "max_length",
+        (
+            F.expr(_div_round_expr("_sl", "_n")).cast("double")
+            / F.lit(10000.0)
+        ).alias("avg_length"),
+        "entropy",
+    )
+
+
+def t_test(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    group_a: str = "click",
+    group_b: str = "error",
+    quantize: int = 100,
+) -> DataFrame:
+    """t_test aggregation (the Elasticsearch `t_test` agg,
+    heteroscedastic = Welch's unpaired two-sample t, the ES default):
+    one row (n_a, n_b, mean_a, mean_b, t_stat) for the metric split by
+    two key values.
+
+    Determinism: sums and sums-of-squares fold as exact integers in
+    1/quantize units (decimal(38,0) — the extended_stats convention);
+    means are RATIOS OF EXACT INTEGERS -> _div_round_expr. The t
+    statistic is computed in doubles from those exact integers with a
+    PINNED op order mirrored textually in the oracle —
+    var = (ss - s*s/n) / (n-1), se = sqrt(var_a/n_a + var_b/n_b),
+    t = (s_a/n_a - s_b/n_b) / se — every op is IEEE-exact (+,-,*,/,
+    sqrt), so the pre-round double is bit-identical cross-engine; the
+    quantize scale cancels in t. The sqrt denominator keeps the
+    rounded value off 4dp boundaries (no 5-decimal rational ending in
+    5 squares to a 4-decimal rational); t is signed -> + 0.0.
+
+    Scale shape: one conditional aggregate over the filtered scan —
+    a single row reaches the driver."""
+    q = int(quantize)
+    qv = F.round(F.col(value_col) * q, 0).cast("long").cast("decimal(38,0)")
+    is_a = F.col(key_col) == group_a
+    is_b = F.col(key_col) == group_b
+    zero = F.lit(0).cast("decimal(38,0)")
+    agg = events.filter(is_a | is_b).agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(is_b, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(is_a, qv).otherwise(zero)).alias("_sa"),
+        F.sum(F.when(is_b, qv).otherwise(zero)).alias("_sb"),
+        F.sum(F.when(is_a, (qv * qv).cast("decimal(38,0)")).otherwise(zero)).alias("_qa"),
+        F.sum(F.when(is_b, (qv * qv).cast("decimal(38,0)")).otherwise(zero)).alias("_qb"),
+    )
+    n1 = F.col("n_a").cast("double")
+    n2 = F.col("n_b").cast("double")
+    u1 = F.col("_sa").cast("double")
+    u2 = F.col("_sb").cast("double")
+    q1 = F.col("_qa").cast("double")
+    q2 = F.col("_qb").cast("double")
+    var1 = (q1 - u1 * u1 / n1) / (n1 - F.lit(1.0))
+    var2 = (q2 - u2 * u2 / n2) / (n2 - F.lit(1.0))
+    se = F.sqrt(var1 / n1 + var2 / n2)
+    t = (u1 / n1 - u2 / n2) / se
+    return agg.select(
+        "n_a",
+        "n_b",
+        (
+            F.expr(
+                _div_round_expr("_sa", f"cast(n_a as decimal(38,0)) * {q}")
+            ).cast("double")
+            / F.lit(10000.0)
+            + F.lit(0.0)
+        ).alias("mean_a"),
+        (
+            F.expr(
+                _div_round_expr("_sb", f"cast(n_b as decimal(38,0)) * {q}")
+            ).cast("double")
+            / F.lit(10000.0)
+            + F.lit(0.0)
+        ).alias("mean_b"),
+        (F.round(t, 4) + F.lit(0.0)).alias("t_stat"),
+    )

@@ -3287,3 +3287,78 @@ FROM d
 ORDER BY score DESC, event_id ASC
 LIMIT {k}
 """
+
+
+def string_stats_sql(col: str = "source") -> str:
+    """string_stats oracle (query/grouping.py string_stats): lengths
+    exact; avg_length via _div_round4_sql; entropy via the
+    unigram_logprob idiom (per-char log2(c/N) quantized to 1e-6 units
+    SEPARATELY, integer fold, one divide back)."""
+    return f"""
+WITH vals AS (SELECT {col} AS v, count(*)::HUGEINT AS nv FROM documents GROUP BY 1),
+lens AS (
+  SELECT sum(nv) AS n, min(length(v))::BIGINT AS min_length,
+         max(length(v))::BIGINT AS max_length,
+         sum(nv * length(v))::HUGEINT AS sl
+  FROM vals
+),
+ch AS (SELECT nv, unnest(string_split(v, '')) AS c0 FROM vals),
+cc AS (SELECT c0, sum(nv)::HUGEINT AS c FROM ch WHERE c0 <> '' GROUP BY 1),
+tot AS (SELECT sum(c)::HUGEINT AS N FROM cc),
+ent AS (
+  SELECT any_value(N) AS N,
+         sum(c * CAST(round(round(log2(c::DOUBLE / N::DOUBLE), 6)
+                            * 1000000.0) AS BIGINT)) AS s
+  FROM cc CROSS JOIN tot
+)
+SELECT lens.n::BIGINT AS n_values, min_length, max_length,
+       ({_div_round4_sql("lens.sl", "lens.n")})::DOUBLE / 10000.0 AS avg_length,
+       round(-(ent.s::DOUBLE / 1000000.0 / ent.N::DOUBLE), 4) AS entropy
+FROM lens CROSS JOIN ent
+"""
+
+
+def t_test_sql(
+    key_col: str = "event_type",
+    value_col: str = "value",
+    group_a: str = "click",
+    group_b: str = "error",
+    quantize: int = 100,
+) -> str:
+    """Welch t_test oracle (query/grouping.py t_test): exact integer
+    moments in 1/quantize units, the t statistic replayed with the
+    engine's EXACT op order (every op IEEE-exact), means via
+    _div_round4_sql, signed outputs + 0.0."""
+    q = int(quantize)
+    return f"""
+WITH b AS (
+  SELECT {key_col} AS k,
+         CAST(round({value_col} * {q}, 0) AS BIGINT)::HUGEINT AS u
+  FROM events WHERE {key_col} IN ('{group_a}', '{group_b}')
+),
+agg AS (
+  SELECT
+    sum(CASE WHEN k = '{group_a}' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+    sum(CASE WHEN k = '{group_b}' THEN 1 ELSE 0 END)::BIGINT AS n_b,
+    sum(CASE WHEN k = '{group_a}' THEN u ELSE 0 END)::HUGEINT AS sa,
+    sum(CASE WHEN k = '{group_b}' THEN u ELSE 0 END)::HUGEINT AS sb,
+    sum(CASE WHEN k = '{group_a}' THEN u * u ELSE 0 END)::HUGEINT AS qa,
+    sum(CASE WHEN k = '{group_b}' THEN u * u ELSE 0 END)::HUGEINT AS qb
+  FROM b
+)
+SELECT n_a, n_b,
+       ({_div_round4_sql("sa", f"n_a::HUGEINT * {q}")})::DOUBLE / 10000.0
+         + 0.0::DOUBLE AS mean_a,
+       ({_div_round4_sql("sb", f"n_b::HUGEINT * {q}")})::DOUBLE / 10000.0
+         + 0.0::DOUBLE AS mean_b,
+       round(
+         (sa::DOUBLE / n_a::DOUBLE - sb::DOUBLE / n_b::DOUBLE)
+         / sqrt(
+             ((qa::DOUBLE - sa::DOUBLE * sa::DOUBLE / n_a::DOUBLE)
+                / (n_a::DOUBLE - 1.0)) / n_a::DOUBLE
+             + ((qb::DOUBLE - sb::DOUBLE * sb::DOUBLE / n_b::DOUBLE)
+                / (n_b::DOUBLE - 1.0)) / n_b::DOUBLE
+           ),
+         4) + 0.0::DOUBLE AS t_stat
+FROM agg
+"""

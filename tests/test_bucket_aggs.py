@@ -364,3 +364,90 @@ def test_boxplot_whiskers_exclude_outliers(spark):
     assert (r.key, r.n_docs) == ("en", 11)
     assert (r.q1, r.q2, r.q3, r.iqr) == (2.5, 5.0, 7.5, 5.0)
     assert (r.lower_whisker, r.upper_whisker) == (0, 9)
+
+
+def _py_string_stats(rows):
+    """Pure-python replay of string_stats' quantized-entropy contract."""
+    import math
+    from collections import Counter
+
+    vals = Counter(rows)
+    n = sum(vals.values())
+    lens = [len(v) for v in vals]
+    sl = sum(nv * len(v) for v, nv in vals.items())
+    # avg: integer half-away-from-zero of sl/n at 4dp (sl, n >= 0 here)
+    avg = ((2 * sl * 10000 + n) // (2 * n)) / 10000.0
+    chars = Counter()
+    for v, nv in vals.items():
+        for c in v:
+            chars[c] += nv
+    big_n = sum(chars.values())
+    s = 0
+    for c, cnt in chars.items():
+        units = round(round(math.log2(cnt / big_n), 6) * 1000000.0)
+        s += cnt * units
+    entropy = round(-(s / 1000000.0 / big_n), 4)
+    return n, min(lens), max(lens), avg, entropy
+
+
+def test_string_stats_matches_python(spark):
+    from ocaml_lucene_spark.query.grouping import string_stats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rows = [r.source for r in docs.select("source").collect()]
+    got = string_stats(docs, col="source").collect()[0]
+    n, mn, mx, avg, ent = _py_string_stats(rows)
+    assert (got.n_values, got.min_length, got.max_length) == (n, mn, mx)
+    assert got.avg_length == avg
+    assert got.entropy == ent
+    assert got.entropy > 0
+
+
+def test_string_stats_hand_values(spark):
+    from ocaml_lucene_spark.query.grouping import string_stats
+
+    # "aa" x3 + "ab" x1: chars a=7, b=1, N=8 -> H = -(7/8)log2(7/8)
+    # - (1/8)log2(1/8) = 0.5436 at 4dp under the quantized fold
+    docs = spark.createDataFrame(
+        [(0, "aa"), (1, "aa"), (2, "aa"), (3, "ab")], "doc_id long, source string"
+    )
+    got = string_stats(docs, col="source").collect()[0]
+    n, mn, mx, avg, ent = _py_string_stats(["aa", "aa", "aa", "ab"])
+    assert tuple(got) == (n, mn, mx, avg, ent)
+    assert got.avg_length == 2.0
+
+
+def test_t_test_matches_numpy(spark, events):
+    import numpy as np
+
+    from ocaml_lucene_spark.query.grouping import t_test
+
+    got = t_test(events).collect()[0]
+    vals = {}
+    for r in events.select("event_type", "value").collect():
+        vals.setdefault(r.event_type, []).append(round(r.value * 100))
+    a = np.array(vals["click"], dtype=np.float64) / 100.0
+    b = np.array(vals["error"], dtype=np.float64) / 100.0
+    t_np = (a.mean() - b.mean()) / np.sqrt(
+        a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)
+    )
+    assert (got.n_a, got.n_b) == (len(a), len(b))
+    # means: integer half-away rounding of the exact ratios
+    for mean_got, arr in ((got.mean_a, vals["click"]), (got.mean_b, vals["error"])):
+        s, den = sum(arr), len(arr) * 100
+        sign = 1 if s >= 0 else -1
+        exp = sign * ((2 * abs(s) * 10000 + den) // (2 * den)) / 10000.0
+        assert mean_got == exp + 0.0
+    assert abs(got.t_stat - t_np) < 5e-5
+
+
+def test_t_test_hand_values(spark):
+    from ocaml_lucene_spark.query.grouping import t_test
+
+    # click: [1,2,3] mean 2 var 1; error: [2,4] mean 3 var 2 ->
+    # t = (2-3)/sqrt(1/3 + 2/2) = -1/sqrt(4/3) = -0.8660 at 4dp
+    rows = [(0, "click", 1.0), (1, "click", 2.0), (2, "click", 3.0),
+            (3, "error", 2.0), (4, "error", 4.0), (5, "view", 99.0)]
+    events = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    got = t_test(events).collect()[0]
+    assert tuple(got) == (3, 2, 2.0, 3.0, -0.866)
