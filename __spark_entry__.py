@@ -1461,6 +1461,22 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
 
         return t_test(spark.read.parquet(f"{sf}/events.parquet"))
 
+    def q_normalize_agg(spark, sf):
+        # ES normalize pipeline agg (percent_of_sum + rescale_0_1)
+        # over the day histogram: integer unit sums, both normalized
+        # columns as integer-rounded ratios; ORDER BY bucket (unique)
+        from ocaml_lucene_spark.query.grouping import normalize_agg
+
+        return normalize_agg(spark.read.parquet(f"{sf}/events.parquet"))
+
+    def q_cumulative_cardinality(spark, sf):
+        # ES cumulative_cardinality, exact mode: per-bucket distinct
+        # users + running distinct via first-seen minima (an id counts
+        # once, at min(bucket)); all integers, ORDER BY bucket
+        from ocaml_lucene_spark.query.grouping import cumulative_cardinality
+
+        return cumulative_cardinality(spark.read.parquet(f"{sf}/events.parquet"))
+
     def q_complete_fuzzy(spark, sf):
         # typo-tolerant completion (FuzzyCompletionQuery): terms some
         # prefix of which is within 1 edit of the typed "sta" —
@@ -2128,6 +2144,8 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "distance_feature": q_distance_feature,
         "string_stats": q_string_stats,
         "t_test": q_t_test,
+        "normalize_agg": q_normalize_agg,
+        "cumulative_cardinality": q_cumulative_cardinality,
         # -- r5-checked tail: sacrificial under a 50-row cut (all 50
         #    full-passed in CORRECTNESS_r05 except bigram_collocations,
         #    whose signed-zero fix is replica-verified this round) --
@@ -2455,6 +2473,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "string_stats": osql.string_stats_sql(col="source"),
         "t_test": osql.t_test_sql(),
+        "normalize_agg": osql.normalize_agg_sql(),
+        "cumulative_cardinality": osql.cumulative_cardinality_sql(),
         "diversified_sampler": osql.diversified_sample_facets_sql(
             ["table", "hash"], dedup_col="source", max_per_key=2,
             sample_size=50, facet_col="lang",

@@ -1989,3 +1989,111 @@ def t_test(
         ).alias("mean_b"),
         (F.round(t, 4) + F.lit(0.0)).alias("t_stat"),
     )
+
+
+def normalize_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    interval: str = "day",
+    value_col: str = "value",
+    quantize: int = 100,
+) -> DataFrame:
+    """Normalize pipeline aggregation (the Elasticsearch `normalize`
+    parent-pipeline agg, methods `percent_of_sum` and `rescale_0_1`)
+    over a date histogram: each bucket's value sum rescaled against
+    the sums of ALL buckets. Returns (bucket, n_events, sum_value,
+    percent_of_sum, rescale_0_1) ordered by bucket.
+
+    Determinism: bucket sums are exact integer quantize-units
+    (_units_sum); both normalized columns are RATIOS OF EXACT INTEGERS
+    -> _div_round_expr (percent = 100*q/Q; rescale = (q-qmin)/
+    (qmax-qmin)), never double division — percent-of-sum lands on 4dp
+    half-boundaries with real probability. Sums can be negative in
+    general, so both emissions add +0.0. Degenerate rescale (all
+    buckets equal) emits NULL, documented here and in the oracle.
+
+    Scale shape: histogram groupBy first (map-side partial agg, only
+    |buckets| rows shuffle), then a broadcast one-row totals frame —
+    the normalize pass never re-reads the events."""
+    fmt = {"day": "yyyy-MM-dd", "hour": "yyyy-MM-dd HH:00"}[interval]
+    bucket = F.date_format(F.date_trunc(interval, F.col(ts_col)), fmt).alias("bucket")
+    per = events.groupBy(bucket).agg(
+        F.count("*").alias("n_events"),
+        _units_sum(value_col, quantize).cast("decimal(38,0)").alias("_q"),
+    )
+    tot = per.agg(
+        F.sum("_q").alias("_tot"),
+        F.min("_q").alias("_lo"),
+        F.max("_q").alias("_hi"),
+    )
+    qd = F.lit(float(quantize))
+    pct = F.expr(_div_round_expr("_q * 100", "_tot")).cast("double") / F.lit(10000.0)
+    resc = F.when(
+        F.col("_hi") != F.col("_lo"),
+        F.expr(_div_round_expr("_q - _lo", "_hi - _lo")).cast("double")
+        / F.lit(10000.0)
+        + F.lit(0.0),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_events",
+            F.round(F.col("_q").cast("double") / qd, 4).alias("sum_value"),
+            (pct + F.lit(0.0)).alias("percent_of_sum"),
+            resc.alias("rescale_0_1"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def cumulative_cardinality(
+    events: DataFrame,
+    ts_col: str = "ts",
+    interval: str = "day",
+    id_col: str = "user_id",
+) -> DataFrame:
+    """Cumulative-cardinality pipeline aggregation (the Elasticsearch
+    `cumulative_cardinality` agg over a per-bucket `cardinality`):
+    per date-histogram bucket, the bucket's own distinct-id count plus
+    the EXACT cumulative distinct-id count up to and including the
+    bucket (ES computes this incrementally from HLL sketches and is
+    approximate; the exact mode is the gate-verifiable contract).
+    Returns (bucket, n_events, n_unique, cum_unique) ordered by
+    bucket — integers only, nothing to round.
+
+    Exact cumulative distinct WITHOUT a per-prefix re-count: an id
+    enters the cumulative exactly once, at its FIRST bucket — so
+    groupBy(id).min(bucket) -> per-bucket new-id counts -> running sum.
+    Scale shape: one shuffle over |ids| for first-seen, one over
+    |buckets| for the histogram; the unpartitioned running-sum window
+    runs over the |buckets|-row frame only (bucket count grows with
+    time span, not data volume — same bound as date_histogram_pipeline
+    documents)."""
+    fmt = {"day": "yyyy-MM-dd", "hour": "yyyy-MM-dd HH:00"}[interval]
+    bucket = F.date_format(F.date_trunc(interval, F.col(ts_col)), fmt).alias("bucket")
+    base = events.select(bucket, F.col(id_col).alias("_id"))
+    per = base.groupBy("bucket").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("_id").alias("n_unique"),
+    )
+    new_ids = (
+        base.groupBy("_id")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("_new"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per.join(new_ids, "bucket", "left")
+        .select(
+            "bucket",
+            "n_events",
+            "n_unique",
+            F.sum(F.coalesce(F.col("_new"), F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("cum_unique"),
+        )
+        .orderBy("bucket")
+    )

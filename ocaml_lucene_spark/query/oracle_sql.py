@@ -3362,3 +3362,65 @@ SELECT n_a, n_b,
          4) + 0.0::DOUBLE AS t_stat
 FROM agg
 """
+
+
+def normalize_agg_sql(
+    interval: str = "day",
+    value_col: str = "value",
+    quantize: int = 100,
+) -> str:
+    """normalize pipeline-agg oracle (query/grouping.py normalize_agg):
+    integer unit sums, both normalized columns via _div_round4_sql
+    (ratios of exact integers), +0.0 on the signed emissions, NULL
+    rescale when all buckets are equal."""
+    fmt = {"day": "%Y-%m-%d", "hour": "%Y-%m-%d %H:00"}[interval]
+    q = int(quantize)
+    return f"""
+WITH per AS (
+  SELECT strftime(date_trunc('{interval}', ts), '{fmt}') AS bucket,
+         count(*) AS n_events,
+         sum(CAST(round({value_col} * {q}, 0) AS BIGINT))::HUGEINT AS q
+  FROM events GROUP BY 1
+),
+tot AS (SELECT sum(q) AS t, min(q) AS lo, max(q) AS hi FROM per)
+SELECT bucket, n_events,
+       round(q::DOUBLE / {q}.0, 4) AS sum_value,
+       ({_div_round4_sql("q * 100", "t")})::DOUBLE / 10000.0
+         + 0.0::DOUBLE AS percent_of_sum,
+       CASE WHEN hi <> lo THEN
+         ({_div_round4_sql("q - lo", "hi - lo")})::DOUBLE / 10000.0
+           + 0.0::DOUBLE
+       END AS rescale_0_1
+FROM per CROSS JOIN tot
+ORDER BY bucket
+"""
+
+
+def cumulative_cardinality_sql(
+    interval: str = "day",
+    id_col: str = "user_id",
+) -> str:
+    """cumulative_cardinality oracle (query/grouping.py
+    cumulative_cardinality): same first-seen-minimum identity,
+    independently expressed in SQL — all integers, so parity is
+    algebraic (an id counts once, at min(bucket))."""
+    fmt = {"day": "%Y-%m-%d", "hour": "%Y-%m-%d %H:00"}[interval]
+    return f"""
+WITH b AS (
+  SELECT strftime(date_trunc('{interval}', ts), '{fmt}') AS bucket,
+         {id_col} AS id
+  FROM events
+),
+per AS (
+  SELECT bucket, count(*) AS n_events, count(DISTINCT id) AS n_unique
+  FROM b GROUP BY 1
+),
+fs AS (SELECT id, min(bucket) AS bucket FROM b GROUP BY 1),
+nw AS (SELECT bucket, count(*) AS n_new FROM fs GROUP BY 1)
+SELECT per.bucket, per.n_events, per.n_unique,
+       sum(coalesce(nw.n_new, 0))
+         OVER (ORDER BY per.bucket ROWS UNBOUNDED PRECEDING)::BIGINT
+         AS cum_unique
+FROM per LEFT JOIN nw ON per.bucket = nw.bucket
+ORDER BY per.bucket
+"""

@@ -451,3 +451,68 @@ def test_t_test_hand_values(spark):
     events = spark.createDataFrame(rows, "event_id long, event_type string, value double")
     got = t_test(events).collect()[0]
     assert tuple(got) == (3, 2, 2.0, 3.0, -0.866)
+
+
+def test_normalize_agg_matches_python(spark, events):
+    from ocaml_lucene_spark.query.grouping import normalize_agg
+
+    got = [tuple(r) for r in normalize_agg(events).collect()]
+    per = {}
+    for r in events.select("ts", "value").collect():
+        b = r.ts.strftime("%Y-%m-%d")
+        n, q = per.get(b, (0, 0))
+        per[b] = (n + 1, q + round(r.value * 100))
+    tot = sum(q for _n, q in per.values())
+    lo = min(q for _n, q in per.values())
+    hi = max(q for _n, q in per.values())
+
+    def div4(num, den):
+        sign = 1 if num >= 0 else -1
+        return sign * ((2 * abs(num) * 10000 + den) // (2 * den)) / 10000.0
+
+    expected = [
+        (
+            b, n, round(q / 100.0, 4), div4(q * 100, tot) + 0.0,
+            (div4(q - lo, hi - lo) + 0.0) if hi != lo else None,
+        )
+        for b, (n, q) in sorted(per.items())
+    ]
+    assert got == expected
+    # percent_of_sum sums to ~100, rescale spans [0, 1]
+    assert abs(sum(r[3] for r in got) - 100.0) < 0.01
+    assert min(r[4] for r in got) == 0.0 and max(r[4] for r in got) == 1.0
+
+
+def test_normalize_agg_degenerate_rescale_null(spark):
+    import datetime as dt
+
+    from ocaml_lucene_spark.query.grouping import normalize_agg
+
+    rows = [
+        (0, dt.datetime(2024, 1, 1, 5), 2.0),
+        (1, dt.datetime(2024, 1, 2, 5), 2.0),
+    ]
+    events = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    got = [tuple(r) for r in normalize_agg(events).collect()]
+    assert got == [
+        ("2024-01-01", 1, 2.0, 50.0, None),
+        ("2024-01-02", 1, 2.0, 50.0, None),
+    ]
+
+
+def test_cumulative_cardinality_matches_python(spark, events):
+    from ocaml_lucene_spark.query.grouping import cumulative_cardinality
+
+    got = [tuple(r) for r in cumulative_cardinality(events).collect()]
+    per = {}
+    for r in events.select("ts", "user_id").collect():
+        per.setdefault(r.ts.strftime("%Y-%m-%d"), []).append(r.user_id)
+    seen, expected = set(), []
+    for b in sorted(per):
+        ids = per[b]
+        seen |= set(ids)
+        expected.append((b, len(ids), len(set(ids)), len(seen)))
+    assert got == expected
+    # cumulative is monotone and ends at the global distinct count
+    assert got[-1][3] == len(seen)
+    assert all(a[3] <= b[3] for a, b in zip(got, got[1:]))
