@@ -1477,6 +1477,17 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
 
         return cumulative_cardinality(spark.read.parquet(f"{sf}/events.parquet"))
 
+    def q_linear_fusion(spark, sf):
+        # ES linear retriever: min-max normalized weighted hybrid —
+        # integer weights over integer 1/10^4 norm units, one divide
+        # at emission (no post-normalization float rounding at all)
+        from ocaml_lucene_spark.query.rescore import linear_fusion_topk
+
+        return linear_fusion_topk(
+            _docs(spark, sf), _vecs(spark, sf), ["table", "hash", "dup"],
+            _query_vec(sf), n_each=100, k=10, w_lex=2, w_dense=1,
+        )
+
     def q_complete_fuzzy(spark, sf):
         # typo-tolerant completion (FuzzyCompletionQuery): terms some
         # prefix of which is within 1 edit of the typed "sta" —
@@ -2146,6 +2157,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "t_test": q_t_test,
         "normalize_agg": q_normalize_agg,
         "cumulative_cardinality": q_cumulative_cardinality,
+        "linear_fusion": q_linear_fusion,
         # -- r5-checked tail: sacrificial under a 50-row cut (all 50
         #    full-passed in CORRECTNESS_r05 except bigram_collocations,
         #    whose signed-zero fix is replica-verified this round) --
@@ -2475,6 +2487,9 @@ def oracle_sql() -> dict[str, str]:
         "t_test": osql.t_test_sql(),
         "normalize_agg": osql.normalize_agg_sql(),
         "cumulative_cardinality": osql.cumulative_cardinality_sql(),
+        "linear_fusion": osql.linear_fusion_sql(
+            ["table", "hash", "dup"], qv, n_each=100, k=10, w_lex=2, w_dense=1
+        ),
         "diversified_sampler": osql.diversified_sample_facets_sql(
             ["table", "hash"], dedup_col="source", max_per_key=2,
             sample_size=50, facet_col="lang",

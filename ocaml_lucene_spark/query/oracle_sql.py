@@ -3424,3 +3424,63 @@ SELECT per.bucket, per.n_events, per.n_unique,
 FROM per LEFT JOIN nw ON per.bucket = nw.bucket
 ORDER BY per.bucket
 """
+
+
+def linear_fusion_sql(
+    terms: list[str],
+    query_vec: list[float],
+    n_each: int = 100,
+    k: int = 10,
+    w_lex: int = 2,
+    w_dense: int = 1,
+) -> str:
+    """Linear-retriever oracle (query/rescore.py linear_fusion_topk):
+    each leg min-max normalized in EXACT integer 1/10⁴ units
+    (_div_round4_sql; degenerate max==min list -> 10000), INTEGER
+    weights folded before the single divide-back — no float rounding
+    after normalization, mirroring the engine exactly."""
+    q = "[" + ", ".join(repr(float(x)) for x in query_vec) + "]::DOUBLE[]"
+    return f"""
+WITH {_bm25_topn_cte(terms, n_each, 4)},
+lexu AS (
+  SELECT doc_id, CAST(round(score * 10000, 0) AS BIGINT)::HUGEINT AS u
+  FROM bm25
+),
+lexmm AS (SELECT min(u) AS lo, max(u) AS hi FROM lexu),
+lexn AS (
+  SELECT doc_id,
+         CASE WHEN hi = lo THEN 10000
+              ELSE ({_div_round4_sql("u - lo", "hi - lo")})::BIGINT END AS nu
+  FROM lexu CROSS JOIN lexmm
+),
+qv AS (SELECT {q} AS v),
+emb AS (
+  SELECT vec_id AS doc_id, round({_cos_sql("embedding", "qv.v")}, 4) AS sim
+  FROM embeddings, qv
+  ORDER BY sim DESC, doc_id ASC
+  LIMIT {n_each}
+),
+denu AS (
+  SELECT doc_id, CAST(round(sim * 10000, 0) AS BIGINT)::HUGEINT AS u
+  FROM emb
+),
+denmm AS (SELECT min(u) AS lo, max(u) AS hi FROM denu),
+denn AS (
+  SELECT doc_id,
+         CASE WHEN hi = lo THEN 10000
+              ELSE ({_div_round4_sql("u - lo", "hi - lo")})::BIGINT END AS nu
+  FROM denu CROSS JOIN denmm
+),
+fused AS (
+  SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+         coalesce(l.nu, 0) AS lu, coalesce(d.nu, 0) AS du
+  FROM lexn l FULL OUTER JOIN denn d ON l.doc_id = d.doc_id
+)
+SELECT doc_id,
+       ({int(w_lex)} * lu + {int(w_dense)} * du)::DOUBLE / 10000.0 AS score,
+       lu::DOUBLE / 10000.0 AS lex_norm,
+       du::DOUBLE / 10000.0 AS dense_norm
+FROM fused
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""

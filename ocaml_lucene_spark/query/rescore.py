@@ -194,3 +194,87 @@ def rrf_fusion_topk_indexed(
         spark, ivf_index_dir, query_vec, centroids, k=n_each, n_probe=n_probe
     ).withColumnRenamed("vec_id", "doc_id")
     return _rrf_combine(lex, dense, k=k, rrf_k=rrf_k, round_to=round_to)
+
+
+def _minmax_units(scores: DataFrame, metric: str) -> DataFrame:
+    """Min-max normalize a (doc_id, <metric>) retrieved list into EXACT
+    integer 1/10⁴ units: units = round-half-away((m - min) / (max - min)
+    at 4dp) computed entirely in integer arithmetic over the list's
+    4dp-rounded metric (m*10⁴ snaps to an exact long — the metric is
+    already rounded at 4dp). Degenerate lists (max == min, e.g. a
+    single candidate) normalize to 10000 (= 1.0: every doc is equally
+    the best — documented contract, mirrored in the oracle). The
+    min/max frame is one row, broadcast."""
+    from .grouping import _div_round_expr
+
+    u = scores.select(
+        "doc_id",
+        F.round(F.col(metric) * 10000, 0).cast("long").cast("decimal(38,0)").alias("_u"),
+    )
+    mm = u.agg(F.min("_u").alias("_lo"), F.max("_u").alias("_hi"))
+    return u.crossJoin(F.broadcast(mm)).select(
+        "doc_id",
+        F.when(F.col("_hi") == F.col("_lo"), F.lit(10000).cast("long"))
+        .otherwise(F.expr(_div_round_expr("_u - _lo", "_hi - _lo")).cast("long"))
+        .alias("_norm_u"),
+    )
+
+
+def linear_fusion_topk(
+    docs: DataFrame,
+    vecs: DataFrame,
+    terms: list[str],
+    query_vec: list[float],
+    n_each: int = 100,
+    k: int = 10,
+    w_lex: int = 2,
+    w_dense: int = 1,
+) -> DataFrame:
+    """Linear hybrid retriever (the Elasticsearch `linear` retriever
+    with `minmax` normalizers): each leg's top-``n_each`` scores are
+    min-max normalized WITHIN the retrieved list, then combined as
+    score = w_lex * norm_lex + w_dense * norm_dense, docs absent from
+    a list contributing 0 for it. Returns
+    (doc_id, score, lex_norm, dense_norm) ordered (score desc, doc_id)
+    limit k.
+
+    Determinism: weights are INTEGERS and normalization emits integer
+    1/10⁴ units (_minmax_units), so the combined score is a pure
+    integer fold divided back ONCE at emission — there is no float
+    rounding after normalization at all. A double combine of 4dp
+    norms with weight 0.5 would sit exactly on 4dp half-boundaries
+    (the bm25_topk_boosting hazard); integer weights make the hazard
+    unconstructible. All emitted values are >= 0 (no signed-zero
+    exposure).
+
+    Scale shape: both legs are top-n_each lists (driver-tiny); the
+    min/max frames broadcast; the fusion join touches <= 2*n_each
+    rows. The dense leg is brute-force by contract here (the exact
+    oracle baseline) — a production deployment swaps in
+    ivf_topk_indexed exactly as rrf_fusion_topk_indexed does."""
+    if w_lex <= 0 or w_dense <= 0 or w_lex != int(w_lex) or w_dense != int(w_dense):
+        raise ValueError("linear_fusion weights must be positive integers")
+    from ..operators.ann import brute_force_topk
+
+    lex = bm25_topk(docs, terms, "or", k=n_each, round_to=4)
+    dense = brute_force_topk(vecs, query_vec, k=n_each).withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    lex_n = _minmax_units(lex, "score").withColumnRenamed("_norm_u", "_lex_u")
+    dense_n = _minmax_units(dense, "sim").withColumnRenamed("_norm_u", "_dense_u")
+    fused = lex_n.join(dense_n, "doc_id", "full").select(
+        "doc_id",
+        F.coalesce(F.col("_lex_u"), F.lit(0)).alias("_lex_u"),
+        F.coalesce(F.col("_dense_u"), F.lit(0)).alias("_dense_u"),
+    )
+    comb = F.lit(int(w_lex)) * F.col("_lex_u") + F.lit(int(w_dense)) * F.col("_dense_u")
+    return (
+        fused.select(
+            "doc_id",
+            (comb.cast("double") / F.lit(10000.0)).alias("score"),
+            (F.col("_lex_u").cast("double") / F.lit(10000.0)).alias("lex_norm"),
+            (F.col("_dense_u").cast("double") / F.lit(10000.0)).alias("dense_norm"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -842,3 +842,68 @@ def test_distance_feature_hand_distances(spark):
     assert [(r.event_id, r.score) for r in rows] == [
         (1, 1.0), (2, 0.5), (3, 0.25)
     ]
+
+
+def test_linear_fusion_minmax_and_weights(spark, docs):
+    from ocaml_lucene_spark.query.rescore import linear_fusion_topk
+    import __spark_entry__ as entry
+
+    vecs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qv = entry._query_vec(SF)
+    rows = linear_fusion_topk(docs, vecs, TERMS, qv, n_each=50, k=200).collect()
+    assert rows, "fusion must produce rows"
+    for r in rows:
+        # norms live in [0,1] at 4dp; score is the exact integer combine
+        assert 0.0 <= r.lex_norm <= 1.0 and 0.0 <= r.dense_norm <= 1.0
+        assert r.score == (round(r.lex_norm * 10000) * 2 + round(r.dense_norm * 10000)) / 10000.0
+    # each leg's #1 doc normalizes to exactly 1.0 and is present
+    assert any(r.lex_norm == 1.0 for r in rows)
+    assert any(r.dense_norm == 1.0 for r in rows)
+    # min-of-list normalizes to exactly 0.0 for docs in-list (the
+    # 50th lexical doc), indistinguishable from absent by design
+    assert any(r.lex_norm == 0.0 and r.dense_norm > 0.0 for r in rows)
+
+
+def test_linear_fusion_hand_values(spark):
+    from ocaml_lucene_spark.query.rescore import linear_fusion_topk
+
+    docs = spark.createDataFrame(
+        [(1, "zig zig zig"), (2, "zig zag"), (3, "zag mid zig")],
+        "doc_id long, text string",
+    )
+    # embeddings chosen so cosine against [1,0] is 1.0 / 0.6 / 0.0
+    vecs = spark.createDataFrame(
+        [(2, [1.0, 0.0]), (3, [0.6, 0.8]), (4, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = linear_fusion_topk(docs, vecs, ["zig"], [1.0, 0.0], n_each=10, k=10)
+    got = [(r.doc_id, r.score, r.lex_norm, r.dense_norm) for r in rows.collect()]
+    # lexical: doc1 best (tf=3) -> 1.0, doc3 worst in-list -> 0.0,
+    # doc2 interpolates; dense: vec2 -> 1.0, vec3 -> 0.6, vec4 -> 0.0
+    by_id = {d: (s, l, dn) for d, s, l, dn in got}
+    assert by_id[1][1] == 1.0 and by_id[1][2] == 0.0
+    assert by_id[2][2] == 1.0  # dense #1
+    assert by_id[3][1] == 0.0
+    assert by_id[4] == (0.0, 0.0, 0.0)  # dense min, absent lexically
+    for d, s, l, dn in got:
+        assert s == (round(l * 10000) * 2 + round(dn * 10000)) / 10000.0
+    # sorted (score desc, doc_id)
+    assert got == sorted(got, key=lambda x: (-x[1], x[0]))
+
+
+def test_linear_fusion_degenerate_list_normalizes_to_one(spark):
+    from ocaml_lucene_spark.query.rescore import linear_fusion_topk
+
+    docs = spark.createDataFrame([(1, "solo term")], "doc_id long, text string")
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.5, 0.5])], "vec_id long, embedding array<double>"
+    )
+    rows = {r.doc_id: r for r in linear_fusion_topk(
+        docs, vecs, ["solo"], [1.0, 0.0], n_each=10, k=10
+    ).collect()}
+    # single-doc lexical list: max == min -> norm 1.0 (documented)
+    assert rows[1].lex_norm == 1.0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        linear_fusion_topk(docs, vecs, ["solo"], [1.0, 0.0], w_lex=0)
