@@ -2004,28 +2004,11 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # the previous round's freshly-checked head moves to the tail.
     # Round-6 order: (1) the 41 entries cut from the r5 run (last
     # driver-checked in r4 — the rotation obligation from the r5
-    # verdict); (2) 9 NEW r6 rows inside the 50-row window; (3) 45 MORE
-    # new r6 rows that did not fit the cap (ngram_contamination,
-    # repetition_signals, unigram_logprob, sort_by_field,
-    # pack_sequences, sample_stratified,
-    # session_windows, dedup_clusters, function_score, phrase_suggest,
-    # query_string, query_string_expand, intervals_ordered,
-    # intervals_containing, intervals_unordered, bm25_analyzed, adjacency_matrix,
-    # histogram_pipeline, boilerplate_coverage, mix_proportions, percentiles_agg,
-    # composite_agg, multi_phrase_counts, bm25_boosting,
-    # extended_stats, rare_terms, multi_terms, token_budget_select,
-    # matrix_stats, moving_avg, gopher_quality_filter, streamed_sessions, knn_filtered,
-    # date_range_facets, auto_date_histogram, snippet_topk,
-    # bm25_combined_fields, bm25_pinned, random_score, clean_dedup_select,
-    # span_containing, span_within, bucket_selector, bucket_sort,
-    # serial_diff, weighted_avg, top_metrics, terms_shard_topk,
-    # span_multi, dsir_importance, cross_doc_repetition, rank_eval,
-    # diversified_sampler, hll_users, hll_values,
-    # streamed_term_counts, dup_spans, complete_fuzzy, stats_bucket,
-    # percentile_ranks —
-    # replica-verified locally,
-    # never driver-checked); (4) the 50 r5-checked entries as the
-    # sacrificial tail, in their r5 order.
+    # verdict); (2) 9 NEW r6 rows inside the 50-row window; (3) every
+    # OTHER new r6 row, past the cap (the section between the
+    # "past the 50-row cut" marker and the "r5-checked tail" marker —
+    # all replica-verified locally, never driver-checked); (4) the 50
+    # r5-checked entries as the sacrificial tail, in their r5 order.
     # ROUND-7 ROTATION OBLIGATION: everything after position 50
     # (recount with list(queries())[50:] before trusting this comment)
     # is either never-driver-checked (the 60 past-cut r6 rows — put
