@@ -1488,6 +1488,15 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
             _query_vec(sf), n_each=100, k=10, w_lex=2, w_dense=1,
         )
 
+    def q_frequent_item_sets(spark, sf):
+        # ES frequent_item_sets (set size 2): co-occurring distinct
+        # token pairs with Apriori-exact df pruning; pairs generated
+        # MAP-SIDE from sorted per-doc arrays (no self-join) — the
+        # oracle deliberately replays with a (doc,item) self-join
+        from ocaml_lucene_spark.functions.textstats import frequent_item_sets
+
+        return frequent_item_sets(_docs(spark, sf), min_support=300)
+
     def q_complete_fuzzy(spark, sf):
         # typo-tolerant completion (FuzzyCompletionQuery): terms some
         # prefix of which is within 1 edit of the typed "sta" —
@@ -2141,6 +2150,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "normalize_agg": q_normalize_agg,
         "cumulative_cardinality": q_cumulative_cardinality,
         "linear_fusion": q_linear_fusion,
+        "frequent_item_sets": q_frequent_item_sets,
         # -- r5-checked tail: sacrificial under a 50-row cut (all 50
         #    full-passed in CORRECTNESS_r05 except bigram_collocations,
         #    whose signed-zero fix is replica-verified this round) --
@@ -2473,6 +2483,7 @@ def oracle_sql() -> dict[str, str]:
         "linear_fusion": osql.linear_fusion_sql(
             ["table", "hash", "dup"], qv, n_each=100, k=10, w_lex=2, w_dense=1
         ),
+        "frequent_item_sets": oops.frequent_item_sets_sql(min_support=300),
         "diversified_sampler": osql.diversified_sample_facets_sql(
             ["table", "hash"], dedup_col="source", max_per_key=2,
             sample_size=50, facet_col="lang",

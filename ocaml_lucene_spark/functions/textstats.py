@@ -466,3 +466,65 @@ def dsir_importance(
         )
         .orderBy("doc_id")
     )
+
+
+def frequent_item_sets(
+    docs: DataFrame,
+    min_support: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Frequent item-set mining at set size 2 (the Elasticsearch
+    `frequent_item_sets` agg over a keyword/token field): pairs of
+    DISTINCT per-doc tokens co-occurring in >= ``min_support`` docs.
+    Returns (item_a, item_b, support) with item_a < item_b, ordered
+    (support DESC, item_a, item_b) — a total order, (a, b) is unique;
+    all integers, nothing to round.
+
+    Apriori level-1 pruning is EXACT, not heuristic: a pair's support
+    is bounded by each member's document frequency, so items with
+    df < min_support cannot appear in any frequent pair — the df
+    filter shrinks the quadratic pair-generation base without changing
+    the result (tested: pruned == unpruned).
+
+    Scale shape: pairs are generated MAP-SIDE from each doc's sorted
+    frequent-item array (nested JVM `transform` over the array — no
+    self-join, no shuffle to form pairs), then ONE groupBy(item_a,
+    item_b) with map-side partial aggregation. Per-doc cost is
+    O(f²) where f = the doc's frequent-item count — the same quadratic
+    ES bounds with its `size`/filter knobs; min_support is the
+    pruning dial (it scales with corpus size, keeping f flat). The
+    frequent-items side of the pruning join is vocabulary-bounded
+    (Heaps): AQE broadcasts it when it fits. The pairs array is
+    computed in its own projection BEFORE the explode (the Spark
+    generator rewrite drops nested struct aliases when a generator
+    shares the select — the pinned greatest(struct) pitfall)."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(tokens_col(text_col)).alias("items"),
+    )
+    di = base.select("doc_id", F.explode("items").alias("item"))
+    freq = (
+        di.groupBy("item")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= min_support)
+        .select("item")
+    )
+    kept = di.join(freq, "item")
+    arrs = kept.groupBy("doc_id").agg(F.sort_array(F.collect_list("item")).alias("a"))
+    pair_arrays = arrs.select(
+        F.expr(
+            "flatten(transform(a, (x, i) -> "
+            "transform(slice(a, i + 2, size(a)), y -> "
+            "struct(x AS item_a, y AS item_b))))"
+        ).alias("pairs")
+    )
+    pairs = pair_arrays.select(F.explode("pairs").alias("p")).select(
+        "p.item_a", "p.item_b"
+    )
+    return (
+        pairs.groupBy("item_a", "item_b")
+        .agg(F.count("*").cast("long").alias("support"))
+        .filter(F.col("support") >= min_support)
+        .orderBy(F.desc("support"), "item_a", "item_b")
+    )

@@ -989,3 +989,25 @@ SELECT doc_id,
 FROM per
 ORDER BY doc_id
 """
+
+
+def frequent_item_sets_sql(min_support: int = 300) -> str:
+    """frequent_item_sets oracle (functions/textstats.py
+    frequent_item_sets): deliberately a DIFFERENT algorithm — a
+    (doc, item) SELF-JOIN with item_a < item_b instead of the engine's
+    map-side sorted-array pair generation (ascii [a-z0-9]+ tokens keep
+    the two sides' string orderings equal — the phrase_prefix collation
+    precedent). The df pruning is Apriori-exact on both sides: a
+    pair's support <= each member's df."""
+    s = int(min_support)
+    return f"""
+WITH base AS (SELECT doc_id, list_distinct({TOKS}) AS items FROM documents),
+di AS (SELECT doc_id, unnest(items) AS item FROM base),
+freq AS (SELECT item FROM di GROUP BY item HAVING count(*) >= {s}),
+kept AS (SELECT doc_id, item FROM di JOIN freq USING (item))
+SELECT a.item AS item_a, b.item AS item_b, count(*)::BIGINT AS support
+FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.item < b.item
+GROUP BY 1, 2
+HAVING count(*) >= {s}
+ORDER BY support DESC, item_a, item_b
+"""

@@ -621,3 +621,59 @@ def test_cross_doc_repetition_hand_corpus(spark):
     assert got[1] == (4, 0.25)
     assert got[2] == (1, 0.0)
     assert got[3] == (1, 0.0)
+
+
+def test_frequent_item_sets_matches_python_and_pruning_exact(spark):
+    from itertools import combinations
+
+    from ocaml_lucene_spark.functions.textstats import frequent_item_sets
+    from ocaml_lucene_spark.functions.analysis import py_tokenize as tokenize
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = [tuple(r) for r in frequent_item_sets(docs, min_support=30).collect()]
+
+    # python reference: distinct tokens per doc, pair doc-counts
+    from collections import Counter
+
+    pair_df = Counter()
+    for r in docs.select("text").collect():
+        items = sorted(set(tokenize(r.text)))
+        for a, b in combinations(items, 2):
+            pair_df[(a, b)] += 1
+    expected = sorted(
+        ((a, b, c) for (a, b), c in pair_df.items() if c >= 30),
+        key=lambda x: (-x[2], x[0], x[1]),
+    )
+    assert got == expected
+
+    # Apriori level-1 pruning is exact: an unpruned run (df filter
+    # disabled by min_support=1 at the item stage cannot be expressed
+    # through the public arg, so compare against the reference, which
+    # never prunes) — covered above; additionally the support bound
+    # holds: no pair's support exceeds either member's df
+    item_df = Counter()
+    for r in docs.select("text").collect():
+        for t in set(tokenize(r.text)):
+            item_df[t] += 1
+    for a, b, c in got:
+        assert c <= item_df[a] and c <= item_df[b]
+
+
+def test_frequent_item_sets_hand_values(spark):
+    from ocaml_lucene_spark.functions.textstats import frequent_item_sets
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana cherry"),
+            (2, "apple banana"),
+            (3, "apple banana apple"),  # duplicate tokens count once
+            (4, "banana cherry"),
+            (5, "date"),
+        ],
+        "doc_id long, text string",
+    )
+    got = [tuple(r) for r in frequent_item_sets(docs, min_support=2).collect()]
+    assert got == [
+        ("apple", "banana", 3),
+        ("banana", "cherry", 2),
+    ]
