@@ -592,3 +592,56 @@ def test_stats_bucket_is_two_aggs_no_window(spark):
     assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert plan.count("HashAggregate") == 4, plan  # 2 x (partial+final)
+
+
+def test_frequent_item_sets_pairs_have_no_self_join(spark):
+    """Pair generation must be MAP-SIDE (nested transform over the
+    sorted per-doc array) — the plan may contain only the single
+    frequent-items pruning join, never a second join forming pairs,
+    and no cartesian product or window. The pruning join's build side
+    is the vocab-bounded frequent-item list."""
+    from ocaml_lucene_spark.functions.textstats import frequent_item_sets
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(frequent_item_sets(docs, min_support=30))
+    # formatted mode repeats node names in the details section — count
+    # distinct numbered join nodes
+    joins = set(re.findall(r"\(\d+\) (\w*Join\w*)", plan))
+    assert joins == {"BroadcastHashJoin"}, plan
+    n_join_nodes = len(set(re.findall(r"\((\d+)\) \w*Join\w*", plan)))
+    assert n_join_nodes == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_linear_fusion_minmax_frames_broadcast(spark):
+    """Both legs' one-row min/max frames must broadcast (never a
+    shuffle join against a 1-row side), and the final cut is
+    TakeOrderedAndProject — no global sort."""
+    import __spark_entry__ as entry
+    from ocaml_lucene_spark.query.rescore import linear_fusion_topk
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    vecs = spark.read.parquet(f"{sf}/embeddings.parquet")
+    plan = _plan(
+        linear_fusion_topk(docs, vecs, ["table", "hash"], entry._query_vec(sf), n_each=20, k=5)
+    )
+    assert plan.count("BroadcastNestedLoopJoin") >= 2, plan  # 2 one-row mm frames
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_cumulative_cardinality_window_is_bucket_frame_only(spark):
+    """The running-sum window is allowed to be SinglePartition ONLY
+    because it runs over the |buckets|-row frame (post-aggregate);
+    the heavy work — the two distinct shuffles — must be aggregates,
+    and the raw events frame must never enter a window."""
+    from ocaml_lucene_spark.query.grouping import cumulative_cardinality
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = _plan(cumulative_cardinality(ev))
+    # window input comes from the bucket-level join, after >=2
+    # aggregate pairs (per-bucket agg + first-seen agg)
+    assert plan.count("HashAggregate") >= 6, plan
+    assert "Window" in plan, plan
