@@ -271,6 +271,30 @@ def _ivf_kmeans_centroids(sf_dir: str, k: int = 4, n_iters: int = 3) -> list[lis
     return _KMEANS_CACHE[key]
 
 
+def _vwh_centroids(sf_dir: str, k: int = 6, n_iters: int = 8) -> list[int]:
+    """Trained 1-D value-cluster centroids for variable_width_histogram
+    — pyarrow path (no Spark), so the oracle can bake the same integer
+    micro-unit literals. The engine closure trains its own copy via
+    the Spark histogram collect; both feed the identical
+    (unit value -> count) histogram into grouping.vwh_centroids, so
+    the literals agree by construction (2-decimal values never sit on
+    a .5 rounding boundary after *100)."""
+    key = (sf_dir, k, n_iters, "vwh")
+    if key not in _KMEANS_CACHE:
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+
+        from ocaml_lucene_spark.query.grouping import vwh_centroids
+
+        vals = pq.read_table(
+            f"{sf_dir}/events.parquet", columns=["value"]
+        ).column("value").to_pylist()
+        hist = Counter(round(v * 100) for v in vals)
+        _KMEANS_CACHE[key] = vwh_centroids(dict(hist), k=k, n_iters=n_iters)
+    return _KMEANS_CACHE[key]
+
+
 def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ordered=True (the driver's contract) wraps every _CANON_ORDER
     entry in the canonical all-columns sort the order-sensitive value
@@ -1497,6 +1521,18 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
 
         return frequent_item_sets(_docs(spark, sf), min_support=300)
 
+    def q_variable_width_histogram(spark, sf):
+        # ES variable_width_histogram, deterministic contract: 1-D
+        # weighted k-means over the bounded distinct-value histogram
+        # (engine trains via the Spark collect path; the oracle bakes
+        # the pyarrow-trained literals — identical by construction),
+        # all-integer midpoint assignment folded into the scan
+        from ocaml_lucene_spark.query.grouping import variable_width_histogram
+
+        return variable_width_histogram(
+            spark.read.parquet(f"{sf}/events.parquet"), k=6, n_iters=8
+        )
+
     def q_complete_fuzzy(spark, sf):
         # typo-tolerant completion (FuzzyCompletionQuery): terms some
         # prefix of which is within 1 edit of the typed "sta" —
@@ -2151,6 +2187,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "cumulative_cardinality": q_cumulative_cardinality,
         "linear_fusion": q_linear_fusion,
         "frequent_item_sets": q_frequent_item_sets,
+        "variable_width_histogram": q_variable_width_histogram,
         # -- r5-checked tail: sacrificial under a 50-row cut (all 50
         #    full-passed in CORRECTNESS_r05 except bigram_collocations,
         #    whose signed-zero fix is replica-verified this round) --
@@ -2484,6 +2521,9 @@ def oracle_sql() -> dict[str, str]:
             ["table", "hash", "dup"], qv, n_each=100, k=10, w_lex=2, w_dense=1
         ),
         "frequent_item_sets": oops.frequent_item_sets_sql(min_support=300),
+        "variable_width_histogram": osql.variable_width_histogram_sql(
+            _vwh_centroids(sf_for_vec, k=6, n_iters=8)
+        ),
         "diversified_sampler": osql.diversified_sample_facets_sql(
             ["table", "hash"], dedup_col="source", max_per_key=2,
             sample_size=50, facet_col="lang",

@@ -2097,3 +2097,125 @@ def cumulative_cardinality(
         )
         .orderBy("bucket")
     )
+
+
+def vwh_centroids(
+    hist: dict[int, int], k: int = 6, n_iters: int = 8
+) -> list[int]:
+    """Deterministic 1-D weighted Lloyd k-means over a (value-unit ->
+    count) histogram, returning k sorted INTEGER micro-unit centroids
+    (micro = unit/10⁴; with quantize=100 cent units that is 6dp of the
+    original value — the kmeans 6dp rounding contract, made exact by
+    staying integral).
+
+    Determinism contract (what lets the DuckDB oracle replay bucket
+    assignment from the same centroid literals): init = k rank-evenly-
+    spaced distinct values; assignment = nearest centroid with ties to
+    the SMALLER centroid (strict `2v > c_i + c_{i+1}` midpoint
+    crossings — all integer, no float anywhere); empty clusters keep
+    their previous centroid; the weighted-mean update rounds half away
+    from zero to integer micro-units every iteration. Runs on the
+    DRIVER over the distinct-value histogram — bounded by the value
+    domain (2-decimal values -> <= ~10⁴ distinct), never by row
+    count."""
+    if not hist:
+        raise ValueError("empty histogram")
+    vals = sorted(hist)
+    m = len(vals)
+    kk = min(int(k), m)
+    if kk < 1:
+        raise ValueError("k must be >= 1")
+    cent = [vals[(j * (m - 1)) // max(kk - 1, 1)] * 10000 for j in range(kk)]
+    for _ in range(n_iters):
+        sums = [0] * kk
+        cnts = [0] * kk
+        for v in vals:
+            vm = v * 10000
+            b = 0
+            for i in range(kk - 1):
+                if 2 * vm > cent[i] + cent[i + 1]:
+                    b = i + 1
+            c = hist[v]
+            sums[b] += vm * c
+            cnts[b] += c
+        nxt = []
+        for j in range(kk):
+            if cnts[j]:
+                num, den = sums[j], cnts[j]
+                sign = 1 if num >= 0 else -1
+                nxt.append(sign * ((2 * abs(num) + den) // (2 * den)))
+            else:
+                nxt.append(cent[j])
+        cent = sorted(nxt)
+    return cent
+
+
+def variable_width_histogram(
+    events: DataFrame,
+    k: int = 6,
+    n_iters: int = 8,
+    value_col: str = "value",
+    quantize: int = 100,
+    centroids: list[int] | None = None,
+    max_distinct: int = 100_000,
+) -> DataFrame:
+    """Variable-width histogram (the Elasticsearch
+    `variable_width_histogram` agg): values cluster into at most ``k``
+    variable-width buckets. ES's implementation is a one-pass
+    collector heuristic (order-dependent, approximate); the
+    deterministic contract here is 1-D weighted k-means over the
+    distinct-value histogram (vwh_centroids), which is what makes the
+    result oracle-able. Returns non-empty buckets
+    (bucket, n_events, min_value, max_value, centroid) ordered by
+    bucket — min/max exact unit values divided once; centroid is the
+    trained integer micro-unit centroid divided once (never a
+    recomputed float mean).
+
+    Scale shape: training reads a (distinct unit value -> count)
+    histogram — ONE map-side-combined groupBy whose cardinality is the
+    value DOMAIN (guarded at ``max_distinct``), independent of row
+    count; assignment is a k-1-term integer CASE chain folded into the
+    scan projection (no join, no UDF), then one |k|-bucket groupBy."""
+    q = int(quantize)
+    vu = F.round(F.col(value_col) * q, 0).cast("long")
+    if centroids is None:
+        hist_rows = (
+            events.select(vu.alias("_v")).groupBy("_v").count().collect()
+        )
+        if len(hist_rows) > max_distinct:
+            raise ValueError(
+                f"value domain {len(hist_rows)} exceeds max_distinct={max_distinct}"
+            )
+        centroids = vwh_centroids(
+            {r._v: r["count"] for r in hist_rows}, k=k, n_iters=n_iters
+        )
+    cent = [int(c) for c in centroids]
+    bucket = F.lit(0)
+    for i in range(len(cent) - 1):
+        bucket = bucket + F.when(
+            (F.lit(2) * vu * 10000) > F.lit(cent[i] + cent[i + 1]), 1
+        ).otherwise(0)
+    qd = F.lit(float(q))
+    cmap = F.map_from_arrays(
+        F.array(*[F.lit(i) for i in range(len(cent))]),
+        F.array(*[F.lit(c) for c in cent]),
+    )
+    return (
+        events.select(vu.alias("_v"), bucket.cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("_v").alias("_lo"),
+            F.max("_v").alias("_hi"),
+        )
+        .select(
+            "bucket",
+            "n_events",
+            (F.col("_lo").cast("double") / qd).alias("min_value"),
+            (F.col("_hi").cast("double") / qd).alias("max_value"),
+            (cmap[F.col("bucket")].cast("double") / F.lit(1000000.0)).alias(
+                "centroid"
+            ),
+        )
+        .orderBy("bucket")
+    )

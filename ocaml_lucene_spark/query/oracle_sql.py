@@ -3484,3 +3484,39 @@ FROM fused
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def variable_width_histogram_sql(
+    centroids: list[int],
+    value_col: str = "value",
+    quantize: int = 100,
+) -> str:
+    """variable_width_histogram oracle (query/grouping.py
+    variable_width_histogram): replays bucket assignment from the same
+    trained integer micro-unit centroid literals (the ann_ivf oracle
+    strategy) — strict integer midpoint crossings, ties to the smaller
+    centroid; min/max/centroid divided once from exact integers."""
+    q = int(quantize)
+    cent = [int(c) for c in centroids]
+    crossings = " + ".join(
+        f"(CASE WHEN 2 * v * 10000 > {cent[i] + cent[i + 1]} THEN 1 ELSE 0 END)"
+        for i in range(len(cent) - 1)
+    ) or "0"
+    centroid_case = (
+        "CASE bucket "
+        + " ".join(f"WHEN {i} THEN {c}::DOUBLE / 1000000.0" for i, c in enumerate(cent))
+        + " END"
+    )
+    return f"""
+WITH b AS (
+  SELECT CAST(round({value_col} * {q}, 0) AS BIGINT) AS v FROM events
+),
+a AS (SELECT v, ({crossings})::INT AS bucket FROM b)
+SELECT bucket, count(*) AS n_events,
+       min(v)::DOUBLE / {q}.0 AS min_value,
+       max(v)::DOUBLE / {q}.0 AS max_value,
+       {centroid_case} AS centroid
+FROM a
+GROUP BY bucket
+ORDER BY bucket
+"""

@@ -516,3 +516,70 @@ def test_cumulative_cardinality_matches_python(spark, events):
     # cumulative is monotone and ends at the global distinct count
     assert got[-1][3] == len(seen)
     assert all(a[3] <= b[3] for a, b in zip(got, got[1:]))
+
+
+def test_vwh_centroids_finds_bimodal_modes():
+    from ocaml_lucene_spark.query.grouping import vwh_centroids
+
+    # two tight clusters around 10.00 and 90.00 (unit = cents)
+    hist = {998: 5, 1000: 10, 1002: 5, 8998: 5, 9000: 10, 9002: 5}
+    cent = vwh_centroids(hist, k=2, n_iters=8)
+    assert cent == [1000 * 10000, 9000 * 10000]
+    # k > distinct values clamps; k=1 is the global weighted mean
+    assert len(vwh_centroids({100: 3}, k=5)) == 1
+    one = vwh_centroids(hist, k=1, n_iters=4)
+    tot = sum(v * 10000 * c for v, c in hist.items())
+    n = sum(hist.values())
+    assert one == [((2 * tot + n) // (2 * n))]
+
+
+def test_variable_width_histogram_matches_python(spark, events):
+    from collections import Counter
+
+    from ocaml_lucene_spark.query.grouping import (
+        variable_width_histogram,
+        vwh_centroids,
+    )
+
+    vals = [round(r.value * 100) for r in events.select("value").collect()]
+    hist = Counter(vals)
+    cent = vwh_centroids(dict(hist), k=4, n_iters=8)
+    assert cent == sorted(cent) and len(cent) == 4
+
+    got = [tuple(r) for r in variable_width_histogram(events, k=4, n_iters=8).collect()]
+
+    def bucket(v):
+        b = 0
+        for i in range(len(cent) - 1):
+            if 2 * v * 10000 > cent[i] + cent[i + 1]:
+                b = i + 1
+        return b
+
+    per = {}
+    for v in vals:
+        b = bucket(v)
+        n, lo, hi = per.get(b, (0, v, v))
+        per[b] = (n + 1, min(lo, v), max(hi, v))
+    expected = [
+        (b, n, lo / 100.0, hi / 100.0, cent[b] / 1000000.0)
+        for b, (n, lo, hi) in sorted(per.items())
+    ]
+    assert got == expected
+    # buckets partition the events; boundaries do not overlap
+    assert sum(r[1] for r in got) == len(vals)
+    for a, b in zip(got, got[1:]):
+        assert a[3] < b[2]  # prev max < next min
+
+
+def test_vwh_spark_and_pyarrow_training_agree(spark):
+    import __spark_entry__ as entry
+    from ocaml_lucene_spark.query.grouping import vwh_centroids
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    rows = (
+        ev.selectExpr("cast(round(value * 100, 0) as long) as v")
+        .groupBy("v").count().collect()
+    )
+    spark_cent = vwh_centroids({r.v: r["count"] for r in rows}, k=6, n_iters=8)
+    assert spark_cent == entry._vwh_centroids(sf, k=6, n_iters=8)
