@@ -2056,10 +2056,12 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # r5-checked entries as the sacrificial tail, in their r5 order.
     # ROUND-7 ROTATION OBLIGATION: everything after position 50
     # (recount with list(queries())[50:] before trusting this comment)
-    # is either never-driver-checked (the 60 past-cut r6 rows — put
-    # them FIRST) or last checked in r5; all of it MUST occupy the
-    # front of the r7 order, demoting this round's new rows and the
-    # r6-checked head to the tail.
+    # is either never-driver-checked (the ~67 past-cut r6 rows between
+    # the two section markers — put them FIRST) or last checked in r5;
+    # all of it MUST occupy the front of the r7 order, demoting this
+    # round's new rows and the r6-checked head to the tail. With 172
+    # rows and a 50-row window this now takes TWO rounds to clear —
+    # strict never-checked-first, then oldest-checked-first.
     qs = {
         # -- last driver-checked in r4: the r6 rotation obligation says
         #    these 41 MUST make the 50-row cut this round --
