@@ -1073,6 +1073,17 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
             spark.read.parquet(f"{sf}/events.parquet"), size=12, from_=2
         )
 
+    def q_bucket_script(spark, sf):
+        # ES bucket_script (per-bucket arithmetic over sibling
+        # metrics): click share + value-per-event per day bucket, both
+        # ratios of exact integers via _div_round_expr; ordered by
+        # bucket (unique)
+        from ocaml_lucene_spark.query.grouping import bucket_script
+
+        return bucket_script(
+            spark.read.parquet(f"{sf}/events.parquet"), pick_type="click"
+        )
+
     def q_span_multi(spark, sf):
         # SpanMultiTermQueryWrapper: PrefixQuery 'sc*' lifted into the
         # span algebra as the FIRST leg of an ordered SpanNear with
@@ -1341,6 +1352,16 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
 
         return gopher_quality_filter(_docs(spark, sf))
 
+    def q_domain_cap_select(spark, sf):
+        # RefinedWeb-style per-domain cap: row_number within source
+        # over (n_chars DESC, doc_id) — keep rank <= 10; integer/
+        # boolean audit-log output ordered by the unique doc_id
+        from ocaml_lucene_spark.operators.selection import domain_cap_select
+
+        return domain_cap_select(
+            spark.read.parquet(f"{sf}/documents.parquet"), cap=10
+        )
+
     def q_ngram_contamination(spark, sf):
         # benchmark decontamination: corpus docs sharing a 4-gram with
         # the deterministic benchmark subset (doc_id % 13 == 0); the
@@ -1448,6 +1469,15 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         return terms_set_topk(
             _docs(spark, sf), ["table", "hash", "order", "spark"], k=10
         )
+
+    def q_terms_lookup(spark, sf):
+        # ES terms query with LOOKUP: the term list is the distinct
+        # tokens of doc 7, broadcast-joined against the corpus token
+        # stream — filter context, integer-only output, ordered by
+        # the unique doc_id
+        from ocaml_lucene_spark.query.bm25 import terms_lookup_filter
+
+        return terms_lookup_filter(_docs(spark, sf), lookup_doc_id=7)
 
     def q_rank_feature(spark, sf):
         # ES rank_feature (saturation): bm25 + 2.0 * x/(x+300) on
@@ -2027,6 +2057,18 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     def q_embed_near_dup(spark, sf):
         return ann.embedding_near_dup_pairs(_vecs(spark, sf), min_sim=0.9, n_bits=4)
 
+    def q_semdedup(spark, sf):
+        # SemDeDup (Abbas et al. 2023): k-means cells (same trained
+        # centroids as ann_ivf_indexed), within-cell keep-the-first
+        # pruning at 4dp-rounded cosine >= 0.4 (corpus-calibrated: the
+        # synthetic embeddings top out at 0.51 pairwise, so 0.4 drops
+        # 27/500 — non-degenerate, and no within-cell sim lands within
+        # 1e-4 of the threshold's rounding boundary); (vec_id, cell,
+        # kept) audit log ordered by the unique vec_id
+        return ann.semdedup(
+            _vecs(spark, sf), _ivf_kmeans_centroids(sf), min_sim=0.4
+        )
+
     def q_embed_near_dup_indexed(spark, sf):
         # dedup-by-embedding over the persisted bucket-partitioned
         # layout: the self-join key is the partition key
@@ -2149,6 +2191,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "matrix_stats": q_matrix_stats,
         "moving_avg": q_moving_avg,
         "gopher_quality_filter": q_gopher_quality_filter,
+        "domain_cap_select": q_domain_cap_select,
         "streamed_sessions": q_streamed_sessions,
         "knn_filtered": q_knn_filtered,
         "date_range_facets": q_date_range_facets,
@@ -2162,6 +2205,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "span_within": q_span_within,
         "bucket_selector": q_bucket_selector,
         "bucket_sort": q_bucket_sort,
+        "bucket_script": q_bucket_script,
         "serial_diff": q_serial_diff,
         "weighted_avg": q_weighted_avg,
         "top_metrics": q_top_metrics,
@@ -2181,6 +2225,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "mad_agg": q_mad_agg,
         "boxplot_agg": q_boxplot_agg,
         "terms_set": q_terms_set,
+        "terms_lookup": q_terms_lookup,
         "rank_feature": q_rank_feature,
         "distance_feature": q_distance_feature,
         "string_stats": q_string_stats,
@@ -2190,6 +2235,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "linear_fusion": q_linear_fusion,
         "frequent_item_sets": q_frequent_item_sets,
         "variable_width_histogram": q_variable_width_histogram,
+        "semdedup": q_semdedup,
         # -- r5-checked tail: sacrificial under a 50-row cut (all 50
         #    full-passed in CORRECTNESS_r05 except bigram_collocations,
         #    whose signed-zero fix is replica-verified this round) --
@@ -2466,6 +2512,7 @@ def oracle_sql() -> dict[str, str]:
         "matrix_stats": osql.matrix_stats_sql(x_col="n_chars"),
         "moving_avg": osql.date_histogram_moving_avg_sql(window=3),
         "gopher_quality_filter": oops.gopher_quality_filter_sql(),
+        "domain_cap_select": oops.domain_cap_select_sql(cap=10),
         "streamed_sessions": osql.session_windows_sql(gap_hours=6),
         "knn_filtered": oops.knn_filtered_topk_sql(qv, filter_label=3, k=10),
         "date_range_facets": osql.date_range_facets_sql(
@@ -2488,6 +2535,7 @@ def oracle_sql() -> dict[str, str]:
         "span_within": osql.span_within_sql("scan", "table", "hash", slop=3),
         "bucket_selector": osql.bucket_selector_sql(min_sum=3300.0),
         "bucket_sort": osql.bucket_sort_sql(size=12, from_=2),
+        "bucket_script": osql.bucket_script_sql(pick_type="click"),
         "serial_diff": osql.serial_diff_sql(lag=7),
         "weighted_avg": osql.weighted_avg_sql(),
         "top_metrics": osql.top_metrics_sql(),
@@ -2510,6 +2558,7 @@ def oracle_sql() -> dict[str, str]:
         "terms_set": osql.terms_set_sql(
             ["table", "hash", "order", "spark"], k=10
         ),
+        "terms_lookup": osql.terms_lookup_sql(lookup_doc_id=7),
         "rank_feature": osql.rank_feature_sql(["table", "hash"], k=10),
         "distance_feature": osql.distance_feature_sql(
             origin="2024-01-15 00:00:00", pivot_hours=72,
@@ -2525,6 +2574,9 @@ def oracle_sql() -> dict[str, str]:
         "frequent_item_sets": oops.frequent_item_sets_sql(min_support=300),
         "variable_width_histogram": osql.variable_width_histogram_sql(
             _vwh_centroids(sf_for_vec, k=6, n_iters=8)
+        ),
+        "semdedup": oops.semdedup_sql(
+            _ivf_kmeans_centroids(sf_for_vec), min_sim=0.4
         ),
         "diversified_sampler": osql.diversified_sample_facets_sql(
             ["table", "hash"], dedup_col="source", max_per_key=2,

@@ -480,3 +480,59 @@ def knn_filtered_topk(
         (F.round(cosine_col(F.col(vec_col), q), 4) + F.lit(0.0)).alias("sim"),
     )
     return df.orderBy(F.desc("sim"), F.asc("vec_id")).limit(k)
+
+
+def semdedup(
+    vecs: DataFrame,
+    centroids: list[list[float]],
+    min_sim: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-
+    duplicate pruning for pretraining corpora — cluster embeddings
+    with the deterministic k-means coarse quantizer, then WITHIN each
+    cell drop every vector whose 4dp-rounded cosine to a LOWER-id
+    member of the same cell reaches ``min_sim`` (keep-the-first: the
+    reproducible stand-in for the paper's keep-farthest-from-centroid
+    choice — lower id wins, so the verdict can never depend on
+    partitioning). Returns EVERY vector as (vec_id, cell, kept)
+    ordered by vec_id — an audit log, like domain_cap_select.
+
+    Determinism: cell assignment rounds cosine to 12dp before argmax
+    (the ivf_cell_expr contract shared by all three assigners); the
+    duplicate predicate compares the 4dp-rounded cosine against
+    min_sim exactly like embedding_near_dup_pairs.
+
+    Scale shape: the pair join is equi-keyed on the CELL — quadratic
+    only within a cell, the paper's own per-cluster pairwise bound;
+    k-means keeps cells balanced by construction and max_cell_size is
+    the escape hatch for a degenerate cluster (dropped members keep
+    kept=true — bounded work over lost pruning, the max_shingle_df
+    trade)."""
+    b = vecs.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        ivf_cell_expr(F.col(vec_col), centroids).cast("long").alias("cell"),
+    )
+    pair_side = b
+    if max_cell_size is not None:
+        counts = b.groupBy("cell").agg(F.count("*").alias("_cn"))
+        pair_side = (
+            b.join(counts, "cell").filter(F.col("_cn") <= max_cell_size).drop("_cn")
+        )
+    l, r = pair_side.alias("l"), pair_side.alias("r")
+    dropped = (
+        l.join(r, "cell")
+        .filter(F.col("l.vec_id") < F.col("r.vec_id"))
+        .filter(F.round(cosine_col(F.col("l.v"), F.col("r.v")), 4) >= min_sim)
+        .select(F.col("r.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("_d", F.lit(True))
+    )
+    return (
+        b.join(dropped, "vec_id", "left")
+        .select("vec_id", "cell", F.col("_d").isNull().alias("kept"))
+        .orderBy("vec_id")
+    )

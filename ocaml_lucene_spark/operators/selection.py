@@ -105,3 +105,47 @@ def token_budget_select(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy(F.desc("score"), F.asc("doc_id"))
+
+
+def domain_cap_select(
+    docs: DataFrame,
+    cap: int = 10,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    len_col: str = "n_chars",
+) -> DataFrame:
+    """Per-domain document cap (the RefinedWeb / CCNet-style "keep at
+    most N documents per registered domain" selection): within each
+    source, rank docs by (n_chars DESC, doc_id ASC) — longest-first,
+    the quality proxy stored in-table — and keep rank <= cap. Returns
+    EVERY doc as (doc_id, source, rank_in_source, kept) ordered by
+    doc_id, so the row doubles as an audit log of what the cap
+    dropped.
+
+    Determinism: rank is a row_number over a TOTAL order (doc_id is
+    unique within a source), and every emitted column is an integer or
+    boolean — no float contract at all.
+
+    Scale shape: one window partitioned by the domain — the natural
+    key at corpus scale (CommonCrawl-sized inputs have ~10^7 domains,
+    so partitions stay small; a single pathological domain is one
+    task, not a global sort). The final orderBy is gate-determinism
+    only."""
+    w = Window.partitionBy(source_col).orderBy(
+        F.desc(len_col), F.asc(id_col)
+    )
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(source_col).alias("source"),
+            F.col(len_col).alias(len_col),
+        )
+        .withColumn("rank_in_source", F.row_number().over(w).cast("long"))
+        .select(
+            "doc_id",
+            "source",
+            "rank_in_source",
+            (F.col("rank_in_source") <= int(cap)).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )

@@ -531,6 +531,44 @@ def bm25_topk_combined_fields(
     return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def terms_lookup_filter(
+    docs: DataFrame,
+    lookup_doc_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES `terms` query with LOOKUP: the term list is not a literal in
+    the request but fetched from another document — here the distinct
+    tokens of row ``lookup_doc_id`` of the same table. Filter context
+    (constant score, like the ES terms query), so the output is
+    integer-only: (doc_id, n_matched) for every doc containing at
+    least one lookup term, n_matched = how many DISTINCT lookup terms
+    it contains, ordered by doc_id (unique — total order). The lookup
+    doc itself is not excluded (it matches all of its own terms).
+
+    Spark-first shape: the lookup list never touches the driver — the
+    single lookup row tokenizes, explodes and broadcasts into a join
+    against the corpus's distinct (doc_id, term) projection (the
+    percolator's token stream). At 100 TB the lookup side is still one
+    document, so the broadcast is exact and free; everything else is
+    one groupBy with map-side combine."""
+    from ..functions.analysis import tokens_col
+
+    lk = docs.filter(F.col(id_col) == int(lookup_doc_id)).select(
+        F.explode(F.array_distinct(tokens_col(text_col))).alias("term")
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens_col(text_col))).alias("term"),
+    )
+    return (
+        toks.join(F.broadcast(lk), "term")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_matched"))
+        .orderBy("doc_id")
+    )
+
+
 def terms_set_topk(
     docs: DataFrame,
     terms: list[str],

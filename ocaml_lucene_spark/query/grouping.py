@@ -1413,6 +1413,69 @@ def serial_diff(
     ).orderBy("key", "bucket")
 
 
+def bucket_script(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    pick_type: str = "click",
+    interval: str = "day",
+    value_col: str = "value",
+    quantize: int = 100,
+) -> DataFrame:
+    """Bucket-script pipeline aggregation (the Elasticsearch
+    `bucket_script` agg): a per-bucket arithmetic script over sibling
+    metrics of the SAME histogram bucket — the canonical example is a
+    click-through/share ratio per day. For each date bucket this
+    emits (bucket, n_events, n_picked, picked_share, value_per_event)
+    where picked_share = n_picked / n_events and value_per_event =
+    sum(value) / n_events, both "scripts" over the bucket's own
+    metrics. Ordered by bucket (unique — total order).
+
+    Reference scope: the reference engine has no aggregation DSL; this
+    row completes the ES pipeline-agg family next to bucket_selector /
+    bucket_sort / serial_diff / stats_bucket (SURVEY §2.4 gap class).
+
+    Determinism: both script outputs are RATIOS OF EXACT INTEGERS
+    (counts and the quantized value sum), so they round via
+    _div_round_expr in integer arithmetic — never double division
+    (the CLAUDE.md half-boundary rule: S/(100n) lands exactly on 4dp
+    half-boundaries with real probability). value_per_event is signed
+    in general and carries +0.0.
+
+    Scale shape: ONE groupBy over the date bucket with conditional
+    partial aggregates riding along (map-side combine); the script is
+    a projection over |buckets| rows — no second shuffle, no window."""
+    fmt = {"day": "yyyy-MM-dd", "hour": "yyyy-MM-dd HH:00"}[interval]
+    bucket = F.date_format(F.date_trunc(interval, F.col(ts_col)), fmt).alias("bucket")
+    per = events.groupBy(bucket).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.when(F.col(type_col) == pick_type, 1).otherwise(0))
+        .cast("long")
+        .alias("n_picked"),
+        _units_sum(value_col, quantize).alias("_q"),
+    )
+    share_units = F.expr(
+        _div_round_expr(
+            "cast(n_picked as decimal(38,0))", "cast(n_events as decimal(38,0))"
+        )
+    )
+    vpe_units = F.expr(
+        _div_round_expr(
+            "cast(_q as decimal(38,0))",
+            f"cast(n_events as decimal(38,0)) * {int(quantize)}",
+        )
+    )
+    return per.select(
+        "bucket",
+        "n_events",
+        "n_picked",
+        (share_units.cast("double") / F.lit(10000.0)).alias("picked_share"),
+        (vpe_units.cast("double") / F.lit(10000.0) + F.lit(0.0)).alias(
+            "value_per_event"
+        ),
+    ).orderBy("bucket")
+
+
 def date_range_facets(
     events: DataFrame,
     ranges: list[tuple],

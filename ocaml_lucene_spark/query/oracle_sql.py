@@ -2251,6 +2251,38 @@ ORDER BY key, bucket
 """
 
 
+def bucket_script_sql(
+    pick_type: str = "click",
+    interval: str = "day",
+    type_col: str = "event_type",
+    quantize: int = 100,
+) -> str:
+    """Bucket-script oracle (query/grouping.py bucket_script): the two
+    per-bucket "scripts" are ratios of exact integers (a count over a
+    count; the quantized value sum over count*quantize) rounded via
+    _div_round4_sql — integer half-away-from-zero on both engines;
+    value_per_event is signed in general and carries +0.0::DOUBLE."""
+    fmt = {"day": "%Y-%m-%d", "hour": "%Y-%m-%d %H:00"}[interval]
+    share = _div_round4_sql("n_picked::HUGEINT", "n_events::HUGEINT")
+    vpe = _div_round4_sql("q", f"n_events::HUGEINT * {int(quantize)}")
+    return f"""
+WITH per AS (
+  SELECT strftime(date_trunc('{interval}', ts), '{fmt}') AS bucket,
+         count(*)::BIGINT AS n_events,
+         sum(CASE WHEN {type_col} = '{pick_type}' THEN 1 ELSE 0 END)::BIGINT
+           AS n_picked,
+         sum(CAST(round(value * {int(quantize)}, 0) AS BIGINT))::HUGEINT AS q
+  FROM events
+  GROUP BY 1
+)
+SELECT bucket, n_events, n_picked,
+       ({share})::DOUBLE / 10000.0 AS picked_share,
+       ({vpe})::DOUBLE / 10000.0 + 0.0::DOUBLE AS value_per_event
+FROM per
+ORDER BY bucket
+"""
+
+
 def bucket_sort_sql(
     size: int = 12,
     from_: int = 0,
@@ -3207,6 +3239,28 @@ FROM agg a JOIN req r USING (doc_id)
 WHERE a.n_matched >= r.required
 ORDER BY score DESC, a.doc_id ASC
 LIMIT {k}
+"""
+
+
+def terms_lookup_sql(lookup_doc_id: int) -> str:
+    """Terms-lookup oracle (query/bm25.py terms_lookup_filter):
+    distinct tokens of the lookup doc joined against the corpus's
+    distinct (doc_id, term) stream; integer-only output ordered by
+    the unique doc_id."""
+    return f"""
+WITH {TOKS_CTE},
+lk AS (
+  SELECT DISTINCT term
+  FROM (SELECT unnest(t) AS term FROM toks WHERE doc_id = {int(lookup_doc_id)})
+),
+dt AS (
+  SELECT DISTINCT doc_id, term
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+)
+SELECT doc_id, count(*)::BIGINT AS n_matched
+FROM dt JOIN lk USING (term)
+GROUP BY doc_id
+ORDER BY doc_id
 """
 
 

@@ -1011,3 +1011,49 @@ GROUP BY 1, 2
 HAVING count(*) >= {s}
 ORDER BY support DESC, item_a, item_b
 """
+
+
+def domain_cap_select_sql(cap: int = 10) -> str:
+    """Per-domain-cap oracle (operators/selection.py
+    domain_cap_select): the same row_number over the same total order
+    (n_chars DESC, doc_id ASC) within each source; integer/boolean
+    output ordered by the unique doc_id."""
+    return f"""
+SELECT doc_id,
+       source,
+       row_number() OVER (
+         PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+       )::BIGINT AS rank_in_source,
+       row_number() OVER (
+         PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+       ) <= {int(cap)} AS kept
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def semdedup_sql(
+    centroids: list[list[float]], min_sim: float = 0.9
+) -> str:
+    """SemDeDup oracle (operators/ann.semdedup): cell assignment via
+    the shared argmax-with-smallest-id CASE chain (12dp-rounded sims —
+    ivf_cells_and_probes building blocks), the dropped set re-derived
+    with an independent within-cell self-join on the 4dp-rounded
+    cosine, keep = not dropped; ordered by the unique vec_id."""
+    sim_cols, case, _ = ivf_cells_and_probes(centroids[0], centroids, 1)
+    return f"""
+WITH sims AS (
+  SELECT vec_id, embedding, {sim_cols} FROM embeddings
+),
+cells AS (
+  SELECT vec_id, embedding, {case} AS cell FROM sims
+),
+dropped AS (
+  SELECT DISTINCT r.vec_id
+  FROM cells l JOIN cells r ON l.cell = r.cell AND l.vec_id < r.vec_id
+  WHERE round({_cos("l.embedding", "r.embedding")}, 4) >= {min_sim}
+)
+SELECT c.vec_id, c.cell::BIGINT AS cell, d.vec_id IS NULL AS kept
+FROM cells c LEFT JOIN dropped d ON c.vec_id = d.vec_id
+ORDER BY c.vec_id
+"""

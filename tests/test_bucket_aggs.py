@@ -583,3 +583,52 @@ def test_vwh_spark_and_pyarrow_training_agree(spark):
     )
     spark_cent = vwh_centroids({r.v: r["count"] for r in rows}, k=6, n_iters=8)
     assert spark_cent == entry._vwh_centroids(sf, k=6, n_iters=8)
+
+
+def _div_round4(num: int, den: int) -> int:
+    """Python mirror of grouping._div_round_expr (integer
+    half-away-from-zero at 4dp; // truncates toward zero for the
+    sign-split operands)."""
+    s = -1 if num < 0 else 1
+    return s * ((2 * abs(num) * 10000 + den) // (2 * den))
+
+
+def test_bucket_script_matches_python(events):
+    from ocaml_lucene_spark.query.grouping import bucket_script
+
+    agg = {}
+    for r in events.select("ts", "event_type", "value").collect():
+        b = r.ts.strftime("%Y-%m-%d")
+        n, p, q = agg.get(b, (0, 0, 0))
+        agg[b] = (n + 1, p + (r.event_type == "click"), q + round(r.value * 100))
+    want = [
+        (
+            b,
+            n,
+            p,
+            _div_round4(p, n) / 10000.0,
+            _div_round4(q, n * 100) / 10000.0 + 0.0,
+        )
+        for b, (n, p, q) in sorted(agg.items())
+    ]
+    got = [tuple(r) for r in bucket_script(events, pick_type="click").collect()]
+    assert got == want
+    # non-vacuous: some bucket has clicks, some ratio is non-trivial
+    assert any(p > 0 for _, _, p, _, _ in got)
+
+
+def test_bucket_script_hand_values(spark):
+    from ocaml_lucene_spark.query.grouping import bucket_script
+
+    base = dt.datetime(2024, 3, 1, 12)
+    rows = [
+        ("click", base, 1.0),
+        ("view", base + dt.timedelta(hours=1), 2.0),
+        ("error", base + dt.timedelta(days=1), 0.1),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    got = [tuple(r) for r in bucket_script(df, pick_type="click").collect()]
+    assert got == [
+        ("2024-03-01", 2, 1, 0.5, 1.5),
+        ("2024-03-02", 1, 0, 0.0, 0.1),
+    ]

@@ -502,3 +502,58 @@ def test_dup_spans_matches_python_brute_force(spark, docs):
     got = [tuple(r) for r in dedup.dup_spans(sub, n=n).collect()]
     assert got == expected
     assert len(got) > 0  # the planted dups make the slice non-degenerate
+
+
+def test_semdedup_matches_python_reference(spark, vecs):
+    import math
+
+    import pyarrow.parquet as pq
+
+    from ocaml_lucene_spark.operators.ann import kmeans_centroids_local, semdedup
+
+    t = pq.read_table(
+        "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = t.column("vec_id").to_pylist()
+    embs = dict(zip(ids, (list(map(float, v)) for v in t.column("embedding").to_pylist())))
+    cents = kmeans_centroids_local(list(embs.values()), list(embs), k=4, n_iters=3)
+
+    # cosine with Spark's exact fold order: left-to-right double sums
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    def cell_of(v):
+        sims = [round(cos(v, c), 12) for c in cents]
+        return max(range(len(cents)), key=lambda i: (sims[i], -i))
+
+    cells = {d: cell_of(v) for d, v in embs.items()}
+    dropped = set()
+    order = sorted(embs)
+    # 0.4 is the gate's corpus-calibrated threshold (top pairwise sim
+    # in the synthetic embeddings is 0.51; 0.9 would drop nothing)
+    for i, a in enumerate(order):
+        for b in order[i + 1 :]:
+            if cells[a] == cells[b] and round(cos(embs[a], embs[b]), 4) >= 0.4:
+                dropped.add(b)
+    want = [(d, cells[d], d not in dropped) for d in order]
+    got = [tuple(r) for r in semdedup(vecs, cents, min_sim=0.4).collect()]
+    assert got == want
+    # non-vacuous: something was dropped, most were kept
+    assert 0 < len(dropped) < len(order)
+
+
+def test_semdedup_planted_duplicate(spark):
+    from ocaml_lucene_spark.operators.ann import semdedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0]),   # exact dup of 1 -> dropped (higher id)
+        (3, [0.0, 1.0, 0.0]),   # orthogonal -> kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    got = [tuple(r) for r in semdedup(df, cents, min_sim=0.95).collect()]
+    assert got == [(1, 0, True), (2, 0, False), (3, 1, True)]

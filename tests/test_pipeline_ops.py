@@ -677,3 +677,44 @@ def test_frequent_item_sets_hand_values(spark):
         ("apple", "banana", 3),
         ("banana", "cherry", 2),
     ]
+
+
+def test_domain_cap_select_matches_python(spark, docs):
+    from ocaml_lucene_spark.operators.selection import domain_cap_select
+
+    rows = docs.select("doc_id", "source", "n_chars").collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append((r.n_chars, r.doc_id))
+    want = {}
+    for src, members in by_src.items():
+        for rank, (_, d) in enumerate(
+            sorted(members, key=lambda t: (-t[0], t[1])), start=1
+        ):
+            want[d] = (src, rank, rank <= 3)
+    got = [tuple(r) for r in domain_cap_select(docs, cap=3).collect()]
+    assert got == sorted((d, s, r, k) for d, (s, r, k) in want.items())
+    # the cap actually drops something and keeps something
+    kept = [g for g in got if g[3]]
+    assert 0 < len(kept) < len(got)
+
+
+def test_domain_cap_select_tiebreak_is_doc_id(spark):
+    from ocaml_lucene_spark.operators.selection import domain_cap_select
+
+    df = spark.createDataFrame(
+        [
+            (10, "a", 100),
+            (11, "a", 100),  # n_chars tie: lower doc_id ranks first
+            (12, "a", 250),
+            (20, "b", 50),
+        ],
+        "doc_id long, source string, n_chars long",
+    )
+    got = [tuple(r) for r in domain_cap_select(df, cap=2).collect()]
+    assert got == [
+        (10, "a", 2, True),
+        (11, "a", 3, False),
+        (12, "a", 1, True),
+        (20, "b", 1, True),
+    ]

@@ -645,3 +645,65 @@ def test_cumulative_cardinality_window_is_bucket_frame_only(spark):
     # aggregate pairs (per-bucket agg + first-seen agg)
     assert plan.count("HashAggregate") >= 6, plan
     assert "Window" in plan, plan
+
+
+def test_bucket_script_is_one_agg_pair_no_window(spark):
+    """bucket_script's 'scripts' are projections over the histogram
+    frame: exactly one partial/final aggregate pair, no window, no
+    join — the per-bucket arithmetic must never add a shuffle."""
+    from ocaml_lucene_spark.query.grouping import bucket_script
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = _plan(bucket_script(ev))
+    # one numbered partial+final pair (formatted mode repeats names in
+    # the details section — count distinct numbered nodes)
+    n_aggs = len(set(re.findall(r"\((\d+)\) HashAggregate", plan)))
+    assert n_aggs == 2, plan
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_terms_lookup_broadcasts_the_lookup_side(spark):
+    """The lookup doc's term list must BROADCAST into the corpus token
+    stream (it is one document at any corpus scale); the lookup-side
+    scan must push the doc_id filter down to parquet."""
+    from ocaml_lucene_spark.query.bm25 import terms_lookup_filter
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(terms_lookup_filter(docs, lookup_doc_id=7))
+    joins = set(re.findall(r"\(\d+\) (\w*Join\w*)", plan))
+    assert joins == {"BroadcastHashJoin"}, plan
+    assert re.search(r"PushedFilters: \[.*EqualTo\(doc_id,7\).*\]", plan), plan
+
+
+def test_domain_cap_window_is_source_partitioned(spark):
+    """The cap window must partition on the DOMAIN key — never a
+    SinglePartition global sort — and the scan must prune to the three
+    columns the operator reads."""
+    from ocaml_lucene_spark.operators.selection import domain_cap_select
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(domain_cap_select(docs, cap=10))
+    assert "Window" in plan, plan
+    assert re.search(r"hashpartitioning\(source", plan), plan
+    assert _read_schema_cols(plan) == {"doc_id", "source", "n_chars"}, plan
+
+
+def test_semdedup_pair_join_is_cell_keyed(spark):
+    """SemDeDup's quadratic stage must be equi-keyed on the k-means
+    cell (SortMergeJoin/ShuffledHashJoin on cell — NEVER a cartesian
+    product), and the dropped-set anti side stays a plain join back on
+    vec_id."""
+    import __spark_entry__ as entry
+    from ocaml_lucene_spark.operators.ann import semdedup
+
+    sf = "/root/testdata/sf0.001"
+    vecs = spark.read.parquet(f"{sf}/embeddings.parquet")
+    cents = entry._ivf_kmeans_centroids(sf)
+    plan = _plan(semdedup(vecs, cents, min_sim=0.4))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the quadratic stage keys on cell (equi-join), whatever physical
+    # strategy the size estimate picks
+    assert re.search(r"Left keys \[1\]: \[cell#", plan), plan
+    assert re.search(r"Right keys \[1\]: \[cell#", plan), plan

@@ -907,3 +907,42 @@ def test_linear_fusion_degenerate_list_normalizes_to_one(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         linear_fusion_topk(docs, vecs, ["solo"], [1.0, 0.0], w_lex=0)
+
+
+def test_terms_lookup_matches_python(spark, docs):
+    import re
+
+    from ocaml_lucene_spark.query.bm25 import terms_lookup_filter
+
+    rows = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    lookup_id = sorted(rows)[3]
+    tok = lambda t: set(re.split(r"[^a-z0-9]+", t.lower())) - {""}
+    lk = tok(rows[lookup_id])
+    want = sorted(
+        (d, len(tok(t) & lk)) for d, t in rows.items() if tok(t) & lk
+    )
+    got = [
+        tuple(r)
+        for r in terms_lookup_filter(docs, lookup_doc_id=lookup_id).collect()
+    ]
+    assert got == want
+    # the lookup doc matches all of its own distinct terms
+    assert (lookup_id, len(lk)) in got
+
+
+def test_terms_lookup_hand_corpus(spark):
+    from ocaml_lucene_spark.query.bm25 import terms_lookup_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "beta beta delta"),
+            (3, "epsilon zeta"),
+            (4, "gamma alpha alpha"),
+        ],
+        "doc_id long, text string",
+    )
+    got = [tuple(r) for r in terms_lookup_filter(df, lookup_doc_id=1).collect()]
+    # lookup terms {alpha, beta, gamma}: doc 3 matches none and is absent;
+    # n_matched counts DISTINCT lookup terms, not occurrences
+    assert got == [(1, 3), (2, 1), (4, 2)]
