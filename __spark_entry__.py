@@ -2101,7 +2101,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # is either never-driver-checked (the ~67 past-cut r6 rows between
     # the two section markers — put them FIRST) or last checked in r5;
     # all of it MUST occupy the front of the r7 order, demoting this
-    # round's new rows and the r6-checked head to the tail. With 172
+    # round's new rows and the r6-checked head to the tail. With 176
     # rows and a 50-row window this now takes TWO rounds to clear —
     # strict never-checked-first, then oldest-checked-first.
     qs = {
