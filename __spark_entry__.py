@@ -1073,6 +1073,14 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
             spark.read.parquet(f"{sf}/events.parquet"), size=12, from_=2
         )
 
+    def q_cumulative_sum(spark, sf):
+        # ES cumulative_sum: running total per key over the day
+        # histogram — integer-units fold inside the window, one divide
+        # per row; ordered (key, bucket)
+        from ocaml_lucene_spark.query.grouping import cumulative_sum
+
+        return cumulative_sum(spark.read.parquet(f"{sf}/events.parquet"))
+
     def q_bucket_script(spark, sf):
         # ES bucket_script (per-bucket arithmetic over sibling
         # metrics): click share + value-per-event per day bucket, both
@@ -2101,7 +2109,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # is either never-driver-checked (the ~67 past-cut r6 rows between
     # the two section markers — put them FIRST) or last checked in r5;
     # all of it MUST occupy the front of the r7 order, demoting this
-    # round's new rows and the r6-checked head to the tail. With 176
+    # round's new rows and the r6-checked head to the tail. With 177
     # rows and a 50-row window this now takes TWO rounds to clear —
     # strict never-checked-first, then oldest-checked-first.
     qs = {
@@ -2206,6 +2214,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "bucket_selector": q_bucket_selector,
         "bucket_sort": q_bucket_sort,
         "bucket_script": q_bucket_script,
+        "cumulative_sum": q_cumulative_sum,
         "serial_diff": q_serial_diff,
         "weighted_avg": q_weighted_avg,
         "top_metrics": q_top_metrics,
@@ -2536,6 +2545,7 @@ def oracle_sql() -> dict[str, str]:
         "bucket_selector": osql.bucket_selector_sql(min_sum=3300.0),
         "bucket_sort": osql.bucket_sort_sql(size=12, from_=2),
         "bucket_script": osql.bucket_script_sql(pick_type="click"),
+        "cumulative_sum": osql.cumulative_sum_sql(),
         "serial_diff": osql.serial_diff_sql(lag=7),
         "weighted_avg": osql.weighted_avg_sql(),
         "top_metrics": osql.top_metrics_sql(),

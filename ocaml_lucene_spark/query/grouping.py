@@ -1413,6 +1413,45 @@ def serial_diff(
     ).orderBy("key", "bucket")
 
 
+def cumulative_sum(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    interval: str = "day",
+    value_col: str = "value",
+    quantize: int = 100,
+) -> DataFrame:
+    """Cumulative-sum pipeline aggregation (the Elasticsearch
+    `cumulative_sum` agg): the running total of each key's per-bucket
+    value sum along its bucket series — the cumulative-revenue curve.
+    Returns (key, bucket, sum_value, cum_value) ordered (key, bucket).
+    The derivative agg is serial_diff at lag=1 and stays that row's
+    surface.
+
+    Determinism: the running fold accumulates INTEGER quantize-units
+    (longs) over the bucket-string total order within the key, then
+    divides back once per row — the running total is exact at every
+    prefix, never a float cumsum whose intermediate rounding could
+    drift from the oracle's.
+
+    Scale shape: one window over |buckets x keys| rows partitioned by
+    key AFTER the histogram groupBy — serial_diff's shape, no raw-data
+    window."""
+    per = _quantized_key_histogram(events, ts_col, key_col, interval, value_col, quantize)
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    qd = F.lit(float(quantize))
+    return per.select(
+        "key",
+        "bucket",
+        F.round(F.col("_q").cast("double") / qd, 4).alias("sum_value"),
+        F.round(F.sum("_q").over(w).cast("double") / qd, 4).alias("cum_value"),
+    ).orderBy("key", "bucket")
+
+
 def bucket_script(
     events: DataFrame,
     ts_col: str = "ts",

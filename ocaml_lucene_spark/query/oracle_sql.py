@@ -2321,6 +2321,29 @@ ORDER BY key, bucket
 """
 
 
+def cumulative_sum_sql(
+    interval: str = "day",
+    key_col: str = "event_type",
+    quantize: int = 100,
+) -> str:
+    """Cumulative-sum oracle (query/grouping.py cumulative_sum): the
+    running fold accumulates integer quantize-units inside the window
+    and divides back per row — exact at every prefix on both
+    engines."""
+    qd = f"{float(quantize)!r}::DOUBLE"
+    return f"""
+WITH {_qhist(interval, key_col, quantize)}
+SELECT key, bucket,
+       round(q::DOUBLE / {qd}, 4) AS sum_value,
+       round(sum(q) OVER (
+         PARTITION BY key ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       )::DOUBLE / {qd}, 4) AS cum_value
+FROM per
+ORDER BY key, bucket
+"""
+
+
 def boilerplate_coverage_sql(k: int = 3, min_df: int = 5) -> str:
     """Boilerplate-coverage oracle (operators/boilerplate.py
     boilerplate_coverage): k-grams via the positional parallel unnest

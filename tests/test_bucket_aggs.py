@@ -632,3 +632,24 @@ def test_bucket_script_hand_values(spark):
         ("2024-03-01", 2, 1, 0.5, 1.5),
         ("2024-03-02", 1, 0, 0.0, 0.1),
     ]
+
+
+def test_cumulative_sum_matches_python(events):
+    from ocaml_lucene_spark.query.grouping import cumulative_sum
+
+    ref = _py_histogram(events)
+    want = []
+    by_key = {}
+    for (k, b), (n, q) in sorted(ref.items()):
+        by_key.setdefault(k, []).append((b, q))
+    for k in sorted(by_key):
+        running = 0
+        for b, q in sorted(by_key[k]):
+            running += q
+            want.append((k, b, round(q / 100.0, 4), round(running / 100.0, 4)))
+    got = [tuple(r) for r in cumulative_sum(events).collect()]
+    assert got == want
+    # last bucket's cum equals the key total (non-vacuous running fold)
+    totals = {k: round(sum(q for _, q in v) / 100.0, 4) for k, v in by_key.items()}
+    last = {g[0]: g[3] for g in got}
+    assert last == totals
