@@ -409,10 +409,14 @@ def embedding_near_dup_pairs(
 
 
 def _bucketed_pair_join(
-    b: DataFrame, min_sim: float, max_bucket_size: int | None = None
+    b: DataFrame,
+    min_sim: float,
+    max_bucket_size: int | None = None,
+    key: str = "bucket",
 ) -> DataFrame:
-    """(vec_a, vec_b, sim) self-join of a (vec_id, v, bucket) relation
-    on the bucket key; quadratic only within a bucket.
+    """(vec_a, vec_b, sim) self-join of a (vec_id, v, <key>) relation
+    on the blocking key (sign-bit bucket or k-means cell); quadratic
+    only within a block.
 
     max_bucket_size: rows in a bucket larger than this are dropped from
     the pair join (lost recall for those members, but bounded work —
@@ -420,15 +424,15 @@ def _bucketed_pair_join(
     cluster or a degenerate sign-bit pattern can put a large corpus
     fraction in one bucket). None = exact within-bucket semantics."""
     if max_bucket_size is not None:
-        counts = b.groupBy("bucket").agg(F.count("*").alias("_bn"))
+        counts = b.groupBy(key).agg(F.count("*").alias("_bn"))
         b = (
-            b.join(counts, "bucket")
+            b.join(counts, key)
             .filter(F.col("_bn") <= max_bucket_size)
             .drop("_bn")
         )
     l, r = b.alias("l"), b.alias("r")
     return (
-        l.join(r, "bucket")
+        l.join(r, key)
         .filter(F.col("l.vec_id") < F.col("r.vec_id"))
         .select(
             F.col("l.vec_id").alias("vec_a"),
@@ -516,18 +520,12 @@ def semdedup(
         F.col(vec_col).alias("v"),
         ivf_cell_expr(F.col(vec_col), centroids).cast("long").alias("cell"),
     )
-    pair_side = b
-    if max_cell_size is not None:
-        counts = b.groupBy("cell").agg(F.count("*").alias("_cn"))
-        pair_side = (
-            b.join(counts, "cell").filter(F.col("_cn") <= max_cell_size).drop("_cn")
-        )
-    l, r = pair_side.alias("l"), pair_side.alias("r")
+    # the shared candidate-pair machinery, blocked on the cell key
+    # (sim filter, oversize-block escape hatch, and rounding semantics
+    # stay single-owner in _bucketed_pair_join)
     dropped = (
-        l.join(r, "cell")
-        .filter(F.col("l.vec_id") < F.col("r.vec_id"))
-        .filter(F.round(cosine_col(F.col("l.v"), F.col("r.v")), 4) >= min_sim)
-        .select(F.col("r.vec_id").alias("vec_id"))
+        _bucketed_pair_join(b, min_sim, max_cell_size, key="cell")
+        .select(F.col("vec_b").alias("vec_id"))
         .distinct()
         .withColumn("_d", F.lit(True))
     )
