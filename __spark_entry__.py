@@ -1360,6 +1360,14 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
 
         return gopher_quality_filter(_docs(spark, sf))
 
+    def q_chunk_windows(spark, sf):
+        # RAG/long-doc sliding-window chunking: window-64 chunks every
+        # 48 tokens (overlap 16), every token covered, all-integer +
+        # deterministic chunk text; (doc_id, chunk_id) total order
+        from ocaml_lucene_spark.operators.packing import chunk_windows
+
+        return chunk_windows(_docs(spark, sf), window=64, stride=48)
+
     def q_domain_cap_select(spark, sf):
         # RefinedWeb-style per-domain cap: row_number within source
         # over (n_chars DESC, doc_id) — keep rank <= 10; integer/
@@ -2109,7 +2117,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # is either never-driver-checked (the ~67 past-cut r6 rows between
     # the two section markers — put them FIRST) or last checked in r5;
     # all of it MUST occupy the front of the r7 order, demoting this
-    # round's new rows and the r6-checked head to the tail. With 177
+    # round's new rows and the r6-checked head to the tail. With 178
     # rows and a 50-row window this now takes TWO rounds to clear —
     # strict never-checked-first, then oldest-checked-first.
     qs = {
@@ -2200,6 +2208,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "moving_avg": q_moving_avg,
         "gopher_quality_filter": q_gopher_quality_filter,
         "domain_cap_select": q_domain_cap_select,
+        "chunk_windows": q_chunk_windows,
         "streamed_sessions": q_streamed_sessions,
         "knn_filtered": q_knn_filtered,
         "date_range_facets": q_date_range_facets,
@@ -2522,6 +2531,7 @@ def oracle_sql() -> dict[str, str]:
         "moving_avg": osql.date_histogram_moving_avg_sql(window=3),
         "gopher_quality_filter": oops.gopher_quality_filter_sql(),
         "domain_cap_select": oops.domain_cap_select_sql(cap=10),
+        "chunk_windows": oops.chunk_windows_sql(window=64, stride=48),
         "streamed_sessions": osql.session_windows_sql(gap_hours=6),
         "knn_filtered": oops.knn_filtered_topk_sql(qv, filter_label=3, k=10),
         "date_range_facets": osql.date_range_facets_sql(

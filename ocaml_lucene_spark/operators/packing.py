@@ -74,3 +74,48 @@ def pack_sequences(
         .orderBy("doc_id")
     )
 
+
+
+def chunk_windows(
+    docs: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document sliding-window chunking — the RAG / long-document
+    preprocessing step pack_sequences deliberately is not: instead of
+    laying docs end-to-end, each document splits into overlapping
+    token windows (window tokens every stride tokens, overlap =
+    window - stride). Chunk k covers tokens [k*stride+1,
+    k*stride+window] 1-based; a document emits ceil(n/stride) chunks
+    (every token is covered, trailing chunks run short — the standard
+    naive chunker contract, all-integer). Returns (doc_id, chunk_id,
+    start_token, n_tokens, chunk_text) ordered by (doc_id, chunk_id)
+    — a bespoke total order (doc_id unique per doc, chunk_id dense).
+
+    Scale shape: one scan, tokenize once, posexplode of a per-doc
+    ceil(n/stride)-element sequence, JVM array slice + join — no
+    shuffle at all until the gate-determinism orderBy (which a real
+    pipeline drops); output rows ~ corpus tokens / stride."""
+    if window <= 0 or stride <= 0:
+        raise ValueError("window and stride must be positive")
+    if stride > window:
+        raise ValueError("stride > window would skip tokens")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("t")
+    ).filter(F.size("t") > 0)
+    n_chunks = F.expr(f"(size(t) + {int(stride)} - 1) div {int(stride)}")
+    k = F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id", "_k")
+    exploded = base.select("doc_id", "t", k).select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.slice(F.col("t"), F.col("chunk_id") * stride + 1, window).alias("_c"),
+    )
+    return exploded.select(
+        "doc_id",
+        "chunk_id",
+        (F.col("chunk_id") * stride + 1).cast("long").alias("start_token"),
+        F.size("_c").cast("long").alias("n_tokens"),
+        F.array_join("_c", " ").alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_id")

@@ -1057,3 +1057,30 @@ SELECT c.vec_id, c.cell::BIGINT AS cell, d.vec_id IS NULL AS kept
 FROM cells c LEFT JOIN dropped d ON c.vec_id = d.vec_id
 ORDER BY c.vec_id
 """
+
+
+def chunk_windows_sql(window: int = 64, stride: int = 48) -> str:
+    """Sliding-window chunking oracle (operators/packing.py
+    chunk_windows): per-doc chunk starts from an unnested integer
+    range, 1-based inclusive list slices (DuckDB clamps past-end
+    bounds exactly like Spark's slice length cap); bespoke
+    (doc_id, chunk_id) total order."""
+    w, s = int(window), int(stride)
+    return f"""
+WITH base AS (
+  SELECT doc_id, {TOKS} AS t FROM documents
+),
+ks AS (
+  SELECT doc_id, t,
+         unnest(range(0, (len(t) + {s} - 1) // {s})) AS k
+  FROM base
+  WHERE len(t) > 0
+)
+SELECT doc_id,
+       k::BIGINT AS chunk_id,
+       (k * {s} + 1)::BIGINT AS start_token,
+       len(t[k * {s} + 1 : k * {s} + {w}])::BIGINT AS n_tokens,
+       array_to_string(t[k * {s} + 1 : k * {s} + {w}], ' ') AS chunk_text
+FROM ks
+ORDER BY doc_id, chunk_id
+"""

@@ -718,3 +718,54 @@ def test_domain_cap_select_tiebreak_is_doc_id(spark):
         (12, "a", 1, True),
         (20, "b", 1, True),
     ]
+
+
+def test_chunk_windows_matches_python(spark, docs):
+    import re
+
+    from ocaml_lucene_spark.operators.packing import chunk_windows
+
+    rows = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    tok = lambda t: [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+    want = []
+    for d in sorted(rows):
+        t = tok(rows[d])
+        if not t:
+            continue
+        n_chunks = (len(t) + 47) // 48
+        for k in range(n_chunks):
+            c = t[k * 48 : k * 48 + 64]
+            want.append((d, k, k * 48 + 1, len(c), " ".join(c)))
+    got = [tuple(r) for r in chunk_windows(docs, window=64, stride=48).collect()]
+    assert got == want
+    # overlap property: consecutive chunks of a long doc share 16 tokens
+    long_doc = max(rows, key=lambda d: len(tok(rows[d])))
+    t = tok(rows[long_doc])
+    if len(t) > 64:
+        c0, c1 = t[0:64], t[48:112]
+        assert c0[48:] == c1[:16]
+
+
+def test_chunk_windows_hand_doc(spark):
+    from ocaml_lucene_spark.operators.packing import chunk_windows
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x")], "doc_id long, text string"
+    )
+    got = [tuple(r) for r in chunk_windows(df, window=4, stride=3).collect()]
+    # doc 1: 7 tokens -> ceil(7/3)=3 chunks at starts 1,4,7
+    assert got == [
+        (1, 0, 1, 4, "a b c d"),
+        (1, 1, 4, 4, "d e f g"),
+        (1, 2, 7, 1, "g"),
+        (2, 0, 1, 1, "x"),
+    ]
+
+
+def test_chunk_windows_rejects_gappy_stride(spark, docs):
+    import pytest as _pytest
+
+    from ocaml_lucene_spark.operators.packing import chunk_windows
+
+    with _pytest.raises(ValueError):
+        chunk_windows(docs, window=4, stride=5)

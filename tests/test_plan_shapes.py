@@ -707,3 +707,19 @@ def test_semdedup_pair_join_is_cell_keyed(spark):
     # strategy the size estimate picks
     assert re.search(r"Left keys \[1\]: \[cell#", plan), plan
     assert re.search(r"Right keys \[1\]: \[cell#", plan), plan
+
+
+def test_chunk_windows_has_no_shuffle_before_the_gate_sort(spark):
+    """Chunking is scan + tokenize + generate + slice — map-side only.
+    The ONLY exchange allowed in the plan is the gate-determinism
+    rangepartitioning for the final orderBy; no aggregate, no join."""
+    from ocaml_lucene_spark.operators.packing import chunk_windows
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(chunk_windows(docs, window=64, stride=48))
+    assert "Join" not in plan, plan
+    assert "HashAggregate" not in plan, plan
+    n_exchanges = len(set(re.findall(r"\((\d+)\) Exchange", plan)))
+    assert n_exchanges == 1, plan
+    assert "rangepartitioning" in plan, plan
+    assert "Generate" in plan, plan  # the posexplode
