@@ -1486,6 +1486,16 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
             _docs(spark, sf), ["table", "hash", "order", "spark"], k=10
         )
 
+    def q_has_parent(spark, sf):
+        # Lucene join module, downward (ToChildBlockJoinQuery / ES
+        # has_parent): children of the top-5 parents by the block-join
+        # MAX aggregate, each inheriting the parent score unchanged
+        from ocaml_lucene_spark.query.grouping import has_parent_children
+
+        return has_parent_children(
+            _docs(spark, sf), ["table", "hash", "dup"], "source", "max", k_parents=5
+        )
+
     def q_terms_lookup(spark, sf):
         # ES terms query with LOOKUP: the term list is the distinct
         # tokens of doc 7, broadcast-joined against the corpus token
@@ -2117,7 +2127,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # is either never-driver-checked (the ~67 past-cut r6 rows between
     # the two section markers — put them FIRST) or last checked in r5;
     # all of it MUST occupy the front of the r7 order, demoting this
-    # round's new rows and the r6-checked head to the tail. With 178
+    # round's new rows and the r6-checked head to the tail. With 179
     # rows and a 50-row window this now takes TWO rounds to clear —
     # strict never-checked-first, then oldest-checked-first.
     qs = {
@@ -2244,6 +2254,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "boxplot_agg": q_boxplot_agg,
         "terms_set": q_terms_set,
         "terms_lookup": q_terms_lookup,
+        "has_parent": q_has_parent,
         "rank_feature": q_rank_feature,
         "distance_feature": q_distance_feature,
         "string_stats": q_string_stats,
@@ -2579,6 +2590,9 @@ def oracle_sql() -> dict[str, str]:
             ["table", "hash", "order", "spark"], k=10
         ),
         "terms_lookup": osql.terms_lookup_sql(lookup_doc_id=7),
+        "has_parent": osql.has_parent_children_sql(
+            ["table", "hash", "dup"], "source", "max", k_parents=5
+        ),
         "rank_feature": osql.rank_feature_sql(["table", "hash"], k=10),
         "distance_feature": osql.distance_feature_sql(
             origin="2024-01-15 00:00:00", pivot_hours=72,

@@ -1413,6 +1413,48 @@ def serial_diff(
     ).orderBy("key", "bucket")
 
 
+def has_parent_children(
+    docs: DataFrame,
+    terms: list[str],
+    parent_col: str = "source",
+    score_mode: str = "max",
+    k_parents: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> DataFrame:
+    """ToChildBlockJoinQuery (the Lucene join module's downward
+    direction; ES ``has_parent`` with score=true): rank parents by the
+    block-join aggregate, then return the CHILDREN of the top-k
+    parents, each child inheriting its parent's score — join-to-child
+    score propagation, the reverse of bm25_parent_join_topk. Returns
+    (doc_id, parent, parent_score) ordered (parent_score DESC, parent,
+    doc_id) — a total order (parent breaks score ties, doc_id is
+    unique).
+
+    Determinism: parent scores come UNCHANGED from the parent-join row
+    (already rounded under its doc_id-ordered fold contract); the
+    child rows carry the score with no new float math at all.
+
+    Plan: the top-k parent frame is k rows — broadcast into the
+    children projection; no shuffle beyond the parent join's own
+    aggregates."""
+    top = bm25_parent_join_topk(
+        docs, terms, parent_col, score_mode, k_parents, id_col, text_col, round_to
+    )
+    kids = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(parent_col).alias("parent")
+    )
+    return (
+        kids.join(
+            F.broadcast(top.select("parent", F.col("score").alias("parent_score"))),
+            "parent",
+        )
+        .select("doc_id", "parent", "parent_score")
+        .orderBy(F.desc("parent_score"), "parent", "doc_id")
+    )
+
+
 def cumulative_sum(
     events: DataFrame,
     ts_col: str = "ts",

@@ -2321,6 +2321,25 @@ ORDER BY key, bucket
 """
 
 
+def has_parent_children_sql(
+    terms: list[str],
+    parent_col: str = "source",
+    score_mode: str = "max",
+    k_parents: int = 5,
+    round_to: int = 4,
+) -> str:
+    """has_parent oracle (query/grouping.py has_parent_children): the
+    parent-join oracle verbatim as a CTE, children joined back and
+    inheriting the parent score — no new float arithmetic."""
+    inner = bm25_parent_join_sql(terms, parent_col, score_mode, k_parents, round_to)
+    return f"""
+WITH topp AS ({inner})
+SELECT d.doc_id, topp.parent, topp.score AS parent_score
+FROM documents d JOIN topp ON d.{parent_col} = topp.parent
+ORDER BY parent_score DESC, parent ASC, doc_id ASC
+"""
+
+
 def cumulative_sum_sql(
     interval: str = "day",
     key_col: str = "event_type",

@@ -723,3 +723,16 @@ def test_chunk_windows_has_no_shuffle_before_the_gate_sort(spark):
     assert n_exchanges == 1, plan
     assert "rangepartitioning" in plan, plan
     assert "Generate" in plan, plan  # the posexplode
+
+
+def test_has_parent_broadcasts_the_topk_parent_frame(spark):
+    """The k-row top-parents frame must broadcast into the children
+    projection — a shuffle join keyed on the parent would move every
+    child row for a k-row build side."""
+    from ocaml_lucene_spark.query.grouping import has_parent_children
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(has_parent_children(docs, ["zipf", "data"], "source", "max", 3))
+    assert re.search(r"Left keys \[1\]: \[parent#|BroadcastHashJoin", plan), plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan

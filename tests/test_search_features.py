@@ -946,3 +946,27 @@ def test_terms_lookup_hand_corpus(spark):
     # lookup terms {alpha, beta, gamma}: doc 3 matches none and is absent;
     # n_matched counts DISTINCT lookup terms, not occurrences
     assert got == [(1, 3), (2, 1), (4, 2)]
+
+
+def test_has_parent_children_inherit_topk_parent_scores(spark, docs):
+    from ocaml_lucene_spark.query.grouping import (
+        bm25_parent_join_topk,
+        has_parent_children,
+    )
+
+    top = {
+        r.parent: r.score
+        for r in bm25_parent_join_topk(
+            docs, TERMS, "source", "max", 3
+        ).collect()
+    }
+    got = has_parent_children(docs, TERMS, "source", "max", k_parents=3).collect()
+    # every child of a top parent appears, with the parent's exact score
+    kids = {r.source: r["count"] for r in docs.groupBy("source").count().collect()}
+    assert {r.parent for r in got} == set(top)
+    for r in got:
+        assert r.parent_score == top[r.parent]
+    assert len(got) == sum(kids[p] for p in top)
+    # total order: (parent_score DESC, parent, doc_id)
+    keys = [(-r.parent_score, r.parent, r.doc_id) for r in got]
+    assert keys == sorted(keys)
