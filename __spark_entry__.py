@@ -1486,6 +1486,14 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
             _docs(spark, sf), ["table", "hash", "order", "spark"], k=10
         )
 
+    def q_complete_context(spark, sf):
+        # ES completion contexts: candidates scoped to lang='de',
+        # ranked by the CONTEXT-LOCAL df (df desc, term asc) — one
+        # pushdown-filtered pass, unlike the zero-job global FST walks
+        from ocaml_lucene_spark.query.suggest import complete_context
+
+        return complete_context(_docs(spark, sf), "s", "de", k=10)
+
     def q_has_parent(spark, sf):
         # Lucene join module, downward (ToChildBlockJoinQuery / ES
         # has_parent): children of the top-5 parents by the block-join
@@ -2127,7 +2135,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # is either never-driver-checked (the ~67 past-cut r6 rows between
     # the two section markers — put them FIRST) or last checked in r5;
     # all of it MUST occupy the front of the r7 order, demoting this
-    # round's new rows and the r6-checked head to the tail. With 179
+    # round's new rows and the r6-checked head to the tail. With 180
     # rows and a 50-row window this now takes TWO rounds to clear —
     # strict never-checked-first, then oldest-checked-first.
     qs = {
@@ -2255,6 +2263,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "terms_set": q_terms_set,
         "terms_lookup": q_terms_lookup,
         "has_parent": q_has_parent,
+        "complete_context": q_complete_context,
         "rank_feature": q_rank_feature,
         "distance_feature": q_distance_feature,
         "string_stats": q_string_stats,
@@ -2593,6 +2602,7 @@ def oracle_sql() -> dict[str, str]:
         "has_parent": osql.has_parent_children_sql(
             ["table", "hash", "dup"], "source", "max", k_parents=5
         ),
+        "complete_context": osql.complete_context_sql("s", "de", k=10),
         "rank_feature": osql.rank_feature_sql(["table", "hash"], k=10),
         "distance_feature": osql.distance_feature_sql(
             origin="2024-01-15 00:00:00", pivot_hours=72,

@@ -3616,3 +3616,28 @@ FROM a
 GROUP BY bucket
 ORDER BY bucket
 """
+
+
+def complete_context_sql(prefix: str, context_lang: str, k: int = 10) -> str:
+    """Context-suggester oracle (query/suggest.py complete_context):
+    context-local df re-derived over the lang-filtered corpus; ascii
+    tokens keep LIKE-prefix and startswith equal."""
+    esc = prefix.replace("'", "''")
+    return f"""
+WITH t AS (
+  SELECT DISTINCT doc_id, term
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                              x -> x <> '')) AS term
+    FROM documents
+    WHERE lang = '{context_lang}'
+  )
+  WHERE term LIKE '{esc}%'
+)
+SELECT term, count(*)::BIGINT AS df
+FROM t
+GROUP BY term
+ORDER BY df DESC, term ASC
+LIMIT {int(k)}
+"""

@@ -149,3 +149,44 @@ def phrase_suggest(
         .orderBy(F.desc("n_bigram"), "w1", "w2")
         .limit(k)
     )
+
+
+def complete_context(
+    docs,
+    prefix: str,
+    context_lang: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+):
+    """Context suggester (ES completion `contexts` / Lucene
+    ContextSuggestField): completion candidates restricted to a
+    CONTEXT — here the language category — ranked by the
+    CONTEXT-LOCAL document frequency (df desc, term asc), the
+    popularity ordering complete_prefix uses but scoped to the
+    context. Context-local popularity lives in the data, not the
+    global dictionary FST, so unlike the zero-job completions this is
+    one Spark pass: lang predicate pushed to the parquet scan, one
+    distinct (doc, term) projection, prefix filter, one groupBy,
+    TakeOrdered k. Returns (term, df).
+
+    Determinism: integer dfs, (df DESC, term ASC) total order."""
+    from pyspark.sql import functions as F
+
+    from ..functions.analysis import tokens_col
+
+    toks = (
+        docs.filter(F.col(lang_col) == context_lang)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(tokens_col(text_col))).alias("term"),
+        )
+        .filter(F.col("term").startswith(prefix))
+    )
+    return (
+        toks.groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(k)
+    )

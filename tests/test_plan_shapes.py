@@ -736,3 +736,15 @@ def test_has_parent_broadcasts_the_topk_parent_frame(spark):
     assert re.search(r"Left keys \[1\]: \[parent#|BroadcastHashJoin", plan), plan
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_complete_context_pushes_lang_and_takes_ordered(spark):
+    """The context filter must reach the parquet scan (the context
+    prunes the corpus BEFORE tokenization) and the k-cut must be
+    TakeOrderedAndProject, never a global sort."""
+    from ocaml_lucene_spark.query.suggest import complete_context
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(complete_context(docs, "s", "de", k=10))
+    assert re.search(r"PushedFilters: \[.*EqualTo\(lang,de\).*\]", plan), plan
+    assert "TakeOrderedAndProject" in plan, plan

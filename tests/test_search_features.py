@@ -970,3 +970,31 @@ def test_has_parent_children_inherit_topk_parent_scores(spark, docs):
     # total order: (parent_score DESC, parent, doc_id)
     keys = [(-r.parent_score, r.parent, r.doc_id) for r in got]
     assert keys == sorted(keys)
+
+
+def test_complete_context_matches_python(spark, docs):
+    import re
+    from collections import Counter
+
+    from ocaml_lucene_spark.query.suggest import complete_context
+
+    rows = docs.select("doc_id", "text", "lang").collect()
+    tok = lambda t: set(w for w in re.split(r"[^a-z0-9]+", t.lower()) if w)
+    df = Counter()
+    for r in rows:
+        if r.lang != "de":
+            continue
+        for w in tok(r.text):
+            if w.startswith("s"):
+                df[w] += 1
+    want = sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [(r.term, r.df) for r in complete_context(docs, "s", "de", k=10).collect()]
+    assert got == want
+    # the context matters: global df ordering differs from de-local
+    # for at least one term (non-vacuous context filter)
+    df_all = Counter()
+    for r in rows:
+        for w in tok(r.text):
+            if w.startswith("s"):
+                df_all[w] += 1
+    assert any(df_all[t] != d for t, d in got)
