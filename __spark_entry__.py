@@ -1073,6 +1073,14 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
             spark.read.parquet(f"{sf}/events.parquet"), size=12, from_=2
         )
 
+    def q_percentiles_bucket(spark, sf):
+        # ES percentiles_bucket: exact quartiles of each key's daily
+        # value sums — integer-unit bucket metrics, exact-binary
+        # fractions (IEEE-identical interpolation on both engines)
+        from ocaml_lucene_spark.query.grouping import percentiles_bucket
+
+        return percentiles_bucket(spark.read.parquet(f"{sf}/events.parquet"))
+
     def q_cumulative_sum(spark, sf):
         # ES cumulative_sum: running total per key over the day
         # histogram — integer-units fold inside the window, one divide
@@ -2135,7 +2143,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # is either never-driver-checked (the ~67 past-cut r6 rows between
     # the two section markers — put them FIRST) or last checked in r5;
     # all of it MUST occupy the front of the r7 order, demoting this
-    # round's new rows and the r6-checked head to the tail. With 180
+    # round's new rows and the r6-checked head to the tail. With 181
     # rows and a 50-row window this now takes TWO rounds to clear —
     # strict never-checked-first, then oldest-checked-first.
     qs = {
@@ -2242,6 +2250,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "bucket_sort": q_bucket_sort,
         "bucket_script": q_bucket_script,
         "cumulative_sum": q_cumulative_sum,
+        "percentiles_bucket": q_percentiles_bucket,
         "serial_diff": q_serial_diff,
         "weighted_avg": q_weighted_avg,
         "top_metrics": q_top_metrics,
@@ -2576,6 +2585,7 @@ def oracle_sql() -> dict[str, str]:
         "bucket_sort": osql.bucket_sort_sql(size=12, from_=2),
         "bucket_script": osql.bucket_script_sql(pick_type="click"),
         "cumulative_sum": osql.cumulative_sum_sql(),
+        "percentiles_bucket": osql.percentiles_bucket_sql(),
         "serial_diff": osql.serial_diff_sql(lag=7),
         "weighted_avg": osql.weighted_avg_sql(),
         "top_metrics": osql.top_metrics_sql(),

@@ -754,6 +754,59 @@ def stats_bucket(
     ).orderBy("key")
 
 
+def percentiles_bucket(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    interval: str = "day",
+    value_col: str = "value",
+    quantize: int = 100,
+    ps: tuple = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Percentiles-bucket sibling pipeline aggregation (the
+    Elasticsearch `percentiles_bucket` agg): exact linear-interp
+    percentiles OF THE BUCKET METRICS — each key's per-interval value
+    sums — the quartiles-of-daily-revenue shape stats_bucket's
+    min/max/avg don't give. Returns (key, n_buckets, p_25, p_50, ...)
+    ordered by key.
+
+    Determinism: the bucket metrics are INTEGER quantize-units
+    (_units_sum), and the requested fractions must be exact binary
+    (k/2^m — asserted), so the interpolation q_lo + frac*(q_hi-q_lo)
+    is exact IEEE arithmetic on integers: Spark's percentile() and
+    DuckDB's quantile_cont share the (n-1)*p formula and are
+    bit-identical on such inputs (the percentiles_agg precedent). The
+    single divide-back by quantize happens once at emission.
+
+    Scale shape: histogram groupBy [one shuffle, map-side combine],
+    then a key-level aggregate over |keys x buckets| rows — the
+    per-key sort lives inside one aggregate, no window, no global
+    sort."""
+    for p in ps:
+        f = float(p) * 64
+        if f != int(f):
+            raise ValueError(
+                f"p={p} is not an exact binary fraction (k/64) — the "
+                "interpolation would not be IEEE-exact cross-engine"
+            )
+    per = _quantized_key_histogram(events, ts_col, key_col, interval, value_col, quantize)
+    p_list = ", ".join(repr(float(p)) for p in ps)
+    arr = F.expr(f"percentile(_q, array({p_list}))")
+    qd = F.lit(float(quantize))
+    cols = [
+        (
+            F.round(F.element_at(F.col("_ps"), i + 1) / qd, 4) + F.lit(0.0)
+        ).alias(f"p_{int(float(p) * 100)}")
+        for i, p in enumerate(ps)
+    ]
+    return (
+        per.groupBy("key")
+        .agg(F.count("*").cast("long").alias("n_buckets"), arr.alias("_ps"))
+        .select("key", "n_buckets", *cols)
+        .orderBy("key")
+    )
+
+
 def percentiles_agg(
     docs: DataFrame,
     col: str = "n_chars",

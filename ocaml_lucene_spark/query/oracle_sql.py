@@ -2251,6 +2251,32 @@ ORDER BY key, bucket
 """
 
 
+def percentiles_bucket_sql(
+    interval: str = "day",
+    key_col: str = "event_type",
+    quantize: int = 100,
+    ps: tuple = (0.25, 0.5, 0.75),
+) -> str:
+    """Percentiles-bucket oracle (query/grouping.py percentiles_bucket):
+    quantile_cont over the same integer quantize-unit bucket metrics —
+    DuckDB shares Spark percentile()'s (n-1)*p interpolation, exact
+    IEEE on integer inputs at exact-binary fractions; divide back once
+    at emission, +0.0::DOUBLE (sums are signed in general)."""
+    qd = f"{float(quantize)!r}::DOUBLE"
+    cols = ", ".join(
+        f"round(quantile_cont(q, {float(p)!r}) / {qd}, 4) + 0.0::DOUBLE"
+        f" AS p_{int(float(p) * 100)}"
+        for p in ps
+    )
+    return f"""
+WITH {_qhist(interval, key_col, quantize)}
+SELECT key, count(*)::BIGINT AS n_buckets, {cols}
+FROM per
+GROUP BY key
+ORDER BY key
+"""
+
+
 def bucket_script_sql(
     pick_type: str = "click",
     interval: str = "day",

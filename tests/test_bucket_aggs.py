@@ -653,3 +653,41 @@ def test_cumulative_sum_matches_python(events):
     totals = {k: round(sum(q for _, q in v) / 100.0, 4) for k, v in by_key.items()}
     last = {g[0]: g[3] for g in got}
     assert last == totals
+
+
+def test_percentiles_bucket_matches_python(events):
+    from ocaml_lucene_spark.query.grouping import percentiles_bucket
+
+    ref = _py_histogram(events)
+    by_key = {}
+    for (k, b), (n, q) in ref.items():
+        by_key.setdefault(k, []).append(q)
+
+    def interp(vals, p):
+        v = sorted(vals)
+        pos = (len(v) - 1) * p
+        lo = int(pos)
+        hi = min(lo + 1, len(v) - 1)
+        return v[lo] + (pos - lo) * (v[hi] - v[lo])
+
+    want = [
+        (
+            k,
+            len(qs),
+            round(interp(qs, 0.25) / 100.0, 4) + 0.0,
+            round(interp(qs, 0.5) / 100.0, 4) + 0.0,
+            round(interp(qs, 0.75) / 100.0, 4) + 0.0,
+        )
+        for k, qs in sorted(by_key.items())
+    ]
+    got = [tuple(r) for r in percentiles_bucket(events).collect()]
+    assert got == want
+    for row in got:
+        assert row[2] <= row[3] <= row[4]  # quartiles are ordered
+
+
+def test_percentiles_bucket_rejects_non_binary_fraction(events):
+    from ocaml_lucene_spark.query.grouping import percentiles_bucket
+
+    with pytest.raises(ValueError):
+        percentiles_bucket(events, ps=(0.3,))
