@@ -1668,6 +1668,18 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
             index_dir=_ensure_index(spark, sf), k=10,
         )
 
+    def q_query_string_fielded(spark, sf):
+        # QueryParser v1.1 field syntax: keyword filter (lang:de) +
+        # inclusive numeric range (n_chars:[150 TO 400]) in FILTER
+        # context — Lucene stats stay corpus-wide, the metadata
+        # predicates push to the source-table scan
+        from ocaml_lucene_spark.query.parser import execute_query
+
+        return execute_query(
+            spark, _docs(spark, sf),
+            "+table hash^2.0 lang:de n_chars:[150 TO 400] -merge", k=10,
+        )
+
     def q_phrase_suggest(spark, sf):
         # did-you-mean for a two-word query: automaton∩FST candidates
         # per word, candidate pairs ranked by corpus bigram count
@@ -2143,7 +2155,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # is either never-driver-checked (the ~67 past-cut r6 rows between
     # the two section markers — put them FIRST) or last checked in r5;
     # all of it MUST occupy the front of the r7 order, demoting this
-    # round's new rows and the r6-checked head to the tail. With 181
+    # round's new rows and the r6-checked head to the tail. With 182
     # rows and a 50-row window this now takes TWO rounds to clear —
     # strict never-checked-first, then oldest-checked-first.
     qs = {
@@ -2214,6 +2226,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "phrase_suggest": q_phrase_suggest,
         "query_string": q_query_string,
         "query_string_expand": q_query_string_expand,
+        "query_string_fielded": q_query_string_fielded,
         "intervals_ordered": q_intervals_ordered,
         "intervals_containing": q_intervals_containing,
         "intervals_unordered": q_intervals_unordered,
@@ -2475,6 +2488,9 @@ def oracle_sql() -> dict[str, str]:
             '+table hash^2.0 dup -merge "table hash"', k=10
         ),
         "query_string_expand": osql.query_string_sql("sca* sort~1", k=10),
+        "query_string_fielded": osql.query_string_sql(
+            "+table hash^2.0 lang:de n_chars:[150 TO 400] -merge", k=10
+        ),
         "intervals_ordered": osql.intervals_ordered_sql("table", "hash", max_gaps=6),
         "intervals_containing": osql.intervals_containing_sql(
             "table", "hash", "dup", max_gaps=6

@@ -2000,6 +2000,20 @@ def query_string_sql(q: str, k: int = 10, round_to: int = 4) -> str:
         filters.append(phrase_pred(ph))
     for ph in spec.must_not_phrases:
         filters.append(f"NOT ({phrase_pred(ph)})")
+    meta_join = ""
+    if spec.field_terms or spec.field_ranges:
+        meta_join = "JOIN documents d USING (doc_id)"
+        for name, val, neg in spec.field_terms:
+            c = f"d.{name} = '{val.replace(chr(39), chr(39) * 2)}'"
+            filters.append(f"NOT ({c})" if neg else c)
+        for name, lo, hi, neg in spec.field_ranges:
+            parts = []
+            if lo is not None:
+                parts.append(f"d.{name} >= {int(lo)}")
+            if hi is not None:
+                parts.append(f"d.{name} <= {int(hi)}")
+            c = " AND ".join(parts)
+            filters.append(f"NOT ({c})" if neg else f"({c})")
     where = " AND ".join(filters) if filters else "TRUE"
     return f"""
 WITH {TOKS_CTE},
@@ -2021,7 +2035,7 @@ per_doc AS (
   SELECT doc_id, round(sum(sc), {round_to}) AS score FROM scored GROUP BY doc_id
 )
 SELECT p.doc_id, p.score
-FROM per_doc p JOIN base b USING (doc_id)
+FROM per_doc p JOIN base b USING (doc_id) {meta_join}
 WHERE {where}
 ORDER BY p.score DESC, p.doc_id ASC
 LIMIT {k}

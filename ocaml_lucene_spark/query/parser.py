@@ -16,6 +16,8 @@ entry point for the algebra this repo already executes:
 | "w1 w2 ..."   | phrase (filter context; +/- ok)  | adjacency filter |
 | word*         | prefix clause                    | FST prefix expansion → disjuncts |
 | word~N        | fuzzy clause (N edits, default 2)| automaton∩FST expansion → disjuncts |
+| field:value   | metadata keyword filter (+/- ok) | column equality, filter context |
+| field:[a TO b]| inclusive numeric range (+/- ok) | column range, filter context (pushdown) |
 
 v1 semantics (documented, deliberately simple):
 - Phrases are FILTER context: a bare/`+` phrase must be present, a
@@ -25,6 +27,11 @@ v1 semantics (documented, deliberately simple):
 - Prefix/fuzzy clauses are should-only (`+`/`-`/`^` on them raise),
   and their expansions score at boost 1 in lexicographic order —
   identical to the bm25_prefix / bm25_fuzzy gate semantics.
+- Field clauses (keyword and range) are FILTER context like phrases —
+  they never score (Lucene's cross-field scoring is the DisMax /
+  combined_fields surface); ranges are INCLUSIVE `[a TO b]` with `*`
+  for an open end; exclusive `{a TO b}` raises in v1; the field name
+  is validated against the table schema at execute time.
 - Lucene stats convention: df/N/avgdl are corpus-wide; must/must_not
   clauses filter the result set but never change scores.
 
@@ -46,8 +53,10 @@ from pyspark.sql import functions as F
 from .bm25 import _tokenized
 from .similarity import boosted_doc_scores
 
-_CLAUSE = re.compile(r'([+-]?)("(?:[^"]*)"|\S+)')
+_CLAUSE = re.compile(r'([+-]?)("(?:[^"]*)"|\S+:\[[^\]]*\]|\S+)')
 _BOOST = re.compile(r"\^(\d+(?:\.\d+)?)$")
+_FIELD = re.compile(r"([A-Za-z_][A-Za-z0-9_]*):(.+)", re.S)
+_RANGE = re.compile(r"\[\s*(\d+|\*)\s+TO\s+(\d+|\*)\s*\]")
 
 
 @dataclass
@@ -62,6 +71,9 @@ class ParsedQuery:
     must_not_phrases: list[list[str]] = field(default_factory=list)
     prefix_clauses: list[str] = field(default_factory=list)
     fuzzy_clauses: list[tuple[str, int]] = field(default_factory=list)
+    # (field, value, negated) / (field, lo|None, hi|None, negated)
+    field_terms: list[tuple[str, str, bool]] = field(default_factory=list)
+    field_ranges: list[tuple] = field(default_factory=list)
 
 
 def parse_query(q: str) -> ParsedQuery:
@@ -80,6 +92,29 @@ def parse_query(q: str) -> ParsedQuery:
                 out.must_not_phrases.append(words)
             else:
                 out.must_phrases.append(words)
+            continue
+        fieldm = _FIELD.fullmatch(body)
+        if fieldm:
+            name, rest = fieldm.group(1), fieldm.group(2)
+            neg = occur == "-"
+            if _BOOST.search(rest):
+                raise ValueError(f"boost on field clause {body!r} is meaningless")
+            if rest.startswith("{") or rest.endswith("}"):
+                raise ValueError("exclusive ranges {a TO b} are not in v1")
+            if rest.startswith("["):
+                rm = _RANGE.fullmatch(rest)
+                if not rm:
+                    raise ValueError(f"malformed range clause {body!r}")
+                lo = None if rm.group(1) == "*" else int(rm.group(1))
+                hi = None if rm.group(2) == "*" else int(rm.group(2))
+                if lo is None and hi is None:
+                    raise ValueError(f"range clause {body!r} is unbounded on both ends")
+                out.field_ranges.append((name, lo, hi, neg))
+            else:
+                val = rest.lower()
+                if not re.fullmatch(r"[a-z0-9]+", val):
+                    raise ValueError(f"field value in {body!r} is not a bare keyword")
+                out.field_terms.append((name, val, neg))
             continue
         boost = 1.0
         m = _BOOST.search(body)
@@ -184,4 +219,25 @@ def execute_query(
             cond = cond & ~_phrase_present(ph)
         keep = toks.filter(cond).select("doc_id")
         scores = scores.join(keep, "doc_id", "left_semi")
+    if spec.field_terms or spec.field_ranges:
+        mcond = F.lit(True)
+        for name, val, neg in spec.field_terms:
+            if name not in docs.columns:
+                raise ValueError(f"unknown field {name!r} in field clause")
+            c = F.col(name) == F.lit(val)
+            mcond = mcond & (~c if neg else c)
+        for name, lo, hi, neg in spec.field_ranges:
+            if name not in docs.columns:
+                raise ValueError(f"unknown field {name!r} in range clause")
+            c = F.lit(True)
+            if lo is not None:
+                c = c & (F.col(name) >= F.lit(lo))
+            if hi is not None:
+                c = c & (F.col(name) <= F.lit(hi))
+            mcond = mcond & (~c if neg else c)
+        # metadata predicates evaluate on the source table (pushdown-
+        # eligible column compares) and semi-join the score set —
+        # filter context, Lucene stats stay corpus-wide per v1
+        keep_meta = docs.filter(mcond).select(F.col(id_col).alias("doc_id"))
+        scores = scores.join(keep_meta, "doc_id", "left_semi")
     return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -38,6 +38,11 @@ def test_parse_full_grammar():
         "fuz~1^2",          # boost on fuzzy
         'a&b',              # not a bare term
         '""',               # empty phrase
+        "table lang:de^2",            # boost on field clause
+        "table n_chars:{1 TO 2}",     # exclusive range
+        "table n_chars:[* TO *]",     # doubly-unbounded range
+        "table n_chars:[1 TO]",       # malformed range
+        "table lang:d-e",             # non-keyword field value
     ],
 )
 def test_parse_rejects_undefined_syntax(bad):
@@ -84,3 +89,44 @@ def test_phrase_filter_requires_adjacency(spark, docs):
 def test_expansion_clauses_need_index(spark, docs):
     with pytest.raises(ValueError, match="index_dir"):
         execute_query(spark, docs, "sca*", k=5)
+
+
+def test_field_clauses_filter_without_changing_scores(spark, docs):
+    from ocaml_lucene_spark.query.parser import parse_query
+
+    spec = parse_query("table lang:de +n_chars:[150 TO 400] -source:src3")
+    assert spec.field_terms == [("lang", "de", False), ("source", "src3", True)]
+    assert spec.field_ranges == [("n_chars", 150, 400, False)]
+
+    rows = execute_query(
+        spark, docs, "table lang:de n_chars:[150 TO 400]", k=1000
+    ).collect()
+    assert rows
+    meta = {
+        r.doc_id: (r.lang, r.n_chars)
+        for r in docs.select("doc_id", "lang", "n_chars").collect()
+    }
+    for r in rows:
+        lang, n = meta[r.doc_id]
+        assert lang == "de" and 150 <= n <= 400
+    # filter context: surviving docs keep their unfiltered scores
+    plain = {r.doc_id: r.score for r in execute_query(spark, docs, "table", k=10000).collect()}
+    for r in rows:
+        assert r.score == plain[r.doc_id]
+
+
+def test_open_range_and_negated_field(spark, docs):
+    rows = execute_query(spark, docs, "table -lang:de n_chars:[* TO 300]", k=1000).collect()
+    meta = {
+        r.doc_id: (r.lang, r.n_chars)
+        for r in docs.select("doc_id", "lang", "n_chars").collect()
+    }
+    assert rows
+    for r in rows:
+        lang, n = meta[r.doc_id]
+        assert lang != "de" and n <= 300
+
+
+def test_unknown_field_raises_at_execute(spark, docs):
+    with pytest.raises(ValueError, match="unknown field"):
+        execute_query(spark, docs, "table bogus:x", k=5)
