@@ -1668,6 +1668,17 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
             index_dir=_ensure_index(spark, sf), k=10,
         )
 
+    def q_drill_sideways(spark, sf):
+        # Lucene DrillSideways: drill-down on (lang=de, source=src3),
+        # each dim's facet counts under the OTHER dim's filter only,
+        # plus the fully-drilled _hits row; one match set, no re-scan
+        from ocaml_lucene_spark.query.grouping import drill_sideways
+
+        return drill_sideways(
+            _docs(spark, sf), ["table", "hash"],
+            {"lang": "de", "source": "src3"},
+        )
+
     def q_query_string_fielded(spark, sf):
         # QueryParser v1.1 field syntax: keyword filter (lang:de) +
         # inclusive numeric range (n_chars:[150 TO 400]) in FILTER
@@ -2155,7 +2166,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # is either never-driver-checked (the ~67 past-cut r6 rows between
     # the two section markers — put them FIRST) or last checked in r5;
     # all of it MUST occupy the front of the r7 order, demoting this
-    # round's new rows and the r6-checked head to the tail. With 182
+    # round's new rows and the r6-checked head to the tail. With 183
     # rows and a 50-row window this now takes TWO rounds to clear —
     # strict never-checked-first, then oldest-checked-first.
     qs = {
@@ -2227,6 +2238,7 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "query_string": q_query_string,
         "query_string_expand": q_query_string_expand,
         "query_string_fielded": q_query_string_fielded,
+        "drill_sideways": q_drill_sideways,
         "intervals_ordered": q_intervals_ordered,
         "intervals_containing": q_intervals_containing,
         "intervals_unordered": q_intervals_unordered,
@@ -2490,6 +2502,9 @@ def oracle_sql() -> dict[str, str]:
         "query_string_expand": osql.query_string_sql("sca* sort~1", k=10),
         "query_string_fielded": osql.query_string_sql(
             "+table hash^2.0 lang:de n_chars:[150 TO 400] -merge", k=10
+        ),
+        "drill_sideways": osql.drill_sideways_sql(
+            ["table", "hash"], {"lang": "de", "source": "src3"}
         ),
         "intervals_ordered": osql.intervals_ordered_sql("table", "hash", max_gaps=6),
         "intervals_containing": osql.intervals_containing_sql(

@@ -827,6 +827,46 @@ ORDER BY facet_value
 """
 
 
+def drill_sideways_sql(must: list[str], selections: dict[str, str]) -> str:
+    """DrillSideways oracle (query/grouping.py drill_sideways): the
+    same conjunctive match set, each dimension's sideways counts under
+    the OTHER dims' selections, UNION ALL + the fully-drilled _hits
+    row; integer-only, (dim, value) total order."""
+    must = list(dict.fromkeys(must))
+    dims = sorted(selections)
+
+    def esc(v: str) -> str:
+        return v.replace("'", "''")
+
+    legs = []
+    for dim in dims:
+        others = " AND ".join(
+            f"d.{od} = '{esc(selections[od])}'" for od in dims if od != dim
+        ) or "TRUE"
+        legs.append(f"""
+SELECT '{dim}' AS dim, d.{dim}::VARCHAR AS value, count(*)::BIGINT AS n_docs
+FROM hit JOIN documents d USING (doc_id)
+WHERE {others}
+GROUP BY d.{dim}""")
+    alldims = " AND ".join(f"d.{od} = '{esc(selections[od])}'" for od in dims)
+    legs.append(f"""
+SELECT '_hits' AS dim, '' AS value, count(*)::BIGINT AS n_docs
+FROM hit JOIN documents d USING (doc_id)
+WHERE {alldims}""")
+    union = "\nUNION ALL\n".join(legs)
+    return f"""
+WITH {TOKS_CTE},
+hit AS (
+  SELECT doc_id
+  FROM (SELECT DISTINCT doc_id, unnest(t) AS term FROM base)
+  WHERE term IN {_terms_in(must)}
+  GROUP BY doc_id HAVING count(*) = {len(must)}
+)
+SELECT * FROM ({union})
+ORDER BY dim, value
+"""
+
+
 def tfidf_classic_topk_sql(terms: list[str], k: int = 10, round_to: int = 4) -> str:
     """ClassicSimilarity oracle (query/similarity.py
     tfidf_classic_topk): per term-doc sqrt(tf) * idf^2 / sqrt(dl)

@@ -998,3 +998,36 @@ def test_complete_context_matches_python(spark, docs):
             if w.startswith("s"):
                 df_all[w] += 1
     assert any(df_all[t] != d for t, d in got)
+
+
+def test_drill_sideways_matches_python(spark, docs):
+    import re
+    from collections import Counter
+
+    from ocaml_lucene_spark.query.grouping import drill_sideways
+
+    rows = docs.select("doc_id", "text", "lang", "source").collect()
+    tok = lambda t: set(w for w in re.split(r"[^a-z0-9]+", t.lower()) if w)
+    match = [r for r in rows if {"table", "hash"} <= tok(r.text)]
+    sel = {"lang": "de", "source": "src3"}
+    want = []
+    lang_counts = Counter(r.lang for r in match if r.source == "src3")
+    src_counts = Counter(r.source for r in match if r.lang == "de")
+    hits = sum(1 for r in match if r.lang == "de" and r.source == "src3")
+    want += [("_hits", "", hits)]
+    want += [("lang", v, n) for v, n in lang_counts.items()]
+    want += [("source", v, n) for v, n in src_counts.items()]
+    want.sort()
+    got = [
+        tuple(r)
+        for r in drill_sideways(docs, ["table", "hash"], sel).collect()
+    ]
+    assert got == want
+    # sideways semantics: the drilled dim's own filter is NOT applied
+    # to its own counts — other lang values appear alongside 'de'
+    langs = {v for d, v, _ in got if d == "lang"}
+    assert len(langs) > 1, got
+    # cross-check: the lang dim's 'de' bucket carries the other dim's
+    # filter (source=src3), so it must equal the fully-drilled count
+    by = {(d, v): n for d, v, n in got}
+    assert by.get(("lang", "de"), 0) == hits
