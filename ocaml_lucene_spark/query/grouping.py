@@ -197,9 +197,17 @@ def drill_sideways(
         for od in dims:
             if od != dim:
                 others = others & (F.col(od) == F.lit(selections[od]))
+        # NULL dim values coalesce to a sentinel BEFORE the groupBy:
+        # Spark sorts NULLS FIRST, DuckDB NULLS LAST, and the gate
+        # hash is order-sensitive — a non-null string keeps the
+        # (dim, value) total order engine-identical (oracle matches).
         parts.append(
             joined.filter(others)
-            .groupBy(F.col(dim).cast("string").alias("value"))
+            .groupBy(
+                F.coalesce(F.col(dim).cast("string"), F.lit("__null__")).alias(
+                    "value"
+                )
+            )
             .agg(F.count("*").cast("long").alias("n_docs"))
             .select(F.lit(dim).alias("dim"), "value", "n_docs")
         )
@@ -849,11 +857,15 @@ def percentiles_bucket(
     per-key sort lives inside one aggregate, no window, no global
     sort."""
     for p in ps:
-        f = float(p) * 64
-        if f != int(f):
+        # any dyadic fraction with <= 20 fractional bits qualifies
+        # (as_integer_ratio denominators are always powers of two —
+        # the bound is what rejects 0.33's 2^52-ish denominator while
+        # accepting 1/128 etc.)
+        den = float(p).as_integer_ratio()[1]
+        if den > (1 << 20):
             raise ValueError(
-                f"p={p} is not an exact binary fraction (k/64) — the "
-                "interpolation would not be IEEE-exact cross-engine"
+                f"p={p} is not an exact binary fraction (k/2^m, m<=20) "
+                "— the interpolation would not be IEEE-exact cross-engine"
             )
     per = _quantized_key_histogram(events, ts_col, key_col, interval, value_col, quantize)
     p_list = ", ".join(repr(float(p)) for p in ps)
@@ -2273,7 +2285,10 @@ def normalize_agg(
     (qmax-qmin)), never double division — percent-of-sum lands on 4dp
     half-boundaries with real probability. Sums can be negative in
     general, so both emissions add +0.0. Degenerate rescale (all
-    buckets equal) emits NULL, documented here and in the oracle.
+    buckets equal) emits NULL; percent_of_sum is NULL unless the
+    grand total is strictly positive (_div_round_expr's sign split
+    needs den > 0, and DuckDB's // errors on zero). Documented here
+    and in the oracle.
 
     Scale shape: histogram groupBy first (map-side partial agg, only
     |buckets| rows shuffle), then a broadcast one-row totals frame —
@@ -2290,7 +2305,15 @@ def normalize_agg(
         F.max("_q").alias("_hi"),
     )
     qd = F.lit(float(quantize))
-    pct = F.expr(_div_round_expr("_q * 100", "_tot")).cast("double") / F.lit(10000.0)
+    # _div_round_expr's sign split assumes den > 0: a zero total would
+    # be NULL in Spark's div but a hard error in DuckDB's //, and a
+    # negative total flips the half-away direction — guard with
+    # _tot > 0 (NULL percent otherwise), mirroring the hi != lo
+    # rescale guard; the oracle carries the identical CASE.
+    pct = F.when(
+        F.col("_tot") > 0,
+        F.expr(_div_round_expr("_q * 100", "_tot")).cast("double") / F.lit(10000.0),
+    )
     resc = F.when(
         F.col("_hi") != F.col("_lo"),
         F.expr(_div_round_expr("_q - _lo", "_hi - _lo")).cast("double")

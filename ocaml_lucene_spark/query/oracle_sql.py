@@ -844,10 +844,11 @@ def drill_sideways_sql(must: list[str], selections: dict[str, str]) -> str:
             f"d.{od} = '{esc(selections[od])}'" for od in dims if od != dim
         ) or "TRUE"
         legs.append(f"""
-SELECT '{dim}' AS dim, d.{dim}::VARCHAR AS value, count(*)::BIGINT AS n_docs
+SELECT '{dim}' AS dim, coalesce(d.{dim}::VARCHAR, '__null__') AS value,
+       count(*)::BIGINT AS n_docs
 FROM hit JOIN documents d USING (doc_id)
 WHERE {others}
-GROUP BY d.{dim}""")
+GROUP BY 2""")
     alldims = " AND ".join(f"d.{od} = '{esc(selections[od])}'" for od in dims)
     legs.append(f"""
 SELECT '_hits' AS dim, '' AS value, count(*)::BIGINT AS n_docs
@@ -1217,6 +1218,7 @@ def complete_fuzzy_sql(prefix: str, max_edits: int = 1, k: int = 10) -> str:
     steps). The empty prefix is excluded here, so gate prefixes must
     be longer than max_edits (complete_fuzzy's documented contract);
     ranked (df desc, term asc) like complete_prefix."""
+    pfx = prefix.replace("'", "''")
     return f"""
 WITH {TOKS_CTE},
 tf AS (
@@ -1227,7 +1229,7 @@ tf AS (
 dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
 SELECT term, df FROM dfreq
 WHERE list_min(list_transform(range(1, length(term) + 1),
-        i -> levenshtein(term[1:i], '{prefix}'))) <= {max_edits}
+        i -> levenshtein(term[1:i], '{pfx}'))) <= {max_edits}
 ORDER BY df DESC, term ASC
 LIMIT {k}
 """
@@ -3548,7 +3550,8 @@ def normalize_agg_sql(
     """normalize pipeline-agg oracle (query/grouping.py normalize_agg):
     integer unit sums, both normalized columns via _div_round4_sql
     (ratios of exact integers), +0.0 on the signed emissions, NULL
-    rescale when all buckets are equal."""
+    rescale when all buckets are equal, NULL percent when the total
+    is not positive (the engine's _tot > 0 guard)."""
     fmt = {"day": "%Y-%m-%d", "hour": "%Y-%m-%d %H:00"}[interval]
     q = int(quantize)
     return f"""
@@ -3561,8 +3564,10 @@ WITH per AS (
 tot AS (SELECT sum(q) AS t, min(q) AS lo, max(q) AS hi FROM per)
 SELECT bucket, n_events,
        round(q::DOUBLE / {q}.0, 4) AS sum_value,
-       ({_div_round4_sql("q * 100", "t")})::DOUBLE / 10000.0
-         + 0.0::DOUBLE AS percent_of_sum,
+       CASE WHEN t > 0 THEN
+         ({_div_round4_sql("q * 100", "t")})::DOUBLE / 10000.0
+           + 0.0::DOUBLE
+       END AS percent_of_sum,
        CASE WHEN hi <> lo THEN
          ({_div_round4_sql("q - lo", "hi - lo")})::DOUBLE / 10000.0
            + 0.0::DOUBLE
@@ -3701,8 +3706,10 @@ ORDER BY bucket
 def complete_context_sql(prefix: str, context_lang: str, k: int = 10) -> str:
     """Context-suggester oracle (query/suggest.py complete_context):
     context-local df re-derived over the lang-filtered corpus; ascii
-    tokens keep LIKE-prefix and startswith equal."""
-    esc = prefix.replace("'", "''")
+    tokens keep LIKE-prefix and startswith equal. The prefix is
+    LIKE-escaped via _like_prefix (engine side is a literal
+    startswith — '%'/'_' in the prefix must not act as wildcards)."""
+    esc = _like_prefix(prefix)
     return f"""
 WITH t AS (
   SELECT DISTINCT doc_id, term
@@ -3713,7 +3720,7 @@ WITH t AS (
     FROM documents
     WHERE lang = '{context_lang}'
   )
-  WHERE term LIKE '{esc}%'
+  WHERE term LIKE '{esc}' ESCAPE '\\'
 )
 SELECT term, count(*)::BIGINT AS df
 FROM t
