@@ -1,10 +1,14 @@
 #!/usr/bin/env python
 """Benchmark harness: index-build throughput + scaling + query latency.
 
-Prints ONE JSON line:
+Prints ONE compact JSON line (<= ~1.5 KB — the driver's tail capture
+truncates longer lines, which left BENCH_r01..r06 "parsed": null):
   {"metric": "...", "value": <total query sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ...,
-   "build": {...}, "scaling": {...}}
+   "queries": {name: sec, ...}, "sf": ..., "build_docs_per_sec": N,
+   "scaling": {<headline scalars only>}, "detail": "bench_detail.json"}
+The full per-attempt/per-run record (all_runs_sec, calibration
+windows, wand per-query detail) is written to bench_detail.json at
+the repo root.
 
 Phases:
 1. scaling evidence (north rule: throughput at N and 4N parallelism) —
@@ -194,7 +198,7 @@ def main() -> None:
         generate_corpus(os.path.join(workdir, "c"), n_docs, seed=9, shards=64)
 
     result: dict = {
-        "metric": "index-build throughput (docs/sec) + query latency over packed segments; scaling at two parallelism levels",
+        "metric": "index-build docs/sec + query latency (sec); 2-level scaling",
         "unit": "sec",
         "sf": sf_dir.rstrip("/").split("sf")[-1],
     }
@@ -429,7 +433,31 @@ def main() -> None:
     result["queries"] = queries
     result["value"] = round(sum(queries.values()), 3)
     spark.stop()
-    print(json.dumps(result), file=sys.__stdout__)
+
+    # ONE compact stdout line: the driver's tail capture truncates
+    # ~2 KB lines (BENCH_r01..r06 all recorded "parsed": null), so the
+    # per-attempt arrays / per-run dicts / calibration windows move to
+    # a sidecar file and stdout keeps only the headline scalars the
+    # driver and BASELINE.md actually consume (target <= ~1.5 KB).
+    detail_path = os.path.join(_REPO, "bench_detail.json")
+    with open(detail_path, "w") as f:
+        json.dump(result, f, indent=1, sort_keys=True)
+    slim = {k: result[k] for k in ("metric", "unit", "sf", "value", "queries")}
+    sc = result.get("scaling") or {}
+    if sc:
+        slim["build_docs_per_sec"] = sc["high"]["docs_per_sec"]
+        slim["scaling"] = {
+            "pair": sc["hw_calibration"]["procs"],
+            "efficiency": sc["efficiency"],
+            "efficiency_median": sc["efficiency_median"],
+            "efficiency_cores_normalized": sc["efficiency_cores_normalized"],
+            "efficiency_clean_window": sc["efficiency_clean_window"],
+            "hw_efficiency": sc["hw_calibration"]["hw_efficiency"],
+        }
+    slim["wand_decoded_blocks"] = result.get("wand_decoded_blocks")
+    slim["wand_total_blocks"] = result.get("wand_total_blocks")
+    slim["detail"] = "bench_detail.json"
+    print(json.dumps(slim), file=sys.__stdout__)
 
 
 if __name__ == "__main__":

@@ -106,12 +106,25 @@ def minhash_candidate_pairs(
             F.struct(F.lit(b).alias("band_id"), F.md5(F.concat_ws("|", *parts)).alias("band_hash"))
         )
     sig_arr = F.array(*[F.col(f"sig_{h}") for h in range(n_hashes)])
-    # cache: both sides of the self-join read this relation — without it
-    # Spark recomputes the shingle+16-md5 pipeline twice (on a cluster
-    # this is a materialized staging table instead of executor cache)
-    banded = sigs.select(
-        "doc_id", sig_arr.alias("sigs"), F.explode(F.array(*band_cols)).alias("b")
-    ).select("doc_id", "sigs", "b.band_id", "b.band_hash").cache()
+    # DISK_ONLY persist: both sides of the self-join read this relation
+    # — without it Spark recomputes the shingle+16-md5 pipeline twice.
+    # MEMORY_AND_DESER (.cache) was the r1-r6 choice, but the exploded
+    # frame is bands x docs rows each carrying the full signature
+    # array: at 100 TB that is a memory-pressure default competing
+    # with shuffle/exec memory, while serialized disk blocks stream
+    # back at the cost of one deserialization — on a cluster this is
+    # a materialized staging table. Measured at sf0.1: within noise
+    # of .cache() (the frame is tiny locally; the change is for the
+    # at-scale memory profile).
+    from pyspark import StorageLevel
+
+    banded = (
+        sigs.select(
+            "doc_id", sig_arr.alias("sigs"), F.explode(F.array(*band_cols)).alias("b")
+        )
+        .select("doc_id", "sigs", "b.band_id", "b.band_hash")
+        .persist(StorageLevel.DISK_ONLY)
+    )
     l, r = banded.alias("l"), banded.alias("r")
     eq = F.zip_with(
         F.col("l.sigs"), F.col("r.sigs"), lambda x, y: (x == y).cast("int")
