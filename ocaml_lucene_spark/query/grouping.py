@@ -891,19 +891,42 @@ def percentiles_agg(
     key_col: str = "lang",
     ps: tuple = (0.5, 0.9, 0.99),
     round_to: int = 4,
+    approx: bool = False,
+    accuracy: int = 10000,
 ) -> DataFrame:
-    """Percentiles aggregation (ES `percentiles`, exact mode): linear-
+    """Percentiles aggregation (ES `percentiles`): linear-
     interpolation percentiles of a doc-values column per key bucket.
     Returns (key, p_50, p_90, ... one column per requested fraction)
-    ordered by key. Spark's exact `percentile` and DuckDB's
-    quantile_cont share the same interpolation formula
-    ((n-1)·p between sorted neighbors), measured bit-identical on
-    integer inputs — the gate rounds both sides to 4dp anyway per the
-    float-column convention. ES serves percentiles from a t-digest
-    sketch at scale; exact mode is the oracle-verifiable contract, and
-    the per-key sort lives inside one aggregate (no global sort)."""
+    ordered by key.
+
+    Two modes, the exact/approx split ES itself ships (t-digest at
+    scale, exact for small sets; same stance as hll_values vs exact
+    cardinality here):
+
+    - exact (default, THE ORACLE CONTRACT): Spark's `percentile` and
+      DuckDB's quantile_cont share the same interpolation formula
+      ((n-1)·p between sorted neighbors), measured bit-identical on
+      integer inputs — the gate rounds both sides to 4dp anyway per
+      the float-column convention. Executor memory is O(rows per key)
+      (the per-key value buffer lives inside one aggregate — no
+      global sort), which is fine up to millions of rows per key but
+      is the one aggregation shape that a skewed key can blow up at
+      100 TB.
+    - approx=True (THE AT-SCALE PATH): Spark's `approx_percentile`
+      (Greenwald-Khanna quantile sketch — the mergeable-sketch role
+      ES fills with t-digest), rank error <= n/accuracy per key.
+      Partial sketches build map-side and merge across partitions
+      (ObjectHashAggregate partial/final — plan-pinned in
+      tests/test_approx_percentiles.py), so executor memory is
+      O(accuracy · log n), NEVER O(rows per key). Results are
+      engine-specific (sketch internals differ from DuckDB's) — no
+      oracle row, property-tested against exact mode within the
+      documented rank-error bound instead."""
     p_list = ", ".join(repr(float(p)) for p in ps)
-    arr = F.expr(f"percentile({col}, array({p_list}))")
+    if approx:
+        arr = F.expr(f"approx_percentile({col}, array({p_list}), {int(accuracy)})")
+    else:
+        arr = F.expr(f"percentile({col}, array({p_list}))")
     cols = [
         F.round(F.element_at(F.col("_ps"), i + 1), round_to).alias(
             f"p_{str(p).replace('0.', '').ljust(2, '0')}"
@@ -939,7 +962,11 @@ def percentile_ranks(
 
     Scale shape: ONE groupBy over the key [one shuffle, map-side
     combine]; the probe comparisons are conditional counts inside the
-    same aggregate — no sort, no window, no second pass."""
+    same aggregate — no sort, no window, no second pass. Unlike the
+    percentiles_agg/mad_agg/boxplot_agg exact modes, this needs NO
+    approx/sketch variant: aggregate state is O(#probes) integers per
+    key (ES only reaches for t-digest here because it inverts a
+    pre-built digest; the relational form is already scale-safe)."""
     conds = [
         F.sum(F.when(F.col(col) <= v, 1).otherwise(0))
         .cast("decimal(38,0)")
@@ -2018,6 +2045,8 @@ def mad_agg(
     key_col: str = "event_type",
     value_col: str = "value",
     quantize: int = 100,
+    approx: bool = False,
+    accuracy: int = 10000,
 ) -> DataFrame:
     """Median-absolute-deviation aggregation (ES
     ``median_absolute_deviation``, exact mode): per key, the median of
@@ -2039,19 +2068,36 @@ def mad_agg(
 
     Scale shape: two key-grouped exact-percentile aggregates with the
     |keys|-row median table broadcast back between them — no global
-    sort, no window; the per-key sort lives inside the aggregate."""
+    sort, no window; the per-key sort lives inside the aggregate.
+
+    approx=True swaps both medians for Spark's mergeable
+    approx_percentile sketch (rank error <= n/accuracy; map-side
+    partial sketches, O(accuracy·log n) executor memory instead of
+    the exact mode's O(rows per key) buffer) — the at-scale path,
+    engine-specific like percentiles_agg(approx=True); exact mode
+    stays the oracle contract. The sketch returns the nearest DATA
+    point (an even integer here), so the /2q divide-back is exact
+    either way."""
+    med_fn = (
+        f"approx_percentile(d, 0.5, {int(accuracy)})" if approx else "percentile(d, 0.5)"
+    )
+    mad_fn = (
+        f"approx_percentile(dev2, 0.5, {int(accuracy)})"
+        if approx
+        else "percentile(dev2, 0.5)"
+    )
     base = events.select(
         F.col(key_col).alias("key"),
         (F.round(F.col(value_col) * quantize, 0).cast("long") * 2).alias("d"),
     )
     med = base.groupBy("key").agg(
         F.count("*").cast("long").alias("n_events"),
-        F.expr("percentile(d, 0.5)").alias("_med2"),
+        F.expr(med_fn).alias("_med2"),
     )
     dev = base.join(F.broadcast(med.select("key", "_med2")), "key").select(
         "key", F.abs(F.col("d") - F.col("_med2")).cast("long").alias("dev2")
     )
-    mad = dev.groupBy("key").agg(F.expr("percentile(dev2, 0.5)").alias("_mad2"))
+    mad = dev.groupBy("key").agg(F.expr(mad_fn).alias("_mad2"))
     qd = F.lit(float(2 * quantize))
     return (
         med.join(mad, "key")
@@ -2069,6 +2115,8 @@ def boxplot_agg(
     docs: DataFrame,
     col: str = "n_chars",
     key_col: str = "lang",
+    approx: bool = False,
+    accuracy: int = 10000,
 ) -> DataFrame:
     """Boxplot aggregation (ES ``boxplot``, exact mode): per key the
     five-number summary — q1/q2/q3 (exact linear-interpolation
@@ -2086,11 +2134,23 @@ def boxplot_agg(
 
     Scale shape: one percentile aggregate, the |keys|-row quantile
     table broadcast back, one conditional min/max aggregate — no
-    global sort, no window."""
+    global sort, no window.
+
+    approx=True swaps the quartiles for Spark's mergeable
+    approx_percentile sketch (rank error <= n/accuracy; map-side
+    partial sketches, O(accuracy·log n) executor memory instead of
+    the exact mode's O(rows per key) buffer) — the at-scale path,
+    engine-specific like percentiles_agg(approx=True); the whisker
+    pass is conditional min/max either way (O(1) state). Exact mode
+    stays the oracle contract."""
+    if approx:
+        q_expr = f"approx_percentile(x, array(0.25D, 0.5D, 0.75D), {int(accuracy)})"
+    else:
+        q_expr = "percentile(x, array(0.25D, 0.5D, 0.75D))"
     base = docs.select(F.col(key_col).alias("key"), F.col(col).alias("x"))
     q = base.groupBy("key").agg(
         F.count("*").cast("long").alias("n_docs"),
-        F.expr("percentile(x, array(0.25D, 0.5D, 0.75D))").alias("_q"),
+        F.expr(q_expr).alias("_q"),
     ).select(
         "key",
         "n_docs",
