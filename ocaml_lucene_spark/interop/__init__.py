@@ -22,6 +22,7 @@ per-row path.
 from .block_pointer import find_block  # noqa: F401
 from .data_input import DataInput, ReverseDataInput  # noqa: F401
 from .fst_reader import FstReader  # noqa: F401
+from .open_index import LuceneIndex, open_index  # noqa: F401
 from .segment_meta import (  # noqa: F401
     read_field_infos,
     read_segment_info,

@@ -1,0 +1,247 @@
+"""Composed ``open_index`` over a real Lucene 8.x directory — the
+public equivalent of the reference's only application,
+/root/reference/app/lucene_tools.ml:7-27, which chains
+Segments.latest -> Segment_info.read (.si) -> Field_infos.read (.fnm)
+-> Block_tree_terms_reader.create (.tim/.tip/.tmd headers + per-field
+FST) -> Terms_enumerator.seek_exact to a Block_term_state.
+
+Every step already exists in this package
+(segments_manifest / segment_meta / fst_reader / block_pointer /
+terms_block); this module is the composition plus a tiny CLI:
+
+    python -m ocaml_lucene_spark.interop.open_index DIR FIELD TERM
+
+Semantics provenance, step by step:
+- directory layout + latest commit: segments_manifest.read_latest
+  (codec/segments.ml Segments.latest)
+- per-segment files ``{seg}.si`` / ``{seg}.fnm`` /
+  ``{seg}_Lucene84_0.{tmd,tim,tip}``:
+  codec/block_tree_terms_reader.ml:9-11 make_segment_file_name
+- .tim header BlockTreeTermsDict v3..6, separate-meta (>= 6) gate,
+  .tip header BlockTreeTermsIndex pinned to the .tim version:
+  block_tree_terms_reader.ml:13-24
+- .tmd parse incl. per-field FST metadata: segment_meta.read_terms_meta
+  (segment/meta_file_reader.ml)
+- the field's FST bytes live in .tip at index_start_fp, num_bytes
+  long; node addresses are relative to that slice
+  (block_tree_terms_reader.ml:55-58 clone + set_file_pointer)
+- seek_exact: min/max-term pruning, FST prefix walk + build_output,
+  floor-pointer find_block on the label AFTER the matched prefix,
+  leaf-block suffix scan, metadata decode to Block_term_state:
+  terms-enumerator/terms_enumerator.ml:212-277
+
+These are driver-side, metadata-sized reads (the same open-time cost
+Lucene itself pays per segment); nothing here sits on a per-row path —
+the Spark engine queries its own parquet segment format
+(docs/SEGMENT_FORMAT.md), and this reader is the interop bridge for
+inspecting real Lucene indexes.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from .block_pointer import find_block
+from .data_input import DataInput
+from .fst_reader import FstReader
+from .segment_meta import (
+    check_index_header,
+    read_field_infos,
+    read_segment_info,
+    read_terms_meta,
+)
+from .segments_manifest import read_latest
+from .terms_block import BlockTermState, FieldFlags, read_block, seek_exact_in_block
+
+_SUFFIX = b"Lucene84_0"
+
+
+def _flags_for(field_info: dict) -> FieldFlags:
+    """Field_infos predicates -> the decode flags
+    (terms_enumerator.ml:141-189 consults has_freqs/has_positions/
+    has_offsets/has_payloads)."""
+    opts = field_info["index_options"]
+    return FieldFlags(
+        has_freqs="FREQS" in opts,
+        has_positions="POSITIONS" in opts,
+        has_offsets="OFFSETS" in opts,
+        has_payloads=field_info["store_payloads"],
+    )
+
+
+@dataclass(frozen=True)
+class FieldTermsReader:
+    """One field's terms access: .tmd meta + the FST index slice
+    (the reference's (field_info, Field_reader, fst) triple,
+    block_tree_terms_reader.ml:59-73)."""
+
+    field_info: dict
+    meta: dict
+    fst: FstReader
+    flags: FieldFlags
+
+
+class SegmentReader:
+    """One opened segment: parsed .si/.fnm records, the .tim bytes,
+    and per-field terms readers."""
+
+    def __init__(self, dir_path: str, seg_name: str, seg_id: bytes):
+        self.seg_name = seg_name
+        self.seg_id = seg_id
+
+        def load(ext: str, codec_suffix: bool = False) -> bytes:
+            name = (
+                f"{seg_name}_{_SUFFIX.decode()}.{ext}"
+                if codec_suffix
+                else f"{seg_name}.{ext}"
+            )
+            with open(os.path.join(dir_path, name), "rb") as f:
+                return f.read()
+
+        self.segment_info = read_segment_info(load("si"))
+        if self.segment_info["index_header"]["object_id"] != seg_id:
+            raise ValueError(
+                f"segment id mismatch between segments_N and {seg_name}.si"
+            )
+        self.field_infos = read_field_infos(load("fnm"))
+
+        # .tim / .tip headers (block_tree_terms_reader.ml:13-24)
+        self.tim = load("tim", codec_suffix=True)
+        tim_header = check_index_header(
+            DataInput(self.tim), "BlockTreeTermsDict", 3, 6, seg_id, _SUFFIX
+        )
+        version = tim_header["version"]
+        if version < 6:
+            raise ValueError(
+                "We only support versions with a separate meta file"
+            )
+        tip = load("tip", codec_suffix=True)
+        check_index_header(
+            DataInput(tip), "BlockTreeTermsIndex", version, version, seg_id, _SUFFIX
+        )
+
+        tmd = read_terms_meta(
+            load("tmd", codec_suffix=True),
+            segment_id=seg_id,
+            field_infos=self.field_infos,
+            version=version,
+            max_doc_count=self.segment_info["doc_count"],
+        )
+        by_number = {
+            f["field_number"]: f for f in self.field_infos["field_infos"]
+        }
+        self.field_readers: dict[str, FieldTermsReader] = {}
+        for meta in tmd["field_metas"]:
+            info = by_number[meta["field_id"]]
+            fm = meta["fst_meta"]
+            start = meta["index_start_fp"]
+            blob = tip[start : start + fm["num_bytes"]]
+            if len(blob) != fm["num_bytes"]:
+                raise EOFError("FST slice overruns .tip")
+            fst = FstReader(
+                blob, fm["start_node"], fm["empty_output"], output_type="bytes"
+            )
+            self.field_readers[info["name"]] = FieldTermsReader(
+                field_info=info, meta=meta, fst=fst, flags=_flags_for(info)
+            )
+
+    def seek_exact(self, field: str, term: bytes) -> BlockTermState | None:
+        """terms_enumerator.ml seek_exact: min/max pruning, FST prefix
+        walk, build_output, find_block on the char after the prefix,
+        leaf-block suffix scan + metadata decode."""
+        if isinstance(term, str):
+            term = term.encode()
+        fr = self.field_readers.get(field)
+        if fr is None:
+            raise KeyError(f"field {field!r} has no terms dictionary")
+        meta = fr.meta
+        if meta["num_terms"] > 0 and (
+            term < meta["min_term"] or term > meta["max_term"]
+        ):
+            return None
+        fst = fr.fst
+        arc = fst.first_arc()
+        path = [arc]
+        for b in term:
+            if arc.target <= 0:  # stop arc: no outgoing node
+                break
+            nxt = fst.read_next_arc(b, arc)
+            if nxt is None:
+                break
+            path.append(nxt)
+            arc = nxt
+        prefix_length = len(path) - 1
+        if prefix_length >= len(term):
+            # the reference crashes here too (String.get past the end,
+            # terms_enumerator.ml:225): its index FSTs only hold strict
+            # prefixes of indexed terms
+            raise NotImplementedError(
+                "FST prefix consumed the whole target term"
+            )
+        out = b"".join(a.output for a in path[:-1])
+        out += path[-1].output + path[-1].final_output
+        fp = find_block(out, term[prefix_length])
+        if fp is None:
+            return None
+        block = read_block(DataInput(self.tim, fp))
+        return seek_exact_in_block(block, term[prefix_length:], fr.flags)
+
+
+class LuceneIndex:
+    """An opened index: the latest commit's segments, each a
+    SegmentReader."""
+
+    def __init__(self, dir_path: str):
+        self.dir_path = dir_path
+        self.manifest = read_latest(dir_path)
+        self.segments = [
+            SegmentReader(dir_path, s["seg_name"], s["seg_id"])
+            for s in self.manifest["segments"]
+        ]
+
+    def seek_exact(
+        self, field: str, term: bytes
+    ) -> list[tuple[str, BlockTermState]]:
+        """(seg_name, Block_term_state) for every segment where the
+        term exists (the app loops segments; lucene_tools.ml:9-27)."""
+        out = []
+        for seg in self.segments:
+            state = seg.seek_exact(field, term)
+            if state is not None:
+                out.append((seg.seg_name, state))
+        return out
+
+
+def open_index(dir_path: str) -> LuceneIndex:
+    """Open a real Lucene index directory (latest commit point)."""
+    return LuceneIndex(dir_path)
+
+
+def main(argv: list[str] | None = None) -> int:
+    """CLI mirror of app/lucene_tools.ml: seek one term in one field
+    across the latest commit's segments."""
+    import sys
+
+    args = sys.argv[1:] if argv is None else argv
+    if len(args) != 3:
+        print(
+            "usage: python -m ocaml_lucene_spark.interop.open_index "
+            "DIR FIELD TERM",
+            file=sys.stderr,
+        )
+        return 2
+    dir_path, field, term = args
+    index = open_index(dir_path)
+    hits = index.seek_exact(field, term.encode())
+    if not hits:
+        print("Failed to match!")
+        return 1
+    for seg_name, state in hits:
+        print(f"Segment = {seg_name}")
+        print(f"Block state = {state}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

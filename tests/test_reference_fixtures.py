@@ -376,7 +376,10 @@ def test_block_pointer_floor_blocks():
 
 
 def _synth_segments_bytes(
-    version: int, seg_name: str, user: list[tuple[str, str]]
+    version: int,
+    seg_name: str,
+    user: list[tuple[str, str]],
+    seg_id: bytes | None = None,
 ) -> bytes:
     """Synthesize segments_N bytes per the grammar codec/segments.ml
     parses (no golden fixture exists in the reference's data/): header
@@ -413,7 +416,7 @@ def _synth_segments_bytes(
     buf += vint(8) + vint(6) + vint(2)              # ms lucene version
     # one segment entry
     buf += s(seg_name)
-    buf += bytes(reversed(range(16)))               # seg_id
+    buf += seg_id if seg_id is not None else bytes(reversed(range(16)))
     buf += s("Lucene87")
     buf += (2).to_bytes(8, "big")                   # del_gen
     buf += (3).to_bytes(4, "big")                   # del_count
