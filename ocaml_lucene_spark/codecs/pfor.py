@@ -85,13 +85,20 @@ def encode(values: np.ndarray) -> bytes:
 
 
 def decode(data: bytes, count: int) -> np.ndarray:
-    token = data[0]
+    return decode_at(data, 0, count)[0]
+
+
+def decode_at(data: bytes, pos: int, count: int) -> tuple[np.ndarray, int]:
+    """Streaming decode: one PFOR block starting at ``pos``; returns
+    (values, position after the block). The reader-side primitive for
+    byte streams that concatenate blocks (postings .doc framing)."""
+    token = data[pos]
     n_exc = token >> 5
     base_w = token & 0x1F
-    pos = 1
+    pos += 1
     if token == 0:  # all-equal vint special case (no exceptions)
         common, pos = read_vint(data, pos)
-        return np.full(count, common, dtype=np.uint64)
+        return np.full(count, common, dtype=np.uint64), pos
     if base_w == 31:  # wide-width escape
         base_w = data[pos]
         pos += 1
@@ -100,4 +107,5 @@ def decode(data: bytes, count: int) -> np.ndarray:
     if n_exc:
         exc = np.frombuffer(data[pos : pos + 2 * n_exc], dtype=np.uint8).reshape(-1, 2)
         v[exc[:, 0]] |= exc[:, 1].astype(np.uint64) << np.uint64(base_w)
-    return v
+        pos += 2 * n_exc
+    return v, pos

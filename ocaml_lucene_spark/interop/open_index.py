@@ -51,6 +51,7 @@ from .segment_meta import (
     read_segment_info,
     read_terms_meta,
 )
+from .postings_stream import DocStreamReader
 from .segments_manifest import read_latest
 from .terms_block import BlockTermState, FieldFlags, read_block, seek_exact_in_block
 
@@ -146,6 +147,17 @@ class SegmentReader:
                 field_info=info, meta=meta, fst=fst, flags=_flags_for(info)
             )
 
+        # .doc postings stream, when present — the reference's create
+        # opens doc_in and checks its header
+        # (lucene_84_postings_reader.ml:24-28) but stubs iteration
+        # (:51-53); interop/postings_stream.py finishes that read path
+        doc_path = os.path.join(dir_path, f"{seg_name}_{_SUFFIX.decode()}.doc")
+        self.doc_reader = (
+            DocStreamReader(load("doc", codec_suffix=True), seg_id)
+            if os.path.exists(doc_path)
+            else None
+        )
+
     def seek_exact(self, field: str, term: bytes) -> BlockTermState | None:
         """terms_enumerator.ml seek_exact: min/max pruning, FST prefix
         walk, build_output, find_block on the char after the prefix,
@@ -210,6 +222,27 @@ class LuceneIndex:
             state = seg.seek_exact(field, term)
             if state is not None:
                 out.append((seg.seg_name, state))
+        return out
+
+    def postings(self, field: str, term: bytes, target: int | None = None):
+        """(seg_name, doc_ids, freqs) per matching segment: the
+        composed seek -> .doc walk the reference never finished
+        (postings stub at lucene_84_postings_reader.ml:51-53). With
+        ``target``, each segment advances via its skip list and
+        returns docs from the first block that can contain it."""
+        out = []
+        for seg in self.segments:
+            state = seg.seek_exact(field, term)
+            if state is None:
+                continue
+            if seg.doc_reader is None:
+                raise FileNotFoundError(
+                    f"segment {seg.seg_name} has no .doc stream"
+                )
+            docs, freqs = seg.doc_reader.postings(
+                state, seg.field_readers[field].flags, target=target
+            )
+            out.append((seg.seg_name, docs, freqs))
         return out
 
 

@@ -1,0 +1,417 @@
+"""Lucene84 ``.doc`` postings-stream framing: the read path the
+reference STUBS (/root/reference/codec/lucene_84_postings_reader.ml:51-53
+is a commented-out ``postings`` — only the header ``create`` exists),
+finished here in Python and paired with a grammar-inverse writer for
+round-trips (the accepted segments_N/.tim evidence model: the
+reference ships no golden ``.doc`` fixture, so the wire grammar is
+pinned by writer->reader round-trip plus the composed seek->postings
+walk in tests/test_postings_stream.py).
+
+Grammar (public Lucene 8.4 ``Lucene84PostingsWriter``; BLOCK = 128):
+
+- file header: the same index-header framing every sibling file uses
+  (segment/header.ml:58-110), codec name ``Lucene84PostingsWriterDoc``
+  version 0..1 — exactly what the reference's ``create`` checks
+  (lucene_84_postings_reader.ml:24-28).
+- per term with doc_freq = df documents, starting at the term state's
+  ``doc_start_fp`` (decoded from .tim by interop/terms_block.py):
+  - df == 1 with a ``singleton_doc_id``: no bytes in .doc at all
+    (the id lives in the term metadata).
+  - df // 128 full blocks: PFOR-packed doc-id DELTAS (128 values),
+    then — when the field has freqs — a PFOR-packed block of the 128
+    freqs (codecs/pfor.py; token | payload | patches, streaming
+    ``decode_at``).
+  - df % 128 tail docs, vint-coded: with freqs each doc is
+    ``(delta << 1) | (freq == 1)`` followed by ``vint freq`` only
+    when freq > 1 (the Lucene tail trick); without freqs a plain
+    ``vint delta``.
+  - when df > 128 (exactly the condition under which .tim carries a
+    ``skip_offset`` — terms_block.decode_metadata), a multi-level
+    skip list follows the postings at
+    ``doc_start_fp + skip_offset``.
+
+Skip list (MultiLevelSkipListWriter framing; interval 128, level
+multiplier 8, <= 10 levels): one level-0 point per completed block
+(after docs 128, 256, ...), every 8th point promoted one level up.
+Levels are written top-down; every level ABOVE 0 is prefixed with a
+vlong byte length; level 0 runs to the end. An entry carries
+``vint doc-delta`` (last doc id of the covered block, delta within
+the level), ``vlong doc-fp-delta`` (bytes from the previous point at
+this level to the start of the next block), and on levels > 0 a
+``vlong child pointer`` (byte offset of the matching entry inside
+the level below). Lucene 8.4 additionally interleaves per-block
+score impacts here; those are a ranking accelerator with no
+reference semantics to match (the engine's analogous structure is
+the block-max pareto frontier, query/wand.py), so entries carry a
+``vint 0`` impact-length placeholder where Lucene puts the impact
+byte count.
+
+Driver-side, metadata-sized reads plus O(df/128) block decodes — the
+same access pattern Lucene pays; nothing here sits on a Spark per-row
+path (the engine queries its own parquet segments,
+docs/SEGMENT_FORMAT.md).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..codecs.pfor import decode_at as pfor_decode_at
+from ..codecs.pfor import encode as pfor_encode
+from ..codecs.varint import read_vint, write_vint
+from .segment_meta import CODEC_MAGIC, check_index_header
+from .data_input import DataInput
+from .terms_block import BlockTermState, FieldFlags
+
+BLOCK_SIZE = 128
+SKIP_MULTIPLIER = 8
+MAX_SKIP_LEVELS = 10
+DOC_CODEC = "Lucene84PostingsWriterDoc"
+_SUFFIX = b"Lucene84_0"
+
+
+# ---------------------------------------------------------------- write
+
+
+def _write_header(out: bytearray, seg_id: bytes) -> None:
+    out += CODEC_MAGIC.to_bytes(4, "little")
+    write_vint(len(DOC_CODEC), out)
+    out += DOC_CODEC.encode()
+    out += (1).to_bytes(4, "big")  # version_current
+    out += seg_id
+    out.append(len(_SUFFIX))
+    out += _SUFFIX
+
+
+def _n_skip_levels(n_points: int) -> int:
+    n_levels = 1
+    while (
+        n_levels < MAX_SKIP_LEVELS
+        and n_points >= SKIP_MULTIPLIER ** n_levels
+    ):
+        n_levels += 1
+    return n_levels
+
+
+def _write_skip_list(
+    last_docs: list[int], block_end_fps: list[int]
+) -> bytes:
+    """Level buffers built bottom-up (child pointers into the
+    just-written level below), emitted top-down with vlong length
+    prefixes on levels > 0. Entry j at level L covers level-0 point
+    index (j+1)*8^L - 1; its child pointer is the offset of the FIRST
+    UNCONSUMED entry in level L-1 after that shared point (end of
+    buffer when the lower level is exhausted) — deltas stay consistent
+    across levels because entries at the same point index share the
+    same cumulative (doc, fp)."""
+    n_levels = _n_skip_levels(len(last_docs))
+    levels: list[bytearray] = []
+    entry_offsets: list[list[int]] = []
+    for lvl in range(n_levels):
+        buf = bytearray()
+        offsets = []
+        step = SKIP_MULTIPLIER ** lvl
+        prev_doc = 0
+        prev_fp = 0
+        for j, i in enumerate(range(step - 1, len(last_docs), step)):
+            offsets.append(len(buf))
+            write_vint(last_docs[i] - prev_doc, buf)
+            write_vint(block_end_fps[i] - prev_fp, buf)
+            write_vint(0, buf)  # impact bytes placeholder (see module doc)
+            if lvl > 0:
+                below = entry_offsets[lvl - 1]
+                child_idx = (j + 1) * SKIP_MULTIPLIER
+                child = (
+                    below[child_idx]
+                    if child_idx < len(below)
+                    else len(levels[lvl - 1])
+                )
+                write_vint(child, buf)
+            prev_doc = last_docs[i]
+            prev_fp = block_end_fps[i]
+        levels.append(buf)
+        entry_offsets.append(offsets)
+    out = bytearray()
+    for lvl in range(n_levels - 1, 0, -1):
+        write_vint(len(levels[lvl]), out)
+        out += levels[lvl]
+    out += levels[0]
+    return bytes(out)
+
+
+def write_doc_stream(
+    terms: list[tuple[np.ndarray, np.ndarray | None]],
+    seg_id: bytes,
+    has_freqs: bool = True,
+) -> tuple[bytes, list[dict]]:
+    """Grammar-inverse writer: per-term (sorted doc_ids, freqs) pairs
+    to one .doc byte stream. Returns (bytes, per-term metadata dicts
+    with the .tim-side fields: doc_start_fp, skip_offset,
+    singleton_doc_id)."""
+    out = bytearray()
+    _write_header(out, seg_id)
+    metas = []
+    for doc_ids, freqs in terms:
+        docs = np.asarray(doc_ids, dtype=np.int64)
+        if docs.size and np.any(np.diff(docs) <= 0):
+            raise ValueError("doc ids must be strictly ascending")
+        f = (
+            np.asarray(freqs, dtype=np.int64)
+            if has_freqs
+            else np.ones(docs.size, dtype=np.int64)
+        )
+        if has_freqs and np.any(f < 1):
+            raise ValueError("freqs must be >= 1")
+        df = int(docs.size)
+        if df == 1:
+            metas.append(
+                {
+                    "doc_start_fp": len(out),
+                    "skip_offset": None,
+                    "singleton_doc_id": int(docs[0]),
+                }
+            )
+            continue
+        start_fp = len(out)
+        deltas = np.diff(docs, prepend=np.int64(0))
+        n_blocks = df // BLOCK_SIZE
+        last_docs = []
+        block_end_fps = []
+        for b in range(n_blocks):
+            sl = slice(b * BLOCK_SIZE, (b + 1) * BLOCK_SIZE)
+            out += pfor_encode(deltas[sl].astype(np.uint64))
+            if has_freqs:
+                out += pfor_encode(f[sl].astype(np.uint64))
+            last_docs.append(int(docs[sl][-1]))
+            block_end_fps.append(len(out) - start_fp)
+        for i in range(n_blocks * BLOCK_SIZE, df):
+            d = int(deltas[i])
+            if has_freqs:
+                fr = int(f[i])
+                write_vint((d << 1) | (1 if fr == 1 else 0), out)
+                if fr != 1:
+                    write_vint(fr, out)
+            else:
+                write_vint(d, out)
+        skip_offset = None
+        if df > BLOCK_SIZE:
+            skip_offset = len(out) - start_fp
+            out += _write_skip_list(last_docs, block_end_fps)
+        metas.append(
+            {
+                "doc_start_fp": start_fp,
+                "skip_offset": skip_offset,
+                "singleton_doc_id": None,
+            }
+        )
+    return bytes(out), metas
+
+
+# ----------------------------------------------------------------- read
+
+
+@dataclass(frozen=True)
+class SkipPoint:
+    """One level-0 skip point: everything needed to resume decoding at
+    the NEXT block."""
+
+    last_doc: int  # last doc id covered by blocks up to this point
+    next_block_fp: int  # fp (relative to doc_start_fp) of the next block
+    block_index: int  # index of the next block
+
+
+class SkipListReader:
+    """Parses every level eagerly (in-memory bytes, O(df/128) vints),
+    verifying the cross-level grammar as it goes — upper-level entries
+    must agree with level 0 on cumulative (doc, fp) at shared points,
+    and child pointers must land exactly on a lower-level entry
+    boundary or its end. ``advance`` then walks the levels top-down
+    (MultiLevelSkipListReader semantics: consume entries while their
+    boundary doc < target, descend via the last consumed entry's child
+    pointer)."""
+
+    def __init__(self, data: bytes, pos: int, n_points: int):
+        n_levels = _n_skip_levels(n_points)
+        raw: list[bytes] = [b""] * n_levels
+        for lvl in range(n_levels - 1, 0, -1):
+            ln, pos = read_vint(data, pos)
+            raw[lvl] = data[pos : pos + ln]
+            pos += ln
+        raw[0] = data[pos:]
+        self.n_points = n_points
+        # entries[lvl][j] = (last_doc, next_block_fp, child_offset)
+        # as cumulative values; offsets[lvl][j] = byte offset of entry j
+        self.entries: list[list[tuple[int, int, int | None]]] = []
+        self.offsets: list[list[int]] = []
+        for lvl in range(n_levels):
+            buf = raw[lvl]
+            p = 0
+            doc = fp = 0
+            ents: list[tuple[int, int, int | None]] = []
+            offs: list[int] = []
+            while p < len(buf):
+                offs.append(p)
+                dd, p = read_vint(buf, p)
+                fd, p = read_vint(buf, p)
+                impact_len, p = read_vint(buf, p)
+                p += impact_len  # opaque impact bytes (always 0 here)
+                child = None
+                if lvl > 0:
+                    child, p = read_vint(buf, p)
+                doc += dd
+                fp += fd
+                ents.append((doc, fp, child))
+            self.entries.append(ents)
+            self.offsets.append(offs)
+        # grammar checks: level L entry j == level 0 entry (j+1)*8^L - 1,
+        # and child pointers hit entry boundaries of the level below
+        for lvl in range(1, n_levels):
+            step = SKIP_MULTIPLIER ** lvl
+            for j, (doc, fp, child) in enumerate(self.entries[lvl]):
+                base = self.entries[0][(j + 1) * step - 1]
+                if (doc, fp) != (base[0], base[1]):
+                    raise ValueError(
+                        f"skip level {lvl} entry {j} disagrees with level 0"
+                    )
+                below_offs = self.offsets[lvl - 1]
+                if child not in below_offs and child != len(raw[lvl - 1]):
+                    raise ValueError(
+                        f"skip level {lvl} entry {j}: child pointer "
+                        f"{child} is not an entry boundary"
+                    )
+
+    def advance(self, target: int) -> SkipPoint | None:
+        """Largest level-0 point with last_doc < target, or None when
+        decoding must start at the first block."""
+        n_levels = len(self.entries)
+        best: SkipPoint | None = None
+        start_j = 0  # first unconsumed entry index at the current level
+        for lvl in range(n_levels - 1, -1, -1):
+            step = SKIP_MULTIPLIER ** lvl
+            child: int | None = None
+            j = start_j
+            while j < len(self.entries[lvl]):
+                doc, fp, ch = self.entries[lvl][j]
+                if doc >= target:
+                    break
+                best = SkipPoint(
+                    last_doc=doc,
+                    next_block_fp=fp,
+                    block_index=(j + 1) * step,
+                )
+                child = ch
+                j += 1
+            if lvl == 0:
+                break
+            if child is None:
+                # nothing consumed here: lower level continues from the
+                # entry matching the already-consumed prefix
+                start_j = start_j * SKIP_MULTIPLIER
+            else:
+                start_j = (
+                    self.offsets[lvl - 1].index(child)
+                    if child in self.offsets[lvl - 1]
+                    else len(self.entries[lvl - 1])
+                )
+        return best
+
+
+def read_term_postings(
+    data: bytes,
+    state: BlockTermState,
+    flags: FieldFlags,
+    target: int | None = None,
+    _decode_counter: list | None = None,
+) -> tuple[np.ndarray, np.ndarray | None]:
+    """Decode one term's postings from a .doc stream (header already
+    framed; fps in ``state`` are absolute file positions). With
+    ``target`` set, uses the skip list (when present) to start at the
+    first block that can contain ``target`` and returns only docs from
+    that block on — the reference's ``advance`` contract.
+    ``_decode_counter`` (a list to append per-block markers to) lets
+    tests prove skipped blocks are never decoded."""
+    df = state.doc_freq
+    if state.singleton_doc_id is not None:
+        docs = np.array([state.singleton_doc_id], dtype=np.int64)
+        freqs = (
+            np.array([state.total_term_freq], dtype=np.int64)
+            if flags.has_freqs
+            else None
+        )
+        return docs, freqs
+    pos = state.doc_start_fp
+    n_blocks = df // BLOCK_SIZE
+    first_block = 0
+    doc_base = 0
+    if target is not None and state.skip_offset is not None:
+        n_points = (df - 1) // BLOCK_SIZE
+        sk = SkipListReader(
+            data, state.doc_start_fp + state.skip_offset, n_points
+        )
+        pt = sk.advance(target)
+        if pt is not None:
+            first_block = pt.block_index
+            doc_base = pt.last_doc
+            pos = state.doc_start_fp + pt.next_block_fp
+    docs_out = []
+    freqs_out = []
+    for b in range(first_block, n_blocks):
+        deltas, pos = pfor_decode_at(data, pos, BLOCK_SIZE)
+        if _decode_counter is not None:
+            _decode_counter.append(b)
+        block_docs = doc_base + np.cumsum(deltas.astype(np.int64))
+        doc_base = int(block_docs[-1])
+        docs_out.append(block_docs)
+        if flags.has_freqs:
+            f, pos = pfor_decode_at(data, pos, BLOCK_SIZE)
+            freqs_out.append(f.astype(np.int64))
+    tail = df - n_blocks * BLOCK_SIZE
+    if tail:
+        t_docs = np.empty(tail, dtype=np.int64)
+        t_freqs = np.empty(tail, dtype=np.int64)
+        for i in range(tail):
+            if flags.has_freqs:
+                code, pos = read_vint(data, pos)
+                doc_base += code >> 1
+                if code & 1:
+                    t_freqs[i] = 1
+                else:
+                    t_freqs[i], pos = read_vint(data, pos)
+            else:
+                d, pos = read_vint(data, pos)
+                doc_base += d
+            t_docs[i] = doc_base
+        docs_out.append(t_docs)
+        if flags.has_freqs:
+            freqs_out.append(t_freqs)
+    docs = (
+        np.concatenate(docs_out) if docs_out else np.empty(0, dtype=np.int64)
+    )
+    freqs = (
+        np.concatenate(freqs_out).astype(np.int64)
+        if flags.has_freqs and freqs_out
+        else (np.empty(0, dtype=np.int64) if flags.has_freqs else None)
+    )
+    return docs, freqs
+
+
+class DocStreamReader:
+    """An opened .doc file: header checked exactly as the reference's
+    ``create`` does (lucene_84_postings_reader.ml:24-28), then per-term
+    reads driven by .tim term states."""
+
+    def __init__(self, data: bytes, seg_id: bytes):
+        self.data = data
+        check_index_header(
+            DataInput(data), DOC_CODEC, 0, 1, seg_id, _SUFFIX
+        )
+
+    def postings(
+        self,
+        state: BlockTermState,
+        flags: FieldFlags,
+        target: int | None = None,
+    ) -> tuple[np.ndarray, np.ndarray | None]:
+        return read_term_postings(self.data, state, flags, target=target)

@@ -119,15 +119,24 @@ ALL_TERMS = [
 ]
 
 
-def _synth_dir(tmp_path, seg_id_in_manifest: bytes = SEG_ID) -> str:
+def _synth_dir(
+    tmp_path,
+    seg_id_in_manifest: bytes = SEG_ID,
+    blocks: tuple[list, list, list] | None = None,
+    doc_bytes: bytes | None = None,
+) -> str:
     """Write a complete one-segment directory: synthesized segments_1,
-    golden _0.si/_0.fnm, synthesized _0_Lucene84_0.{tmd,tim,tip}."""
+    golden _0.si/_0.fnm, synthesized _0_Lucene84_0.{tmd,tim,tip}
+    (+ .doc when given). ``blocks`` overrides the (ap1, ap2, ba) term
+    entries — same term names, different stats/fps — so the postings
+    composition test can point .tim at a real .doc stream."""
     d = str(tmp_path)
+    ap1, ap2, ba = blocks if blocks is not None else (AP1, AP2, BA)
 
     # .tim: BlockTreeTermsDict v6 header + the three leaf blocks
     tim = bytearray(_index_header("BlockTreeTermsDict", 6))
     fps = {}
-    for name, block in (("ap1", AP1), ("ap2", AP2), ("ba", BA)):
+    for name, block in (("ap1", ap1), ("ap2", ap2), ("ba", ba)):
         fps[name] = len(tim)
         tim += write_block(block, flags=TITLE_FLAGS)
 
@@ -148,9 +157,9 @@ def _synth_dir(tmp_path, seg_id_in_manifest: bytes = SEG_ID) -> str:
 
     # .tmd: two index headers, block size 128, ONE field meta (field 3
     # = "title"), trailing LE-long file lengths
-    n_terms = len(ALL_TERMS)
-    sum_df = sum(e.doc_freq for b in (AP1, AP2, BA) for e in b)
-    sum_ttf = sum(e.total_term_freq for b in (AP1, AP2, BA) for e in b)
+    n_terms = sum(len(b) for b in (ap1, ap2, ba))
+    sum_df = sum(e.doc_freq for b in (ap1, ap2, ba) for e in b)
+    sum_ttf = sum(e.total_term_freq for b in (ap1, ap2, ba) for e in b)
     tmd = bytearray()
     tmd += _index_header("BlockTreeTermsMeta", 6)
     tmd += _index_header("Lucene84PostingsWriterTerms", 0)
@@ -180,6 +189,9 @@ def _synth_dir(tmp_path, seg_id_in_manifest: bytes = SEG_ID) -> str:
     for ext, blob in (("tmd", tmd), ("tim", tim), ("tip", tip)):
         with open(os.path.join(d, f"_0_Lucene84_0.{ext}"), "wb") as f:
             f.write(bytes(blob))
+    if doc_bytes is not None:
+        with open(os.path.join(d, "_0_Lucene84_0.doc"), "wb") as f:
+            f.write(doc_bytes)
     return d
 
 

@@ -1,0 +1,247 @@
+"""Lucene84 .doc postings-stream interop: grammar-inverse round-trips
+for the read path the reference stubs
+(codec/lucene_84_postings_reader.ml:51-53), skip-list advance proofs
+(blocks before the target block are never decoded), and the composed
+seek -> postings walk over a full synthesized directory.
+
+No Spark involved; pure byte-level tests.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from ocaml_lucene_spark.interop.data_input import DataInput
+from ocaml_lucene_spark.interop.open_index import open_index
+from ocaml_lucene_spark.interop.postings_stream import (
+    BLOCK_SIZE,
+    DocStreamReader,
+    SkipListReader,
+    read_term_postings,
+    write_doc_stream,
+)
+from ocaml_lucene_spark.interop.segment_meta import check_index_header
+from ocaml_lucene_spark.interop.terms_block import (
+    BlockTermState,
+    FieldFlags,
+    TermEntry,
+)
+from test_open_index import SEG_ID, TITLE_FLAGS, _synth_dir
+
+FLAGS = FieldFlags(has_freqs=True, has_positions=False)
+NO_FREQS = FieldFlags(has_freqs=False, has_positions=False)
+
+
+def _gen_postings(rng: random.Random, df: int, max_doc_gap: int = 50):
+    deltas = np.array(
+        [rng.randint(1, max_doc_gap) for _ in range(df)], dtype=np.int64
+    )
+    docs = np.cumsum(deltas)
+    freqs = np.array(
+        [1 if rng.random() < 0.6 else rng.randint(2, 400) for _ in range(df)],
+        dtype=np.int64,
+    )
+    return docs, freqs
+
+
+def _state(meta: dict, docs, freqs, flags=FLAGS) -> BlockTermState:
+    return BlockTermState(
+        doc_freq=int(len(docs)),
+        total_term_freq=int(freqs.sum()) if flags.has_freqs else int(len(docs)),
+        doc_start_fp=meta["doc_start_fp"],
+        skip_offset=meta["skip_offset"],
+        singleton_doc_id=meta["singleton_doc_id"],
+    )
+
+
+@pytest.mark.parametrize(
+    "df",
+    [1, 2, 5, 127, 128, 129, 300, 600, 2000, 9000],
+    # 9000 docs = 70 skip points -> a 2-level list; 2000 -> 15 points
+)
+def test_doc_stream_roundtrip(df):
+    rng = random.Random(df)
+    docs, freqs = _gen_postings(rng, df)
+    data, metas = write_doc_stream([(docs, freqs)], SEG_ID)
+    check_index_header(
+        DataInput(data), "Lucene84PostingsWriterDoc", 0, 1, SEG_ID,
+        b"Lucene84_0",
+    )
+    got_docs, got_freqs = read_term_postings(
+        data, _state(metas[0], docs, freqs), FLAGS
+    )
+    np.testing.assert_array_equal(got_docs, docs)
+    np.testing.assert_array_equal(got_freqs, freqs)
+    # skip data present exactly when df > 128 (the .tim skip_offset
+    # presence contract, terms_block.decode_metadata)
+    assert (metas[0]["skip_offset"] is not None) == (df > BLOCK_SIZE)
+    assert (metas[0]["singleton_doc_id"] is not None) == (df == 1)
+
+
+def test_doc_stream_roundtrip_no_freqs():
+    rng = random.Random(7)
+    docs, _ = _gen_postings(rng, 500)
+    data, metas = write_doc_stream([(docs, None)], SEG_ID, has_freqs=False)
+    got_docs, got_freqs = read_term_postings(
+        data, _state(metas[0], docs, np.ones(500, dtype=np.int64), NO_FREQS),
+        NO_FREQS,
+    )
+    np.testing.assert_array_equal(got_docs, docs)
+    assert got_freqs is None
+
+
+def test_multi_term_stream_fps_are_independent():
+    rng = random.Random(3)
+    terms = [_gen_postings(rng, df) for df in (300, 1, 40, 129)]
+    data, metas = write_doc_stream(terms, SEG_ID)
+    for (docs, freqs), meta in zip(terms, metas):
+        got_docs, got_freqs = read_term_postings(
+            data, _state(meta, docs, freqs), FLAGS
+        )
+        np.testing.assert_array_equal(got_docs, docs)
+        np.testing.assert_array_equal(got_freqs, freqs)
+
+
+def test_skip_advance_decodes_only_needed_blocks():
+    rng = random.Random(42)
+    df = 2000  # 15 full blocks + tail, one skip level
+    docs, freqs = _gen_postings(rng, df)
+    data, metas = write_doc_stream([(docs, freqs)], SEG_ID)
+    state = _state(metas[0], docs, freqs)
+    # target inside block 11: blocks 0..10 must never be decoded
+    target = int(docs[11 * BLOCK_SIZE + 17])
+    decoded = []
+    got_docs, got_freqs = read_term_postings(
+        data, state, FLAGS, target=target, _decode_counter=decoded
+    )
+    assert decoded and min(decoded) == 11
+    # result = exact suffix of the full postings from block 11 on
+    np.testing.assert_array_equal(got_docs, docs[11 * BLOCK_SIZE :])
+    np.testing.assert_array_equal(got_freqs, freqs[11 * BLOCK_SIZE :])
+
+
+def test_skip_advance_multi_level_fuzz():
+    """9000-doc term -> 70 points -> 2 levels; random targets must
+    always produce the exact block-aligned suffix."""
+    rng = random.Random(9)
+    df = 9000
+    docs, freqs = _gen_postings(rng, df)
+    data, metas = write_doc_stream([(docs, freqs)], SEG_ID)
+    state = _state(metas[0], docs, freqs)
+    for trial in range(25):
+        i = rng.randrange(df)
+        target = int(docs[i]) + rng.choice([0, 1, -1])
+        got_docs, _ = read_term_postings(data, state, FLAGS, target=target)
+        # expected start: skip every full block whose last doc < target
+        n_full = df // BLOCK_SIZE
+        first_block = 0
+        while (
+            first_block < n_full
+            and int(docs[(first_block + 1) * BLOCK_SIZE - 1]) < target
+        ):
+            first_block += 1
+        np.testing.assert_array_equal(
+            got_docs, docs[first_block * BLOCK_SIZE :], err_msg=f"trial {trial}"
+        )
+        # the advance contract: every doc >= target survives the skip
+        if target <= int(docs[-1]):
+            j = int(np.searchsorted(got_docs, target))
+            assert int(got_docs[j]) >= target
+
+
+def test_skip_list_grammar_checks_reject_corruption():
+    rng = random.Random(13)
+    docs, freqs = _gen_postings(rng, 9000)
+    data, metas = write_doc_stream([(docs, freqs)], SEG_ID)
+    skip_pos = metas[0]["doc_start_fp"] + metas[0]["skip_offset"]
+    n_points = (9000 - 1) // BLOCK_SIZE
+    SkipListReader(data, skip_pos, n_points)  # clean parse
+    corrupted = bytearray(data)
+    # flip a byte inside the top level's first entry (doc delta vint)
+    ln_pos = skip_pos
+    from ocaml_lucene_spark.codecs.varint import read_vint
+
+    _ln, first_entry = read_vint(corrupted, ln_pos)
+    corrupted[first_entry] ^= 0x01
+    with pytest.raises(ValueError, match="skip level"):
+        SkipListReader(bytes(corrupted), skip_pos, n_points)
+
+
+def test_writer_rejects_bad_input():
+    with pytest.raises(ValueError, match="ascending"):
+        write_doc_stream(
+            [(np.array([5, 5, 9]), np.array([1, 1, 1]))], SEG_ID
+        )
+    with pytest.raises(ValueError, match="freqs"):
+        write_doc_stream(
+            [(np.array([1, 2]), np.array([1, 0]))], SEG_ID
+        )
+
+
+def test_doc_stream_reader_checks_header():
+    rng = random.Random(1)
+    docs, freqs = _gen_postings(rng, 10)
+    data, _ = write_doc_stream([(docs, freqs)], SEG_ID)
+    DocStreamReader(data, SEG_ID)
+    with pytest.raises(ValueError, match="segment id mismatch"):
+        DocStreamReader(data, bytes(16))
+
+
+# -- composed: seek_exact -> .doc walk over a full directory ----------
+
+
+def test_open_index_seek_then_postings(tmp_path):
+    """The read path the reference's app never reached: open the
+    directory, seek each term to its Block_term_state, then walk its
+    .doc postings — singleton, tail-only, one-block+tail, and
+    skip-listed terms all through the same composition."""
+    rng = random.Random(21)
+    names = [b"apple", b"apply", b"apq", b"apqx", b"bat", b"bats"]
+    dfs = [300, 1, 130, 5, 600, 127]
+    postings = {}
+    stream_terms = []
+    for name, df in zip(names, dfs):
+        docs, freqs = _gen_postings(rng, df)
+        postings[name] = (docs, freqs)
+        stream_terms.append((docs, freqs))
+    doc_bytes, metas = write_doc_stream(stream_terms, SEG_ID)
+
+    def entry(i: int, suffix: bytes) -> TermEntry:
+        docs, freqs = postings[names[i]]
+        ttf = int(freqs.sum())
+        return TermEntry(
+            suffix,
+            doc_freq=len(docs),
+            total_term_freq=ttf,
+            doc_start_fp=metas[i]["doc_start_fp"],
+            singleton_doc_id=metas[i]["singleton_doc_id"],
+            skip_offset=metas[i]["skip_offset"],
+            # the .tim grammar carries this whenever ttf > 128 (a pos-
+            # stream fp; opaque to the .doc walk — reference quirk
+            # pinned in terms_block._decode_postings_term)
+            last_pos_block_offset=0 if ttf > 128 else None,
+        )
+
+    blocks = (
+        [entry(0, b"ple"), entry(1, b"ply")],
+        [entry(2, b"q"), entry(3, b"qx")],
+        [entry(4, b"t"), entry(5, b"ts")],
+    )
+    d = _synth_dir(tmp_path, blocks=blocks, doc_bytes=doc_bytes)
+    index = open_index(d)
+    for name in names:
+        hits = index.postings("title", name)
+        assert len(hits) == 1
+        seg_name, docs, freqs = hits[0]
+        assert seg_name == "_0"
+        np.testing.assert_array_equal(docs, postings[name][0])
+        np.testing.assert_array_equal(freqs, postings[name][1])
+    # targeted walk through the skip list of the 600-doc term
+    docs, _ = postings[b"bat"]
+    target = int(docs[3 * 128 + 5])
+    (_, got, _), = index.postings("title", b"bat", target=target)
+    np.testing.assert_array_equal(got, docs[3 * 128 :])
+    assert index.postings("title", b"nothere") == []
