@@ -5,18 +5,24 @@ metadata struct; the expensive decode/feature steps run as Arrow-batched
 pandas functions over mapInPandas so executors stream batches without
 materializing a partition of raw media in memory.
 
-The actual media codecs (PIL/ffmpeg/...) are NOT in this container, so
-the decode step is STUBBED two ways, clearly marked:
+Decode support comes in two tiers:
+- REAL stdlib-only codecs (operators/image_codecs.py): PNG (zlib
+  DEFLATE + scanline unfiltering incl. Paeth), 24-bit BMP, and binary
+  PPM/PGM — ``decode_real_image`` decodes these natively, and
+  ``media_metadata`` / ``byte_histogram_features`` accept such blobs
+  alongside the synthetic format;
 - a deterministic fake decoder for a self-describing synthetic format
-  (``FAKEIMG`` header) used by tests — the Spark-side plumbing (schema,
-  batch shapes, partitioning, UDF signatures) is real and tested;
-- ``decode_real_image`` raising NotImplementedError with the exact
-  integration point where PIL/libvips would slot in.
+  (``FAKEIMG`` header) used by tests and the gate row — the Spark-side
+  plumbing (schema, batch shapes, partitioning, UDF signatures) is the
+  same either way;
+- formats that genuinely need codecs absent from this container
+  (JPEG/WebP/video containers) still raise NotImplementedError at the
+  marked PIL/libvips/pyAV integration point.
 
 Operators: metadata extraction, resize (fake), frame sampling (fake
-video = concatenated frames), feature extraction (deterministic
-byte-histogram embedding — a stand-in with the same shape/cost profile
-as a vision-encoder call).
+video = concatenated frames), feature extraction (byte-histogram
+embedding over decoded pixels — a stand-in with the same shape/cost
+profile as a vision-encoder call).
 """
 
 from __future__ import annotations
@@ -24,6 +30,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+
+from .image_codecs import decode_image, probe_dims, sniff_format
 
 MEDIA_SCHEMA = (
     "media_id long, kind string, width int, height int, n_frames int, "
@@ -51,13 +59,13 @@ def decode_fake_image(blob: bytes) -> tuple[int, int, int, np.ndarray] | None:
     return int(w), int(h), int(f), px.reshape(int(f), int(h), int(w))
 
 
-def decode_real_image(blob: bytes):
-    """Integration point for a real decoder (PIL.Image.open(BytesIO(blob))
-    / pyAV for video). Not available in this container."""
-    raise NotImplementedError(
-        "real image/audio/video codecs are not installed in this "
-        "environment; wire PIL/libvips/pyAV here"
-    )
+def decode_real_image(blob: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Decode a real image blob to (width, height, channels, pixels
+    (h, w, c) uint8). PNG/BMP/PPM/PGM decode natively with the stdlib
+    (operators/image_codecs.py); anything else raises
+    NotImplementedError at the remaining PIL/libvips/pyAV integration
+    point (JPEG/WebP/video codecs are not in this container)."""
+    return decode_image(bytes(blob))
 
 
 HEADER_LEN = 20  # 8-byte magic + 3x int32 LE dims
@@ -116,11 +124,22 @@ def media_metadata(df: DataFrame, id_col: str = "media_id", blob_col: str = "blo
 
     def op(batches):
         for pdf in batches:
-            n_bytes, dims, valid = _parse_headers(list(pdf[blob_col]))
+            blobs = list(pdf[blob_col])
+            n_bytes, dims, valid = _parse_headers(blobs)
             w = np.where(valid, dims[:, 0], 0).astype(np.int32)
             h = np.where(valid, dims[:, 1], 0).astype(np.int32)
             f = np.where(valid, dims[:, 2], 0).astype(np.int32)
             kind = np.where(valid, np.where(f > 1, "video", "image"), "unknown")
+            # real formats (PNG/BMP/PPM): header-only dim probe for the
+            # rows that aren't synthetic — same cost class as the
+            # 20-byte fake-header slice, no pixel decode
+            for i in np.nonzero(~valid)[0]:
+                pr = probe_dims(bytes(blobs[int(i)]))
+                if pr is not None:
+                    w[i], h[i] = pr
+                    f[i] = 1
+                    kind[i] = "image"
+                    valid[i] = True
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(
@@ -229,23 +248,42 @@ def byte_histogram_features(
             blobs = list(pdf[blob_col])
             mids = pdf[id_col].to_numpy(dtype=np.int64)
             n_bytes, dims, valid = _parse_headers(blobs)
+            # pixel buffers: fake blobs are header-stripped slices;
+            # real formats decode (per-blob by nature — the PIL-call
+            # cost class); the histogram pass below stays ONE bincount
+            # over everything
+            idxs: list[int] = []
+            bufs: list[bytes] = []
+            for i in np.nonzero(valid)[0]:
+                idxs.append(int(i))
+                bufs.append(bytes(blobs[int(i)])[HEADER_LEN:])
+            for i in np.nonzero(~valid)[0]:
+                b = bytes(blobs[int(i)])
+                if sniff_format(b) is None:
+                    continue
+                try:
+                    _, _, _, px = decode_image(b)
+                except (NotImplementedError, ValueError):
+                    continue
+                idxs.append(int(i))
+                bufs.append(px.tobytes())
             ids, feats = [], []
-            vidx = np.nonzero(valid)[0]
-            if vidx.size:
-                lens = (n_bytes[vidx] - HEADER_LEN).astype(np.int64)
-                buf = b"".join(bytes(blobs[int(i)])[HEADER_LEN:] for i in vidx)
-                px = np.frombuffer(buf, dtype=np.uint8)
-                rows = np.repeat(np.arange(vidx.size, dtype=np.int64), lens)
+            if idxs:
+                lens = np.fromiter(
+                    (len(b) for b in bufs), dtype=np.int64, count=len(bufs)
+                )
+                px = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+                rows = np.repeat(np.arange(len(bufs), dtype=np.int64), lens)
                 # bin edges identical to np.histogram(range=(0,256)):
                 # uniform width 256/n_bins -> bin = px * n_bins // 256
                 bins = (px.astype(np.int64) * n_bins) >> 8
                 hist = np.bincount(
-                    rows * n_bins + bins, minlength=vidx.size * n_bins
-                ).reshape(vidx.size, n_bins)
+                    rows * n_bins + bins, minlength=len(bufs) * n_bins
+                ).reshape(len(bufs), n_bins)
                 totals = np.maximum(hist.sum(axis=1), 1)
                 norm = (hist / totals[:, None]).astype(np.float32)
-                ids = [int(mids[i]) for i in vidx]
-                feats = [norm[j].tolist() for j in range(vidx.size)]
+                ids = [int(mids[i]) for i in idxs]
+                feats = [norm[j].tolist() for j in range(len(bufs))]
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(ids, dtype="int64"),
