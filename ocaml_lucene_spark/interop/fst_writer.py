@@ -30,12 +30,27 @@ their fields in the forward stream, which lands the padding at the
 low-address end of each fixed-stride slot where the reader never
 looks.
 
-We do not use the BIT_TARGET_NEXT compression (targets are always
-explicit vints/vlongs): it is a size optimization, not a semantics
-one, and the reference's own reader leaves the non-last target-next
-skip unimplemented. Byte-identity with files produced by real Lucene
-is therefore NOT a goal; read-side round-trip identity through the
-interop reader is.
+BIT_TARGET_NEXT arc compression (byte_array_fst_writer.ml:10 —
+``target_is_next = target = next_node``: the target omitted because
+it is the block emitted immediately before this node, i.e. the next
+node in the reversed read direction) is emitted exactly where the
+fixture-verified READ side can resolve it:
+
+- linear nodes, LAST arc only — the reader resolves it as ``di.pos``
+  after the arc's fields, which is the previous block's address only
+  when no arcs follow (fst_reader.py:166); the non-last linear skip
+  is unimplemented in the reference too (seek_to_next_node);
+- direct-addressing nodes, NON-last arcs — the reader computes
+  ``arc_start - bytes_per_arc * presence_total`` (fst_reader.py:139),
+  the block bottom, valid for any slot; the last-arc branch instead
+  trusts ``di.pos`` inside a padded slot, so the writer never sets it
+  there (padding would shift the target);
+- binary-search nodes: never — the reader reads slots through the
+  linear-arc path, which raises on non-last and has the same padded-
+  slot hazard on last.
+
+Byte-identity with files produced by real Lucene is NOT a goal;
+read-side round-trip identity through the interop reader is.
 """
 
 from __future__ import annotations
@@ -50,6 +65,7 @@ from .fst_reader import (
     BIT_FINAL_ARC,
     BIT_LAST_ARC,
     BIT_STOP_NODE,
+    BIT_TARGET_NEXT,
 )
 
 # -- minimal node graph (Daciuk/Mihov, frozen to tuples) --------------
@@ -142,7 +158,12 @@ class ReversedFstWriter:
     otherwise); 'linear' / 'binary' / 'da' force one — every strategy
     must read back identically (tested)."""
 
-    def __init__(self, output_type: str = "int", strategy: str | None = None):
+    def __init__(
+        self,
+        output_type: str = "int",
+        strategy: str | None = None,
+        use_target_next: bool = True,
+    ):
         if output_type not in ("int", "bytes"):
             raise ValueError(output_type)
         self.output_type = output_type
@@ -150,6 +171,8 @@ class ReversedFstWriter:
         if strategy not in (None, "linear", "binary", "da"):
             raise ValueError(strategy)
         self.strategy = strategy
+        self.use_target_next = use_target_next
+        self.n_target_next = 0  # arcs emitted with BIT_TARGET_NEXT (diagnostics)
         self.buf = bytearray(b"\x00")  # address 0 reserved (targets are > 0)
         self._addr: dict[int, int] = {}
 
@@ -174,12 +197,15 @@ class ReversedFstWriter:
 
     def _enc_arc_fields(
         self, label: int | None, output, final_output, child_addr, is_last: bool,
-        child_final: bool, stop: bool,
+        child_final: bool, stop: bool, target_next: bool = False,
     ) -> bytes:
         """Forward field stream for one arc, in reader consumption
         order: flags, [label], [output], [final_output], [target].
         ``label=None`` omits the label byte (direct-addressing slots
-        derive it from the arc index)."""
+        derive it from the arc index). ``target_next`` omits the
+        target vint entirely (BIT_TARGET_NEXT: the target is the
+        block emitted just before this node — caller guarantees the
+        strategy/position combination the reader can resolve)."""
         zero = self.out_algebra.empty
         flags = 0
         if child_final:
@@ -188,6 +214,8 @@ class ReversedFstWriter:
             flags |= BIT_LAST_ARC
         if stop:
             flags |= BIT_STOP_NODE
+        if target_next:
+            flags |= BIT_TARGET_NEXT
         if output != zero:
             flags |= BIT_ARC_HAS_OUTPUT
         if final_output != zero:
@@ -209,7 +237,7 @@ class ReversedFstWriter:
             s += self._enc_output(output)
         if flags & BIT_ARC_HAS_FINAL_OUTPUT:
             s += self._enc_output(final_output)
-        if not stop:
+        if not stop and not target_next:
             b = bytearray()
             write_vint(child_addr, b)
             s += b
@@ -235,14 +263,40 @@ class ReversedFstWriter:
             return "binary"
         return "linear"
 
-    def _arc_parts(self, arcs, with_label: bool):
-        """(label, forward_fields) per arc, ascending label order."""
-        parts = []
+    def _arc_parts(self, arcs, with_label: bool, kind: str):
+        """(label, forward_fields) per arc, ascending label order.
+
+        Two phases: emit all children FIRST (so the address of the
+        block that will sit just below this node — the target-next
+        node in reversed read order — is known), then encode fields.
+        BIT_TARGET_NEXT eligibility per the module docstring: linear
+        last arc, or direct-addressing non-last arc, whose child IS
+        the previously emitted block."""
         arcs = sorted(arcs, key=lambda a: a[0])
-        for i, (label, output, child) in enumerate(arcs):
+        metas = []
+        for label, output, child in arcs:
             child_final, child_fout, child_arcs = child
             stop = not child_arcs
             child_addr = 0 if stop else self._emit(child)
+            metas.append((label, output, child_final, child_fout, child_addr, stop))
+        prev_addr = len(self.buf) - 1  # the block the reader sees "next"
+        parts = []
+        n = len(metas)
+        for i, (label, output, child_final, child_fout, child_addr, stop) in enumerate(
+            metas
+        ):
+            is_last = i == n - 1
+            target_next = (
+                self.use_target_next
+                and not stop
+                and child_addr == prev_addr
+                and (
+                    (kind == "linear" and is_last)
+                    or (kind == "da" and not is_last)
+                )
+            )
+            if target_next:
+                self.n_target_next += 1
             parts.append(
                 (
                     label,
@@ -251,9 +305,10 @@ class ReversedFstWriter:
                         output,
                         child_fout if child_final else self.out_algebra.empty,
                         child_addr,
-                        is_last=(i == len(arcs) - 1),
+                        is_last=is_last,
                         child_final=child_final,
                         stop=stop,
+                        target_next=target_next,
                     ),
                 )
             )
@@ -267,10 +322,10 @@ class ReversedFstWriter:
         assert arcs, "leaf nodes are encoded as stop arcs, never emitted"
         kind = self._pick(arcs)
         if kind == "linear":
-            parts = self._arc_parts(arcs, with_label=True)
+            parts = self._arc_parts(arcs, with_label=True, kind=kind)
             stream = b"".join(fields for _l, fields in parts)
         elif kind == "binary":
-            parts = self._arc_parts(arcs, with_label=True)
+            parts = self._arc_parts(arcs, with_label=True, kind=kind)
             stride = max(len(f) for _l, f in parts)
             head = bytearray([ARCS_FOR_BINARY_SEARCH])
             write_vint(len(parts), head)
@@ -279,7 +334,7 @@ class ReversedFstWriter:
                 f + b"\x00" * (stride - len(f)) for _l, f in parts
             )
         else:  # direct addressing
-            parts = self._arc_parts(arcs, with_label=False)
+            parts = self._arc_parts(arcs, with_label=False, kind=kind)
             first_label = parts[0][0]
             label_range = parts[-1][0] - first_label + 1
             stride = max(len(f) for _l, f in parts)
@@ -305,6 +360,7 @@ def write_reversed_fst(
     output_type: str = "int",
     strategy: str | None = None,
     empty_output=None,
+    use_target_next: bool = True,
 ):
     """Build a minimal FST over sorted (bytes key, output) pairs and
     emit it in the reference's reversed layout.
@@ -313,7 +369,7 @@ def write_reversed_fst(
     constructor arguments of interop.fst_reader.FstReader."""
     algebra = IntOutput if output_type == "int" else BytesOutput
     root = _build_graph(items, algebra)
-    w = ReversedFstWriter(output_type, strategy)
+    w = ReversedFstWriter(output_type, strategy, use_target_next=use_target_next)
     if not root[2]:
         raise ValueError("FST needs at least one non-empty key")
     start = w._emit(root)

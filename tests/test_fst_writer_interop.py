@@ -121,6 +121,88 @@ def test_matches_engine_fst_on_exact_keys():
         assert r.lookup(k) == engine.lookup(k) == v
 
 
+def test_target_next_shrinks_and_round_trips():
+    """BIT_TARGET_NEXT (byte_array_fst_writer.ml:10): arcs whose target
+    is the previously emitted block omit the target vint. Same reader,
+    same lookups, strictly smaller bytes; the explicit-target encoding
+    stays available (use_target_next=False)."""
+    from ocaml_lucene_spark.interop.fst_writer import ReversedFstWriter, _build_graph
+    from ocaml_lucene_spark.fst.outputs import IntOutput
+
+    items = _rand_items(2000, seed=5)
+    root = _build_graph(items, IntOutput)
+    sizes = {}
+    for tn in (False, True):
+        w = ReversedFstWriter("int", None, use_target_next=tn)
+        start = w._emit(root)
+        sizes[tn] = len(w.buf)
+        if tn:
+            assert w.n_target_next > 0
+        else:
+            assert w.n_target_next == 0
+        r = FstReader(bytes(w.buf), start, IntOutput.empty)
+        for k, v in items:
+            assert r.lookup(k) == v, (tn, k)
+    assert sizes[True] < sizes[False]
+
+
+@pytest.mark.parametrize("strategy", STRATEGIES)
+def test_target_next_per_strategy_round_trip(strategy):
+    # 'binary' must emit zero target-next arcs (the reader's slot path
+    # can't resolve them); 'da' compresses non-last arcs only; 'linear'
+    # compresses last arcs — all must read back identically
+    from ocaml_lucene_spark.interop.fst_writer import ReversedFstWriter, _build_graph
+    from ocaml_lucene_spark.fst.outputs import IntOutput
+
+    items = _rand_items(600, seed=23)
+    root = _build_graph(items, IntOutput)
+    w = ReversedFstWriter("int", strategy, use_target_next=True)
+    start = w._emit(root)
+    if strategy == "binary":
+        assert w.n_target_next == 0
+    r = FstReader(bytes(w.buf), start, IntOutput.empty)
+    for k, v in items:
+        assert r.lookup(k) == v, (strategy, k)
+
+
+def test_target_next_node_enumeration_and_da_holes():
+    # enumeration (read_arcs_at_target) resolves TARGET_NEXT arcs too,
+    # and sparse direct-addressing presence gaps stay intact
+    items = [(bytes([b]) + b"xy", i + 1) for i, b in enumerate(b"acfkmz")]
+    for strategy in STRATEGIES:
+        data, start, empty = write_reversed_fst(
+            items, strategy=strategy, use_target_next=True
+        )
+        r = FstReader(data, start, empty)
+        labels = sorted(a.label for a in r.read_arcs_at_target(start))
+        assert labels == list(b"acfkmz"), strategy
+        for k, v in items:
+            assert r.lookup(k) == v, (strategy, k)
+        if strategy == "da":
+            assert r.read_next_arc(ord("b"), r.first_arc()) is None
+
+
+def test_target_next_bytes_outputs():
+    rng = random.Random(31)
+    items = _rand_items(
+        300,
+        seed=17,
+        value=lambda rng=rng: bytes(
+            rng.randrange(97, 123) for _ in range(rng.randrange(0, 6))
+        ),
+    )
+    data, start, empty = write_reversed_fst(
+        items, output_type="bytes", use_target_next=True
+    )
+    plain, _s2, _e2 = write_reversed_fst(
+        items, output_type="bytes", use_target_next=False
+    )
+    assert len(data) < len(plain)
+    r = FstReader(data, start, empty, output_type="bytes")
+    for k, v in items:
+        assert r.lookup(k) == v
+
+
 def test_int_output_past_31_bits_refused():
     # the interop reader's Int32-wrapped read_vint would silently wrap
     # an output >= 2^31 to negative; the writer must refuse instead
