@@ -51,7 +51,11 @@ from .segment_meta import (
     read_segment_info,
     read_terms_meta,
 )
-from .postings_stream import DocStreamReader
+from .postings_stream import (
+    DocStreamReader,
+    PosStreamReader,
+    read_term_postings_and_positions,
+)
 from .segments_manifest import read_latest
 from .terms_block import BlockTermState, FieldFlags, read_block, seek_exact_in_block
 
@@ -157,6 +161,15 @@ class SegmentReader:
             if os.path.exists(doc_path)
             else None
         )
+        # .pos stream, when present — opened by the reference exactly
+        # when the field infos say has_prox
+        # (lucene_84_postings_reader.ml:29-33), likewise never iterated
+        pos_path = os.path.join(dir_path, f"{seg_name}_{_SUFFIX.decode()}.pos")
+        self.pos_reader = (
+            PosStreamReader(load("pos", codec_suffix=True), seg_id)
+            if os.path.exists(pos_path)
+            else None
+        )
 
     def seek_exact(self, field: str, term: bytes) -> BlockTermState | None:
         """terms_enumerator.ml seek_exact: min/max pruning, FST prefix
@@ -243,6 +256,29 @@ class LuceneIndex:
                 state, seg.field_readers[field].flags, target=target
             )
             out.append((seg.seg_name, docs, freqs))
+        return out
+
+    def positions(self, field: str, term: bytes, target: int | None = None):
+        """(seg_name, doc_ids, freqs, per-doc position arrays) per
+        matching segment: the full doc+pos walk, sharing one skip
+        advance (the .doc skip entries carry the .pos resume state)."""
+        out = []
+        for seg in self.segments:
+            state = seg.seek_exact(field, term)
+            if state is None:
+                continue
+            if seg.doc_reader is None or seg.pos_reader is None:
+                raise FileNotFoundError(
+                    f"segment {seg.seg_name} lacks a .doc or .pos stream"
+                )
+            docs, freqs, positions = read_term_postings_and_positions(
+                seg.doc_reader.data,
+                seg.pos_reader.data,
+                state,
+                seg.field_readers[field].flags,
+                target=target,
+            )
+            out.append((seg.seg_name, docs, freqs, positions))
         return out
 
 

@@ -46,6 +46,33 @@ the block-max pareto frontier, query/wand.py), so entries carry a
 ``vint 0`` impact-length placeholder where Lucene puts the impact
 byte count.
 
+``.pos`` stream (codec ``Lucene84PostingsWriterPos`` — the file the
+reference opens when the field ``has_prox``,
+lucene_84_postings_reader.ml:29-33, with its header-check-on-doc_in
+quirk, and likewise never iterates):
+
+- per term: the term's position DELTAS for all docs concatenated in
+  doc order, each doc's run restarting from 0 (so the first delta of
+  a doc is its absolute first position — per-doc decode needs no
+  cross-doc context); ttf // 128 PFOR-packed blocks then a vint tail.
+- the term state's ``pos_start_fp`` points at the term's first byte;
+  ``last_pos_block_offset`` (present exactly when ttf > 128 — the
+  same condition terms_block decode/encode pins from
+  terms_enumerator.ml:154-157) is the fp of the vint tail relative
+  to ``pos_start_fp``.
+- payload/offset interleaving (fields with has_payloads/has_offsets
+  and the ``.pay`` file) is out of scope: the reference only opens
+  ``.pay`` and never defines read semantics; the engine's own format
+  carries offsets (docs/SEGMENT_FORMAT.md).
+
+When the field has positions, every skip entry additionally carries
+(in Lucene84SkipWriter's field order, between the doc fp and the
+impact placeholder) a ``vint pos-fp-delta`` (bytes from the previous
+point at this level to the pos-stream resume fp) and an absolute
+``vint pos-buffer-upto`` (values already consumed inside the resume
+block) — exactly the state a reader needs to resume position decoding
+at a skipped-to doc block without touching earlier pos blocks.
+
 Driver-side, metadata-sized reads plus O(df/128) block decodes — the
 same access pattern Lucene pays; nothing here sits on a Spark per-row
 path (the engine queries its own parquet segments,
@@ -69,16 +96,17 @@ BLOCK_SIZE = 128
 SKIP_MULTIPLIER = 8
 MAX_SKIP_LEVELS = 10
 DOC_CODEC = "Lucene84PostingsWriterDoc"
+POS_CODEC = "Lucene84PostingsWriterPos"
 _SUFFIX = b"Lucene84_0"
 
 
 # ---------------------------------------------------------------- write
 
 
-def _write_header(out: bytearray, seg_id: bytes) -> None:
+def _write_header(out: bytearray, seg_id: bytes, codec: str = DOC_CODEC) -> None:
     out += CODEC_MAGIC.to_bytes(4, "little")
-    write_vint(len(DOC_CODEC), out)
-    out += DOC_CODEC.encode()
+    write_vint(len(codec), out)
+    out += codec.encode()
     out += (1).to_bytes(4, "big")  # version_current
     out += seg_id
     out.append(len(_SUFFIX))
@@ -96,7 +124,10 @@ def _n_skip_levels(n_points: int) -> int:
 
 
 def _write_skip_list(
-    last_docs: list[int], block_end_fps: list[int]
+    last_docs: list[int],
+    block_end_fps: list[int],
+    pos_fps: list[int] | None = None,
+    pos_uptos: list[int] | None = None,
 ) -> bytes:
     """Level buffers built bottom-up (child pointers into the
     just-written level below), emitted top-down with vlong length
@@ -105,7 +136,12 @@ def _write_skip_list(
     UNCONSUMED entry in level L-1 after that shared point (end of
     buffer when the lower level is exhausted) — deltas stay consistent
     across levels because entries at the same point index share the
-    same cumulative (doc, fp)."""
+    same cumulative (doc, fp).
+
+    ``pos_fps``/``pos_uptos`` (fields with positions): per point, the
+    pos-stream resume fp relative to pos_start_fp (delta-coded within
+    a level, like the doc fp) and the absolute in-block value offset
+    (Lucene84SkipWriter writes curPosBufferUpto absolute)."""
     n_levels = _n_skip_levels(len(last_docs))
     levels: list[bytearray] = []
     entry_offsets: list[list[int]] = []
@@ -115,10 +151,15 @@ def _write_skip_list(
         step = SKIP_MULTIPLIER ** lvl
         prev_doc = 0
         prev_fp = 0
+        prev_pos_fp = 0
         for j, i in enumerate(range(step - 1, len(last_docs), step)):
             offsets.append(len(buf))
             write_vint(last_docs[i] - prev_doc, buf)
             write_vint(block_end_fps[i] - prev_fp, buf)
+            if pos_fps is not None:
+                write_vint(pos_fps[i] - prev_pos_fp, buf)
+                write_vint(pos_uptos[i], buf)
+                prev_pos_fp = pos_fps[i]
             write_vint(0, buf)  # impact bytes placeholder (see module doc)
             if lvl > 0:
                 below = entry_offsets[lvl - 1]
@@ -141,15 +182,69 @@ def _write_skip_list(
     return bytes(out)
 
 
+def _write_term_docs(
+    out: bytearray,
+    docs: np.ndarray,
+    f: np.ndarray,
+    has_freqs: bool,
+    pos_skip: tuple[list[int], list[int]] | None,
+) -> dict:
+    """One term's .doc bytes: blocks, vint tail, skip list. ``pos_skip``
+    (per level-0 point (pos_fp, pos_upto) columns, fields with
+    positions) rides into the skip entries."""
+    df = int(docs.size)
+    if df == 1:
+        return {
+            "doc_start_fp": len(out),
+            "skip_offset": None,
+            "singleton_doc_id": int(docs[0]),
+        }
+    start_fp = len(out)
+    deltas = np.diff(docs, prepend=np.int64(0))
+    n_blocks = df // BLOCK_SIZE
+    last_docs = []
+    block_end_fps = []
+    for b in range(n_blocks):
+        sl = slice(b * BLOCK_SIZE, (b + 1) * BLOCK_SIZE)
+        out += pfor_encode(deltas[sl].astype(np.uint64))
+        if has_freqs:
+            out += pfor_encode(f[sl].astype(np.uint64))
+        last_docs.append(int(docs[sl][-1]))
+        block_end_fps.append(len(out) - start_fp)
+    for i in range(n_blocks * BLOCK_SIZE, df):
+        d = int(deltas[i])
+        if has_freqs:
+            fr = int(f[i])
+            write_vint((d << 1) | (1 if fr == 1 else 0), out)
+            if fr != 1:
+                write_vint(fr, out)
+        else:
+            write_vint(d, out)
+    skip_offset = None
+    if df > BLOCK_SIZE:
+        skip_offset = len(out) - start_fp
+        out += _write_skip_list(
+            last_docs,
+            block_end_fps,
+            pos_fps=pos_skip[0] if pos_skip else None,
+            pos_uptos=pos_skip[1] if pos_skip else None,
+        )
+    return {
+        "doc_start_fp": start_fp,
+        "skip_offset": skip_offset,
+        "singleton_doc_id": None,
+    }
+
+
 def write_doc_stream(
     terms: list[tuple[np.ndarray, np.ndarray | None]],
     seg_id: bytes,
     has_freqs: bool = True,
 ) -> tuple[bytes, list[dict]]:
     """Grammar-inverse writer: per-term (sorted doc_ids, freqs) pairs
-    to one .doc byte stream. Returns (bytes, per-term metadata dicts
-    with the .tim-side fields: doc_start_fp, skip_offset,
-    singleton_doc_id)."""
+    to one .doc byte stream, positions-less fields. Returns (bytes,
+    per-term metadata dicts with the .tim-side fields: doc_start_fp,
+    skip_offset, singleton_doc_id)."""
     out = bytearray()
     _write_header(out, seg_id)
     metas = []
@@ -164,49 +259,77 @@ def write_doc_stream(
         )
         if has_freqs and np.any(f < 1):
             raise ValueError("freqs must be >= 1")
-        df = int(docs.size)
-        if df == 1:
-            metas.append(
-                {
-                    "doc_start_fp": len(out),
-                    "skip_offset": None,
-                    "singleton_doc_id": int(docs[0]),
-                }
-            )
-            continue
-        start_fp = len(out)
-        deltas = np.diff(docs, prepend=np.int64(0))
-        n_blocks = df // BLOCK_SIZE
-        last_docs = []
-        block_end_fps = []
-        for b in range(n_blocks):
-            sl = slice(b * BLOCK_SIZE, (b + 1) * BLOCK_SIZE)
-            out += pfor_encode(deltas[sl].astype(np.uint64))
-            if has_freqs:
-                out += pfor_encode(f[sl].astype(np.uint64))
-            last_docs.append(int(docs[sl][-1]))
-            block_end_fps.append(len(out) - start_fp)
-        for i in range(n_blocks * BLOCK_SIZE, df):
-            d = int(deltas[i])
-            if has_freqs:
-                fr = int(f[i])
-                write_vint((d << 1) | (1 if fr == 1 else 0), out)
-                if fr != 1:
-                    write_vint(fr, out)
-            else:
-                write_vint(d, out)
-        skip_offset = None
-        if df > BLOCK_SIZE:
-            skip_offset = len(out) - start_fp
-            out += _write_skip_list(last_docs, block_end_fps)
-        metas.append(
-            {
-                "doc_start_fp": start_fp,
-                "skip_offset": skip_offset,
-                "singleton_doc_id": None,
-            }
-        )
+        metas.append(_write_term_docs(out, docs, f, has_freqs, None))
     return bytes(out), metas
+
+
+def write_postings_streams(
+    terms: list[tuple[np.ndarray, list[np.ndarray]]],
+    seg_id: bytes,
+) -> tuple[bytes, bytes, list[dict]]:
+    """Grammar-inverse writer for a field WITH positions: per-term
+    (sorted doc_ids, per-doc ascending position arrays) to a .doc and
+    a .pos stream. Freqs are derived (freq = len(positions[d])).
+    Returns (doc_bytes, pos_bytes, per-term metas carrying every
+    .tim-side field: doc_start_fp, skip_offset, singleton_doc_id,
+    pos_start_fp, last_pos_block_offset)."""
+    doc_out = bytearray()
+    pos_out = bytearray()
+    _write_header(doc_out, seg_id)
+    _write_header(pos_out, seg_id, POS_CODEC)
+    metas = []
+    for doc_ids, positions in terms:
+        docs = np.asarray(doc_ids, dtype=np.int64)
+        if docs.size and np.any(np.diff(docs) <= 0):
+            raise ValueError("doc ids must be strictly ascending")
+        if len(positions) != docs.size:
+            raise ValueError("one position array per doc required")
+        delta_runs = []
+        for p in positions:
+            p = np.asarray(p, dtype=np.int64)
+            if p.size == 0:
+                raise ValueError("every doc needs >= 1 position")
+            if p[0] < 0 or np.any(np.diff(p) <= 0):
+                raise ValueError("positions must be ascending and >= 0")
+            delta_runs.append(np.diff(p, prepend=np.int64(0)))
+        f = np.array([r.size for r in delta_runs], dtype=np.int64)
+        flat = (
+            np.concatenate(delta_runs)
+            if delta_runs
+            else np.empty(0, dtype=np.int64)
+        )
+        ttf = int(flat.size)
+
+        # .pos bytes for this term
+        pos_start_fp = len(pos_out)
+        n_pblocks = ttf // BLOCK_SIZE
+        # byte offset (relative to pos_start_fp) after each packed block
+        pblock_end_fps = []
+        for b in range(n_pblocks):
+            sl = slice(b * BLOCK_SIZE, (b + 1) * BLOCK_SIZE)
+            pos_out += pfor_encode(flat[sl].astype(np.uint64))
+            pblock_end_fps.append(len(pos_out) - pos_start_fp)
+        tail_fp = len(pos_out) - pos_start_fp
+        for i in range(n_pblocks * BLOCK_SIZE, ttf):
+            write_vint(int(flat[i]), pos_out)
+        last_pos_block_offset = tail_fp if ttf > BLOCK_SIZE else None
+
+        # per level-0 doc-skip point: pos resume state (Lucene84Skip-
+        # Writer's curPosPointer/curPosBufferUpto at each block end)
+        cum_pos = np.cumsum(f)
+        pos_fps: list[int] = []
+        pos_uptos: list[int] = []
+        for i in range(docs.size // BLOCK_SIZE):
+            consumed = int(cum_pos[(i + 1) * BLOCK_SIZE - 1])
+            full = consumed // BLOCK_SIZE
+            pos_fps.append(pblock_end_fps[full - 1] if full else 0)
+            pos_uptos.append(consumed % BLOCK_SIZE)
+
+        meta = _write_term_docs(doc_out, docs, f, True, (pos_fps, pos_uptos))
+        meta["pos_start_fp"] = pos_start_fp
+        meta["last_pos_block_offset"] = last_pos_block_offset
+        metas.append(meta)
+    return bytes(doc_out), bytes(pos_out), metas
 
 
 # ----------------------------------------------------------------- read
@@ -220,6 +343,12 @@ class SkipPoint:
     last_doc: int  # last doc id covered by blocks up to this point
     next_block_fp: int  # fp (relative to doc_start_fp) of the next block
     block_index: int  # index of the next block
+    # position resume state (fields with positions; None otherwise):
+    # fp of the pos block holding the next doc's first position
+    # (relative to pos_start_fp) and the values already consumed
+    # inside it
+    pos_fp: int | None = None
+    pos_upto: int | None = None
 
 
 class SkipListReader:
@@ -232,7 +361,10 @@ class SkipListReader:
     boundary doc < target, descend via the last consumed entry's child
     pointer)."""
 
-    def __init__(self, data: bytes, pos: int, n_points: int):
+    def __init__(
+        self, data: bytes, pos: int, n_points: int,
+        has_positions: bool = False,
+    ):
         n_levels = _n_skip_levels(n_points)
         raw: list[bytes] = [b""] * n_levels
         for lvl in range(n_levels - 1, 0, -1):
@@ -241,20 +373,29 @@ class SkipListReader:
             pos += ln
         raw[0] = data[pos:]
         self.n_points = n_points
-        # entries[lvl][j] = (last_doc, next_block_fp, child_offset)
-        # as cumulative values; offsets[lvl][j] = byte offset of entry j
-        self.entries: list[list[tuple[int, int, int | None]]] = []
+        self.has_positions = has_positions
+        # entries[lvl][j] = (last_doc, next_block_fp, pos_fp, pos_upto,
+        # child_offset) as cumulative values (pos fields None for
+        # positions-less fields); offsets[lvl][j] = byte offset of entry j
+        self.entries: list[
+            list[tuple[int, int, int | None, int | None, int | None]]
+        ] = []
         self.offsets: list[list[int]] = []
         for lvl in range(n_levels):
             buf = raw[lvl]
             p = 0
-            doc = fp = 0
-            ents: list[tuple[int, int, int | None]] = []
+            doc = fp = pos_fp = 0
+            ents: list[tuple[int, int, int | None, int | None, int | None]] = []
             offs: list[int] = []
             while p < len(buf):
                 offs.append(p)
                 dd, p = read_vint(buf, p)
                 fd, p = read_vint(buf, p)
+                pos_upto = None
+                if has_positions:
+                    pfd, p = read_vint(buf, p)
+                    pos_fp += pfd
+                    pos_upto, p = read_vint(buf, p)
                 impact_len, p = read_vint(buf, p)
                 p += impact_len  # opaque impact bytes (always 0 here)
                 child = None
@@ -262,16 +403,20 @@ class SkipListReader:
                     child, p = read_vint(buf, p)
                 doc += dd
                 fp += fd
-                ents.append((doc, fp, child))
+                ents.append(
+                    (doc, fp, pos_fp if has_positions else None, pos_upto, child)
+                )
             self.entries.append(ents)
             self.offsets.append(offs)
         # grammar checks: level L entry j == level 0 entry (j+1)*8^L - 1,
         # and child pointers hit entry boundaries of the level below
         for lvl in range(1, n_levels):
             step = SKIP_MULTIPLIER ** lvl
-            for j, (doc, fp, child) in enumerate(self.entries[lvl]):
+            for j, (doc, fp, pos_fp, pos_upto, child) in enumerate(
+                self.entries[lvl]
+            ):
                 base = self.entries[0][(j + 1) * step - 1]
-                if (doc, fp) != (base[0], base[1]):
+                if (doc, fp, pos_fp, pos_upto) != base[:4]:
                     raise ValueError(
                         f"skip level {lvl} entry {j} disagrees with level 0"
                     )
@@ -293,13 +438,15 @@ class SkipListReader:
             child: int | None = None
             j = start_j
             while j < len(self.entries[lvl]):
-                doc, fp, ch = self.entries[lvl][j]
+                doc, fp, pos_fp, pos_upto, ch = self.entries[lvl][j]
                 if doc >= target:
                     break
                 best = SkipPoint(
                     last_doc=doc,
                     next_block_fp=fp,
                     block_index=(j + 1) * step,
+                    pos_fp=pos_fp,
+                    pos_upto=pos_upto,
                 )
                 child = ch
                 j += 1
@@ -316,6 +463,21 @@ class SkipListReader:
                     else len(self.entries[lvl - 1])
                 )
         return best
+
+
+def _advance_point(
+    data: bytes, state: BlockTermState, flags: FieldFlags, target: int
+) -> SkipPoint | None:
+    """Parse the term's skip list and advance to ``target`` (None when
+    decoding must start at the first block)."""
+    n_points = (state.doc_freq - 1) // BLOCK_SIZE
+    sk = SkipListReader(
+        data,
+        state.doc_start_fp + state.skip_offset,
+        n_points,
+        has_positions=flags.has_positions,
+    )
+    return sk.advance(target)
 
 
 def read_term_postings(
@@ -346,11 +508,7 @@ def read_term_postings(
     first_block = 0
     doc_base = 0
     if target is not None and state.skip_offset is not None:
-        n_points = (df - 1) // BLOCK_SIZE
-        sk = SkipListReader(
-            data, state.doc_start_fp + state.skip_offset, n_points
-        )
-        pt = sk.advance(target)
+        pt = _advance_point(data, state, flags, target)
         if pt is not None:
             first_block = pt.block_index
             doc_base = pt.last_doc
@@ -397,6 +555,101 @@ def read_term_postings(
     return docs, freqs
 
 
+def read_term_positions(
+    pos_data: bytes,
+    state: BlockTermState,
+    freqs: np.ndarray,
+    point: SkipPoint | None = None,
+    _decode_counter: list | None = None,
+) -> list[np.ndarray]:
+    """Per-doc position arrays from a .pos stream. ``freqs`` are the
+    freqs of the docs being decoded — the FULL postings when ``point``
+    is None, or the exact suffix returned by the matching skipped
+    ``read_term_postings`` call (the skip entry's (pos_fp, pos_upto)
+    is the resume state for precisely that suffix's first doc). Packed
+    pos blocks before the resume block are never decoded
+    (``_decode_counter`` proves it, one marker per packed decode)."""
+    ttf = state.total_term_freq
+    n_pblocks = ttf // BLOCK_SIZE
+    tail_start = state.last_pos_block_offset  # None when ttf <= BLOCK
+    if point is None:
+        pos = state.pos_start_fp
+        discard = 0
+    else:
+        if point.pos_fp is None:
+            raise ValueError("skip point carries no position resume state")
+        pos = state.pos_start_fp + point.pos_fp
+        discard = point.pos_upto
+    need = discard + int(np.asarray(freqs, dtype=np.int64).sum())
+    vals: list[np.ndarray] = []
+    got = 0
+    # packed region: bounded by the tail fp when the term has one, by
+    # the block count otherwise (ttf <= BLOCK or exact multiple)
+    decoded_blocks = 0
+    while got < need:
+        rel = pos - state.pos_start_fp
+        in_packed = (
+            rel < tail_start
+            if tail_start is not None
+            else decoded_blocks < n_pblocks and point is None
+        )
+        if not in_packed:
+            break
+        block, pos = pfor_decode_at(pos_data, pos, BLOCK_SIZE)
+        decoded_blocks += 1
+        if _decode_counter is not None:
+            _decode_counter.append(rel)
+        vals.append(block.astype(np.int64))
+        got += BLOCK_SIZE
+    while got < need:
+        v, pos = read_vint(pos_data, pos)
+        vals.append(np.array([v], dtype=np.int64))
+        got += 1
+    flat = (
+        np.concatenate(vals)[discard:need]
+        if vals
+        else np.empty(0, dtype=np.int64)
+    )
+    out: list[np.ndarray] = []
+    at = 0
+    for fr in np.asarray(freqs, dtype=np.int64):
+        run = flat[at : at + int(fr)]
+        out.append(np.cumsum(run))  # per-doc reset: first delta absolute
+        at += int(fr)
+    return out
+
+
+def read_term_postings_and_positions(
+    doc_data: bytes,
+    pos_data: bytes,
+    state: BlockTermState,
+    flags: FieldFlags,
+    target: int | None = None,
+    _pos_decode_counter: list | None = None,
+) -> tuple[np.ndarray, np.ndarray, list[np.ndarray]]:
+    """The composed doc+pos walk: one skip advance shared by both
+    streams (the .doc entry's pos resume fields position the .pos
+    read), returning (docs, freqs, per-doc positions) for the same
+    doc suffix."""
+    if not flags.has_positions:
+        raise ValueError("field has no positions")
+    point = None
+    if target is not None and state.skip_offset is not None:
+        point = _advance_point(doc_data, state, flags, target)
+    docs, freqs = read_term_postings(
+        doc_data,
+        state,
+        flags,
+        # the advance is deterministic: re-running it inside is the
+        # same point; pass target through for the doc-side walk
+        target=target,
+    )
+    positions = read_term_positions(
+        pos_data, state, freqs, point=point, _decode_counter=_pos_decode_counter
+    )
+    return docs, freqs, positions
+
+
 class DocStreamReader:
     """An opened .doc file: header checked exactly as the reference's
     ``create`` does (lucene_84_postings_reader.ml:24-28), then per-term
@@ -415,3 +668,24 @@ class DocStreamReader:
         target: int | None = None,
     ) -> tuple[np.ndarray, np.ndarray | None]:
         return read_term_postings(self.data, state, flags, target=target)
+
+
+class PosStreamReader:
+    """An opened .pos file, header checked against the POS codec — the
+    check the reference MEANS to do at lucene_84_postings_reader.ml:32
+    (its quirk: it verifies the header bytes of doc_in again while
+    holding pos_in; we check the actual pos stream)."""
+
+    def __init__(self, data: bytes, seg_id: bytes):
+        self.data = data
+        check_index_header(
+            DataInput(data), POS_CODEC, 0, 1, seg_id, _SUFFIX
+        )
+
+    def positions(
+        self,
+        state: BlockTermState,
+        freqs: np.ndarray,
+        point: SkipPoint | None = None,
+    ) -> list[np.ndarray]:
+        return read_term_positions(self.data, state, freqs, point=point)

@@ -124,12 +124,18 @@ def _synth_dir(
     seg_id_in_manifest: bytes = SEG_ID,
     blocks: tuple[list, list, list] | None = None,
     doc_bytes: bytes | None = None,
+    pos_bytes: bytes | None = None,
+    flags: FieldFlags = TITLE_FLAGS,
 ) -> str:
     """Write a complete one-segment directory: synthesized segments_1,
     golden _0.si/_0.fnm, synthesized _0_Lucene84_0.{tmd,tim,tip}
-    (+ .doc when given). ``blocks`` overrides the (ap1, ap2, ba) term
-    entries — same term names, different stats/fps — so the postings
-    composition test can point .tim at a real .doc stream."""
+    (+ .doc/.pos when given). ``blocks`` overrides the (ap1, ap2, ba)
+    term entries — same term names, different stats/fps — so the
+    postings composition test can point .tim at a real .doc stream.
+    ``flags`` sets the .tim metadata grammar (a positions composition
+    writes the blocks under positions flags; the golden .fnm has no
+    positions field, so such a test swaps the opened field reader's
+    flags to match)."""
     d = str(tmp_path)
     ap1, ap2, ba = blocks if blocks is not None else (AP1, AP2, BA)
 
@@ -138,7 +144,7 @@ def _synth_dir(
     fps = {}
     for name, block in (("ap1", ap1), ("ap2", ap2), ("ba", ba)):
         fps[name] = len(tim)
-        tim += write_block(block, flags=TITLE_FLAGS)
+        tim += write_block(block, flags=flags)
 
     # index FST over the two block prefixes; "ap" is floored at 'q'
     items = [
@@ -192,6 +198,9 @@ def _synth_dir(
     if doc_bytes is not None:
         with open(os.path.join(d, "_0_Lucene84_0.doc"), "wb") as f:
             f.write(doc_bytes)
+    if pos_bytes is not None:
+        with open(os.path.join(d, "_0_Lucene84_0.pos"), "wb") as f:
+            f.write(pos_bytes)
     return d
 
 

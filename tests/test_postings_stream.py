@@ -19,9 +19,13 @@ from ocaml_lucene_spark.interop.open_index import open_index
 from ocaml_lucene_spark.interop.postings_stream import (
     BLOCK_SIZE,
     DocStreamReader,
+    PosStreamReader,
     SkipListReader,
+    read_term_positions,
     read_term_postings,
+    read_term_postings_and_positions,
     write_doc_stream,
+    write_postings_streams,
 )
 from ocaml_lucene_spark.interop.segment_meta import check_index_header
 from ocaml_lucene_spark.interop.terms_block import (
@@ -245,3 +249,269 @@ def test_open_index_seek_then_postings(tmp_path):
     (_, got, _), = index.postings("title", b"bat", target=target)
     np.testing.assert_array_equal(got, docs[3 * 128 :])
     assert index.postings("title", b"nothere") == []
+
+
+# -- .pos stream: the positions read path (same stub, same model) -----
+
+
+PFLAGS = FieldFlags(has_freqs=True, has_positions=True)
+
+
+def _gen_positions(rng: random.Random, df: int, max_per_doc: int):
+    docs = np.cumsum(
+        [rng.randint(1, 50) for _ in range(df)]
+    ).astype(np.int64)
+    positions = [
+        np.cumsum(
+            [rng.randint(1, 30) for _ in range(rng.randint(1, max_per_doc))]
+        ).astype(np.int64)
+        for _ in range(df)
+    ]
+    return docs, positions
+
+
+def _pos_state(meta: dict, df: int, ttf: int) -> BlockTermState:
+    return BlockTermState(
+        doc_freq=df,
+        total_term_freq=ttf,
+        doc_start_fp=meta["doc_start_fp"],
+        skip_offset=meta["skip_offset"],
+        singleton_doc_id=meta["singleton_doc_id"],
+        pos_start_fp=meta["pos_start_fp"],
+        last_pos_block_offset=meta["last_pos_block_offset"],
+    )
+
+
+@pytest.mark.parametrize(
+    "df,max_per_doc",
+    # shapes: singleton with a multi-block pos stream, tail-only,
+    # exactly one pos block, block+tail, multi-block, skip-listed term
+    [(1, 3), (1, 500), (5, 5), (128, 1), (129, 1), (300, 4), (2000, 6)],
+)
+def test_pos_stream_roundtrip(df, max_per_doc):
+    rng = random.Random(df * 31 + max_per_doc)
+    docs, positions = _gen_positions(rng, df, max_per_doc)
+    doc_b, pos_b, metas = write_postings_streams([(docs, positions)], SEG_ID)
+    check_index_header(
+        DataInput(pos_b), "Lucene84PostingsWriterPos", 0, 1, SEG_ID,
+        b"Lucene84_0",
+    )
+    ttf = sum(len(p) for p in positions)
+    state = _pos_state(metas[0], df, ttf)
+    got_docs, got_freqs = read_term_postings(doc_b, state, PFLAGS)
+    np.testing.assert_array_equal(got_docs, docs)
+    np.testing.assert_array_equal(
+        got_freqs, np.array([len(p) for p in positions], dtype=np.int64)
+    )
+    got_pos = read_term_positions(pos_b, state, got_freqs)
+    assert len(got_pos) == df
+    for g, p in zip(got_pos, positions):
+        np.testing.assert_array_equal(g, p)
+    # the .tim-side contract (terms_enumerator.ml:154-157): the tail fp
+    # is carried exactly when ttf > 128
+    assert (metas[0]["last_pos_block_offset"] is not None) == (ttf > BLOCK_SIZE)
+
+
+def test_pos_exact_block_multiple_has_empty_tail():
+    # ttf = 256 exactly: two packed blocks, empty vint tail; the tail
+    # fp still points at the end of the packed region (ttf > 128)
+    rng = random.Random(4)
+    df = 128
+    docs = np.cumsum([rng.randint(1, 9) for _ in range(df)]).astype(np.int64)
+    positions = [
+        np.cumsum([rng.randint(1, 5), rng.randint(1, 5)]).astype(np.int64)
+        for _ in range(df)
+    ]
+    doc_b, pos_b, metas = write_postings_streams([(docs, positions)], SEG_ID)
+    state = _pos_state(metas[0], df, 256)
+    _, freqs = read_term_postings(doc_b, state, PFLAGS)
+    got = read_term_positions(pos_b, state, freqs)
+    for g, p in zip(got, positions):
+        np.testing.assert_array_equal(g, p)
+
+
+def test_multi_term_pos_fps_are_independent():
+    rng = random.Random(6)
+    terms = [_gen_positions(rng, df, 4) for df in (300, 1, 40, 129)]
+    doc_b, pos_b, metas = write_postings_streams(terms, SEG_ID)
+    for (docs, positions), meta in zip(terms, metas):
+        ttf = sum(len(p) for p in positions)
+        state = _pos_state(meta, len(docs), ttf)
+        got_docs, got_freqs = read_term_postings(doc_b, state, PFLAGS)
+        np.testing.assert_array_equal(got_docs, docs)
+        got_pos = read_term_positions(pos_b, state, got_freqs)
+        for g, p in zip(got_pos, positions):
+            np.testing.assert_array_equal(g, p)
+
+
+def test_pos_skip_resume_never_decodes_earlier_blocks():
+    """The .doc skip entries' (pos_fp, pos_upto) resume state: a
+    targeted doc+pos walk decodes exactly the pos blocks from the
+    resume block on — blocks holding only skipped docs' positions are
+    never touched."""
+    rng = random.Random(42)
+    df = 2000
+    docs, positions = _gen_positions(rng, df, 6)
+    doc_b, pos_b, metas = write_postings_streams([(docs, positions)], SEG_ID)
+    freqs_full = np.array([len(p) for p in positions], dtype=np.int64)
+    ttf = int(freqs_full.sum())
+    state = _pos_state(metas[0], df, ttf)
+    target = int(docs[11 * BLOCK_SIZE + 17])
+    ctr: list = []
+    got_docs, got_freqs, got_pos = read_term_postings_and_positions(
+        doc_b, pos_b, state, PFLAGS, target=target, _pos_decode_counter=ctr
+    )
+    np.testing.assert_array_equal(got_docs, docs[11 * BLOCK_SIZE :])
+    np.testing.assert_array_equal(got_freqs, freqs_full[11 * BLOCK_SIZE :])
+    for g, p in zip(got_pos, positions[11 * BLOCK_SIZE :]):
+        np.testing.assert_array_equal(g, p)
+    # exactness: positions of skipped docs fill floor(skipped/128)
+    # packed blocks that must never decode
+    skipped = int(freqs_full[: 11 * BLOCK_SIZE].sum())
+    expected = ttf // BLOCK_SIZE - skipped // BLOCK_SIZE
+    assert len(ctr) == expected, (len(ctr), expected)
+
+
+def test_pos_skip_resume_fuzz_matches_full_decode():
+    rng = random.Random(9)
+    df = 1500
+    docs, positions = _gen_positions(rng, df, 5)
+    doc_b, pos_b, metas = write_postings_streams([(docs, positions)], SEG_ID)
+    ttf = sum(len(p) for p in positions)
+    state = _pos_state(metas[0], df, ttf)
+    for trial in range(15):
+        i = rng.randrange(df)
+        target = int(docs[i]) + rng.choice([0, 1, -1])
+        got_docs, _, got_pos = read_term_postings_and_positions(
+            doc_b, pos_b, state, PFLAGS, target=target
+        )
+        start = df - len(got_docs)
+        np.testing.assert_array_equal(got_docs, docs[start:], err_msg=f"t{trial}")
+        for g, p in zip(got_pos, positions[start:]):
+            np.testing.assert_array_equal(g, p, err_msg=f"t{trial}")
+
+
+def test_pos_skip_grammar_checks_reject_corruption():
+    # a corrupted pos_fp delta in an upper skip level breaks the
+    # cross-level agreement the reader verifies
+    rng = random.Random(13)
+    df = 9000
+    docs, positions = _gen_positions(rng, df, 2)
+    doc_b, _pos_b, metas = write_postings_streams([(docs, positions)], SEG_ID)
+    skip_pos = metas[0]["doc_start_fp"] + metas[0]["skip_offset"]
+    n_points = (df - 1) // BLOCK_SIZE
+    SkipListReader(doc_b, skip_pos, n_points, has_positions=True)  # clean
+    from ocaml_lucene_spark.codecs.varint import read_vint as _rv
+
+    corrupted = bytearray(doc_b)
+    _ln, p = _rv(corrupted, skip_pos)  # top level length
+    _dd, p = _rv(corrupted, p)  # doc delta
+    _fd, p = _rv(corrupted, p)  # doc fp delta
+    corrupted[p] ^= 0x01  # pos fp delta of the first top-level entry
+    with pytest.raises(ValueError, match="skip level"):
+        SkipListReader(bytes(corrupted), skip_pos, n_points, has_positions=True)
+
+
+def test_pos_writer_rejects_bad_input():
+    with pytest.raises(ValueError, match="position"):
+        write_postings_streams(
+            [(np.array([1, 2]), [np.array([3]), np.array([], dtype=np.int64)])],
+            SEG_ID,
+        )
+    with pytest.raises(ValueError, match="ascending"):
+        write_postings_streams(
+            [(np.array([1, 2]), [np.array([3]), np.array([7, 7])])], SEG_ID
+        )
+    with pytest.raises(ValueError, match="one position array per doc"):
+        write_postings_streams([(np.array([1, 2]), [np.array([3])])], SEG_ID)
+
+
+def test_pos_stream_reader_checks_header():
+    rng = random.Random(2)
+    docs, positions = _gen_positions(rng, 10, 3)
+    doc_b, pos_b, _ = write_postings_streams([(docs, positions)], SEG_ID)
+    PosStreamReader(pos_b, SEG_ID)
+    with pytest.raises(ValueError, match="segment id mismatch"):
+        PosStreamReader(pos_b, bytes(16))
+    # a .doc stream is NOT a .pos stream (codec name mismatch) — the
+    # check the reference means to do at lucene_84_postings_reader.ml:32
+    # but runs against doc_in (its quirk; we check the real stream)
+    with pytest.raises(ValueError, match="codec"):
+        PosStreamReader(doc_b, SEG_ID)
+
+
+def test_positions_require_position_flags():
+    rng = random.Random(3)
+    docs, positions = _gen_positions(rng, 5, 2)
+    doc_b, pos_b, metas = write_postings_streams([(docs, positions)], SEG_ID)
+    state = _pos_state(metas[0], 5, sum(len(p) for p in positions))
+    with pytest.raises(ValueError, match="no positions"):
+        read_term_postings_and_positions(doc_b, pos_b, state, FLAGS)
+
+
+def test_open_index_positions_composed(tmp_path):
+    """seek_exact -> .doc -> .pos over a full directory: the golden
+    .fnm has no positions-enabled field (all DOCS/DOCS_AND_FREQS), so
+    the .tim is written under positions flags and the opened field
+    reader's flags are swapped to match — everything else (golden
+    .si/.fnm, manifest, headers) is the standard composition."""
+    import dataclasses
+
+    rng = random.Random(55)
+    names = [b"apple", b"apply", b"apq", b"apqx", b"bat", b"bats"]
+    dfs = [300, 1, 130, 5, 600, 127]
+    data = {}
+    stream_terms = []
+    for name, df in zip(names, dfs):
+        docs, positions = _gen_positions(rng, df, 4)
+        data[name] = (docs, positions)
+        stream_terms.append((docs, positions))
+    doc_bytes, pos_bytes, metas = write_postings_streams(stream_terms, SEG_ID)
+
+    def entry(i: int, suffix: bytes) -> TermEntry:
+        docs, positions = data[names[i]]
+        return TermEntry(
+            suffix,
+            doc_freq=len(docs),
+            total_term_freq=sum(len(p) for p in positions),
+            doc_start_fp=metas[i]["doc_start_fp"],
+            singleton_doc_id=metas[i]["singleton_doc_id"],
+            skip_offset=metas[i]["skip_offset"],
+            pos_start_fp=metas[i]["pos_start_fp"],
+            last_pos_block_offset=metas[i]["last_pos_block_offset"],
+        )
+
+    blocks = (
+        [entry(0, b"ple"), entry(1, b"ply")],
+        [entry(2, b"q"), entry(3, b"qx")],
+        [entry(4, b"t"), entry(5, b"ts")],
+    )
+    from test_open_index import _synth_dir as synth
+
+    d = synth(
+        tmp_path,
+        blocks=blocks,
+        doc_bytes=doc_bytes,
+        pos_bytes=pos_bytes,
+        flags=PFLAGS,
+    )
+    index = open_index(d)
+    seg = index.segments[0]
+    fr = seg.field_readers["title"]
+    seg.field_readers["title"] = dataclasses.replace(fr, flags=PFLAGS)
+    for name in names:
+        hits = index.positions("title", name)
+        assert len(hits) == 1
+        seg_name, docs, freqs, positions = hits[0]
+        assert seg_name == "_0"
+        exp_docs, exp_pos = data[name]
+        np.testing.assert_array_equal(docs, exp_docs)
+        for g, p in zip(positions, exp_pos):
+            np.testing.assert_array_equal(g, p)
+    # targeted: skip through the 600-doc term, positions aligned
+    docs, exp_pos = data[b"bat"]
+    target = int(docs[3 * 128 + 5])
+    (_, got_docs, _, got_pos), = index.positions("title", b"bat", target=target)
+    np.testing.assert_array_equal(got_docs, docs[3 * 128 :])
+    for g, p in zip(got_pos, exp_pos[3 * 128 :]):
+        np.testing.assert_array_equal(g, p)
