@@ -39,6 +39,7 @@ inspecting real Lucene indexes.
 
 from __future__ import annotations
 
+import functools
 import os
 from dataclasses import dataclass
 
@@ -151,25 +152,40 @@ class SegmentReader:
                 field_info=info, meta=meta, fst=fst, flags=_flags_for(info)
             )
 
-        # .doc postings stream, when present — the reference's create
-        # opens doc_in and checks its header
-        # (lucene_84_postings_reader.ml:24-28) but stubs iteration
-        # (:51-53); interop/postings_stream.py finishes that read path
-        doc_path = os.path.join(dir_path, f"{seg_name}_{_SUFFIX.decode()}.doc")
-        self.doc_reader = (
-            DocStreamReader(load("doc", codec_suffix=True), seg_id)
-            if os.path.exists(doc_path)
-            else None
+        # .doc/.pos postings streams open LAZILY (cached_property
+        # below): they are the bulk of a real segment's bytes, and
+        # open-time cost must stay metadata-sized — a seek_exact-only
+        # session (the reference app's whole surface,
+        # lucene_tools.ml:7-27) never touches them
+        self._dir_path = dir_path
+
+    def _stream_path(self, ext: str) -> str:
+        return os.path.join(
+            self._dir_path, f"{self.seg_name}_{_SUFFIX.decode()}.{ext}"
         )
-        # .pos stream, when present — opened by the reference exactly
-        # when the field infos say has_prox
-        # (lucene_84_postings_reader.ml:29-33), likewise never iterated
-        pos_path = os.path.join(dir_path, f"{seg_name}_{_SUFFIX.decode()}.pos")
-        self.pos_reader = (
-            PosStreamReader(load("pos", codec_suffix=True), seg_id)
-            if os.path.exists(pos_path)
-            else None
-        )
+
+    @functools.cached_property
+    def doc_reader(self) -> DocStreamReader | None:
+        """The .doc stream, read on first postings call — the
+        reference's create opens doc_in and checks its header
+        (lucene_84_postings_reader.ml:24-28) but stubs iteration
+        (:51-53); interop/postings_stream.py finishes that read path."""
+        path = self._stream_path("doc")
+        if not os.path.exists(path):
+            return None
+        with open(path, "rb") as f:
+            return DocStreamReader(f.read(), self.seg_id)
+
+    @functools.cached_property
+    def pos_reader(self) -> PosStreamReader | None:
+        """The .pos stream, read on first positions call — opened by
+        the reference exactly when the field infos say has_prox
+        (lucene_84_postings_reader.ml:29-33), likewise never iterated."""
+        path = self._stream_path("pos")
+        if not os.path.exists(path):
+            return None
+        with open(path, "rb") as f:
+            return PosStreamReader(f.read(), self.seg_id)
 
     def seek_exact(self, field: str, term: bytes) -> BlockTermState | None:
         """terms_enumerator.ml seek_exact: min/max pruning, FST prefix

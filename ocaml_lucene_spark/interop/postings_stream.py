@@ -32,7 +32,10 @@ Grammar (public Lucene 8.4 ``Lucene84PostingsWriter``; BLOCK = 128):
 
 Skip list (MultiLevelSkipListWriter framing; interval 128, level
 multiplier 8, <= 10 levels): one level-0 point per completed block
-(after docs 128, 256, ...), every 8th point promoted one level up.
+that has a SUCCESSOR in the stream — Lucene buffers a block's skip
+point lazily when the next block starts, so the final block never
+gets one and the point count is (df - 1) // 128 on both the write
+and read side. Every 8th point is promoted one level up.
 Levels are written top-down; every level ABOVE 0 is prefixed with a
 vlong byte length; level 0 runs to the end. An entry carries
 ``vint doc-delta`` (last doc id of the covered block, delta within
@@ -222,10 +225,14 @@ def _write_term_docs(
             write_vint(d, out)
     skip_offset = None
     if df > BLOCK_SIZE:
+        # the final block never gets a skip point (Lucene buffers a
+        # point lazily when the NEXT block starts): (df-1)//128 points,
+        # the count the reader derives from doc_freq
+        n_points = (df - 1) // BLOCK_SIZE
         skip_offset = len(out) - start_fp
         out += _write_skip_list(
-            last_docs,
-            block_end_fps,
+            last_docs[:n_points],
+            block_end_fps[:n_points],
             pos_fps=pos_skip[0] if pos_skip else None,
             pos_uptos=pos_skip[1] if pos_skip else None,
         )
@@ -371,6 +378,11 @@ class SkipListReader:
             ln, pos = read_vint(data, pos)
             raw[lvl] = data[pos : pos + ln]
             pos += ln
+        # level 0 has no byte-length prefix: it is bounded by its ENTRY
+        # COUNT (n_points — known from doc_freq), never by end-of-file.
+        # In a multi-term stream the next term's bytes start right after
+        # the last level-0 entry; parsing past the count would read them
+        # as garbage skip entries.
         raw[0] = data[pos:]
         self.n_points = n_points
         self.has_positions = has_positions
@@ -381,13 +393,15 @@ class SkipListReader:
             list[tuple[int, int, int | None, int | None, int | None]]
         ] = []
         self.offsets: list[list[int]] = []
+        self.level_lens: list[int] = []
         for lvl in range(n_levels):
             buf = raw[lvl]
+            expected = n_points // (SKIP_MULTIPLIER ** lvl)
             p = 0
             doc = fp = pos_fp = 0
             ents: list[tuple[int, int, int | None, int | None, int | None]] = []
             offs: list[int] = []
-            while p < len(buf):
+            while len(ents) < expected:
                 offs.append(p)
                 dd, p = read_vint(buf, p)
                 fd, p = read_vint(buf, p)
@@ -406,8 +420,18 @@ class SkipListReader:
                 ents.append(
                     (doc, fp, pos_fp if has_positions else None, pos_upto, child)
                 )
+            if lvl > 0 and p != len(buf):
+                raise ValueError(
+                    f"skip level {lvl}: {len(buf) - p} bytes past the "
+                    f"last of {expected} entries"
+                )
             self.entries.append(ents)
             self.offsets.append(offs)
+            # true byte length of this level's entries (for level 0,
+            # raw[0] runs to end-of-file — only the parsed prefix is
+            # skip data; an exhausted-lower-level child pointer from
+            # the level above equals THIS length)
+            self.level_lens.append(p)
         # grammar checks: level L entry j == level 0 entry (j+1)*8^L - 1,
         # and child pointers hit entry boundaries of the level below
         for lvl in range(1, n_levels):
@@ -421,7 +445,7 @@ class SkipListReader:
                         f"skip level {lvl} entry {j} disagrees with level 0"
                     )
                 below_offs = self.offsets[lvl - 1]
-                if child not in below_offs and child != len(raw[lvl - 1]):
+                if child not in below_offs and child != self.level_lens[lvl - 1]:
                     raise ValueError(
                         f"skip level {lvl} entry {j}: child pointer "
                         f"{child} is not an entry boundary"
@@ -480,12 +504,16 @@ def _advance_point(
     return sk.advance(target)
 
 
+_UNRESOLVED = object()  # sentinel: "advance not yet computed"
+
+
 def read_term_postings(
     data: bytes,
     state: BlockTermState,
     flags: FieldFlags,
     target: int | None = None,
     _decode_counter: list | None = None,
+    _point=_UNRESOLVED,
 ) -> tuple[np.ndarray, np.ndarray | None]:
     """Decode one term's postings from a .doc stream (header already
     framed; fps in ``state`` are absolute file positions). With
@@ -508,7 +536,13 @@ def read_term_postings(
     first_block = 0
     doc_base = 0
     if target is not None and state.skip_offset is not None:
-        pt = _advance_point(data, state, flags, target)
+        # a caller that already advanced (the composed doc+pos walk)
+        # passes its point through; otherwise compute it here
+        pt = (
+            _advance_point(data, state, flags, target)
+            if _point is _UNRESOLVED
+            else _point
+        )
         if pt is not None:
             first_block = pt.block_index
             doc_base = pt.last_doc
@@ -640,9 +674,10 @@ def read_term_postings_and_positions(
         doc_data,
         state,
         flags,
-        # the advance is deterministic: re-running it inside is the
-        # same point; pass target through for the doc-side walk
         target=target,
+        # ONE advance shared by both streams: the resolved point feeds
+        # the doc-side walk directly (no second skip-list parse)
+        _point=point,
     )
     positions = read_term_positions(
         pos_data, state, freqs, point=point, _decode_counter=_pos_decode_counter

@@ -271,24 +271,45 @@ def sniff_format(blob: bytes) -> str | None:
     return None
 
 
+# DIB header sizes a real BMP can carry (BITMAPCOREHEADER through
+# BITMAPV5HEADER) — rejecting other values is what keeps arbitrary
+# "BM"-prefixed bytes (text, other formats) from probing to garbage
+_BMP_DIB_SIZES = frozenset({12, 16, 40, 52, 56, 64, 108, 124})
+_MAX_PROBE_DIM = 1 << 20  # dims past 2^20 px/side are corrupt headers
+
+
+def _plausible(w: int, h: int) -> tuple[int, int] | None:
+    return (w, h) if 0 < w <= _MAX_PROBE_DIM and 0 < h <= _MAX_PROBE_DIM else None
+
+
 def probe_dims(blob: bytes) -> tuple[int, int] | None:
     """(width, height) from fixed header offsets without decoding
-    pixels — the metadata-pass primitive."""
+    pixels — the metadata-pass primitive. TOTAL: returns None (never
+    raises) on short, truncated, or implausible headers, so a batch
+    probe over arbitrary blobs can't abort a Spark task."""
     fmt = sniff_format(blob)
     if fmt == "png":
-        if blob[12:16] != b"IHDR":
+        if len(blob) < 24 or blob[12:16] != b"IHDR":
             return None
         w, h = struct.unpack(">II", blob[16:24])
-        return w, h
+        return _plausible(w, h)
     if fmt == "bmp":
-        w, h = struct.unpack("<ii", blob[18:26])
-        return w, abs(h)
+        if len(blob) < 26:
+            return None
+        dib = struct.unpack("<I", blob[14:18])[0]
+        if dib not in _BMP_DIB_SIZES:
+            return None
+        if dib == 12:  # BITMAPCOREHEADER: uint16 dims
+            w, h = struct.unpack("<HH", blob[18:22])
+        else:
+            w, h = struct.unpack("<ii", blob[18:26])
+        return _plausible(w, abs(h))
     if fmt == "ppm":
         try:
             w, h, _, _ = decode_ppm_header_only(blob)
         except (ValueError, IndexError):
             return None
-        return w, h
+        return _plausible(w, h)
     return None
 
 

@@ -27,11 +27,28 @@ profile as a vision-encoder call).
 
 from __future__ import annotations
 
+import struct
+import zlib
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
 from .image_codecs import decode_image, probe_dims, sniff_format
+
+# everything a malformed-but-magic-matching blob can raise out of the
+# stdlib codecs: corrupt DEFLATE (zlib.error), truncated fixed-offset
+# slices (struct.error / IndexError), payload/size mismatches
+# (ValueError), and the marked JPEG/WebP/video integration point
+# (NotImplementedError) — an undecodable row must drop, never abort
+# the Spark task
+_DECODE_ERRORS = (
+    NotImplementedError,
+    ValueError,
+    IndexError,
+    struct.error,
+    zlib.error,
+)
 
 MEDIA_SCHEMA = (
     "media_id long, kind string, width int, height int, n_frames int, "
@@ -263,7 +280,7 @@ def byte_histogram_features(
                     continue
                 try:
                     _, _, _, px = decode_image(b)
-                except (NotImplementedError, ValueError):
+                except _DECODE_ERRORS:
                     continue
                 idxs.append(int(i))
                 bufs.append(px.tobytes())

@@ -142,6 +142,75 @@ def test_decode_image_dispatch_and_probe():
     assert probe_dims(b"garbage") is None
 
 
+def _corrupt_idat_png(px) -> bytes:
+    """A PNG whose chunk CRCs all verify but whose IDAT payload is not
+    a DEFLATE stream — decode_png gets past the CRC check and zlib
+    raises."""
+    blob = bytes(encode_png(px))
+    pos = len(b"\x89PNG\r\n\x1a\n")
+    out = bytearray(blob[:pos])
+    while pos < len(blob):
+        (ln,) = struct.unpack(">I", blob[pos : pos + 4])
+        ctype = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + ln]
+        if ctype == b"IDAT":
+            data = b"\xff" * ln  # not zlib; CRC recomputed below
+        out += struct.pack(">I", len(data)) + ctype + data
+        out += struct.pack(">I", zlib.crc32(ctype + data))
+        pos += 12 + ln
+    return bytes(out)
+
+
+def test_probe_dims_is_total_on_hostile_blobs():
+    """probe_dims never raises and never reports garbage dims: short
+    'BM' blobs used to struct.error out of a Spark task, and longer
+    BM-prefixed TEXT probed to ~1.7e9-wide 'images' before the DIB
+    header-size check existed."""
+    hostile = [
+        b"",
+        b"B",
+        b"BM",
+        b"BM123456789",  # short: old code raised struct.error
+        b"BMW is a car maker, not an image format, but it starts BM",
+        b"P6 garbage that is not a header",
+        b"\x89PNG\r\n\x1a\n",  # bare signature, no IHDR
+        b"\x89PNG\r\n\x1a\n" + b"\x00" * 8 + b"IHDR" + b"\x00" * 4,  # short IHDR
+        b"P6\n999999999 2\n255\n" + b"\x00" * 16,  # implausible width
+    ]
+    for blob in hostile:
+        assert probe_dims(blob) is None, blob[:20]
+    # plausibility bound: a CRC-clean header claiming absurd dims is
+    # a corrupt header, not a 2-gigapixel-wide image
+    huge = bytearray(encode_png(_px(2, 2, 3)))
+    huge[16:20] = struct.pack(">I", 1 << 30)  # width field
+    assert probe_dims(bytes(huge)) is None
+
+
+def test_probe_dims_bmp_core_header():
+    # BITMAPCOREHEADER (DIB size 12, uint16 dims) probes correctly
+    blob = (
+        b"BM" + struct.pack("<IHHI", 26 + 6, 0, 0, 26)
+        + struct.pack("<IHHHH", 12, 3, 2, 1, 24) + b"\x00" * 6
+    )
+    assert probe_dims(blob) == (3, 2)
+
+
+def test_decode_errors_cover_stdlib_codec_failures():
+    """Every exception a magic-matching but malformed blob raises out
+    of decode_image is in multimodal._DECODE_ERRORS — the contract that
+    keeps byte_histogram_features dropping rows instead of aborting
+    Spark tasks."""
+    bad = [
+        _corrupt_idat_png(_px(4, 4, 3)),  # valid CRCs, corrupt DEFLATE
+        bytes(encode_png(_px(4, 4, 3)))[:20],  # truncated mid-IHDR
+        b"BM" + b"\x00" * 10,  # truncated BMP header
+        b"P6\n4 4\n255\n" + b"\x00" * 5,  # PPM payload too short
+    ]
+    for blob in bad:
+        with pytest.raises(mm._DECODE_ERRORS):
+            decode_image(blob)
+
+
 # ------------------------------------------ Spark passes, real bytes
 
 
@@ -156,6 +225,11 @@ def mixed_media_df(spark):
         (2, bytes(encode_bmp(bmp_px))),
         (3, bytes(encode_ppm(ppm_px))),
         (4, b"\xff\xd8\xff\xe0 jpeg-ish garbage"),
+        # hostile rows: BM-prefixed text (old probe crashed or reported
+        # garbage dims) and a CRC-valid PNG with corrupt DEFLATE (old
+        # feature pass let zlib.error abort the task)
+        (5, b"BMW is a car maker, not an image format"),
+        (6, _corrupt_idat_png(_px(4, 4, 3))),
     ]
     df = spark.createDataFrame(rows, "media_id long, blob binary")
     return df, {1: png_px, 2: bmp_px, 3: ppm_px}
@@ -170,6 +244,11 @@ def test_media_metadata_real_formats(spark, mixed_media_df):
     assert got[2].valid and (got[2].width, got[2].height) == (5, 8)
     assert got[3].valid and (got[3].width, got[3].height) == (6, 4)
     assert got[4].valid is False and got[4].kind == "unknown"
+    # BM-prefixed text must not probe to garbage dims (or crash)
+    assert got[5].valid is False and got[5].width == 0
+    # corrupt IDAT: the header probe still reads IHDR dims (valid
+    # header, undecodable payload — the feature pass is what drops it)
+    assert (got[6].width, got[6].height) == (4, 4)
 
 
 def test_features_over_real_png(spark, mixed_media_df):
@@ -179,6 +258,8 @@ def test_features_over_real_png(spark, mixed_media_df):
         for r in mm.byte_histogram_features(df, n_bins=64).collect()
     }
     assert 4 not in feats  # undecodable stays out
+    assert 5 not in feats  # BM-prefixed text: not an image
+    assert 6 not in feats  # zlib.error from corrupt IDAT: row drops, task lives
     for mid in (1, 2, 3):
         px = pixels[mid].ravel()
         want, _ = np.histogram(px, bins=64, range=(0, 256))

@@ -23,6 +23,7 @@ import os
 import sys
 from pathlib import Path
 
+import numpy as np
 import pytest
 
 from ocaml_lucene_spark.interop.fst_writer import write_reversed_fst
@@ -233,6 +234,28 @@ def test_open_index_misses_and_pruning(tmp_path):
         index.seek_exact("id", b"x")
     with pytest.raises(KeyError):
         index.seek_exact("no_such_field", b"x")
+
+
+def test_open_index_postings_streams_open_lazily(tmp_path):
+    """Open-time cost stays metadata-sized: the .doc/.pos streams (the
+    bulk of a real segment's bytes) are read only on first postings/
+    positions access — a seek_exact-only session (the reference app's
+    whole surface, lucene_tools.ml:7-27) never loads them."""
+    import ocaml_lucene_spark.interop.postings_stream as ps
+
+    docs = np.arange(1, 11, dtype=np.int64) * 3
+    freqs = np.ones(10, dtype=np.int64)
+    doc_bytes, _metas = ps.write_doc_stream([(docs, freqs)], SEG_ID)
+    d = _synth_dir(tmp_path, doc_bytes=doc_bytes)
+    index = open_index(d)
+    seg = index.segments[0]
+    # cached_property materializes into the instance dict on first use
+    assert "doc_reader" not in seg.__dict__ and "pos_reader" not in seg.__dict__
+    index.seek_exact("title", b"apple")
+    assert "doc_reader" not in seg.__dict__
+    assert seg.doc_reader is not None  # first touch reads the file
+    assert "doc_reader" in seg.__dict__
+    assert seg.pos_reader is None  # no .pos file in this directory
 
 
 def test_open_index_rejects_segment_id_mismatch(tmp_path):

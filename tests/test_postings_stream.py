@@ -63,8 +63,12 @@ def _state(meta: dict, docs, freqs, flags=FLAGS) -> BlockTermState:
 
 @pytest.mark.parametrize(
     "df",
-    [1, 2, 5, 127, 128, 129, 300, 600, 2000, 9000],
-    # 9000 docs = 70 skip points -> a 2-level list; 2000 -> 15 points
+    [1, 2, 5, 127, 128, 129, 256, 300, 600, 1024, 2000, 8192, 9000],
+    # 9000 docs = 70 skip points -> a 2-level list; 2000 -> 15 points.
+    # 256/1024/8192 pin the EXACT-multiple-of-128 contract: the final
+    # block has no skip point, so the counts are 1/7/63 — NOT 2/8/64
+    # (8 and 64 cross a power-of-8 and would change the level count,
+    # desyncing writer and reader; regression for that bug)
 )
 def test_doc_stream_roundtrip(df):
     rng = random.Random(df)
@@ -154,6 +158,71 @@ def test_skip_advance_multi_level_fuzz():
         if target <= int(docs[-1]):
             j = int(np.searchsorted(got_docs, target))
             assert int(got_docs[j]) >= target
+
+
+@pytest.mark.parametrize("df", [1024, 8192])
+def test_skip_advance_exact_block_multiple(df):
+    """df an exact multiple of 128 whose block count crosses a power
+    of 8 (1024 -> 8 blocks, 8192 -> 64): the final block carries no
+    skip point, so the reader's (df-1)//128 sizing matches the writer.
+    Targeted reads — including past the last skip point — must return
+    the exact block-aligned suffix (the old writer emitted df//128
+    points here, which flipped the level count and made every targeted
+    read misparse)."""
+    rng = random.Random(df)
+    docs, freqs = _gen_postings(rng, df)
+    data, metas = write_doc_stream([(docs, freqs)], SEG_ID)
+    state = _state(metas[0], docs, freqs)
+    n_blocks = df // BLOCK_SIZE
+    for i in (0, 5, df // 2, df - 129, df - 1):
+        target = int(docs[i])
+        got_docs, got_freqs = read_term_postings(data, state, FLAGS, target=target)
+        first_block = 0
+        while (
+            first_block < n_blocks - 1
+            and int(docs[(first_block + 1) * BLOCK_SIZE - 1]) < target
+        ):
+            first_block += 1
+        np.testing.assert_array_equal(got_docs, docs[first_block * BLOCK_SIZE :])
+        np.testing.assert_array_equal(got_freqs, freqs[first_block * BLOCK_SIZE :])
+
+
+def test_skip_advance_mid_stream_term():
+    """The level-0 bound: a term's skip list is bounded by its ENTRY
+    COUNT, never end-of-file. For a term followed by more terms in the
+    same .doc stream, a targeted read past its last skip point must not
+    parse the next term's bytes as skip entries (the old reader ran
+    level 0 to EOF and silently returned garbage doc ids here)."""
+    rng = random.Random(17)
+    terms = [_gen_postings(rng, df) for df in (300, 400, 1024, 600)]
+    data, metas = write_doc_stream(terms, SEG_ID)
+    for (docs, freqs), meta in zip(terms, metas):
+        df = len(docs)
+        state = _state(meta, docs, freqs)
+        n_blocks = df // BLOCK_SIZE
+        # targets landing in every block, incl. the last doc (past the
+        # final skip point) and beyond the term entirely
+        targets = [int(docs[b * BLOCK_SIZE]) for b in range(n_blocks)]
+        targets += [int(docs[-1]), int(docs[-1]) + 1]
+        for target in targets:
+            got_docs, got_freqs = read_term_postings(
+                data, state, FLAGS, target=target
+            )
+            first_block = 0
+            while (
+                first_block < n_blocks
+                and (first_block + 1) * BLOCK_SIZE <= df
+                and int(docs[(first_block + 1) * BLOCK_SIZE - 1]) < target
+            ):
+                first_block += 1
+            first_block = min(first_block, max(n_blocks - 1, 0) if df % BLOCK_SIZE == 0 else n_blocks)
+            np.testing.assert_array_equal(
+                got_docs, docs[first_block * BLOCK_SIZE :],
+                err_msg=f"df={df} target={target}",
+            )
+            np.testing.assert_array_equal(
+                got_freqs, freqs[first_block * BLOCK_SIZE :]
+            )
 
 
 def test_skip_list_grammar_checks_reject_corruption():
@@ -370,6 +439,32 @@ def test_pos_skip_resume_never_decodes_earlier_blocks():
     skipped = int(freqs_full[: 11 * BLOCK_SIZE].sum())
     expected = ttf // BLOCK_SIZE - skipped // BLOCK_SIZE
     assert len(ctr) == expected, (len(ctr), expected)
+
+
+def test_composed_walk_parses_skip_list_once(monkeypatch):
+    """read_term_postings_and_positions shares ONE skip advance across
+    both streams: exactly one SkipListReader is constructed per
+    targeted lookup (the advance is O(df/128) vint parsing — paying it
+    twice doubled every positions lookup)."""
+    import ocaml_lucene_spark.interop.postings_stream as ps
+
+    rng = random.Random(8)
+    df = 1500
+    docs, positions = _gen_positions(rng, df, 4)
+    doc_b, pos_b, metas = write_postings_streams([(docs, positions)], SEG_ID)
+    ttf = sum(len(p) for p in positions)
+    state = _pos_state(metas[0], df, ttf)
+    calls = []
+    real = ps.SkipListReader
+
+    def counting(*args, **kwargs):
+        calls.append(1)
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(ps, "SkipListReader", counting)
+    target = int(docs[5 * BLOCK_SIZE + 3])
+    read_term_postings_and_positions(doc_b, pos_b, state, PFLAGS, target=target)
+    assert len(calls) == 1
 
 
 def test_pos_skip_resume_fuzz_matches_full_decode():
