@@ -54,8 +54,10 @@ from .segment_meta import (
 )
 from .postings_stream import (
     DocStreamReader,
+    PayStreamReader,
     PosStreamReader,
     read_term_postings_and_positions,
+    read_term_postings_positions_payloads,
 )
 from .segments_manifest import read_latest
 from .terms_block import BlockTermState, FieldFlags, read_block, seek_exact_in_block
@@ -187,6 +189,17 @@ class SegmentReader:
         with open(path, "rb") as f:
             return PosStreamReader(f.read(), self.seg_id)
 
+    @functools.cached_property
+    def pay_reader(self) -> PayStreamReader | None:
+        """The .pay stream, read on first payloads/offsets call — the
+        third file the reference's create opens
+        (lucene_84_postings_reader.ml:36-44) and never reads."""
+        path = self._stream_path("pay")
+        if not os.path.exists(path):
+            return None
+        with open(path, "rb") as f:
+            return PayStreamReader(f.read(), self.seg_id)
+
     def seek_exact(self, field: str, term: bytes) -> BlockTermState | None:
         """terms_enumerator.ml seek_exact: min/max pruning, FST prefix
         walk, build_output, find_block on the char after the prefix,
@@ -295,6 +308,41 @@ class LuceneIndex:
                 target=target,
             )
             out.append((seg.seg_name, docs, freqs, positions))
+        return out
+
+    def positions_with_payloads(
+        self, field: str, term: bytes, target: int | None = None
+    ):
+        """(seg_name, doc_ids, freqs, per-doc positions, per-doc
+        payloads | None, per-doc (starts, ends) offsets | None) per
+        matching segment: the full three-stream walk over the .pay
+        file the reference opens but never reads
+        (lucene_84_postings_reader.ml:36-44), one shared skip
+        advance."""
+        out = []
+        for seg in self.segments:
+            state = seg.seek_exact(field, term)
+            if state is None:
+                continue
+            if (
+                seg.doc_reader is None
+                or seg.pos_reader is None
+                or seg.pay_reader is None
+            ):
+                raise FileNotFoundError(
+                    f"segment {seg.seg_name} lacks a .doc/.pos/.pay stream"
+                )
+            out.append(
+                (seg.seg_name,)
+                + read_term_postings_positions_payloads(
+                    seg.doc_reader.data,
+                    seg.pos_reader.data,
+                    seg.pay_reader.data,
+                    state,
+                    seg.field_readers[field].flags,
+                    target=target,
+                )
+            )
         return out
 
 

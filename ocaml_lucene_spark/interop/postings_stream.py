@@ -63,10 +63,37 @@ quirk, and likewise never iterates):
   same condition terms_block decode/encode pins from
   terms_enumerator.ml:154-157) is the fp of the vint tail relative
   to ``pos_start_fp``.
-- payload/offset interleaving (fields with has_payloads/has_offsets
-  and the ``.pay`` file) is out of scope: the reference only opens
-  ``.pay`` and never defines read semantics; the engine's own format
-  carries offsets (docs/SEGMENT_FORMAT.md).
+``.pay`` stream (codec ``Lucene84PostingsWriterPay`` — the third and
+last file the reference's ``create`` opens,
+lucene_84_postings_reader.ml:36-44, under its has_prox quirk and its
+header-check-on-doc_in quirk; content read semantics were never
+defined there — this module finishes them from the public Lucene 8.4
+``Lucene84PostingsWriter`` grammar, pinned by writer->reader
+round-trips like the .doc/.pos paths):
+
+- per term with payloads and/or offsets, starting at the term state's
+  ``pay_start_fp`` (delta-chained through .tim exactly when the field
+  has_positions and (has_payloads or has_offsets) —
+  terms_block.decode_metadata), one RECORD per FULL .pos block, in
+  block order:
+  - if has_payloads: a PFOR block of the 128 payload lengths, a
+    ``vint total_bytes``, then the block's payload bytes concatenated
+    raw;
+  - if has_offsets: a PFOR block of the 128 offset START DELTAS
+    (start - previous start, resetting per doc like positions) then a
+    PFOR block of the 128 offset LENGTHS (end - start).
+- TAIL positions (the ttf % 128 leftovers) carry their payload/offset
+  data inline in the .pos vint tail instead (see below) — the .pay
+  stream holds full-block records only.
+
+With payloads/offsets the .pos vint tail interleaves, per position:
+``vint (pos_delta << 1 | len_changed)`` (+ ``vint payload_len`` when
+changed, then the payload bytes raw) when has_payloads — the
+last-length chain resets at tail start so the first tail position
+always carries its length; then ``vint (start_delta << 1 |
+olen_changed)`` (+ ``vint offset_len`` when changed) when
+has_offsets. Without payloads the position vint is the plain
+``vint pos_delta`` grammar above.
 
 When the field has positions, every skip entry additionally carries
 (in Lucene84SkipWriter's field order, between the doc fp and the
@@ -74,7 +101,12 @@ impact placeholder) a ``vint pos-fp-delta`` (bytes from the previous
 point at this level to the pos-stream resume fp) and an absolute
 ``vint pos-buffer-upto`` (values already consumed inside the resume
 block) — exactly the state a reader needs to resume position decoding
-at a skipped-to doc block without touching earlier pos blocks.
+at a skipped-to doc block without touching earlier pos blocks. With
+payloads/offsets two more fields follow (same Lucene84SkipWriter
+order): an absolute ``vint payload-byte-upto`` (payload bytes already
+consumed inside the resume block's raw-bytes region; present only
+when has_payloads) and a ``vint pay-fp-delta`` (bytes from the
+previous point at this level to the .pay resume record).
 
 Driver-side, metadata-sized reads plus O(df/128) block decodes — the
 same access pattern Lucene pays; nothing here sits on a Spark per-row
@@ -100,6 +132,7 @@ SKIP_MULTIPLIER = 8
 MAX_SKIP_LEVELS = 10
 DOC_CODEC = "Lucene84PostingsWriterDoc"
 POS_CODEC = "Lucene84PostingsWriterPos"
+PAY_CODEC = "Lucene84PostingsWriterPay"
 _SUFFIX = b"Lucene84_0"
 
 
@@ -131,6 +164,9 @@ def _write_skip_list(
     block_end_fps: list[int],
     pos_fps: list[int] | None = None,
     pos_uptos: list[int] | None = None,
+    pay_fps: list[int] | None = None,
+    pay_uptos: list[int] | None = None,
+    has_payloads: bool = False,
 ) -> bytes:
     """Level buffers built bottom-up (child pointers into the
     just-written level below), emitted top-down with vlong length
@@ -155,6 +191,7 @@ def _write_skip_list(
         prev_doc = 0
         prev_fp = 0
         prev_pos_fp = 0
+        prev_pay_fp = 0
         for j, i in enumerate(range(step - 1, len(last_docs), step)):
             offsets.append(len(buf))
             write_vint(last_docs[i] - prev_doc, buf)
@@ -163,6 +200,11 @@ def _write_skip_list(
                 write_vint(pos_fps[i] - prev_pos_fp, buf)
                 write_vint(pos_uptos[i], buf)
                 prev_pos_fp = pos_fps[i]
+                if pay_fps is not None:
+                    if has_payloads:
+                        write_vint(pay_uptos[i], buf)
+                    write_vint(pay_fps[i] - prev_pay_fp, buf)
+                    prev_pay_fp = pay_fps[i]
             write_vint(0, buf)  # impact bytes placeholder (see module doc)
             if lvl > 0:
                 below = entry_offsets[lvl - 1]
@@ -191,10 +233,13 @@ def _write_term_docs(
     f: np.ndarray,
     has_freqs: bool,
     pos_skip: tuple[list[int], list[int]] | None,
+    pay_skip: tuple[list[int], list[int]] | None = None,
+    has_payloads: bool = False,
 ) -> dict:
     """One term's .doc bytes: blocks, vint tail, skip list. ``pos_skip``
     (per level-0 point (pos_fp, pos_upto) columns, fields with
-    positions) rides into the skip entries."""
+    positions) and ``pay_skip`` ((pay_fp, pay_upto) columns, fields
+    with payloads/offsets) ride into the skip entries."""
     df = int(docs.size)
     if df == 1:
         return {
@@ -235,6 +280,9 @@ def _write_term_docs(
             block_end_fps[:n_points],
             pos_fps=pos_skip[0] if pos_skip else None,
             pos_uptos=pos_skip[1] if pos_skip else None,
+            pay_fps=pay_skip[0] if pay_skip else None,
+            pay_uptos=pay_skip[1] if pay_skip else None,
+            has_payloads=has_payloads,
         )
     return {
         "doc_start_fp": start_fp,
@@ -339,6 +387,173 @@ def write_postings_streams(
     return bytes(doc_out), bytes(pos_out), metas
 
 
+def write_postings_streams_full(
+    terms: list[tuple],
+    seg_id: bytes,
+    has_payloads: bool = True,
+    has_offsets: bool = True,
+) -> tuple[bytes, bytes, bytes, list[dict]]:
+    """Grammar-inverse writer for a field with positions AND
+    payloads/offsets: per-term ``(sorted doc_ids, per-doc ascending
+    position arrays, per-doc payload lists (one bytes per position; or
+    None), per-doc (starts, ends) offset arrays (or None))`` to .doc,
+    .pos, and .pay streams. Returns (doc_bytes, pos_bytes, pay_bytes,
+    per-term metas incl. pay_start_fp — the field .tim carries exactly
+    when has_positions and (has_payloads or has_offsets),
+    terms_block.decode_metadata)."""
+    if not (has_payloads or has_offsets):
+        raise ValueError("use write_postings_streams for plain positions")
+    doc_out = bytearray()
+    pos_out = bytearray()
+    pay_out = bytearray()
+    _write_header(doc_out, seg_id)
+    _write_header(pos_out, seg_id, POS_CODEC)
+    _write_header(pay_out, seg_id, PAY_CODEC)
+    metas = []
+    for doc_ids, positions, payloads, offsets in terms:
+        docs = np.asarray(doc_ids, dtype=np.int64)
+        if docs.size and np.any(np.diff(docs) <= 0):
+            raise ValueError("doc ids must be strictly ascending")
+        if len(positions) != docs.size:
+            raise ValueError("one position array per doc required")
+        if has_payloads and (
+            payloads is None
+            or len(payloads) != docs.size
+            or any(len(pl) != len(p) for pl, p in zip(payloads, positions))
+        ):
+            raise ValueError("one payload per position required")
+        if has_offsets and (
+            offsets is None or len(offsets) != docs.size
+        ):
+            raise ValueError("one (starts, ends) pair per doc required")
+
+        # flatten, per-doc delta chains resetting like positions
+        delta_runs = []
+        sdelta_runs = []
+        olen_runs = []
+        for d, p in enumerate(positions):
+            p = np.asarray(p, dtype=np.int64)
+            if p.size == 0:
+                raise ValueError("every doc needs >= 1 position")
+            if p[0] < 0 or np.any(np.diff(p) <= 0):
+                raise ValueError("positions must be ascending and >= 0")
+            delta_runs.append(np.diff(p, prepend=np.int64(0)))
+            if has_offsets:
+                starts = np.asarray(offsets[d][0], dtype=np.int64)
+                ends = np.asarray(offsets[d][1], dtype=np.int64)
+                if starts.size != p.size or ends.size != p.size:
+                    raise ValueError("one offset pair per position required")
+                if starts.size and (
+                    starts[0] < 0
+                    or np.any(np.diff(starts) < 0)
+                    or np.any(ends < starts)
+                ):
+                    raise ValueError(
+                        "offset starts must be non-decreasing >= 0, end >= start"
+                    )
+                sdelta_runs.append(np.diff(starts, prepend=np.int64(0)))
+                olen_runs.append(ends - starts)
+        f = np.array([r.size for r in delta_runs], dtype=np.int64)
+        flat = np.concatenate(delta_runs)
+        ttf = int(flat.size)
+        flat_sdelta = np.concatenate(sdelta_runs) if has_offsets else None
+        flat_olen = np.concatenate(olen_runs) if has_offsets else None
+        flat_pay: list[bytes] = (
+            [bytes(b) for pl in payloads for b in pl] if has_payloads else []
+        )
+        flat_plen = (
+            np.array([len(b) for b in flat_pay], dtype=np.int64)
+            if has_payloads
+            else np.zeros(ttf, dtype=np.int64)
+        )
+        cum_plen = np.concatenate(
+            [np.zeros(1, dtype=np.int64), np.cumsum(flat_plen)]
+        )
+
+        pos_start_fp = len(pos_out)
+        pay_start_fp = len(pay_out)
+        n_pblocks = ttf // BLOCK_SIZE
+        pblock_end_fps = []
+        pay_record_fps = []  # start of pay record b, rel pay_start_fp
+        for b in range(n_pblocks):
+            sl = slice(b * BLOCK_SIZE, (b + 1) * BLOCK_SIZE)
+            pos_out += pfor_encode(flat[sl].astype(np.uint64))
+            pblock_end_fps.append(len(pos_out) - pos_start_fp)
+            pay_record_fps.append(len(pay_out) - pay_start_fp)
+            if has_payloads:
+                pay_out += pfor_encode(flat_plen[sl].astype(np.uint64))
+                total = int(flat_plen[sl].sum())
+                write_vint(total, pay_out)
+                pay_out += b"".join(
+                    flat_pay[b * BLOCK_SIZE : (b + 1) * BLOCK_SIZE]
+                )
+            if has_offsets:
+                pay_out += pfor_encode(flat_sdelta[sl].astype(np.uint64))
+                pay_out += pfor_encode(flat_olen[sl].astype(np.uint64))
+        packed_pay_end = len(pay_out) - pay_start_fp
+        tail_fp = len(pos_out) - pos_start_fp
+        last_plen = -1
+        last_olen = -1
+        for i in range(n_pblocks * BLOCK_SIZE, ttf):
+            d = int(flat[i])
+            if has_payloads:
+                plen = int(flat_plen[i])
+                if plen == last_plen:
+                    write_vint(d << 1, pos_out)
+                else:
+                    write_vint((d << 1) | 1, pos_out)
+                    write_vint(plen, pos_out)
+                    last_plen = plen
+                pos_out += flat_pay[i]
+            else:
+                write_vint(d, pos_out)
+            if has_offsets:
+                sd = int(flat_sdelta[i])
+                ol = int(flat_olen[i])
+                if ol == last_olen:
+                    write_vint(sd << 1, pos_out)
+                else:
+                    write_vint((sd << 1) | 1, pos_out)
+                    write_vint(ol, pos_out)
+                    last_olen = ol
+        last_pos_block_offset = tail_fp if ttf > BLOCK_SIZE else None
+
+        # per level-0 doc-skip point: pos + pay resume state
+        cum_pos = np.cumsum(f)
+        pos_fps: list[int] = []
+        pos_uptos: list[int] = []
+        pay_fps: list[int] = []
+        pay_uptos: list[int] = []
+        for i in range(docs.size // BLOCK_SIZE):
+            consumed = int(cum_pos[(i + 1) * BLOCK_SIZE - 1])
+            full = consumed // BLOCK_SIZE
+            upto = consumed % BLOCK_SIZE
+            pos_fps.append(pblock_end_fps[full - 1] if full else 0)
+            pos_uptos.append(upto)
+            if full < n_pblocks:
+                pay_fps.append(pay_record_fps[full])
+                # payload bytes already consumed inside the resume
+                # record's raw region
+                base = int(cum_plen[full * BLOCK_SIZE])
+                pay_uptos.append(int(cum_plen[full * BLOCK_SIZE + upto]) - base)
+            else:
+                # resume lands in the vint tail: payloads are inline
+                # there, no pay record is partially consumed
+                pay_fps.append(packed_pay_end)
+                pay_uptos.append(0)
+
+        meta = _write_term_docs(
+            doc_out, docs, f, True,
+            (pos_fps, pos_uptos), (pay_fps, pay_uptos),
+            has_payloads=has_payloads,
+        )
+        meta["pos_start_fp"] = pos_start_fp
+        meta["last_pos_block_offset"] = last_pos_block_offset
+        meta["pay_start_fp"] = pay_start_fp
+        metas.append(meta)
+    return bytes(doc_out), bytes(pos_out), bytes(pay_out), metas
+
+
 # ----------------------------------------------------------------- read
 
 
@@ -356,6 +571,12 @@ class SkipPoint:
     # inside it
     pos_fp: int | None = None
     pos_upto: int | None = None
+    # payload/offset resume state (fields with payloads/offsets):
+    # fp of the .pay record for the resume pos block (relative to
+    # pay_start_fp) and the payload bytes already consumed inside that
+    # record's raw-bytes region (0 for offsets-only fields)
+    pay_fp: int | None = None
+    pay_upto: int | None = None
 
 
 class SkipListReader:
@@ -371,6 +592,8 @@ class SkipListReader:
     def __init__(
         self, data: bytes, pos: int, n_points: int,
         has_positions: bool = False,
+        has_pay_data: bool = False,
+        has_payloads: bool = False,
     ):
         n_levels = _n_skip_levels(n_points)
         raw: list[bytes] = [b""] * n_levels
@@ -387,10 +610,12 @@ class SkipListReader:
         self.n_points = n_points
         self.has_positions = has_positions
         # entries[lvl][j] = (last_doc, next_block_fp, pos_fp, pos_upto,
-        # child_offset) as cumulative values (pos fields None for
-        # positions-less fields); offsets[lvl][j] = byte offset of entry j
+        # pay_fp, pay_upto, child_offset) as cumulative values (pos/pay
+        # fields None when the field lacks them); offsets[lvl][j] =
+        # byte offset of entry j
         self.entries: list[
-            list[tuple[int, int, int | None, int | None, int | None]]
+            list[tuple[int, int, int | None, int | None, int | None,
+                       int | None, int | None]]
         ] = []
         self.offsets: list[list[int]] = []
         self.level_lens: list[int] = []
@@ -398,18 +623,25 @@ class SkipListReader:
             buf = raw[lvl]
             expected = n_points // (SKIP_MULTIPLIER ** lvl)
             p = 0
-            doc = fp = pos_fp = 0
-            ents: list[tuple[int, int, int | None, int | None, int | None]] = []
+            doc = fp = pos_fp = pay_fp = 0
+            ents: list = []
             offs: list[int] = []
             while len(ents) < expected:
                 offs.append(p)
                 dd, p = read_vint(buf, p)
                 fd, p = read_vint(buf, p)
                 pos_upto = None
+                pay_upto = None
                 if has_positions:
                     pfd, p = read_vint(buf, p)
                     pos_fp += pfd
                     pos_upto, p = read_vint(buf, p)
+                    if has_pay_data:
+                        pay_upto = 0
+                        if has_payloads:
+                            pay_upto, p = read_vint(buf, p)
+                        payd, p = read_vint(buf, p)
+                        pay_fp += payd
                 impact_len, p = read_vint(buf, p)
                 p += impact_len  # opaque impact bytes (always 0 here)
                 child = None
@@ -418,7 +650,15 @@ class SkipListReader:
                 doc += dd
                 fp += fd
                 ents.append(
-                    (doc, fp, pos_fp if has_positions else None, pos_upto, child)
+                    (
+                        doc,
+                        fp,
+                        pos_fp if has_positions else None,
+                        pos_upto,
+                        pay_fp if (has_positions and has_pay_data) else None,
+                        pay_upto,
+                        child,
+                    )
                 )
             if lvl > 0 and p != len(buf):
                 raise ValueError(
@@ -436,11 +676,11 @@ class SkipListReader:
         # and child pointers hit entry boundaries of the level below
         for lvl in range(1, n_levels):
             step = SKIP_MULTIPLIER ** lvl
-            for j, (doc, fp, pos_fp, pos_upto, child) in enumerate(
-                self.entries[lvl]
+            for j, (doc, fp, pos_fp, pos_upto, pay_fp, pay_upto, child) in (
+                enumerate(self.entries[lvl])
             ):
                 base = self.entries[0][(j + 1) * step - 1]
-                if (doc, fp, pos_fp, pos_upto) != base[:4]:
+                if (doc, fp, pos_fp, pos_upto, pay_fp, pay_upto) != base[:6]:
                     raise ValueError(
                         f"skip level {lvl} entry {j} disagrees with level 0"
                     )
@@ -462,7 +702,9 @@ class SkipListReader:
             child: int | None = None
             j = start_j
             while j < len(self.entries[lvl]):
-                doc, fp, pos_fp, pos_upto, ch = self.entries[lvl][j]
+                doc, fp, pos_fp, pos_upto, pay_fp, pay_upto, ch = (
+                    self.entries[lvl][j]
+                )
                 if doc >= target:
                     break
                 best = SkipPoint(
@@ -471,6 +713,8 @@ class SkipListReader:
                     block_index=(j + 1) * step,
                     pos_fp=pos_fp,
                     pos_upto=pos_upto,
+                    pay_fp=pay_fp,
+                    pay_upto=pay_upto,
                 )
                 child = ch
                 j += 1
@@ -500,6 +744,9 @@ def _advance_point(
         state.doc_start_fp + state.skip_offset,
         n_points,
         has_positions=flags.has_positions,
+        has_pay_data=flags.has_positions
+        and (flags.has_payloads or flags.has_offsets),
+        has_payloads=flags.has_payloads,
     )
     return sk.advance(target)
 
@@ -653,6 +900,181 @@ def read_term_positions(
     return out
 
 
+def read_term_positions_full(
+    pos_data: bytes,
+    pay_data: bytes,
+    state: BlockTermState,
+    freqs: np.ndarray,
+    flags: FieldFlags,
+    point: SkipPoint | None = None,
+    _decode_counter: list | None = None,
+) -> tuple[list[np.ndarray], list[list[bytes]] | None, list[tuple] | None]:
+    """Per-doc (positions, payloads, (starts, ends) offsets) from a
+    .pos + .pay stream pair (fields with has_payloads/has_offsets —
+    the interleaved-tail grammar; see module doc). ``freqs`` follows
+    the read_term_positions contract: the freqs of exactly the docs
+    being decoded. Packed pos blocks and their .pay records before the
+    resume block are never decoded (``_decode_counter`` marks one entry
+    per packed pos-block decode)."""
+    has_pay = flags.has_payloads
+    has_off = flags.has_offsets
+    if not (has_pay or has_off):
+        raise ValueError("field has no payloads or offsets")
+    ttf = state.total_term_freq
+    n_pblocks = ttf // BLOCK_SIZE
+    tail_start = state.last_pos_block_offset
+    if point is None:
+        pos = state.pos_start_fp
+        pay = state.pay_start_fp
+        discard = 0
+        pay_discard = 0
+    else:
+        if point.pos_fp is None or point.pay_fp is None:
+            raise ValueError("skip point carries no pay resume state")
+        pos = state.pos_start_fp + point.pos_fp
+        pay = state.pay_start_fp + point.pay_fp
+        discard = point.pos_upto
+        pay_discard = point.pay_upto
+    need = discard + int(np.asarray(freqs, dtype=np.int64).sum())
+    dvals: list[np.ndarray] = []
+    plens: list[np.ndarray] = []
+    praws: list[bytes] = []  # concatenated payload bytes per block
+    sdvals: list[np.ndarray] = []
+    olvals: list[np.ndarray] = []
+    got = 0
+    decoded_blocks = 0
+    first = True
+    while got < need:
+        rel = pos - state.pos_start_fp
+        in_packed = (
+            rel < tail_start
+            if tail_start is not None
+            else decoded_blocks < n_pblocks and point is None
+        )
+        if not in_packed:
+            break
+        block, pos = pfor_decode_at(pos_data, pos, BLOCK_SIZE)
+        decoded_blocks += 1
+        if _decode_counter is not None:
+            _decode_counter.append(rel)
+        dvals.append(block.astype(np.int64))
+        if has_pay:
+            lens, pay = pfor_decode_at(pay_data, pay, BLOCK_SIZE)
+            lens = lens.astype(np.int64)
+            total, pay = read_vint(pay_data, pay)
+            if total != int(lens.sum()):
+                raise ValueError("pay record: byte total != sum of lengths")
+            praws.append(pay_data[pay : pay + total])
+            pay += total
+            plens.append(lens)
+            if first and point is not None:
+                # the skip entry's absolute payload-byte-upto must
+                # agree with the lengths of the discarded positions
+                if int(lens[:discard].sum()) != pay_discard:
+                    raise ValueError(
+                        "skip point payload-byte-upto disagrees with "
+                        "the resume record's length block"
+                    )
+        if has_off:
+            sd, pay = pfor_decode_at(pay_data, pay, BLOCK_SIZE)
+            ol, pay = pfor_decode_at(pay_data, pay, BLOCK_SIZE)
+            sdvals.append(sd.astype(np.int64))
+            olvals.append(ol.astype(np.int64))
+        got += BLOCK_SIZE
+        first = False
+    # vint tail: interleaved payload/offset fields, chains reset at
+    # tail start (self-contained — a resume landing here needs no
+    # earlier context)
+    tail_plens: list[int] = []
+    tail_praw = bytearray()
+    last_plen = -1
+    last_olen = -1
+    while got < need:
+        code, pos = read_vint(pos_data, pos)
+        if has_pay:
+            if code & 1:
+                last_plen, pos = read_vint(pos_data, pos)
+            dvals.append(np.array([code >> 1], dtype=np.int64))
+            tail_plens.append(last_plen)
+            tail_praw += pos_data[pos : pos + last_plen]
+            pos += last_plen
+        else:
+            dvals.append(np.array([code], dtype=np.int64))
+        if has_off:
+            ocode, pos = read_vint(pos_data, pos)
+            if ocode & 1:
+                last_olen, pos = read_vint(pos_data, pos)
+            sdvals.append(np.array([ocode >> 1], dtype=np.int64))
+            olvals.append(np.array([last_olen], dtype=np.int64))
+        got += 1
+    if tail_plens:
+        plens.append(np.array(tail_plens, dtype=np.int64))
+        praws.append(bytes(tail_praw))
+
+    flat_d = np.concatenate(dvals) if dvals else np.empty(0, np.int64)
+    fr = np.asarray(freqs, dtype=np.int64)
+    out_pos: list[np.ndarray] = []
+    out_pay: list[list[bytes]] | None = [] if has_pay else None
+    out_off: list[tuple] | None = [] if has_off else None
+    if has_pay:
+        flat_plen = np.concatenate(plens) if plens else np.empty(0, np.int64)
+        raw = b"".join(praws)
+        # byte offset of each position's payload within raw
+        starts_b = np.concatenate(
+            [np.zeros(1, np.int64), np.cumsum(flat_plen)]
+        )
+        flat_pay = [
+            raw[int(starts_b[i]) : int(starts_b[i + 1])]
+            for i in range(discard, need)
+        ]
+    if has_off:
+        flat_sd = np.concatenate(sdvals) if sdvals else np.empty(0, np.int64)
+        flat_ol = np.concatenate(olvals) if olvals else np.empty(0, np.int64)
+    at = discard
+    pay_at = 0
+    for k in fr:
+        k = int(k)
+        run = flat_d[at : at + k]
+        out_pos.append(np.cumsum(run))
+        if has_pay:
+            out_pay.append(flat_pay[pay_at : pay_at + k])
+        if has_off:
+            starts = np.cumsum(flat_sd[at : at + k])
+            out_off.append((starts, starts + flat_ol[at : at + k]))
+        at += k
+        pay_at += k
+    return out_pos, out_pay, out_off
+
+
+def read_term_postings_positions_payloads(
+    doc_data: bytes,
+    pos_data: bytes,
+    pay_data: bytes,
+    state: BlockTermState,
+    flags: FieldFlags,
+    target: int | None = None,
+    _pos_decode_counter: list | None = None,
+):
+    """The full composed walk for payload/offset fields: ONE skip
+    advance shared by all three streams (the .doc entry's pos AND pay
+    resume fields position the .pos/.pay reads), returning (docs,
+    freqs, per-doc positions, per-doc payloads | None, per-doc
+    (starts, ends) offsets | None) for the same doc suffix."""
+    if not flags.has_positions:
+        raise ValueError("field has no positions")
+    point = None
+    if target is not None and state.skip_offset is not None:
+        point = _advance_point(doc_data, state, flags, target)
+    docs, freqs = read_term_postings(
+        doc_data, state, flags, target=target, _point=point
+    )
+    positions, payloads, offsets = read_term_positions_full(
+        pos_data, pay_data, state, freqs, flags,
+        point=point, _decode_counter=_pos_decode_counter,
+    )
+    return docs, freqs, positions, payloads, offsets
+
+
 def read_term_postings_and_positions(
     doc_data: bytes,
     pos_data: bytes,
@@ -724,3 +1146,17 @@ class PosStreamReader:
         point: SkipPoint | None = None,
     ) -> list[np.ndarray]:
         return read_term_positions(self.data, state, freqs, point=point)
+
+
+class PayStreamReader:
+    """An opened .pay file, header checked against the PAY codec — the
+    reference opens this file too (lucene_84_postings_reader.ml:36-44,
+    under its has_prox quirk) and, like .pos, verifies doc_in's header
+    in its place; we check the actual pay stream. Content reads go
+    through read_term_positions_full with the doc/pos readers."""
+
+    def __init__(self, data: bytes, seg_id: bytes):
+        self.data = data
+        check_index_header(
+            DataInput(data), PAY_CODEC, 0, 1, seg_id, _SUFFIX
+        )

@@ -126,6 +126,7 @@ def _synth_dir(
     blocks: tuple[list, list, list] | None = None,
     doc_bytes: bytes | None = None,
     pos_bytes: bytes | None = None,
+    pay_bytes: bytes | None = None,
     flags: FieldFlags = TITLE_FLAGS,
 ) -> str:
     """Write a complete one-segment directory: synthesized segments_1,
@@ -202,6 +203,9 @@ def _synth_dir(
     if pos_bytes is not None:
         with open(os.path.join(d, "_0_Lucene84_0.pos"), "wb") as f:
             f.write(pos_bytes)
+    if pay_bytes is not None:
+        with open(os.path.join(d, "_0_Lucene84_0.pay"), "wb") as f:
+            f.write(pay_bytes)
     return d
 
 

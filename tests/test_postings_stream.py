@@ -610,3 +610,300 @@ def test_open_index_positions_composed(tmp_path):
     np.testing.assert_array_equal(got_docs, docs[3 * 128 :])
     for g, p in zip(got_pos, exp_pos[3 * 128 :]):
         np.testing.assert_array_equal(g, p)
+
+
+# -- .pay stream: payloads/offsets (same stub-completion model) --------
+
+
+PAYFLAGS = FieldFlags(has_freqs=True, has_positions=True,
+                      has_payloads=True, has_offsets=True)
+PAYONLY = FieldFlags(has_freqs=True, has_positions=True, has_payloads=True)
+OFFONLY = FieldFlags(has_freqs=True, has_positions=True, has_offsets=True)
+
+from ocaml_lucene_spark.interop.postings_stream import (  # noqa: E402
+    PayStreamReader,
+    read_term_positions_full,
+    read_term_postings_positions_payloads,
+    write_postings_streams_full,
+)
+
+
+def _gen_full(rng: random.Random, df: int, max_per_doc: int,
+              payloads: bool = True, offsets: bool = True):
+    """(docs, positions, payloads, offsets) with realistic shapes:
+    variable-length payloads incl. empties and runs of equal lengths
+    (exercising the changed-bit tail chain), token-ish offsets."""
+    docs = np.cumsum([rng.randint(1, 50) for _ in range(df)]).astype(np.int64)
+    poss, pays, offs = [], [], []
+    for _ in range(df):
+        k = rng.randint(1, max_per_doc)
+        p = np.cumsum([rng.randint(1, 9) for _ in range(k)]).astype(np.int64)
+        poss.append(p)
+        if payloads:
+            pays.append([
+                bytes(rng.randrange(256) for _ in range(
+                    rng.choice([0, 1, 1, 4, 4, 4, 11])
+                ))
+                for _ in range(k)
+            ])
+        if offsets:
+            starts = np.cumsum(
+                [rng.randint(0, 14) for _ in range(k)]
+            ).astype(np.int64)
+            ends = starts + np.array(
+                [rng.choice([3, 3, 3, 7]) for _ in range(k)], dtype=np.int64
+            )
+            offs.append((starts, ends))
+    return (docs, poss,
+            pays if payloads else None,
+            offs if offsets else None)
+
+
+def _full_state(meta: dict, df: int, ttf: int) -> BlockTermState:
+    return BlockTermState(
+        doc_freq=df,
+        total_term_freq=ttf,
+        doc_start_fp=meta["doc_start_fp"],
+        skip_offset=meta["skip_offset"],
+        singleton_doc_id=meta["singleton_doc_id"],
+        pos_start_fp=meta["pos_start_fp"],
+        last_pos_block_offset=meta["last_pos_block_offset"],
+        pay_start_fp=meta["pay_start_fp"],
+    )
+
+
+def _assert_full_equal(got, want, start=0):
+    g_pos, g_pay, g_off = got
+    _docs, w_pos, w_pay, w_off = want
+    for g, p in zip(g_pos, w_pos[start:]):
+        np.testing.assert_array_equal(g, p)
+    if w_pay is not None:
+        assert [list(x) for x in g_pay] == [list(x) for x in w_pay[start:]]
+    if w_off is not None:
+        for (gs, ge), (ws, we) in zip(g_off, w_off[start:]):
+            np.testing.assert_array_equal(gs, ws)
+            np.testing.assert_array_equal(ge, we)
+
+
+@pytest.mark.parametrize("df,max_per_doc", [
+    (1, 3), (1, 400), (5, 5), (60, 2), (128, 1), (129, 1), (300, 4),
+    (2000, 6),
+])
+@pytest.mark.parametrize("flags", [PAYFLAGS, PAYONLY, OFFONLY],
+                         ids=["pay+off", "pay", "off"])
+def test_pay_stream_roundtrip(df, max_per_doc, flags):
+    rng = random.Random(df * 37 + max_per_doc + flags.has_offsets)
+    term = _gen_full(rng, df, max_per_doc,
+                     payloads=flags.has_payloads, offsets=flags.has_offsets)
+    doc_b, pos_b, pay_b, metas = write_postings_streams_full(
+        [term], SEG_ID,
+        has_payloads=flags.has_payloads, has_offsets=flags.has_offsets,
+    )
+    check_index_header(
+        DataInput(pay_b), "Lucene84PostingsWriterPay", 0, 1, SEG_ID,
+        b"Lucene84_0",
+    )
+    docs, poss = term[0], term[1]
+    ttf = sum(len(p) for p in poss)
+    state = _full_state(metas[0], df, ttf)
+    got_docs, got_freqs = read_term_postings(doc_b, state, flags)
+    np.testing.assert_array_equal(got_docs, docs)
+    got = read_term_positions_full(pos_b, pay_b, state, got_freqs, flags)
+    _assert_full_equal(got, term)
+    assert (got[1] is None) == (not flags.has_payloads)
+    assert (got[2] is None) == (not flags.has_offsets)
+
+
+def test_pay_multi_term_fps_are_independent():
+    rng = random.Random(11)
+    terms = [_gen_full(rng, df, 4) for df in (300, 1, 40, 1024, 129)]
+    doc_b, pos_b, pay_b, metas = write_postings_streams_full(terms, SEG_ID)
+    for term, meta in zip(terms, metas):
+        docs, poss = term[0], term[1]
+        ttf = sum(len(p) for p in poss)
+        state = _full_state(meta, len(docs), ttf)
+        got_docs, got_freqs = read_term_postings(doc_b, state, PAYFLAGS)
+        np.testing.assert_array_equal(got_docs, docs)
+        got = read_term_positions_full(pos_b, pay_b, state, got_freqs, PAYFLAGS)
+        _assert_full_equal(got, term)
+
+
+def test_pay_skip_resume_never_decodes_earlier_blocks():
+    """The skip entries' (pay_fp, pay_upto): a targeted three-stream
+    walk decodes exactly the pos blocks (and matching .pay records)
+    from the resume block on, and the payload-byte-upto cross-check
+    against the resume record's length block passes."""
+    rng = random.Random(42)
+    df = 2000
+    term = _gen_full(rng, df, 6)
+    doc_b, pos_b, pay_b, metas = write_postings_streams_full([term], SEG_ID)
+    docs, poss = term[0], term[1]
+    freqs_full = np.array([len(p) for p in poss], dtype=np.int64)
+    ttf = int(freqs_full.sum())
+    state = _full_state(metas[0], df, ttf)
+    target = int(docs[11 * BLOCK_SIZE + 17])
+    ctr: list = []
+    got_docs, got_freqs, g_pos, g_pay, g_off = (
+        read_term_postings_positions_payloads(
+            doc_b, pos_b, pay_b, state, PAYFLAGS, target=target,
+            _pos_decode_counter=ctr,
+        )
+    )
+    start = 11 * BLOCK_SIZE
+    np.testing.assert_array_equal(got_docs, docs[start:])
+    _assert_full_equal((g_pos, g_pay, g_off), term, start=start)
+    skipped = int(freqs_full[:start].sum())
+    expected = ttf // BLOCK_SIZE - skipped // BLOCK_SIZE
+    assert len(ctr) == expected, (len(ctr), expected)
+
+
+@pytest.mark.parametrize("flags", [PAYFLAGS, PAYONLY, OFFONLY],
+                         ids=["pay+off", "pay", "off"])
+def test_pay_skip_resume_fuzz_matches_full_decode(flags):
+    rng = random.Random(23 + flags.has_payloads)
+    df = 1500
+    term = _gen_full(rng, df, 5,
+                     payloads=flags.has_payloads, offsets=flags.has_offsets)
+    doc_b, pos_b, pay_b, metas = write_postings_streams_full(
+        [term], SEG_ID,
+        has_payloads=flags.has_payloads, has_offsets=flags.has_offsets,
+    )
+    docs, poss = term[0], term[1]
+    ttf = sum(len(p) for p in poss)
+    state = _full_state(metas[0], df, ttf)
+    for trial in range(12):
+        i = rng.randrange(df)
+        target = int(docs[i]) + rng.choice([0, 1, -1])
+        got_docs, _f, g_pos, g_pay, g_off = (
+            read_term_postings_positions_payloads(
+                doc_b, pos_b, pay_b, state, flags, target=target
+            )
+        )
+        start = df - len(got_docs)
+        np.testing.assert_array_equal(got_docs, docs[start:], err_msg=f"t{trial}")
+        _assert_full_equal((g_pos, g_pay, g_off), term, start=start)
+
+
+def test_pay_skip_grammar_checks_reject_corruption():
+    rng = random.Random(13)
+    df = 9000
+    term = _gen_full(rng, df, 2)
+    doc_b, _pos_b, _pay_b, metas = write_postings_streams_full([term], SEG_ID)
+    skip_pos = metas[0]["doc_start_fp"] + metas[0]["skip_offset"]
+    n_points = (df - 1) // BLOCK_SIZE
+    SkipListReader(doc_b, skip_pos, n_points, has_positions=True,
+                   has_pay_data=True, has_payloads=True)  # clean
+    from ocaml_lucene_spark.codecs.varint import read_vint as _rv
+
+    corrupted = bytearray(doc_b)
+    _ln, p = _rv(corrupted, skip_pos)   # top level length
+    _dd, p = _rv(corrupted, p)          # doc delta
+    _fd, p = _rv(corrupted, p)          # doc fp delta
+    _pf, p = _rv(corrupted, p)          # pos fp delta
+    _pu, p = _rv(corrupted, p)          # pos upto
+    corrupted[p] ^= 0x01                # payload byte upto
+    with pytest.raises(ValueError, match="skip level"):
+        SkipListReader(bytes(corrupted), skip_pos, n_points,
+                       has_positions=True, has_pay_data=True,
+                       has_payloads=True)
+
+
+def test_pay_writer_rejects_bad_input():
+    with pytest.raises(ValueError, match="one payload per position"):
+        write_postings_streams_full(
+            [(np.array([1]), [np.array([2, 5])], [[b"x"]],
+              [(np.array([0, 4]), np.array([3, 8]))])],
+            SEG_ID,
+        )
+    with pytest.raises(ValueError, match="end >= start"):
+        write_postings_streams_full(
+            [(np.array([1]), [np.array([2])], [[b"x"]],
+              [(np.array([4]), np.array([3]))])],
+            SEG_ID,
+        )
+    with pytest.raises(ValueError, match="plain positions"):
+        write_postings_streams_full(
+            [], SEG_ID, has_payloads=False, has_offsets=False
+        )
+
+
+def test_pay_stream_reader_checks_header():
+    rng = random.Random(2)
+    term = _gen_full(rng, 10, 3)
+    doc_b, _pos_b, pay_b, _ = write_postings_streams_full([term], SEG_ID)
+    PayStreamReader(pay_b, SEG_ID)
+    with pytest.raises(ValueError, match="segment id mismatch"):
+        PayStreamReader(pay_b, bytes(16))
+    with pytest.raises(ValueError, match="codec"):
+        PayStreamReader(doc_b, SEG_ID)
+
+
+def test_open_index_positions_with_payloads_composed(tmp_path):
+    """seek_exact -> .doc -> .pos -> .pay over a full directory (the
+    three files the reference's create opens,
+    lucene_84_postings_reader.ml:24-44), flags swapped onto the golden
+    .fnm field as in the positions composition test."""
+    import dataclasses
+
+    rng = random.Random(77)
+    names = [b"apple", b"apply", b"apq", b"apqx", b"bat", b"bats"]
+    dfs = [300, 1, 130, 5, 600, 127]
+    data = {}
+    stream_terms = []
+    for name, df in zip(names, dfs):
+        term = _gen_full(rng, df, 4)
+        data[name] = term
+        stream_terms.append(term)
+    doc_bytes, pos_bytes, pay_bytes, metas = write_postings_streams_full(
+        stream_terms, SEG_ID
+    )
+
+    def entry(i: int, suffix: bytes) -> TermEntry:
+        docs, poss, _pays, _offs = data[names[i]]
+        return TermEntry(
+            suffix,
+            doc_freq=len(docs),
+            total_term_freq=sum(len(p) for p in poss),
+            doc_start_fp=metas[i]["doc_start_fp"],
+            singleton_doc_id=metas[i]["singleton_doc_id"],
+            skip_offset=metas[i]["skip_offset"],
+            pos_start_fp=metas[i]["pos_start_fp"],
+            last_pos_block_offset=metas[i]["last_pos_block_offset"],
+            pay_start_fp=metas[i]["pay_start_fp"],
+        )
+
+    blocks = (
+        [entry(0, b"ple"), entry(1, b"ply")],
+        [entry(2, b"q"), entry(3, b"qx")],
+        [entry(4, b"t"), entry(5, b"ts")],
+    )
+    from test_open_index import _synth_dir as synth
+
+    d = synth(
+        tmp_path,
+        blocks=blocks,
+        doc_bytes=doc_bytes,
+        pos_bytes=pos_bytes,
+        pay_bytes=pay_bytes,
+        flags=PAYFLAGS,
+    )
+    index = open_index(d)
+    seg = index.segments[0]
+    fr = seg.field_readers["title"]
+    seg.field_readers["title"] = dataclasses.replace(fr, flags=PAYFLAGS)
+    assert "pay_reader" not in seg.__dict__  # lazy like .doc/.pos
+    for name in names:
+        hits = index.positions_with_payloads("title", name)
+        assert len(hits) == 1
+        seg_name, docs, _freqs, g_pos, g_pay, g_off = hits[0]
+        assert seg_name == "_0"
+        np.testing.assert_array_equal(docs, data[name][0])
+        _assert_full_equal((g_pos, g_pay, g_off), data[name])
+    # targeted: skip through the 600-doc term, all three streams aligned
+    docs = data[b"bat"][0]
+    target = int(docs[3 * 128 + 5])
+    (_, got_docs, _f, g_pos, g_pay, g_off), = index.positions_with_payloads(
+        "title", b"bat", target=target
+    )
+    np.testing.assert_array_equal(got_docs, docs[3 * 128 :])
+    _assert_full_equal((g_pos, g_pay, g_off), data[b"bat"], start=3 * 128)
