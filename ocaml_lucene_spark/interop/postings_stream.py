@@ -42,12 +42,22 @@ vlong byte length; level 0 runs to the end. An entry carries
 the level), ``vlong doc-fp-delta`` (bytes from the previous point at
 this level to the start of the next block), and on levels > 0 a
 ``vlong child pointer`` (byte offset of the matching entry inside
-the level below). Lucene 8.4 additionally interleaves per-block
-score impacts here; those are a ranking accelerator with no
-reference semantics to match (the engine's analogous structure is
-the block-max pareto frontier, query/wand.py), so entries carry a
-``vint 0`` impact-length placeholder where Lucene puts the impact
-byte count.
+the level below). Lucene 8.4 additionally interleaves per-span score
+IMPACTS here — the ranking accelerator whose role the engine plays
+with the block-max pareto frontier (query/wand.py, ub_tfs/ub_dls):
+a ``vint`` impact byte count, then the span's COMPETITIVE (freq,
+norm) pairs — the pareto set where no other doc in the span has both
+freq >= and norm <= (CompetitiveImpactAccumulator semantics; sorted
+the set is strictly ascending in both) — delta-coded as
+``vint ((freq_delta - 1) << 1 | 1)`` when the norm delta is exactly 1,
+else ``vint ((freq_delta - 1) << 1)`` + ``zigzag vlong
+(norm_delta - 1)`` (Lucene84SkipWriter.writeImpacts). A level-0 entry
+covers its own block; a level-L entry covers its 8^L level-0 blocks,
+and its pair set equals the competitive union of its children — the
+reader verifies this cross-level invariant. Impacts are written when
+the writer is given per-doc ``norms`` (as Lucene reads them from the
+norms producer); without norms the entry carries a ``vint 0`` empty
+set, which is also what this module's earlier revisions emitted.
 
 ``.pos`` stream (codec ``Lucene84PostingsWriterPos`` — the file the
 reference opens when the field ``has_prox``,
@@ -122,7 +132,7 @@ import numpy as np
 
 from ..codecs.pfor import decode_at as pfor_decode_at
 from ..codecs.pfor import encode as pfor_encode
-from ..codecs.varint import read_vint, write_vint
+from ..codecs.varint import read_vint, write_vint, zigzag_decode, zigzag_encode
 from .segment_meta import CODEC_MAGIC, check_index_header
 from .data_input import DataInput
 from .terms_block import BlockTermState, FieldFlags
@@ -149,6 +159,71 @@ def _write_header(out: bytearray, seg_id: bytes, codec: str = DOC_CODEC) -> None
     out += _SUFFIX
 
 
+def competitive_pairs(
+    freqs: np.ndarray | list, norms: np.ndarray | list
+) -> list[tuple[int, int]]:
+    """CompetitiveImpactAccumulator: the pareto set of (freq, norm)
+    pairs — max freq per norm, then drop pairs dominated by a pair
+    with freq >= and norm <=. Sorted, the survivors are strictly
+    ascending in BOTH freq and norm (the invariant Lucene asserts
+    before serializing)."""
+    best: dict[int, int] = {}
+    for f, n in zip(freqs, norms):
+        f, n = int(f), int(n)
+        if f > best.get(n, 0):
+            best[n] = f
+    out: list[tuple[int, int]] = []
+    for n in sorted(best):
+        f = best[n]
+        if not out or f > out[-1][0]:
+            out.append((f, n))
+    return out
+
+
+def _merge_competitive(pair_lists: list[list[tuple[int, int]]]):
+    flat = [p for pl in pair_lists for p in pl]
+    if not flat:
+        return []
+    return competitive_pairs(*zip(*flat))
+
+
+def _write_impacts(pairs: list[tuple[int, int]], out: bytearray) -> None:
+    """Lucene84SkipWriter.writeImpacts: delta-coded competitive pairs,
+    low bit set when the norm delta is exactly 1 (saves the zlong)."""
+    buf = bytearray()
+    prev_f = 0
+    prev_n = 0
+    for f, n in pairs:
+        fd = f - prev_f - 1
+        nd = n - prev_n - 1
+        if nd == 0:
+            write_vint((fd << 1) | 1, buf)
+        else:
+            write_vint(fd << 1, buf)
+            write_vint(zigzag_encode(nd), buf)
+        prev_f, prev_n = f, n
+    write_vint(len(buf), out)
+    out += buf
+
+
+def _read_impacts(buf: bytes, p: int, end: int) -> list[tuple[int, int]]:
+    pairs: list[tuple[int, int]] = []
+    f = 0
+    n = 0
+    while p < end:
+        code, p = read_vint(buf, p)
+        f += (code >> 1) + 1
+        if code & 1:
+            n += 1
+        else:
+            z, p = read_vint(buf, p)
+            n += int(zigzag_decode(z)) + 1
+        pairs.append((f, n))
+    if p != end:
+        raise ValueError("impact bytes overrun the declared length")
+    return pairs
+
+
 def _n_skip_levels(n_points: int) -> int:
     n_levels = 1
     while (
@@ -167,6 +242,7 @@ def _write_skip_list(
     pay_fps: list[int] | None = None,
     pay_uptos: list[int] | None = None,
     has_payloads: bool = False,
+    block_impacts: list[list[tuple[int, int]]] | None = None,
 ) -> bytes:
     """Level buffers built bottom-up (child pointers into the
     just-written level below), emitted top-down with vlong length
@@ -205,7 +281,16 @@ def _write_skip_list(
                         write_vint(pay_uptos[i], buf)
                     write_vint(pay_fps[i] - prev_pay_fp, buf)
                     prev_pay_fp = pay_fps[i]
-            write_vint(0, buf)  # impact bytes placeholder (see module doc)
+            if block_impacts is not None:
+                # entry covers level-0 points i-step+1 .. i (its own
+                # block at level 0; the competitive union of its 8^L
+                # children above)
+                _write_impacts(
+                    _merge_competitive(block_impacts[i - step + 1 : i + 1]),
+                    buf,
+                )
+            else:
+                write_vint(0, buf)  # empty impact set (no norms given)
             if lvl > 0:
                 below = entry_offsets[lvl - 1]
                 child_idx = (j + 1) * SKIP_MULTIPLIER
@@ -235,11 +320,14 @@ def _write_term_docs(
     pos_skip: tuple[list[int], list[int]] | None,
     pay_skip: tuple[list[int], list[int]] | None = None,
     has_payloads: bool = False,
+    norms: np.ndarray | None = None,
 ) -> dict:
     """One term's .doc bytes: blocks, vint tail, skip list. ``pos_skip``
     (per level-0 point (pos_fp, pos_upto) columns, fields with
     positions) and ``pay_skip`` ((pay_fp, pay_upto) columns, fields
-    with payloads/offsets) ride into the skip entries."""
+    with payloads/offsets) ride into the skip entries. With per-doc
+    ``norms``, each skip entry carries its span's competitive (freq,
+    norm) impact pairs (see module doc)."""
     df = int(docs.size)
     if df == 1:
         return {
@@ -275,6 +363,15 @@ def _write_term_docs(
         # the count the reader derives from doc_freq
         n_points = (df - 1) // BLOCK_SIZE
         skip_offset = len(out) - start_fp
+        block_impacts = None
+        if norms is not None:
+            block_impacts = [
+                competitive_pairs(
+                    f[b * BLOCK_SIZE : (b + 1) * BLOCK_SIZE],
+                    norms[b * BLOCK_SIZE : (b + 1) * BLOCK_SIZE],
+                )
+                for b in range(n_points)
+            ]
         out += _write_skip_list(
             last_docs[:n_points],
             block_end_fps[:n_points],
@@ -283,6 +380,7 @@ def _write_term_docs(
             pay_fps=pay_skip[0] if pay_skip else None,
             pay_uptos=pay_skip[1] if pay_skip else None,
             has_payloads=has_payloads,
+            block_impacts=block_impacts,
         )
     return {
         "doc_start_fp": start_fp,
@@ -295,15 +393,18 @@ def write_doc_stream(
     terms: list[tuple[np.ndarray, np.ndarray | None]],
     seg_id: bytes,
     has_freqs: bool = True,
+    norms: list[np.ndarray] | None = None,
 ) -> tuple[bytes, list[dict]]:
     """Grammar-inverse writer: per-term (sorted doc_ids, freqs) pairs
     to one .doc byte stream, positions-less fields. Returns (bytes,
     per-term metadata dicts with the .tim-side fields: doc_start_fp,
-    skip_offset, singleton_doc_id)."""
+    skip_offset, singleton_doc_id). With per-term per-doc ``norms``
+    (as Lucene reads from the norms producer), skip entries carry real
+    competitive impact pairs instead of the empty set."""
     out = bytearray()
     _write_header(out, seg_id)
     metas = []
-    for doc_ids, freqs in terms:
+    for t, (doc_ids, freqs) in enumerate(terms):
         docs = np.asarray(doc_ids, dtype=np.int64)
         if docs.size and np.any(np.diff(docs) <= 0):
             raise ValueError("doc ids must be strictly ascending")
@@ -314,13 +415,21 @@ def write_doc_stream(
         )
         if has_freqs and np.any(f < 1):
             raise ValueError("freqs must be >= 1")
-        metas.append(_write_term_docs(out, docs, f, has_freqs, None))
+        nm = None
+        if norms is not None:
+            nm = np.asarray(norms[t], dtype=np.int64)
+            if nm.size != docs.size:
+                raise ValueError("one norm per doc required")
+            if nm.size and np.any(nm < 1):
+                raise ValueError("norms must be >= 1")
+        metas.append(_write_term_docs(out, docs, f, has_freqs, None, norms=nm))
     return bytes(out), metas
 
 
 def write_postings_streams(
     terms: list[tuple[np.ndarray, list[np.ndarray]]],
     seg_id: bytes,
+    norms: list[np.ndarray] | None = None,
 ) -> tuple[bytes, bytes, list[dict]]:
     """Grammar-inverse writer for a field WITH positions: per-term
     (sorted doc_ids, per-doc ascending position arrays) to a .doc and
@@ -333,7 +442,7 @@ def write_postings_streams(
     _write_header(doc_out, seg_id)
     _write_header(pos_out, seg_id, POS_CODEC)
     metas = []
-    for doc_ids, positions in terms:
+    for t, (doc_ids, positions) in enumerate(terms):
         docs = np.asarray(doc_ids, dtype=np.int64)
         if docs.size and np.any(np.diff(docs) <= 0):
             raise ValueError("doc ids must be strictly ascending")
@@ -380,7 +489,12 @@ def write_postings_streams(
             pos_fps.append(pblock_end_fps[full - 1] if full else 0)
             pos_uptos.append(consumed % BLOCK_SIZE)
 
-        meta = _write_term_docs(doc_out, docs, f, True, (pos_fps, pos_uptos))
+        meta = _write_term_docs(
+            doc_out, docs, f, True, (pos_fps, pos_uptos),
+            norms=np.asarray(norms[t], dtype=np.int64)
+            if norms is not None
+            else None,
+        )
         meta["pos_start_fp"] = pos_start_fp
         meta["last_pos_block_offset"] = last_pos_block_offset
         metas.append(meta)
@@ -392,6 +506,7 @@ def write_postings_streams_full(
     seg_id: bytes,
     has_payloads: bool = True,
     has_offsets: bool = True,
+    norms: list[np.ndarray] | None = None,
 ) -> tuple[bytes, bytes, bytes, list[dict]]:
     """Grammar-inverse writer for a field with positions AND
     payloads/offsets: per-term ``(sorted doc_ids, per-doc ascending
@@ -410,7 +525,7 @@ def write_postings_streams_full(
     _write_header(pos_out, seg_id, POS_CODEC)
     _write_header(pay_out, seg_id, PAY_CODEC)
     metas = []
-    for doc_ids, positions, payloads, offsets in terms:
+    for t, (doc_ids, positions, payloads, offsets) in enumerate(terms):
         docs = np.asarray(doc_ids, dtype=np.int64)
         if docs.size and np.any(np.diff(docs) <= 0):
             raise ValueError("doc ids must be strictly ascending")
@@ -546,6 +661,9 @@ def write_postings_streams_full(
             doc_out, docs, f, True,
             (pos_fps, pos_uptos), (pay_fps, pay_uptos),
             has_payloads=has_payloads,
+            norms=np.asarray(norms[t], dtype=np.int64)
+            if norms is not None
+            else None,
         )
         meta["pos_start_fp"] = pos_start_fp
         meta["last_pos_block_offset"] = last_pos_block_offset
@@ -619,6 +737,9 @@ class SkipListReader:
         ] = []
         self.offsets: list[list[int]] = []
         self.level_lens: list[int] = []
+        # impacts[lvl][j]: the entry's competitive (freq, norm) pairs
+        # ([] when the writer had no norms)
+        self.impacts: list[list[list[tuple[int, int]]]] = []
         for lvl in range(n_levels):
             buf = raw[lvl]
             expected = n_points // (SKIP_MULTIPLIER ** lvl)
@@ -626,6 +747,7 @@ class SkipListReader:
             doc = fp = pos_fp = pay_fp = 0
             ents: list = []
             offs: list[int] = []
+            imps: list[list[tuple[int, int]]] = []
             while len(ents) < expected:
                 offs.append(p)
                 dd, p = read_vint(buf, p)
@@ -643,7 +765,8 @@ class SkipListReader:
                         payd, p = read_vint(buf, p)
                         pay_fp += payd
                 impact_len, p = read_vint(buf, p)
-                p += impact_len  # opaque impact bytes (always 0 here)
+                imps.append(_read_impacts(buf, p, p + impact_len))
+                p += impact_len
                 child = None
                 if lvl > 0:
                     child, p = read_vint(buf, p)
@@ -667,6 +790,7 @@ class SkipListReader:
                 )
             self.entries.append(ents)
             self.offsets.append(offs)
+            self.impacts.append(imps)
             # true byte length of this level's entries (for level 0,
             # raw[0] runs to end-of-file — only the parsed prefix is
             # skip data; an exhausted-lower-level child pointer from
@@ -689,6 +813,17 @@ class SkipListReader:
                     raise ValueError(
                         f"skip level {lvl} entry {j}: child pointer "
                         f"{child} is not an entry boundary"
+                    )
+                # a level-L entry's impact set is the competitive union
+                # of its 8^L children's (CompetitiveImpactAccumulator
+                # accumulate-up semantics)
+                want = _merge_competitive(
+                    self.impacts[0][j * step : (j + 1) * step]
+                )
+                if self.impacts[lvl][j] != want:
+                    raise ValueError(
+                        f"skip level {lvl} entry {j}: impacts are not "
+                        f"the competitive union of the covered blocks"
                     )
 
     def advance(self, target: int) -> SkipPoint | None:

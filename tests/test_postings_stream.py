@@ -907,3 +907,131 @@ def test_open_index_positions_with_payloads_composed(tmp_path):
     )
     np.testing.assert_array_equal(got_docs, docs[3 * 128 :])
     _assert_full_equal((g_pos, g_pay, g_off), data[b"bat"], start=3 * 128)
+
+
+# -- skip-entry impacts: competitive (freq, norm) pairs ----------------
+
+
+from ocaml_lucene_spark.interop.postings_stream import (  # noqa: E402
+    competitive_pairs,
+)
+
+
+def test_competitive_pairs_properties():
+    rng = random.Random(3)
+    for trial in range(50):
+        n = rng.randint(1, 200)
+        freqs = [rng.randint(1, 30) for _ in range(n)]
+        norms = [rng.randint(1, 40) for _ in range(n)]
+        pairs = competitive_pairs(freqs, norms)
+        # strictly ascending in BOTH fields (Lucene's serialize assert)
+        assert all(
+            a[0] < b[0] and a[1] < b[1] for a, b in zip(pairs, pairs[1:])
+        )
+        # dominance: every doc is covered by a pair with freq >= and
+        # norm <= (the block-max bound contract)
+        for f, m in zip(freqs, norms):
+            assert any(pf >= f and pn <= m for pf, pn in pairs), (f, m, pairs)
+        # minimality: no pair is dominated by another
+        for i, a in enumerate(pairs):
+            assert not any(
+                j != i and b[0] >= a[0] and b[1] <= a[1]
+                for j, b in enumerate(pairs)
+            )
+
+
+def test_skip_impacts_roundtrip_and_union_invariant():
+    """Norm-carrying writer: every skip entry's impacts decode to the
+    exact competitive set of its span, and the reader's cross-level
+    union check passes on a 3-level list (9000 docs, 70 points:
+    70 >= 8^2)."""
+    rng = random.Random(29)
+    df = 9000
+    docs, freqs = _gen_postings(rng, df)
+    norms = np.array([rng.randint(1, 60) for _ in range(df)], dtype=np.int64)
+    data, metas = write_doc_stream([(docs, freqs)], SEG_ID, norms=[norms])
+    state = _state(metas[0], docs, freqs)
+    n_points = (df - 1) // BLOCK_SIZE
+    sk = SkipListReader(
+        data, metas[0]["doc_start_fp"] + metas[0]["skip_offset"], n_points
+    )
+    assert len(sk.impacts[0]) == n_points and len(sk.impacts) == 3
+    for i in range(n_points):
+        sl = slice(i * BLOCK_SIZE, (i + 1) * BLOCK_SIZE)
+        assert sk.impacts[0][i] == competitive_pairs(freqs[sl], norms[sl])
+    # targeted reads still exact with impact bytes in the entries
+    for i in (5, df // 2, df - 1):
+        target = int(docs[i])
+        got_docs, _ = read_term_postings(data, state, FLAGS, target=target)
+        start = df - len(got_docs)
+        np.testing.assert_array_equal(got_docs, docs[start:])
+
+
+def test_skip_impacts_corrupt_union_rejected():
+    rng = random.Random(31)
+    df = 9000
+    docs, freqs = _gen_postings(rng, df)
+    norms = np.array([rng.randint(1, 60) for _ in range(df)], dtype=np.int64)
+    data, metas = write_doc_stream([(docs, freqs)], SEG_ID, norms=[norms])
+    skip_pos = metas[0]["doc_start_fp"] + metas[0]["skip_offset"]
+    n_points = (df - 1) // BLOCK_SIZE
+    SkipListReader(data, skip_pos, n_points)  # clean
+    from ocaml_lucene_spark.codecs.varint import read_vint as _rv
+
+    # corrupt the first impact byte of the TOP level's first entry:
+    # impacts follow (doc delta, fp delta, impact len) at level > 0
+    corrupted = bytearray(data)
+    _ln, p = _rv(corrupted, skip_pos)
+    _dd, p = _rv(corrupted, p)
+    _fd, p = _rv(corrupted, p)
+    il, p = _rv(corrupted, p)
+    assert il > 0
+    corrupted[p] ^= 0x02  # flip a freq-delta bit, keeps vint length
+    with pytest.raises(ValueError, match="skip level"):
+        SkipListReader(bytes(corrupted), skip_pos, n_points)
+
+
+def test_skip_impacts_with_positions_and_payloads():
+    """Impacts compose with the pos/pay skip fields (full entry
+    grammar: doc, fp, pos, pay, impacts, child)."""
+    rng = random.Random(37)
+    df = 2000
+    term = _gen_full(rng, df, 4)
+    norms = np.array(
+        [len(p) * 7 + 1 for p in term[1]], dtype=np.int64
+    )  # dl-ish norm
+    doc_b, pos_b, pay_b, metas = write_postings_streams_full(
+        [term], SEG_ID, norms=[norms]
+    )
+    docs, poss = term[0], term[1]
+    ttf = sum(len(p) for p in poss)
+    state = _full_state(metas[0], df, ttf)
+    target = int(docs[7 * BLOCK_SIZE + 3])
+    got_docs, _f, g_pos, g_pay, g_off = read_term_postings_positions_payloads(
+        doc_b, pos_b, pay_b, state, PAYFLAGS, target=target
+    )
+    start = df - len(got_docs)
+    np.testing.assert_array_equal(got_docs, docs[start:])
+    _assert_full_equal((g_pos, g_pay, g_off), term, start=start)
+    sk = SkipListReader(
+        doc_b, metas[0]["doc_start_fp"] + metas[0]["skip_offset"],
+        (df - 1) // BLOCK_SIZE, has_positions=True, has_pay_data=True,
+        has_payloads=True,
+    )
+    freqs_full = np.array([len(p) for p in poss], dtype=np.int64)
+    for i, pairs in enumerate(sk.impacts[0]):
+        sl = slice(i * BLOCK_SIZE, (i + 1) * BLOCK_SIZE)
+        assert pairs == competitive_pairs(freqs_full[sl], norms[sl])
+
+
+def test_write_doc_stream_rejects_bad_norms():
+    with pytest.raises(ValueError, match="one norm per doc"):
+        write_doc_stream(
+            [(np.array([1, 2]), np.array([1, 1]))], SEG_ID,
+            norms=[np.array([3])],
+        )
+    with pytest.raises(ValueError, match="norms must be >= 1"):
+        write_doc_stream(
+            [(np.array([1, 2]), np.array([1, 1]))], SEG_ID,
+            norms=[np.array([1, 0])],
+        )
