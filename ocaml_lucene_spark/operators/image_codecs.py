@@ -120,10 +120,17 @@ def decode_png(blob: bytes) -> tuple[int, int, int, np.ndarray]:
         pos += 12 + ln
     if w is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     stride = w * channels
-    if raw.size != h * (1 + stride):
+    expected = h * (1 + stride)
+    # bounded inflate: the output size is known from IHDR, so a
+    # decompression-bomb IDAT (small input, huge inflated payload) is
+    # rejected without ever allocating past expected+1 bytes — an
+    # unbounded zlib.decompress here could MemoryError a Spark task
+    d = zlib.decompressobj()
+    raw_b = d.decompress(bytes(idat), expected)
+    if len(raw_b) != expected or d.decompress(b"", 1) or d.flush():
         raise ValueError("PNG scanline payload size mismatch")
+    raw = np.frombuffer(raw_b, dtype=np.uint8)
     px = _unfilter(raw, h, stride, channels).reshape(h, w, channels)
     return w, h, channels, px
 
@@ -198,7 +205,7 @@ def decode_bmp(blob: bytes) -> tuple[int, int, int, np.ndarray]:
     dib, w, h, planes, bpp, compression = struct.unpack(
         "<IiihhI", blob[14:34]
     )
-    if dib < 40:
+    if dib < 40 or dib > _BMP_DIB_MAX:
         raise NotImplementedError(f"BMP DIB header size {dib}")
     if bpp != 24 or compression != 0:
         raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
@@ -271,10 +278,13 @@ def sniff_format(blob: bytes) -> str | None:
     return None
 
 
-# DIB header sizes a real BMP can carry (BITMAPCOREHEADER through
-# BITMAPV5HEADER) — rejecting other values is what keeps arbitrary
-# "BM"-prefixed bytes (text, other formats) from probing to garbage
-_BMP_DIB_SIZES = frozenset({12, 16, 40, 52, 56, 64, 108, 124})
+# DIB header size range a real BMP can carry: 12 (BITMAPCOREHEADER,
+# uint16 dims) or 16..124 (OS/2 v2 variants through BITMAPV5HEADER,
+# int32 dims) — rejecting other values is what keeps arbitrary
+# "BM"-prefixed bytes (text, other formats) from probing to garbage.
+# decode_bmp's accepted range (40..124) is a subset, so a blob the
+# decoder accepts always probes to the same dims.
+_BMP_DIB_MAX = 124
 _MAX_PROBE_DIM = 1 << 20  # dims past 2^20 px/side are corrupt headers
 
 
@@ -297,12 +307,12 @@ def probe_dims(blob: bytes) -> tuple[int, int] | None:
         if len(blob) < 26:
             return None
         dib = struct.unpack("<I", blob[14:18])[0]
-        if dib not in _BMP_DIB_SIZES:
-            return None
         if dib == 12:  # BITMAPCOREHEADER: uint16 dims
             w, h = struct.unpack("<HH", blob[18:22])
-        else:
+        elif 16 <= dib <= _BMP_DIB_MAX:
             w, h = struct.unpack("<ii", blob[18:26])
+        else:
+            return None
         return _plausible(w, abs(h))
     if fmt == "ppm":
         try:

@@ -58,6 +58,14 @@ MEDIA_SCHEMA = (
 FAKE_MAGIC = b"FAKEIMG1"
 
 
+def _blob_list(col) -> list[bytes]:
+    """Arrow binary columns can carry NULLs: a NULL blob is just an
+    undecodable row (valid=False in the metadata pass, dropped by the
+    feature pass) — never a task abort. Every multimodal op reads its
+    blob column through this."""
+    return [b"" if b is None else bytes(b) for b in col]
+
+
 def encode_fake_image(media_id: int, width: int, height: int, n_frames: int = 1, seed: int = 42) -> bytes:
     """Deterministic synthetic media blob: 8-byte magic, 3x int32 LE
     dims, then width*height*n_frames pseudo-pixel bytes."""
@@ -141,7 +149,7 @@ def media_metadata(df: DataFrame, id_col: str = "media_id", blob_col: str = "blo
 
     def op(batches):
         for pdf in batches:
-            blobs = list(pdf[blob_col])
+            blobs = _blob_list(pdf[blob_col])
             n_bytes, dims, valid = _parse_headers(blobs)
             w = np.where(valid, dims[:, 0], 0).astype(np.int32)
             h = np.where(valid, dims[:, 1], 0).astype(np.int32)
@@ -187,7 +195,7 @@ def sample_frames(
 
     def op(batches):
         for pdf in batches:
-            blobs = list(pdf[blob_col])
+            blobs = _blob_list(pdf[blob_col])
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             _, dims, valid = _parse_headers(blobs)
             out_ids, out_nos, out_frames = [], [], []
@@ -221,7 +229,7 @@ def resize_stub(
 
     def op(batches):
         for pdf in batches:
-            in_blobs = list(pdf[blob_col])
+            in_blobs = _blob_list(pdf[blob_col])
             mids = pdf[id_col].to_numpy(dtype=np.int64)
             _, dims, valid = _parse_headers(in_blobs)
             ids, blobs = [], []
@@ -262,7 +270,7 @@ def byte_histogram_features(
 
     def op(batches):
         for pdf in batches:
-            blobs = list(pdf[blob_col])
+            blobs = _blob_list(pdf[blob_col])
             mids = pdf[id_col].to_numpy(dtype=np.int64)
             n_bytes, dims, valid = _parse_headers(blobs)
             # pixel buffers: fake blobs are header-stripped slices;

@@ -266,3 +266,64 @@ def test_features_over_real_png(spark, mixed_media_df):
         want = want / max(px.size, 1)
         np.testing.assert_allclose(feats[mid], want, atol=1e-6)
         assert math.isclose(float(feats[mid].sum()), 1.0, rel_tol=1e-5)
+
+
+def test_null_blobs_never_abort(spark):
+    """NULL cells in the binary column are undecodable rows, not task
+    aborts: metadata marks them invalid, features drop them."""
+    rows = [
+        (0, mm.encode_fake_image(0, 8, 4, 1)),
+        (1, None),
+        (2, bytes(encode_ppm(_px(2, 2, 3)))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, blob binary")
+    got = {r.media_id: r for r in mm.media_metadata(df).collect()}
+    assert got[0].valid and got[2].valid
+    assert got[1].valid is False and got[1].n_bytes == 0
+    feats = {r.media_id for r in mm.byte_histogram_features(df).collect()}
+    assert feats == {0, 2}
+    # frame sampling over a batch containing the NULL row
+    frames = mm.sample_frames(df).collect()
+    assert {r.media_id for r in frames} == {0}
+
+
+def test_bmp_probe_and_decode_agree_on_dib_range():
+    """probe_dims accepts every DIB size decode_bmp accepts (44, 52,
+    108...), so the metadata and feature passes never contradict each
+    other on the same blob; both reject sizes past BITMAPV5HEADER."""
+    base = bytearray(encode_bmp(_px(2, 3, 3)))
+    for dib in (44, 52, 108, 124):
+        blob = bytearray(base)
+        blob[14:18] = struct.pack("<I", dib)
+        assert probe_dims(bytes(blob)) == (3, 2), dib
+        # decode still works: pixel offset comes from the file header
+        w, h, c, _ = decode_bmp(bytes(blob))
+        assert (w, h, c) == (3, 2, 3)
+    blob = bytearray(base)
+    blob[14:18] = struct.pack("<I", 200)  # past V5: not a real BMP
+    assert probe_dims(bytes(blob)) is None
+    with pytest.raises(NotImplementedError):
+        decode_bmp(bytes(blob))
+
+
+def test_png_decompression_bomb_rejected():
+    """A small PNG whose IDAT inflates far past the IHDR-declared size
+    is rejected as a ValueError (row drops) without allocating the
+    inflated payload — not a MemoryError task abort."""
+    bomb_payload = zlib.compress(b"\x00" * 1_000_000)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)  # 2x2 RGB
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    blob = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", bomb_payload) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="size mismatch"):
+        decode_png(blob)
+    # and the short side: IDAT inflating to LESS than declared
+    small = zlib.compress(b"\x00" * 3)
+    blob2 = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+             + chunk(b"IDAT", small) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="size mismatch"):
+        decode_png(blob2)
