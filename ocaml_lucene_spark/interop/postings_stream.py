@@ -426,6 +426,79 @@ def write_doc_stream(
     return bytes(out), metas
 
 
+# shared by the positions-only and payloads/offsets writers: the doc/
+# position validation, delta flattening, pos-block packing, and skip-
+# column derivation must stay byte-identical between the two grammars
+# (the reader is common), so they exist exactly once
+
+
+def _validate_term_docs(doc_ids, positions) -> np.ndarray:
+    docs = np.asarray(doc_ids, dtype=np.int64)
+    if docs.size and np.any(np.diff(docs) <= 0):
+        raise ValueError("doc ids must be strictly ascending")
+    if len(positions) != docs.size:
+        raise ValueError("one position array per doc required")
+    return docs
+
+
+def _flatten_position_deltas(positions) -> tuple[np.ndarray, np.ndarray]:
+    """(freqs, flat per-doc-resetting position deltas)."""
+    delta_runs = []
+    for p in positions:
+        p = np.asarray(p, dtype=np.int64)
+        if p.size == 0:
+            raise ValueError("every doc needs >= 1 position")
+        if p[0] < 0 or np.any(np.diff(p) <= 0):
+            raise ValueError("positions must be ascending and >= 0")
+        delta_runs.append(np.diff(p, prepend=np.int64(0)))
+    f = np.array([r.size for r in delta_runs], dtype=np.int64)
+    flat = (
+        np.concatenate(delta_runs) if delta_runs else np.empty(0, np.int64)
+    )
+    return f, flat
+
+
+def _pack_pos_blocks(
+    pos_out: bytearray, flat: np.ndarray, pos_start_fp: int
+) -> tuple[int, list[int]]:
+    """PFOR-pack the full blocks; returns (n_pblocks, byte offset
+    after each block relative to pos_start_fp)."""
+    n_pblocks = int(flat.size) // BLOCK_SIZE
+    pblock_end_fps = []
+    for b in range(n_pblocks):
+        sl = slice(b * BLOCK_SIZE, (b + 1) * BLOCK_SIZE)
+        pos_out += pfor_encode(flat[sl].astype(np.uint64))
+        pblock_end_fps.append(len(pos_out) - pos_start_fp)
+    return n_pblocks, pblock_end_fps
+
+
+def _pos_skip_columns(
+    f: np.ndarray, pblock_end_fps: list[int], n_doc_blocks: int
+) -> tuple[list[int], list[int], list[int], list[int]]:
+    """Per level-0 doc-skip point: the pos resume state (Lucene84Skip-
+    Writer's curPosPointer/curPosBufferUpto at each block end).
+    Also returns the raw (full, upto) pairs the .pay columns derive
+    from."""
+    cum_pos = np.cumsum(f)
+    pos_fps: list[int] = []
+    pos_uptos: list[int] = []
+    fulls: list[int] = []
+    uptos: list[int] = []
+    for i in range(n_doc_blocks):
+        consumed = int(cum_pos[(i + 1) * BLOCK_SIZE - 1])
+        full = consumed // BLOCK_SIZE
+        upto = consumed % BLOCK_SIZE
+        pos_fps.append(pblock_end_fps[full - 1] if full else 0)
+        pos_uptos.append(upto)
+        fulls.append(full)
+        uptos.append(upto)
+    return pos_fps, pos_uptos, fulls, uptos
+
+
+def _term_norms(norms, t: int) -> np.ndarray | None:
+    return np.asarray(norms[t], dtype=np.int64) if norms is not None else None
+
+
 def write_postings_streams(
     terms: list[tuple[np.ndarray, list[np.ndarray]]],
     seg_id: bytes,
@@ -443,57 +516,23 @@ def write_postings_streams(
     _write_header(pos_out, seg_id, POS_CODEC)
     metas = []
     for t, (doc_ids, positions) in enumerate(terms):
-        docs = np.asarray(doc_ids, dtype=np.int64)
-        if docs.size and np.any(np.diff(docs) <= 0):
-            raise ValueError("doc ids must be strictly ascending")
-        if len(positions) != docs.size:
-            raise ValueError("one position array per doc required")
-        delta_runs = []
-        for p in positions:
-            p = np.asarray(p, dtype=np.int64)
-            if p.size == 0:
-                raise ValueError("every doc needs >= 1 position")
-            if p[0] < 0 or np.any(np.diff(p) <= 0):
-                raise ValueError("positions must be ascending and >= 0")
-            delta_runs.append(np.diff(p, prepend=np.int64(0)))
-        f = np.array([r.size for r in delta_runs], dtype=np.int64)
-        flat = (
-            np.concatenate(delta_runs)
-            if delta_runs
-            else np.empty(0, dtype=np.int64)
-        )
+        docs = _validate_term_docs(doc_ids, positions)
+        f, flat = _flatten_position_deltas(positions)
         ttf = int(flat.size)
 
-        # .pos bytes for this term
         pos_start_fp = len(pos_out)
-        n_pblocks = ttf // BLOCK_SIZE
-        # byte offset (relative to pos_start_fp) after each packed block
-        pblock_end_fps = []
-        for b in range(n_pblocks):
-            sl = slice(b * BLOCK_SIZE, (b + 1) * BLOCK_SIZE)
-            pos_out += pfor_encode(flat[sl].astype(np.uint64))
-            pblock_end_fps.append(len(pos_out) - pos_start_fp)
+        n_pblocks, pblock_end_fps = _pack_pos_blocks(pos_out, flat, pos_start_fp)
         tail_fp = len(pos_out) - pos_start_fp
         for i in range(n_pblocks * BLOCK_SIZE, ttf):
             write_vint(int(flat[i]), pos_out)
         last_pos_block_offset = tail_fp if ttf > BLOCK_SIZE else None
 
-        # per level-0 doc-skip point: pos resume state (Lucene84Skip-
-        # Writer's curPosPointer/curPosBufferUpto at each block end)
-        cum_pos = np.cumsum(f)
-        pos_fps: list[int] = []
-        pos_uptos: list[int] = []
-        for i in range(docs.size // BLOCK_SIZE):
-            consumed = int(cum_pos[(i + 1) * BLOCK_SIZE - 1])
-            full = consumed // BLOCK_SIZE
-            pos_fps.append(pblock_end_fps[full - 1] if full else 0)
-            pos_uptos.append(consumed % BLOCK_SIZE)
-
+        pos_fps, pos_uptos, _fulls, _uptos = _pos_skip_columns(
+            f, pblock_end_fps, docs.size // BLOCK_SIZE
+        )
         meta = _write_term_docs(
             doc_out, docs, f, True, (pos_fps, pos_uptos),
-            norms=np.asarray(norms[t], dtype=np.int64)
-            if norms is not None
-            else None,
+            norms=_term_norms(norms, t),
         )
         meta["pos_start_fp"] = pos_start_fp
         meta["last_pos_block_offset"] = last_pos_block_offset
@@ -526,11 +565,7 @@ def write_postings_streams_full(
     _write_header(pay_out, seg_id, PAY_CODEC)
     metas = []
     for t, (doc_ids, positions, payloads, offsets) in enumerate(terms):
-        docs = np.asarray(doc_ids, dtype=np.int64)
-        if docs.size and np.any(np.diff(docs) <= 0):
-            raise ValueError("doc ids must be strictly ascending")
-        if len(positions) != docs.size:
-            raise ValueError("one position array per doc required")
+        docs = _validate_term_docs(doc_ids, positions)
         if has_payloads and (
             payloads is None
             or len(payloads) != docs.size
@@ -543,20 +578,16 @@ def write_postings_streams_full(
             raise ValueError("one (starts, ends) pair per doc required")
 
         # flatten, per-doc delta chains resetting like positions
-        delta_runs = []
-        sdelta_runs = []
-        olen_runs = []
-        for d, p in enumerate(positions):
-            p = np.asarray(p, dtype=np.int64)
-            if p.size == 0:
-                raise ValueError("every doc needs >= 1 position")
-            if p[0] < 0 or np.any(np.diff(p) <= 0):
-                raise ValueError("positions must be ascending and >= 0")
-            delta_runs.append(np.diff(p, prepend=np.int64(0)))
-            if has_offsets:
+        f, flat = _flatten_position_deltas(positions)
+        ttf = int(flat.size)
+        flat_sdelta = flat_olen = None
+        if has_offsets:
+            sdelta_runs = []
+            olen_runs = []
+            for d, p in enumerate(positions):
                 starts = np.asarray(offsets[d][0], dtype=np.int64)
                 ends = np.asarray(offsets[d][1], dtype=np.int64)
-                if starts.size != p.size or ends.size != p.size:
+                if starts.size != len(p) or ends.size != len(p):
                     raise ValueError("one offset pair per position required")
                 if starts.size and (
                     starts[0] < 0
@@ -568,11 +599,8 @@ def write_postings_streams_full(
                     )
                 sdelta_runs.append(np.diff(starts, prepend=np.int64(0)))
                 olen_runs.append(ends - starts)
-        f = np.array([r.size for r in delta_runs], dtype=np.int64)
-        flat = np.concatenate(delta_runs)
-        ttf = int(flat.size)
-        flat_sdelta = np.concatenate(sdelta_runs) if has_offsets else None
-        flat_olen = np.concatenate(olen_runs) if has_offsets else None
+            flat_sdelta = np.concatenate(sdelta_runs)
+            flat_olen = np.concatenate(olen_runs)
         flat_pay: list[bytes] = (
             [bytes(b) for pl in payloads for b in pl] if has_payloads else []
         )
@@ -587,13 +615,10 @@ def write_postings_streams_full(
 
         pos_start_fp = len(pos_out)
         pay_start_fp = len(pay_out)
-        n_pblocks = ttf // BLOCK_SIZE
-        pblock_end_fps = []
+        n_pblocks, pblock_end_fps = _pack_pos_blocks(pos_out, flat, pos_start_fp)
         pay_record_fps = []  # start of pay record b, rel pay_start_fp
         for b in range(n_pblocks):
             sl = slice(b * BLOCK_SIZE, (b + 1) * BLOCK_SIZE)
-            pos_out += pfor_encode(flat[sl].astype(np.uint64))
-            pblock_end_fps.append(len(pos_out) - pos_start_fp)
             pay_record_fps.append(len(pay_out) - pay_start_fp)
             if has_payloads:
                 pay_out += pfor_encode(flat_plen[sl].astype(np.uint64))
@@ -634,17 +659,12 @@ def write_postings_streams_full(
         last_pos_block_offset = tail_fp if ttf > BLOCK_SIZE else None
 
         # per level-0 doc-skip point: pos + pay resume state
-        cum_pos = np.cumsum(f)
-        pos_fps: list[int] = []
-        pos_uptos: list[int] = []
+        pos_fps, pos_uptos, fulls, uptos = _pos_skip_columns(
+            f, pblock_end_fps, docs.size // BLOCK_SIZE
+        )
         pay_fps: list[int] = []
         pay_uptos: list[int] = []
-        for i in range(docs.size // BLOCK_SIZE):
-            consumed = int(cum_pos[(i + 1) * BLOCK_SIZE - 1])
-            full = consumed // BLOCK_SIZE
-            upto = consumed % BLOCK_SIZE
-            pos_fps.append(pblock_end_fps[full - 1] if full else 0)
-            pos_uptos.append(upto)
+        for full, upto in zip(fulls, uptos):
             if full < n_pblocks:
                 pay_fps.append(pay_record_fps[full])
                 # payload bytes already consumed inside the resume
@@ -661,9 +681,7 @@ def write_postings_streams_full(
             doc_out, docs, f, True,
             (pos_fps, pos_uptos), (pay_fps, pay_uptos),
             has_payloads=has_payloads,
-            norms=np.asarray(norms[t], dtype=np.int64)
-            if norms is not None
-            else None,
+            norms=_term_norms(norms, t),
         )
         meta["pos_start_fp"] = pos_start_fp
         meta["last_pos_block_offset"] = last_pos_block_offset
