@@ -1035,3 +1035,42 @@ def test_write_doc_stream_rejects_bad_norms():
             [(np.array([1, 2]), np.array([1, 1]))], SEG_ID,
             norms=[np.array([1, 0])],
         )
+
+
+def test_pay_skip_resume_lands_exactly_at_tail():
+    """Freq-1 docs make doc-block ends hit pos-block boundaries: the
+    skip point after doc block 11 (consumed = 1408 = 11*128) resumes
+    exactly AT the vint tail (pos_fp == tail start, pay_fp == end of
+    packed pay region, upto 0) — the branch where no packed block and
+    no pay record is partially consumed."""
+    rng = random.Random(51)
+    df = 1500  # ttf = 1500: 11 packed pos blocks + 92-position tail
+    docs = np.cumsum([rng.randint(1, 9) for _ in range(df)]).astype(np.int64)
+    poss = [np.array([rng.randint(0, 50)], dtype=np.int64) for _ in range(df)]
+    pays = [[bytes([rng.randrange(256)]) * rng.choice([0, 3])] for _ in range(df)]
+    offs = [(np.array([i % 7], dtype=np.int64), np.array([i % 7 + 4], dtype=np.int64))
+            for i in range(df)]
+    term = (docs, poss, pays, offs)
+    doc_b, pos_b, pay_b, metas = write_postings_streams_full([term], SEG_ID)
+    state = _full_state(metas[0], df, df)
+    # the skip entry after doc block 11 resumes at the tail exactly
+    sk = SkipListReader(
+        doc_b, metas[0]["doc_start_fp"] + metas[0]["skip_offset"],
+        (df - 1) // BLOCK_SIZE, has_positions=True, has_pay_data=True,
+        has_payloads=True,
+    )
+    e = sk.entries[0][10]  # point 11 -> block_index 11 -> docs[1408:]
+    assert e[3] == 0  # pos_upto: resume consumed nothing of the tail
+    assert e[2] == metas[0]["last_pos_block_offset"]  # pos_fp == tail fp
+    assert e[5] == 0  # pay_upto
+    # targeted read through that exact point
+    target = int(docs[11 * BLOCK_SIZE])
+    ctr: list = []
+    got_docs, _f, g_pos, g_pay, g_off = read_term_postings_positions_payloads(
+        doc_b, pos_b, pay_b, state, PAYFLAGS, target=target,
+        _pos_decode_counter=ctr,
+    )
+    assert ctr == []  # no packed pos block decoded: straight to tail
+    start = 11 * BLOCK_SIZE
+    np.testing.assert_array_equal(got_docs, docs[start:])
+    _assert_full_equal((g_pos, g_pay, g_off), term, start=start)
