@@ -474,25 +474,22 @@ def _pack_pos_blocks(
 
 def _pos_skip_columns(
     f: np.ndarray, pblock_end_fps: list[int], n_doc_blocks: int
-) -> tuple[list[int], list[int], list[int], list[int]]:
+) -> tuple[list[int], list[int], list[int]]:
     """Per level-0 doc-skip point: the pos resume state (Lucene84Skip-
-    Writer's curPosPointer/curPosBufferUpto at each block end).
-    Also returns the raw (full, upto) pairs the .pay columns derive
-    from."""
+    Writer's curPosPointer/curPosBufferUpto at each block end). Also
+    returns the resume block indexes (``fulls``) the .pay columns
+    derive from; pos_uptos doubles as the in-block value offsets."""
     cum_pos = np.cumsum(f)
     pos_fps: list[int] = []
     pos_uptos: list[int] = []
     fulls: list[int] = []
-    uptos: list[int] = []
     for i in range(n_doc_blocks):
         consumed = int(cum_pos[(i + 1) * BLOCK_SIZE - 1])
         full = consumed // BLOCK_SIZE
-        upto = consumed % BLOCK_SIZE
         pos_fps.append(pblock_end_fps[full - 1] if full else 0)
-        pos_uptos.append(upto)
+        pos_uptos.append(consumed % BLOCK_SIZE)
         fulls.append(full)
-        uptos.append(upto)
-    return pos_fps, pos_uptos, fulls, uptos
+    return pos_fps, pos_uptos, fulls
 
 
 def _term_norms(norms, t: int) -> np.ndarray | None:
@@ -527,7 +524,7 @@ def write_postings_streams(
             write_vint(int(flat[i]), pos_out)
         last_pos_block_offset = tail_fp if ttf > BLOCK_SIZE else None
 
-        pos_fps, pos_uptos, _fulls, _uptos = _pos_skip_columns(
+        pos_fps, pos_uptos, _fulls = _pos_skip_columns(
             f, pblock_end_fps, docs.size // BLOCK_SIZE
         )
         meta = _write_term_docs(
@@ -659,12 +656,12 @@ def write_postings_streams_full(
         last_pos_block_offset = tail_fp if ttf > BLOCK_SIZE else None
 
         # per level-0 doc-skip point: pos + pay resume state
-        pos_fps, pos_uptos, fulls, uptos = _pos_skip_columns(
+        pos_fps, pos_uptos, fulls = _pos_skip_columns(
             f, pblock_end_fps, docs.size // BLOCK_SIZE
         )
         pay_fps: list[int] = []
         pay_uptos: list[int] = []
-        for full, upto in zip(fulls, uptos):
+        for full, upto in zip(fulls, pos_uptos):
             if full < n_pblocks:
                 pay_fps.append(pay_record_fps[full])
                 # payload bytes already consumed inside the resume

@@ -33,6 +33,11 @@ import numpy as np
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # color type -> channels (8-bit depth only; palette type 3 unsupported)
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+# hard ceiling on any single decode's inflated payload (1 GiB): the
+# per-dimension plausibility cap alone still licenses w*h*c in the
+# terabytes, and this bound is what an executor's memory actually cares
+# about
+_MAX_DECODE_BYTES = 1 << 30
 
 
 # ------------------------------------------------------------------ PNG
@@ -120,15 +125,26 @@ def decode_png(blob: bytes) -> tuple[int, int, int, np.ndarray]:
         pos += 12 + ln
     if w is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
+    # the inflate bound below comes from IHDR, i.e. from the attacker:
+    # it must be validated BEFORE it is trusted. h=0 would make
+    # max_length=0, which CPython zlib treats as UNLIMITED; huge dims
+    # would make the "bound" itself a multi-GB allocation license.
+    if w == 0 or h == 0:
+        raise ValueError("PNG zero dimension")
+    if w > _MAX_PROBE_DIM or h > _MAX_PROBE_DIM:
+        raise ValueError("PNG implausible dimensions")
     stride = w * channels
     expected = h * (1 + stride)
-    # bounded inflate: the output size is known from IHDR, so a
-    # decompression-bomb IDAT (small input, huge inflated payload) is
-    # rejected without ever allocating past expected+1 bytes — an
-    # unbounded zlib.decompress here could MemoryError a Spark task
+    if expected > _MAX_DECODE_BYTES:
+        raise ValueError("PNG decoded size exceeds the decode budget")
+    # bounded inflate: a decompression-bomb IDAT (small input, huge
+    # inflated payload) is rejected without allocating past the now-
+    # validated expected size. Overflow shows up as unprocessed input
+    # (unconsumed_tail) or an unfinished stream (not eof) — never probe
+    # with flush(), whose output buffer is unbounded.
     d = zlib.decompressobj()
     raw_b = d.decompress(bytes(idat), expected)
-    if len(raw_b) != expected or d.decompress(b"", 1) or d.flush():
+    if len(raw_b) != expected or d.unconsumed_tail or not d.eof:
         raise ValueError("PNG scanline payload size mismatch")
     raw = np.frombuffer(raw_b, dtype=np.uint8)
     px = _unfilter(raw, h, stride, channels).reshape(h, w, channels)

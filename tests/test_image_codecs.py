@@ -327,3 +327,54 @@ def test_png_decompression_bomb_rejected():
              + chunk(b"IDAT", small) + chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="size mismatch"):
         decode_png(blob2)
+
+
+def _chunk(ctype, data):
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def test_png_bomb_h0_and_huge_dims_never_inflate():
+    """The inflate bound comes from IHDR, i.e. the attacker: h=0 would
+    make max_length=0 (UNLIMITED in CPython zlib) and huge declared
+    dims would make the 'bound' a multi-GB allocation license. Both
+    must be rejected BEFORE any inflation, and the peak allocation
+    must stay tiny."""
+    import tracemalloc
+
+    bomb = zlib.compress(b"\x00" * (8 << 20))  # 8MB payload, ~8KB blob
+    cases = [
+        (struct.pack(">IIBBBBB", 2, 0, 8, 2, 0, 0, 0), "zero"),       # h=0
+        (struct.pack(">IIBBBBB", 0, 2, 8, 2, 0, 0, 0), "zero"),       # w=0
+        (struct.pack(">IIBBBBB", 65500, 65500, 8, 2, 0, 0, 0),
+         "implausible|budget"),                                        # huge
+        (struct.pack(">IIBBBBB", 1 << 21, 4, 8, 2, 0, 0, 0),
+         "implausible"),                                               # > cap
+    ]
+    for ihdr, match in cases:
+        blob = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+                + _chunk(b"IDAT", bomb) + _chunk(b"IEND", b""))
+        tracemalloc.start()
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_png(blob)
+        _cur, peak = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+        assert peak < 4 << 20, (match, peak)  # bomb never inflated
+
+
+def test_png_overflow_at_exact_bound_rejected():
+    """An IDAT whose stream continues past the declared size but whose
+    bounded inflate fills the budget exactly: detected via the stream
+    state (unconsumed input / not eof), never by an unbounded flush."""
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)  # expected 14
+    over = zlib.compress(b"\x00" * 14 + b"\x01" * (1 << 20))
+    blob = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", over) + _chunk(b"IEND", b""))
+    import tracemalloc
+
+    tracemalloc.start()
+    with pytest.raises(ValueError, match="size mismatch"):
+        decode_png(blob)
+    _cur, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert peak < 1 << 20, peak
