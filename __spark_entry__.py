@@ -2168,12 +2168,17 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # never-driver-checked rows in literal order (the r7 window covers
     # the first 49 of them), then the r5-checked tail, then the
     # r6-checked head (CORRECTNESS_r06 keys) demoted to the very end.
-    # ROUND-8 ROTATION OBLIGATION: ~34 never-checked rows remain past
-    # the r7 cut (list(queries())[50:84]) — they plus the r5-checked
-    # tail go FIRST in r8; recount with list(queries()) before
-    # trusting any of these numbers. New rows added to the literal
-    # automatically land in the never-checked bucket (before the
-    # demoted r6 head) but AFTER the existing backlog.
+    # ROUND-8 ROTATION (applied programmatically below): demote the 50
+    # CORRECTNESS_r07 keys to the very end; the resulting front is the
+    # 34 never-driver-checked rows (cumulative_sum..semdedup) followed
+    # by the 49 r5-checked stale rows — the 50-row window covers all 34
+    # plus the 16 stalest r5 rows, so after r8 EVERY gate row has been
+    # driver-proven at least once (the r7 verdict's top item).
+    # ROUND-9 ROTATION OBLIGATION: the remaining 33 r5-stale rows
+    # (list(queries())[50:83]) go first, then the r6-checked 50; the
+    # r7/r8-checked heads stay demoted. Recount with list(queries())
+    # before trusting any of these numbers. New rows added to the
+    # literal automatically land in the front (never-checked) bucket.
     qs = {
         # -- last driver-checked in r4: the r6 rotation obligation says
         #    these 41 MUST make the 50-row cut this round --
@@ -2389,12 +2394,35 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "phrase_prefix", "top_hits_grouped", "filters_agg",
         "cardinality_agg", "value_histogram",
     )
-    _demoted = set(_r6_checked)
-    assert _demoted <= qs.keys() and len(_demoted) == 50
-    _front = ["bigram_collocations"] + [
-        k for k in qs if k not in _demoted and k != "bigram_collocations"
-    ]
-    qs = {k: qs[k] for k in _front} | {k: qs[k] for k in _r6_checked}
+    # _R7_CHECKED is the exact CORRECTNESS_r07.json key list (the 50
+    # rows the r7 driver window proved green) — demoted past _r6_checked.
+    _r7_checked = (
+        "bigram_collocations", "ngram_contamination", "repetition_signals",
+        "unigram_logprob", "sort_by_field", "pack_sequences",
+        "sample_stratified", "session_windows", "dedup_clusters",
+        "function_score", "phrase_suggest", "query_string",
+        "query_string_expand", "query_string_fielded", "drill_sideways",
+        "intervals_ordered", "intervals_containing", "intervals_unordered",
+        "bm25_analyzed", "adjacency_matrix", "boilerplate_coverage",
+        "mix_proportions", "percentiles_agg", "composite_agg",
+        "histogram_pipeline", "multi_phrase_counts", "bm25_boosting",
+        "extended_stats", "rare_terms", "multi_terms",
+        "token_budget_select", "matrix_stats", "moving_avg",
+        "gopher_quality_filter", "domain_cap_select", "chunk_windows",
+        "streamed_sessions", "knn_filtered", "date_range_facets",
+        "auto_date_histogram", "snippet_topk", "bm25_combined_fields",
+        "bm25_pinned", "random_score", "clean_dedup_select",
+        "span_containing", "span_within", "bucket_selector",
+        "bucket_sort", "bucket_script",
+    )
+    _demoted = set(_r6_checked) | set(_r7_checked)
+    assert _demoted <= qs.keys() and len(_demoted) == 100
+    _front = [k for k in qs if k not in _demoted]
+    qs = (
+        {k: qs[k] for k in _front}
+        | {k: qs[k] for k in _r6_checked}
+        | {k: qs[k] for k in _r7_checked}
+    )
     if not ordered:
         return qs
     return {k: (_canonical(v) if k in _CANON_ORDER else v) for k, v in qs.items()}
