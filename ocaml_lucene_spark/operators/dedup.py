@@ -76,6 +76,28 @@ def minhash_signatures(
     return base.select("doc_id", *cols)
 
 
+def _record_persisted(out: DataFrame, staging: DataFrame) -> DataFrame:
+    """Record a persisted staging relation on the result so callers can
+    release it: persisted DataFrames live in the session's CacheManager
+    until explicit unpersist (they are NOT reference-tracked like RDDs),
+    so each un-released call leaks disk blocks for the session's
+    lifetime. Callers own the lineage — call unpersist_staging(result)
+    once the result is materialized (collect/write); re-using the
+    result afterwards recomputes the staging relation."""
+    held = list(getattr(out, "_olspark_persisted", []))
+    held.append(staging)
+    out._olspark_persisted = held
+    return out
+
+
+def unpersist_staging(df: DataFrame) -> None:
+    """Release the persisted staging relations recorded by operators in
+    this module on ``df`` (see _record_persisted). Safe to call twice."""
+    for p in getattr(df, "_olspark_persisted", []):
+        p.unpersist()
+    df._olspark_persisted = []
+
+
 def minhash_candidate_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -130,7 +152,7 @@ def minhash_candidate_pairs(
         F.col("l.sigs"), F.col("r.sigs"), lambda x, y: (x == y).cast("int")
     )
     est = F.aggregate(eq, F.lit(0), lambda acc, x: acc + x) / float(n_hashes)
-    return (
+    out = (
         l.join(r, ["band_id", "band_hash"])
         .filter(F.col("l.doc_id") < F.col("r.doc_id"))
         .select(
@@ -142,6 +164,7 @@ def minhash_candidate_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.first("est_jaccard").alias("est_jaccard"))
     )
+    return _record_persisted(out, banded)
 
 
 def ngram_jaccard_pairs(
@@ -231,9 +254,10 @@ def near_dup_pairs(
     (adversarial test in tests/test_dedup_ann.py)."""
     from ..session import ensure_compute_parallelism
 
-    cands = minhash_candidate_pairs(
+    _cand_full = minhash_candidate_pairs(
         docs, id_col, text_col, n_hashes, bands, min_est_jaccard
-    ).select("doc_a", "doc_b")
+    )
+    cands = _cand_full.select("doc_a", "doc_b")
     sh = ensure_compute_parallelism(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(shingles_col(text_col, n))).alias("sh"),
@@ -252,7 +276,7 @@ def near_dup_pairs(
         .agg(F.count("*").alias("n_inter"))
     )
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    return (
+    out = (
         inter.join(sa, inter.doc_a == F.col("sa.doc_id"))
         .join(sb, inter.doc_b == F.col("sb.doc_id"))
         .select(
@@ -266,6 +290,9 @@ def near_dup_pairs(
         )
         .filter(F.col("jaccard") >= min_jaccard)
     )
+    for p in getattr(_cand_full, "_olspark_persisted", []):
+        _record_persisted(out, p)
+    return out
 
 
 def simhash_signatures(

@@ -33,11 +33,16 @@ import numpy as np
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # color type -> channels (8-bit depth only; palette type 3 unsupported)
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
-# hard ceiling on any single decode's inflated payload (1 GiB): the
-# per-dimension plausibility cap alone still licenses w*h*c in the
-# terabytes, and this bound is what an executor's memory actually cares
-# about
-_MAX_DECODE_BYTES = 1 << 30
+# hard ceiling on any single decode's inflated payload (32 MiB —
+# ~2900x2900 RGBA): the per-dimension plausibility cap alone still
+# licenses w*h*c in the terabytes. The bound is CPU as much as memory:
+# Average/Paeth unfiltering is inherently sequential per byte, and the
+# inlined list loop floors at ~3 MB/s, so the worst-case stall a
+# hostile-but-valid all-Paeth PNG can force on one executor task is
+# ~10 s at this default (measured; was ~hours under the old 1 GiB cap
+# with numpy element indexing). Callers that trust their corpus pass
+# max_decode_bytes explicitly to decode_png/decode_image.
+_MAX_DECODE_BYTES = 1 << 25
 
 
 # ------------------------------------------------------------------ PNG
@@ -57,42 +62,71 @@ def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     """Undo PNG scanline filters: rows of (1 filter byte + stride
     bytes). Up (2) is a whole-row vector op; Sub (1) is a per-lane
     cumsum; Average (3) and Paeth (4) carry a true sequential
-    dependency and loop bytes within the row."""
+    dependency byte-to-byte, so they run as plain-Python list loops
+    with the Paeth predictor inlined — ~5-10x faster than numpy
+    element indexing, which is what bounds the worst-case CPU a
+    hostile all-Paeth PNG can burn under _MAX_DECODE_BYTES."""
     rows = raw.reshape(h, 1 + stride)
     out = np.zeros((h, stride), dtype=np.uint8)
     for y in range(h):
         ft = int(rows[y, 0])
-        line = rows[y, 1:].astype(np.int64)
-        prev = out[y - 1].astype(np.int64) if y else np.zeros(stride, np.int64)
         if ft == 0:
-            cur = line
+            out[y] = rows[y, 1:]
         elif ft == 1:  # Sub: per-lane prefix sum mod 256
-            cur = line.copy()
+            cur = rows[y, 1:].astype(np.int64)
             for k in range(bpp):
                 cur[k::bpp] = np.cumsum(cur[k::bpp]) % 256
-        elif ft == 2:  # Up
-            cur = (line + prev) % 256
+            out[y] = cur.astype(np.uint8)
+        elif ft == 2:  # Up (uint8 addition wraps mod 256)
+            out[y] = rows[y, 1:] + out[y - 1] if y else rows[y, 1:]
         elif ft == 3:  # Average
-            cur = np.empty(stride, np.int64)
+            line = rows[y, 1:].tolist()
+            prev = out[y - 1].tolist() if y else [0] * stride
+            cur = [0] * stride
             for i in range(stride):
                 a = cur[i - bpp] if i >= bpp else 0
-                cur[i] = (line[i] + (a + prev[i]) // 2) % 256
-        elif ft == 4:  # Paeth
-            cur = np.empty(stride, np.int64)
+                cur[i] = (line[i] + ((a + prev[i]) >> 1)) & 255
+            out[y] = cur
+        elif ft == 4:  # Paeth (predictor inlined in the hot loop)
+            line = rows[y, 1:].tolist()
+            prev = out[y - 1].tolist() if y else [0] * stride
+            cur = [0] * stride
             for i in range(stride):
-                a = int(cur[i - bpp]) if i >= bpp else 0
-                c = int(prev[i - bpp]) if i >= bpp else 0
-                cur[i] = (line[i] + _paeth(a, int(prev[i]), c)) % 256
+                a = cur[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                p = a + b - c
+                pa = p - a
+                if pa < 0:
+                    pa = -pa
+                pb = p - b
+                if pb < 0:
+                    pb = -pb
+                pc = p - c
+                if pc < 0:
+                    pc = -pc
+                if pa <= pb and pa <= pc:
+                    pr = a
+                elif pb <= pc:
+                    pr = b
+                else:
+                    pr = c
+                cur[i] = (line[i] + pr) & 255
+            out[y] = cur
         else:
             raise ValueError(f"PNG filter type {ft}")
-        out[y] = cur.astype(np.uint8)
     return out
 
 
-def decode_png(blob: bytes) -> tuple[int, int, int, np.ndarray]:
+def decode_png(
+    blob: bytes, max_decode_bytes: int | None = None
+) -> tuple[int, int, int, np.ndarray]:
     """(width, height, channels, pixels (h, w, c) uint8). 8-bit
     non-interlaced gray/RGB/gray-alpha/RGBA only; chunk CRCs are
-    verified with zlib.crc32."""
+    verified with zlib.crc32. max_decode_bytes overrides the module
+    default decode budget (memory AND unfilter-CPU bound) for callers
+    that trust their corpus."""
+    budget = _MAX_DECODE_BYTES if max_decode_bytes is None else max_decode_bytes
     if blob[:8] != PNG_SIG:
         raise ValueError("not a PNG")
     pos = 8
@@ -135,7 +169,7 @@ def decode_png(blob: bytes) -> tuple[int, int, int, np.ndarray]:
         raise ValueError("PNG implausible dimensions")
     stride = w * channels
     expected = h * (1 + stride)
-    if expected > _MAX_DECODE_BYTES:
+    if expected > budget:
         raise ValueError("PNG decoded size exceeds the decode budget")
     # bounded inflate: a decompression-bomb IDAT (small input, huge
     # inflated payload) is rejected without allocating past the now-
@@ -360,14 +394,17 @@ def decode_ppm_header_only(blob: bytes) -> tuple[int, int, int, int]:
     return vals[0], vals[1], vals[2], pos + 1
 
 
-def decode_image(blob: bytes) -> tuple[int, int, int, np.ndarray]:
+def decode_image(
+    blob: bytes, max_decode_bytes: int | None = None
+) -> tuple[int, int, int, np.ndarray]:
     """Dispatch on magic: (w, h, channels, pixels (h, w, c) uint8).
     Raises NotImplementedError for formats needing codecs this
     container doesn't have (JPEG/WebP/video — the remaining PIL/pyAV
-    integration point)."""
+    integration point). max_decode_bytes widens/narrows the PNG
+    decode budget (BMP/PPM payloads are bounded by the blob itself)."""
     fmt = sniff_format(blob)
     if fmt == "png":
-        return decode_png(blob)
+        return decode_png(blob, max_decode_bytes=max_decode_bytes)
     if fmt == "bmp":
         return decode_bmp(blob)
     if fmt == "ppm":

@@ -201,10 +201,14 @@ def drill_sideways(
         # Spark sorts NULLS FIRST, DuckDB NULLS LAST, and the gate
         # hash is order-sensitive — a non-null string keeps the
         # (dim, value) total order engine-identical (oracle matches).
+        # The sentinel starts with \x01, outside the token/value
+        # alphabet, so a value literally equal to any printable string
+        # can never merge into the NULL bucket; it also sorts first
+        # under both engines' binary collations.
         parts.append(
             joined.filter(others)
             .groupBy(
-                F.coalesce(F.col(dim).cast("string"), F.lit("__null__")).alias(
+                F.coalesce(F.col(dim).cast("string"), F.lit("\x01null")).alias(
                     "value"
                 )
             )

@@ -844,7 +844,7 @@ def drill_sideways_sql(must: list[str], selections: dict[str, str]) -> str:
             f"d.{od} = '{esc(selections[od])}'" for od in dims if od != dim
         ) or "TRUE"
         legs.append(f"""
-SELECT '{dim}' AS dim, coalesce(d.{dim}::VARCHAR, '__null__') AS value,
+SELECT '{dim}' AS dim, coalesce(d.{dim}::VARCHAR, chr(1) || 'null') AS value,
        count(*)::BIGINT AS n_docs
 FROM hit JOIN documents d USING (doc_id)
 WHERE {others}

@@ -49,6 +49,31 @@ def test_minhash_finds_near_dups(spark, docs):
     assert len(perfect) >= len(exact) * 0 + 5
 
 
+def test_minhash_staging_persist_is_releasable(spark, docs):
+    """minhash_candidate_pairs persists its banded staging relation
+    (DISK_ONLY); without unpersist_staging it would leak CacheManager
+    disk blocks for the session lifetime (persisted DataFrames are not
+    reference-tracked). The recorded handle must release it, and the
+    composed near_dup_pairs must propagate the handle."""
+    from pyspark import StorageLevel
+
+    out = dedup.minhash_candidate_pairs(docs, min_est_jaccard=0.5)
+    out.collect()
+    held = out._olspark_persisted
+    assert len(held) == 1
+    assert held[0].storageLevel == StorageLevel.DISK_ONLY
+    dedup.unpersist_staging(out)
+    assert held[0].storageLevel == StorageLevel.NONE
+    assert out._olspark_persisted == []
+    dedup.unpersist_staging(out)  # idempotent
+
+    nd = dedup.near_dup_pairs(docs, min_jaccard=0.5)
+    assert len(nd._olspark_persisted) == 1
+    nd.collect()
+    dedup.unpersist_staging(nd)
+    assert nd._olspark_persisted == []
+
+
 def test_minhash_estimates_track_exact_jaccard(spark, docs):
     est = {
         (p.doc_a, p.doc_b): p.est_jaccard

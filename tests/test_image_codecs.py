@@ -59,6 +59,48 @@ def test_png_gradient_paeth_only():
     np.testing.assert_array_equal(got, px)
 
 
+def test_png_decode_budget_default_and_override():
+    """The default decode budget is 32 MiB (CPU bound for the
+    sequential Average/Paeth unfilter loops, not just memory): a PNG
+    whose scanline payload exceeds it is rejected before inflate, and
+    max_decode_bytes= lets a trusting caller widen (or narrow) it."""
+    px = _px(8, 8, 4, seed=3)
+    blob = encode_png(px, row_filters=[4] * 8)
+    # narrow the budget below this image's payload -> rejected
+    with pytest.raises(ValueError, match="budget"):
+        decode_png(blob, max_decode_bytes=64)
+    # explicit widening still decodes
+    _, _, _, got = decode_png(blob, max_decode_bytes=1 << 30)
+    np.testing.assert_array_equal(got, px)
+    # a header claiming > 32 MiB is rejected under the default even
+    # though its dims pass the per-dimension plausibility cap
+    big = bytearray(encode_png(_px(4, 4, 4)))
+    ihdr_at = big.index(b"IHDR")
+    big[ihdr_at + 4 : ihdr_at + 12] = struct.pack(">II", 4096, 4096)
+    data = bytes(big[ihdr_at : ihdr_at + 4 + 13])
+    big[ihdr_at + 17 : ihdr_at + 21] = struct.pack(
+        ">I", zlib.crc32(data) & 0xFFFFFFFF
+    )
+    with pytest.raises(ValueError, match="budget"):
+        decode_png(bytes(big))
+    # widened, the lying header gets past the budget and fails at the
+    # payload-size check instead — proving the budget was the gate
+    with pytest.raises(ValueError, match="payload size"):
+        decode_png(bytes(big), max_decode_bytes=1 << 30)
+
+
+def test_png_all_paeth_at_size_roundtrip():
+    """256x256 RGBA, every row Paeth-filtered — the worst-case input
+    for the inlined list-loop fast path; must stay byte-exact."""
+    px = _px(256, 256, 4, seed=7)
+    blob = encode_png(px, row_filters=[4] * 256)
+    _, _, _, got = decode_png(blob)
+    np.testing.assert_array_equal(got, px)
+    blob3 = encode_png(px, row_filters=[3] * 256)
+    _, _, _, got3 = decode_png(blob3)
+    np.testing.assert_array_equal(got3, px)
+
+
 def test_png_crc_corruption_rejected():
     blob = bytearray(encode_png(_px(4, 4, 3)))
     # flip a byte inside the IDAT payload (after sig+IHDR chunk)
