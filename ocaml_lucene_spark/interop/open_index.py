@@ -35,6 +35,15 @@ Lucene itself pays per segment); nothing here sits on a per-row path —
 the Spark engine queries its own parquet segment format
 (docs/SEGMENT_FORMAT.md), and this reader is the interop bridge for
 inspecting real Lucene indexes.
+
+EVIDENCE CAVEAT: the metadata steps (segments_N, .si, .fnm, .tmd, the
+FST, floor pointers) are pinned by the reference's golden fixtures,
+but the ``.doc``/``.pos``/``.pay`` postings decode this module
+composes (postings_stream.py) is pinned only by this repo's own
+grammar-inverse writer↔reader round-trips plus Hypothesis grammar and
+mutation fuzzing — the reference stubs its postings read path and
+ships no postings fixture, so a shared writer/reader misreading of
+the public Lucene84 wire format would survive this evidence model.
 """
 
 from __future__ import annotations
