@@ -554,6 +554,173 @@ def build_index(
     return manifest_row
 
 
+def build_index_from_postings(
+    postings: DataFrame,
+    index_dir: str,
+    segment: str | None = None,
+    n_partitions: int | None = None,
+    salt_df_threshold: int = DEFAULT_SALT_DF_THRESHOLD,
+    n_salts: int = DEFAULT_N_SALTS,
+    source: str = "import",
+) -> dict:
+    """Build one segment from an ALREADY-INVERTED postings relation —
+    the tail of build_index for inputs that skip tokenization (the
+    Lucene-segment importer, interop/import_index.py, feeds this with
+    postings decoded from a real Lucene directory).
+
+    ``postings``: (doc_id long, term string, tf long
+    [, positions array<long>]) with globally unique doc_ids and one
+    row per (doc_id, term). Positions build a .pos-analogue segment.
+
+    dl (the norms doc-value) derives as sum(tf) per doc — identical to
+    the tokenizer's token count when every token is indexed, which is
+    Lucene's own norm for a default-similarity text field. Docs absent
+    from ``postings`` (empty docs) contribute nothing here; stats
+    count only posting-bearing docs (documented divergence from
+    Lucene's maxDoc, which counts empty docs too).
+
+    Same scale shape as build_index from the tf stage on: one posting-
+    volume shuffle on (term, salt) into the pack kernel, df-driven
+    contiguous-range hot-term salting, map-side partial aggs for
+    norms/hot detection. The extra dl join (build_index carries dl
+    inline from the tokenizer) is one doc-keyed shuffle of the
+    postings; AQE broadcast-joins it when the norms side is small."""
+    spark = postings.sparkSession
+    t0 = time.monotonic()
+    with_positions = "positions" in postings.columns
+    generation = seg.next_generation(index_dir)
+    segment = segment or f"seg{generation:06d}"
+    paths = seg.segment_paths(index_dir, segment)
+    n_parts = n_partitions or spark.sparkContext.defaultParallelism
+
+    from pyspark import StorageLevel
+
+    # three consumers (norms, hot detection, the pack shuffle) — same
+    # staging rationale as build_index's token cache
+    postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
+
+    from pyspark.sql import Observation
+
+    obs = Observation("corpus_stats")
+    (
+        postings.groupBy("doc_id")
+        .agg(F.sum("tf").cast("long").alias("dl"))
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("sum_dl"),
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+        )
+        .write.mode("overwrite")
+        .parquet(paths["norms"])
+    )
+    agg_row = obs.get
+    b_lo, b_hi = agg_row["lo"], agg_row["hi"]
+    span = int(b_hi) - int(b_lo) + 1 if b_lo is not None else 1
+
+    # exact hot-term dfs: the (doc, term) collapse already happened
+    # upstream, so df is a plain count — no sampling pass needed
+    hot = (
+        postings.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > salt_df_threshold)
+        .select("term", F.lit(1).alias("_hot"))
+    )
+
+    tf = postings.join(
+        spark.read.parquet(paths["norms"]), "doc_id"
+    ).join(F.broadcast(hot), "term", "left")
+    tf = tf.withColumn(
+        "salt",
+        F.when(
+            F.col("_hot").isNotNull(),
+            F.least(
+                F.lit(n_salts),
+                (
+                    F.lit(1)
+                    + F.floor(
+                        (F.col("doc_id") - F.lit(int(b_lo or 0)))
+                        * F.lit(n_salts)
+                        / F.lit(span)
+                    )
+                ).cast("int"),
+            ),
+        ).otherwise(F.lit(0)),
+    ).drop("_hot")
+
+    # THE shuffle: hash on (term, salt), JVM sort within partitions —
+    # identical contract to build_index (hash, not range, so resume
+    # fingerprints stay a pure function of the data)
+    shuffled = (
+        tf.repartition(n_parts, "term", "salt")
+        .sortWithinPartitions("term", "salt", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+
+    def pack_iter(batches):
+        import pyarrow as pa
+
+        chunks = list(batches)
+        if not chunks:
+            return
+        rb = seg.pack_table(
+            pa.Table.from_batches(chunks),
+            segment, paths["postings"], paths["checkpoints"], with_positions,
+        )
+        if rb is not None:
+            yield rb
+
+    ckpt_rows = shuffled.mapInArrow(pack_iter, seg.CHECKPOINT_SCHEMA).collect()
+
+    (
+        spark.read.parquet(paths["postings"])
+        .groupBy("term")
+        .agg(F.sum("n").alias("df"), F.sum("sum_tf").alias("ttf"))
+        .repartitionByRange(max(n_parts // 4, 1), "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(paths["terms"])
+    )
+
+    stats = {
+        "segment": segment,
+        "n_docs": int(agg_row["n_docs"]),
+        "sum_dl": int(agg_row["sum_dl"]),
+        "avgdl": agg_row["sum_dl"] / agg_row["n_docs"] if agg_row["n_docs"] else 0.0,
+        "with_positions": with_positions,
+        "with_offsets": False,
+        "index_options": (
+            "DOCS_AND_FREQS_AND_POSITIONS" if with_positions else "DOCS_AND_FREQS"
+        ),
+        "doc_id_base": None,
+    }
+    seg.write_stats(index_dir, segment, stats)
+
+    elapsed = time.monotonic() - t0
+    n_postings = sum(r.n_postings or 0 for r in ckpt_rows)
+    manifest_row = {
+        "segment": segment,
+        "generation": generation,
+        "status": "live",
+        "n_docs": int(agg_row["n_docs"]),
+        "sum_dl": int(agg_row["sum_dl"]),
+        "n_postings": int(n_postings),
+        "bytes_packed": int(sum(r.bytes_packed or 0 for r in ckpt_rows)),
+        "n_partitions": len(ckpt_rows),
+        "elapsed_sec": elapsed,
+        "docs_per_sec": agg_row["n_docs"] / elapsed if elapsed else 0.0,
+        "postings_per_sec": n_postings / elapsed if elapsed else 0.0,
+        "source": source,
+        "resumed_partitions": sum(
+            1 for r in ckpt_rows if r.status == "skipped_checkpoint"
+        ),
+    }
+    seg.write_manifest_row(index_dir, manifest_row)
+    postings.unpersist()
+    return manifest_row
+
+
 def add_documents(
     docs: DataFrame,
     index_dir: str,

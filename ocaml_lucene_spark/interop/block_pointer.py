@@ -34,6 +34,28 @@ OUTPUT_FLAGS_NUM_BITS = 2
 _MASK63 = (1 << 63) - 1
 
 
+def all_blocks(output: bytes) -> list[tuple[int, bool]]:
+    """Every (file_pointer, has_terms) a floor-pointer output names:
+    the root entry plus each floor follow block (same grammar walk as
+    find_block, without the label cut). Importer support — the
+    reference only ever selects one block per seek."""
+    di = DataInput(output)
+    code = di.read_vlong() & _MASK63
+    fp = code >> OUTPUT_FLAGS_NUM_BITS
+    out = [(fp, code & 2 != 0)]
+    if not code & 1:  # not floored
+        return out
+    n = di.read_vint()
+    di.read_byte()  # first follow block's start label
+    for i in range(n):
+        code = di.read_vlong() & _MASK63
+        fp = fp + (code >> 1)
+        out.append((fp, code & 1 != 0))
+        if i + 1 < n:
+            di.read_byte()
+    return out
+
+
 def find_block(output: bytes, target_label: int | str) -> int | None:
     """File pointer of the block expected to hold terms whose
     next-after-prefix character is ``target_label``; None when that

@@ -39,6 +39,10 @@ class Arc:
     target: int
     output: object
     final_output: object
+    # BIT_FINAL_ARC: the path ending at this arc is a complete key
+    # (needed by items() enumeration; lookup() never consults it —
+    # the reference's fst_match_term doesn't either)
+    final: bool = False
 
 
 @dataclass
@@ -126,19 +130,20 @@ class FstReader:
     def _read_da_arc(self, label: int, info: _DANodeInfo) -> Arc:
         di = self.di
         flags = di.read_byte()
+        final = bool(flags & BIT_FINAL_ARC)
         output = self._read_output() if flags & BIT_ARC_HAS_OUTPUT else self._zero()
         final_output = (
             self._read_output() if flags & BIT_ARC_HAS_FINAL_OUTPUT else self._zero()
         )
         if flags & BIT_STOP_NODE:
-            return Arc(label, -1 if flags & BIT_FINAL_ARC else 0, output, final_output)
+            return Arc(label, -1 if final else 0, output, final_output, final)
         if flags & BIT_TARGET_NEXT:
             if flags & BIT_LAST_ARC:
                 target = di.pos
             else:
                 target = info.arc_start - info.bytes_per_arc * self._presence_total(info)
-            return Arc(label, target, output, final_output)
-        return Arc(label, di.read_vlong(), output, final_output)
+            return Arc(label, target, output, final_output, final)
+        return Arc(label, di.read_vlong(), output, final_output, final)
 
     def _find_da_arc(self, label: int, info: _DANodeInfo) -> Arc | None:
         arc_index = label - info.first_label
@@ -155,24 +160,25 @@ class FstReader:
         flags byte; outputs follow the label."""
         di = self.di
         label = di.read_byte()
+        final = bool(flags & BIT_FINAL_ARC)
         output = self._read_output() if flags & BIT_ARC_HAS_OUTPUT else self._zero()
         final_output = (
             self._read_output() if flags & BIT_ARC_HAS_FINAL_OUTPUT else self._zero()
         )
         more = not (flags & BIT_LAST_ARC)
         if flags & BIT_STOP_NODE:
-            return Arc(label, -1 if flags & BIT_FINAL_ARC else 0, output, final_output), more
+            return Arc(label, -1 if final else 0, output, final_output, final), more
         if flags & BIT_TARGET_NEXT:
             if flags & BIT_LAST_ARC:
                 # the target node is laid out immediately after (i.e. at
                 # the current read position in the reversed stream)
-                return Arc(label, di.pos, output, final_output), more
+                return Arc(label, di.pos, output, final_output, final), more
             raise NotImplementedError(
                 "target-next on a non-last linear arc needs a node skip "
                 "(unimplemented in the reference too: "
                 "byte_array_fst_reader.ml seek_to_next_node)"
             )
-        return Arc(label, di.read_vint(), output, final_output), more
+        return Arc(label, di.read_vint(), output, final_output, final), more
 
     def _skip_linear_arc_body(self, flags: int) -> bool:
         """After the label has been read: skip outputs/target, return
@@ -286,3 +292,30 @@ class FstReader:
         for a in path[:-1]:
             total = self._add(total, a.output)
         return self._add(total, self._add(path[-1].output, path[-1].final_output))
+
+    # -- full enumeration (importer support; no reference analogue —
+    #    the reference only ever seeks, terms_enumerator.ml) ----------
+    def items(self) -> list[tuple[bytes, object]]:
+        """Every (key, output) pair in the FST, in key order: DFS over
+        read_arcs_at_target folding outputs exactly like lookup().
+        A non-zero empty_output means the empty key is present (in a
+        block-tree index FST that is where the root block pointer
+        lives when no 1-byte prefix exists)."""
+        res: list[tuple[bytes, object]] = []
+        zero = self._zero()
+        if self.empty_output != zero:
+            res.append((b"", self.empty_output))
+
+        def walk(target: int, prefix: bytes, acc) -> None:
+            for arc in self.read_arcs_at_target(target):
+                key = prefix + bytes([arc.label])
+                val = self._add(acc, arc.output)
+                if arc.final:
+                    res.append((key, self._add(val, arc.final_output)))
+                if arc.target > 0:
+                    walk(arc.target, key, val)
+
+        if self.start_node > 0:
+            walk(self.start_node, b"", zero)
+        res.sort(key=lambda kv: kv[0])
+        return res

@@ -192,19 +192,14 @@ def _decode_postings_term(
     )
 
 
-def decode_metadata(
-    limit: int, stats: DataInput, postings: DataInput, flags: FieldFlags
-) -> BlockTermState:
-    """Fold per-term metadata for terms 0..limit inclusive
-    (terms_enumerator.ml decode_metadata :173-196): the stats stream
-    yields (df, ttf) — with low-bit tokens opening singleton runs of
-    run_length+1 terms — and every term consumes one
-    decode_postings_term record (deltas accumulate across skipped
-    terms, which is the point of decoding from the block head)."""
+def _iter_states(stats: DataInput, postings: DataInput, flags: FieldFlags):
+    """Yield each successive term's folded BlockTermState from a
+    block's stats/postings streams (the shared loop of decode_metadata
+    and decode_all_states)."""
     state = BlockTermState()
     singleton_run_length = 0
     n = 0
-    while n <= limit:
+    while True:
         if singleton_run_length > 0:
             singleton_run_length -= 1
             doc_freq, total_term_freq = 1, 1
@@ -225,8 +220,33 @@ def decode_metadata(
             metadata_upto=n + 1,
         )
         state = _decode_postings_term(postings, flags, state)
+        yield state
         n += 1
-    return state
+
+
+def decode_metadata(
+    limit: int, stats: DataInput, postings: DataInput, flags: FieldFlags
+) -> BlockTermState:
+    """Fold per-term metadata for terms 0..limit inclusive
+    (terms_enumerator.ml decode_metadata :173-196): the stats stream
+    yields (df, ttf) — with low-bit tokens opening singleton runs of
+    run_length+1 terms — and every term consumes one
+    decode_postings_term record (deltas accumulate across skipped
+    terms, which is the point of decoding from the block head)."""
+    it = _iter_states(stats, postings, flags)
+    for _ in range(limit):
+        next(it)
+    return next(it)
+
+
+def decode_all_states(block: TermsBlock, flags: FieldFlags) -> list[BlockTermState]:
+    """Every term's BlockTermState of a LEAF block, in suffix order —
+    one fold over the stats/postings streams (importer support; the
+    reference only ever decodes up to one sought term)."""
+    if not block.is_leaf:
+        raise NotImplementedError("if_leaf_block = false")
+    it = _iter_states(DataInput(block.stats), DataInput(block.postings), flags)
+    return [next(it) for _ in range(block.ent_count)]
 
 
 def seek_exact_in_block(
