@@ -150,7 +150,11 @@ _SUFFIX = b"Lucene84_0"
 
 
 def _write_header(out: bytearray, seg_id: bytes, codec: str = DOC_CODEC) -> None:
-    out += CODEC_MAGIC.to_bytes(4, "little")
+    # big-endian, as real Lucene writes it (CodecUtil.writeHeader) —
+    # the r8 mutation property exposed that this writer used to emit
+    # it little-endian, a byte-order divergence no round-trip could
+    # see while nothing validated the magic
+    out += CODEC_MAGIC.to_bytes(4, "big")
     write_vint(len(codec), out)
     out += codec.encode()
     out += (1).to_bytes(4, "big")  # version_current

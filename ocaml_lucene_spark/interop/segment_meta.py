@@ -26,6 +26,10 @@ from __future__ import annotations
 from .data_input import DataInput
 
 CODEC_MAGIC = 0x3FD76C17
+# what a real (big-endian-written) codec magic reads as through the
+# reference's little-endian read_int quirk — the value index headers
+# must carry on the wire (see check_index_header)
+MAGIC_LE_READ = int.from_bytes(CODEC_MAGIC.to_bytes(4, "big"), "little")
 FOOTER_MAGIC = ~CODEC_MAGIC & 0xFFFFFFFF
 FOOTER_LENGTH = 16
 
@@ -77,6 +81,19 @@ def check_index_header(
     segment_suffix: bytes,
 ) -> dict:
     h = read_header(di)
+    # real Lucene's CodecUtil.checkIndexHeader validates the magic;
+    # the reference's check_index_header forgets it (header.ml:90-103
+    # — only its check_header_exn variant checks), leaving the first 4
+    # bytes of every file unvalidated. Found by the bit-flip mutation
+    # property (tests/test_postings_mutation.py). Real Lucene WRITES
+    # the magic big-endian while read_header reads it with the
+    # reference's little-endian read_int quirk, so a real file's magic
+    # arrives byte-swapped — the golden .tmd fixture proves it
+    # (0x176cd73f); that swapped value is the wire constant to check.
+    if h["magic"] != MAGIC_LE_READ:
+        raise ValueError(
+            f"codec magic mismatch: got {h['magic']:#x}, want {MAGIC_LE_READ:#x}"
+        )
     if h["name"] != codec_name:
         raise ValueError(f"codec name: expected {codec_name!r} got {h['name']!r}")
     if not (min_version <= h["version"] <= max_version):

@@ -116,7 +116,7 @@ def _synth_fnm(fields: list[tuple[str, int, int]]) -> bytes:
     long gen -1, empty attributes, 0 point dims), footer. ``fields``:
     (name, number, index_options_code)."""
     buf = bytearray()
-    buf += CODEC_MAGIC.to_bytes(4, "little")
+    buf += CODEC_MAGIC.to_bytes(4, "big")  # as real Lucene writes it
     buf += _string(b"Lucene60FieldInfos")
     buf += (2).to_bytes(4, "big")  # version >= FORMAT_SELECTIVE_INDEXING
     buf += SEG_ID

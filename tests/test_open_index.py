@@ -67,11 +67,12 @@ def _string(b: bytes) -> bytes:
 
 
 def _index_header(name: str, version: int) -> bytes:
-    """header.ml:58-110 write-side inverse: LE magic int (read_int is
-    little-endian), vint-length codec name, BE version (read_uint),
-    16-byte object id, byte-length-prefixed suffix."""
+    """header.ml:58-110 write-side inverse: BE magic int (as real
+    Lucene writes it; the reader's LE read_int quirk byte-swaps it —
+    segment_meta.MAGIC_LE_READ), vint-length codec name, BE version
+    (read_uint), 16-byte object id, byte-length-prefixed suffix."""
     return (
-        CODEC_MAGIC.to_bytes(4, "little")
+        CODEC_MAGIC.to_bytes(4, "big")
         + _string(name.encode())
         + version.to_bytes(4, "big")
         + SEG_ID
