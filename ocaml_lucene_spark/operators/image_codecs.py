@@ -1,9 +1,11 @@
 """Real image codecs, stdlib-only: PNG (via ``zlib``), BMP (24-bit),
-and PPM/PGM — the de-stubbed half of the multimodal decode slot
+PPM/PGM, and (dispatched to operators/jpeg_codec.py) baseline
+sequential JPEG — the de-stubbed multimodal decode slot
 (operators/multimodal.py ``decode_real_image``). No third-party media
-libraries exist in this environment; these three formats need none:
+libraries exist in this environment; these formats need none:
 PNG's DEFLATE stream is Python's ``zlib``, scanline unfiltering and
-the uncompressed formats are numpy reshapes.
+the uncompressed formats are numpy reshapes, and baseline JPEG is
+Huffman + IDCT numpy/stdlib work.
 
 Wire formats implemented from their public specifications (PNG: RFC
 2083 / W3C PNG spec — 8-byte signature, length/type/data/CRC chunks,
@@ -325,6 +327,8 @@ def sniff_format(blob: bytes) -> str | None:
         return "bmp"
     if blob[:2] in (b"P6", b"P5"):
         return "ppm"
+    if blob[:3] == b"\xff\xd8\xff":  # SOI + first marker byte
+        return "jpeg"
     return None
 
 
@@ -370,6 +374,11 @@ def probe_dims(blob: bytes) -> tuple[int, int] | None:
         except (ValueError, IndexError):
             return None
         return _plausible(w, h)
+    if fmt == "jpeg":
+        from .jpeg_codec import probe_jpeg_dims
+
+        dims = probe_jpeg_dims(blob)
+        return _plausible(*dims) if dims else None
     return None
 
 
@@ -399,9 +408,12 @@ def decode_image(
 ) -> tuple[int, int, int, np.ndarray]:
     """Dispatch on magic: (w, h, channels, pixels (h, w, c) uint8).
     Raises NotImplementedError for formats needing codecs this
-    container doesn't have (JPEG/WebP/video — the remaining PIL/pyAV
-    integration point). max_decode_bytes widens/narrows the PNG
-    decode budget (BMP/PPM payloads are bounded by the blob itself)."""
+    container doesn't have (WebP/video — the remaining PIL/pyAV
+    integration point; baseline JPEG decodes natively via
+    jpeg_codec.py, progressive/arithmetic JPEG raises there).
+    max_decode_bytes widens/narrows the PNG decode budget and (scaled
+    to samples) the JPEG one (BMP/PPM payloads are bounded by the blob
+    itself)."""
     fmt = sniff_format(blob)
     if fmt == "png":
         return decode_png(blob, max_decode_bytes=max_decode_bytes)
@@ -409,7 +421,12 @@ def decode_image(
         return decode_bmp(blob)
     if fmt == "ppm":
         return decode_ppm(blob)
+    if fmt == "jpeg":
+        from .jpeg_codec import decode_jpeg
+
+        return decode_jpeg(blob, max_samples=max_decode_bytes)
     raise NotImplementedError(
-        "unsupported media format (PNG/BMP/PPM decode natively; "
-        "JPEG/WebP/video need PIL/libvips/pyAV — not in this container)"
+        "unsupported media format (PNG/BMP/PPM/baseline-JPEG decode "
+        "natively; WebP/video need PIL/libvips/pyAV — not in this "
+        "container)"
     )

@@ -6,18 +6,21 @@ pandas functions over mapInPandas so executors stream batches without
 materializing a partition of raw media in memory.
 
 Decode support comes in two tiers:
-- REAL stdlib-only codecs (operators/image_codecs.py): PNG (zlib
-  DEFLATE + scanline unfiltering incl. Paeth), 24-bit BMP, and binary
-  PPM/PGM — ``decode_real_image`` decodes these natively, and
-  ``media_metadata`` / ``byte_histogram_features`` accept such blobs
-  alongside the synthetic format;
+- REAL stdlib-only codecs (operators/image_codecs.py +
+  operators/jpeg_codec.py): PNG (zlib DEFLATE + scanline unfiltering
+  incl. Paeth), 24-bit BMP, binary PPM/PGM, and baseline sequential
+  JPEG (Huffman + dequant + IDCT + YCbCr, T.81) — ``decode_real_image``
+  decodes these natively, and ``media_metadata`` /
+  ``byte_histogram_features`` accept such blobs alongside the
+  synthetic format;
 - a deterministic fake decoder for a self-describing synthetic format
   (``FAKEIMG`` header) used by tests and the gate row — the Spark-side
   plumbing (schema, batch shapes, partitioning, UDF signatures) is the
   same either way;
 - formats that genuinely need codecs absent from this container
-  (JPEG/WebP/video containers) still raise NotImplementedError at the
-  marked PIL/libvips/pyAV integration point.
+  (progressive/arithmetic JPEG, WebP, video containers) still raise
+  NotImplementedError at the marked PIL/libvips/pyAV integration
+  point.
 
 Operators: metadata extraction, resize (fake), frame sampling (fake
 video = concatenated frames), feature extraction (byte-histogram
@@ -39,7 +42,7 @@ from .image_codecs import decode_image, probe_dims, sniff_format
 # everything a malformed-but-magic-matching blob can raise out of the
 # stdlib codecs: corrupt DEFLATE (zlib.error), truncated fixed-offset
 # slices (struct.error / IndexError), payload/size mismatches
-# (ValueError), and the marked JPEG/WebP/video integration point
+# (ValueError), and the marked progressive-JPEG/WebP/video point
 # (NotImplementedError) — an undecodable row must drop, never abort
 # the Spark task
 _DECODE_ERRORS = (
@@ -86,10 +89,11 @@ def decode_fake_image(blob: bytes) -> tuple[int, int, int, np.ndarray] | None:
 
 def decode_real_image(blob: bytes) -> tuple[int, int, int, np.ndarray]:
     """Decode a real image blob to (width, height, channels, pixels
-    (h, w, c) uint8). PNG/BMP/PPM/PGM decode natively with the stdlib
-    (operators/image_codecs.py); anything else raises
-    NotImplementedError at the remaining PIL/libvips/pyAV integration
-    point (JPEG/WebP/video codecs are not in this container)."""
+    (h, w, c) uint8). PNG/BMP/PPM/PGM/baseline-JPEG decode natively
+    with the stdlib (operators/image_codecs.py + jpeg_codec.py);
+    anything else raises NotImplementedError at the remaining
+    PIL/libvips/pyAV integration point (progressive JPEG, WebP and
+    video codecs are not in this container)."""
     return decode_image(bytes(blob))
 
 

@@ -177,10 +177,13 @@ def test_decode_image_dispatch_and_probe():
         w, h, c, got = decode_image(blob)
         assert (w, h, c) == (8, 6, 3)
         np.testing.assert_array_equal(got, px)
-    # JPEG magic: the remaining integration point still raises
-    with pytest.raises(NotImplementedError, match="PIL"):
+    # JPEG decodes natively now (tests/test_jpeg_codec.py); the
+    # remaining integration point (WebP/video) still raises
+    assert sniff_format(b"\xff\xd8\xff\xe0") == "jpeg"
+    with pytest.raises(ValueError):  # jpeg magic, garbage body
         mm.decode_real_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
-    assert sniff_format(b"\xff\xd8\xff\xe0") is None
+    with pytest.raises(NotImplementedError, match="PIL"):
+        mm.decode_real_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
     assert probe_dims(b"garbage") is None
 
 
