@@ -39,11 +39,14 @@ inspecting real Lucene indexes.
 EVIDENCE CAVEAT: the metadata steps (segments_N, .si, .fnm, .tmd, the
 FST, floor pointers) are pinned by the reference's golden fixtures,
 but the ``.doc``/``.pos``/``.pay`` postings decode this module
-composes (postings_stream.py) is pinned only by this repo's own
-grammar-inverse writer↔reader round-trips plus Hypothesis grammar and
-mutation fuzzing — the reference stubs its postings read path and
-ships no postings fixture, so a shared writer/reader misreading of
-the public Lucene84 wire format would survive this evidence model.
+composes (postings_stream.py) is pinned by this repo's own
+grammar-inverse writer↔reader round-trips plus Hypothesis grammar
+fuzzing, an INDEPENDENT spec-derived PFOR decoder, and bit-flip
+mutation properties (tests/test_postings_mutation.py — which caught
+the writers' magic byte-order divergence from real Lucene). The
+reference stubs its postings read path and ships no postings fixture,
+so a shared misreading of the prose spec that both the reader and the
+independent decoder repeat could still survive this evidence model.
 """
 
 from __future__ import annotations
