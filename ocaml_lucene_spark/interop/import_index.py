@@ -379,3 +379,38 @@ def import_lucene_index(
                 "imported segment fails .tmd invariants: " + "; ".join(errs)
             )
     return manifest_row
+
+
+def main(argv: list[str] | None = None) -> int:
+    """CLI: import a real Lucene directory into an engine index.
+
+        python -m ocaml_lucene_spark.interop.import_index \
+            LUCENE_DIR FIELD ENGINE_INDEX_DIR
+
+    The complement of the open_index CLI: where that one mirrors the
+    reference app's single-term seek, this one makes the whole index
+    queryable by the distributed engine (bm25_topk_indexed etc.)."""
+    import sys
+
+    args = sys.argv[1:] if argv is None else argv
+    if len(args) != 3:
+        print(
+            "usage: python -m ocaml_lucene_spark.interop.import_index "
+            "LUCENE_DIR FIELD ENGINE_INDEX_DIR",
+            file=sys.stderr,
+        )
+        return 2
+    lucene_dir, field, index_dir = args
+    from ..session import get_spark
+
+    row = import_lucene_index(get_spark(), lucene_dir, index_dir, field)
+    print(
+        f"imported segment {row['segment']}: {row['n_docs']} docs, "
+        f"{row['n_postings']} postings, sum_dl {row['sum_dl']} "
+        f"(.tmd invariants verified)"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -415,6 +415,20 @@ def test_segment_closures_rejects_mixed_positions(tmp_path, corpus):
         _segment_closures(index, FIELD)
 
 
+def test_import_cli(spark, tmp_path, corpus, capsys):
+    """The importer CLI completes the user story the open_index CLI
+    starts: directory in, queryable engine index out."""
+    from ocaml_lucene_spark.interop.import_index import main
+
+    docs, postings = corpus
+    d = _synth_lucene_dir(str(tmp_path / "lucene"), postings)
+    out_dir = str(tmp_path / "engine")
+    assert main([d, FIELD, out_dir]) == 0
+    msg = capsys.readouterr().out
+    assert "imported segment" in msg and "invariants verified" in msg
+    assert main([d]) == 2
+
+
 def test_import_rejects_live_docs(tmp_path, corpus):
     docs, postings = corpus
     d = _synth_lucene_dir(str(tmp_path), postings)
