@@ -58,6 +58,7 @@ from dataclasses import dataclass
 from .block_pointer import find_block
 from .data_input import DataInput
 from .fst_reader import FstReader
+from .norms import NormsReader
 from .segment_meta import (
     check_index_header,
     read_field_infos,
@@ -200,6 +201,40 @@ class SegmentReader:
             return None
         with open(path, "rb") as f:
             return PosStreamReader(f.read(), self.seg_id)
+
+    @functools.cached_property
+    def norms_reader(self) -> NormsReader | None:
+        """The Lucene80 norms pair ({seg}.nvd/{seg}.nvm — the default
+        norms format writes no codec suffix), read on first norms
+        call. The reference never reads norms (its postings path is
+        stubbed before scoring enters the picture), so this surface
+        has no OCaml analogue; it is what BM25 scoring over a real
+        index needs for per-doc field lengths."""
+        nvd_path = os.path.join(self._dir_path, f"{self.seg_name}.nvd")
+        nvm_path = os.path.join(self._dir_path, f"{self.seg_name}.nvm")
+        if not (os.path.exists(nvd_path) and os.path.exists(nvm_path)):
+            return None
+        with open(nvd_path, "rb") as f:
+            nvd = f.read()
+        with open(nvm_path, "rb") as f:
+            nvm = f.read()
+        return NormsReader(nvd, nvm, self.seg_id)
+
+    def norms(self, field: str):
+        """Per-doc norm longs for ``field`` (length max_doc from the
+        .si record; for a BM25 text field these are SmallFloat-encoded
+        quantized lengths), or None when the segment has no norms
+        files, the field has no entry, or no doc has the field."""
+        nr = self.norms_reader
+        if nr is None:
+            return None
+        fr = self.field_readers.get(field)
+        if fr is None:
+            raise KeyError(f"field {field!r} has no terms dictionary")
+        number = fr.field_info["field_number"]
+        if number not in nr.entries:
+            return None
+        return nr.norms(number, self.segment_info["doc_count"])
 
     @functools.cached_property
     def pay_reader(self) -> PayStreamReader | None:

@@ -31,6 +31,7 @@ from ocaml_lucene_spark.interop.import_index import (
     import_lucene_index,
     lucene_postings_df,
 )
+from ocaml_lucene_spark.interop.norms import encode_doc_lengths, write_norms
 from ocaml_lucene_spark.interop.open_index import SegmentReader, open_index
 from ocaml_lucene_spark.interop.postings_stream import write_postings_streams
 from ocaml_lucene_spark.interop.terms_block import (
@@ -161,20 +162,32 @@ def _synth_lucene_dir(
     write_manifest: bool = True,
     tamper_ttf_of: str | None = None,
     tamper_tmd_sum_ttf: int = 0,
+    doc_lengths: np.ndarray | None = None,
 ) -> str:
     """A complete one-segment Lucene-layout directory over ``postings``
     (term -> (docs, positions)). ``tamper_ttf_of`` inflates one .tim
     term's total_term_freq by 1 (stream-desync injection);
     ``tamper_tmd_sum_ttf`` inflates the .tmd field total (post-build
-    invariant injection)."""
+    invariant injection). ``doc_lengths`` (per-doc token counts for
+    docs 0..n-1) additionally writes the Lucene80 {seg}.nvd/.nvm norms
+    pair (SmallFloat-encoded, dense over the golden .si max_doc) and
+    feeds per-doc norm bytes to the postings writer so skip entries
+    carry real competitive impacts."""
     os.makedirs(tmp_dir, exist_ok=True)
     terms_sorted = sorted(postings)
     assert terms_sorted == sorted(
         t for block in BLOCK_LAYOUT for t in block[1]
     ), "corpus must cover the block layout exactly"
     stream_terms = [postings[t] for t in terms_sorted]
+    norm_bytes = None
+    per_term_norms = None
+    if doc_lengths is not None:
+        norm_bytes = encode_doc_lengths(np.asarray(doc_lengths, np.int64))
+        per_term_norms = [
+            norm_bytes[postings[t][0]] for t in terms_sorted
+        ]
     doc_bytes, pos_bytes, metas_list = write_postings_streams(
-        stream_terms, SEG_ID
+        stream_terms, SEG_ID, norms=per_term_norms
     )
     metas = {
         t: (m, len(postings[t][0]), sum(len(p) for p in postings[t][1]))
@@ -245,6 +258,16 @@ def _synth_lucene_dir(
     ):
         with open(os.path.join(d, f"{seg_name}_Lucene84_0.{ext}"), "wb") as f:
             f.write(blob)
+    if norm_bytes is not None:
+        # dense over the golden .si max_doc: absent docs get length 0
+        max_doc = 65460  # GOLDEN_SI doc_count (test_reference_fixtures)
+        dense = np.zeros(max_doc, dtype=np.int64)
+        dense[: len(norm_bytes)] = norm_bytes
+        nvd, nvm = write_norms([(0, dense)], SEG_ID, max_doc)
+        with open(os.path.join(d, f"{seg_name}.nvd"), "wb") as f:
+            f.write(nvd)
+        with open(os.path.join(d, f"{seg_name}.nvm"), "wb") as f:
+            f.write(nvm)
     return d
 
 
@@ -437,3 +460,34 @@ def test_import_rejects_live_docs(tmp_path, corpus):
     index = open_index(d)
     with pytest.raises(NotImplementedError, match="liv"):
         _segment_closures(index, FIELD)
+
+
+def test_norms_surface_through_open_index(tmp_path, corpus):
+    """doc_lengths -> .nvd/.nvm -> SegmentReader.norms round-trip, and
+    the writer threads per-doc norm bytes into skip-entry impacts."""
+    docs, postings = corpus
+    dl = np.array([len(toks) for toks in docs], dtype=np.int64)
+    d = _synth_lucene_dir(str(tmp_path / "with_norms"), postings,
+                          doc_lengths=dl)
+    seg = open_index(d).segments[0]
+    arr = seg.norms(FIELD)
+    assert arr is not None
+    assert len(arr) == seg.segment_info["doc_count"]
+    assert np.array_equal(arr[: len(dl)], encode_doc_lengths(dl))
+    assert np.all(arr[len(dl):] == 0)
+    with pytest.raises(KeyError):
+        seg.norms("no_such_field")
+    # the hot term's skip entries now carry non-empty impact sets
+    from ocaml_lucene_spark.interop.postings_stream import SkipListReader
+    from ocaml_lucene_spark.interop.terms_block import FieldFlags as FF
+    st = seg.seek_exact(FIELD, b"bat")
+    sk = SkipListReader(
+        seg.doc_reader.data,
+        st.doc_start_fp + st.skip_offset,
+        (st.doc_freq - 1) // 128,
+        has_positions=True,
+    )
+    assert all(imps for imps in sk.impacts[0])
+    # a directory without norms files reads as None
+    d2 = _synth_lucene_dir(str(tmp_path / "plain"), postings)
+    assert open_index(d2).segments[0].norms(FIELD) is None
