@@ -282,6 +282,13 @@ class SegmentReader:
             )
         out = b"".join(a.output for a in path[:-1])
         out += path[-1].output + path[-1].final_output
+        if not out:
+            # no arc matched and the walked prefix carries no pointer
+            # bytes: nothing in the dictionary starts with this byte.
+            # (A real Lucene root block would make the output
+            # non-empty; the synthetic fixtures hold strict leaf
+            # prefixes only, so an unmatched first byte lands here.)
+            return None
         fp = find_block(out, term[prefix_length])
         if fp is None:
             return None

@@ -88,25 +88,33 @@ class PostingList:
     def max_ub(self) -> float:
         return float(self.ub.max()) if self.ub.size else 0.0
 
+    def _decode_payload(self) -> tuple[np.ndarray, np.ndarray]:
+        """(docs, scores) for the current block — the ONLY piece that
+        knows the physical payload encoding. Subclasses decoding other
+        layouts (interop/wand_search.py reads Lucene84 .doc blocks)
+        override this; every pruning/positioning invariant above stays
+        shared and fuzzed once."""
+        from ..codecs import pfor
+        from ..codecs.delta import delta_decode
+
+        db, tb, lb = self.payloads[self.bi]
+        docs = delta_decode(db)
+        tf = pfor.decode(tb, docs.size).astype(np.float64)
+        dl = pfor.decode(lb, docs.size).astype(np.float64)
+        scores = (
+            self.idf
+            * tf
+            * (K1 + 1.0)
+            / (tf + K1 * (1.0 - B + B * dl / self.avgdl))
+        )
+        return docs, scores
+
     def _decode(self) -> None:
         hit = self.cache.get(self.bi) if self.cache is not None else None
         if hit is not None:
             self.docs, self.scores = hit
         else:
-            from ..codecs import pfor
-            from ..codecs.delta import delta_decode
-
-            db, tb, lb = self.payloads[self.bi]
-            docs = delta_decode(db)
-            tf = pfor.decode(tb, docs.size).astype(np.float64)
-            dl = pfor.decode(lb, docs.size).astype(np.float64)
-            self.docs = docs
-            self.scores = (
-                self.idf
-                * tf
-                * (K1 + 1.0)
-                / (tf + K1 * (1.0 - B + B * dl / self.avgdl))
-            )
+            self.docs, self.scores = self._decode_payload()
             if self.cache is not None:
                 self.cache[self.bi] = (self.docs, self.scores)
             self.decoded_blocks += 1  # cache hits are free, not re-decodes
@@ -118,6 +126,17 @@ class PostingList:
             else 0
         )
         self.pending = 0
+
+    def clone(self) -> "PostingList":
+        """Fresh positions over shared payloads + decode cache —
+        type-preserving, so subclass iterators keep their payload
+        decoder and extra fields through the seed pass."""
+        import dataclasses
+
+        return dataclasses.replace(
+            self, bi=0, pi=0, pending=0, docs=None, scores=None,
+            decoded_blocks=0,
+        )
 
     def exhausted(self) -> bool:
         return self.bi >= len(self.payloads)
@@ -318,11 +337,7 @@ def block_max_wand(
     def _clone(pl: PostingList) -> PostingList:
         if pl.cache is None:
             pl.cache = {}  # share decodes between seed pass and main sweep
-        return PostingList(
-            term=pl.term, idf=pl.idf, avgdl=pl.avgdl, first_doc=pl.first_doc,
-            last_doc=pl.last_doc, ub=pl.ub, payloads=pl.payloads,
-            cache=pl.cache,
-        )
+        return pl.clone()
 
     seen: set[int] = set()
     seed_lists: list[PostingList] = []
