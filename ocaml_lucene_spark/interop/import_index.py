@@ -316,6 +316,8 @@ def import_lucene_index(
     from ..index.build import build_index_from_postings
     from ..index import segments as seg_mod
 
+    if index is None:
+        index = open_index(lucene_dir)
     postings, expected, _with_pos = lucene_postings_df(
         spark, lucene_dir, field, n_partitions=n_partitions, index=index
     )
@@ -378,7 +380,72 @@ def import_lucene_index(
             raise ValueError(
                 "imported segment fails .tmd invariants: " + "; ".join(errs)
             )
+        _verify_norms_against_dl(spark, index, field, postings)
     return manifest_row
+
+
+def _verify_norms_against_dl(spark, index, field: str, postings) -> bool:
+    """Cross-format invariant: when every Lucene segment carries the
+    field's Lucene80 norms pair, each posting-bearing doc's stored
+    norm byte must equal SmallFloat(int_to_byte4) of the engine's dl
+    (= sum of tf over the doc's postings — exactly what Lucene's
+    default similarity encodes). Runs DISTRIBUTED: per-doc dl is one
+    doc-keyed aggregate of the postings relation; the norm bytes ride
+    as a broadcast (1 byte/doc/segment, bounded by Lucene's 2^31
+    per-segment max_doc — tens of MB for real segments). Returns False
+    (skipped) when any segment lacks norms; raises on mismatch."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from .norms import int_to_byte4
+
+    arrays = []
+    for seg in index.segments:
+        arr = seg.norms(field)
+        if arr is None:
+            return False  # no norms for this field: nothing to check
+        arrays.append(arr.astype(np.int64))
+    stacked = np.concatenate(arrays)  # global doc_id == rebased index
+
+    bc = spark.sparkContext.broadcast(stacked)
+
+    def check(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["doc_id"].to_numpy()
+            dls = pdf["dl"].to_numpy()
+            exp = np.array(
+                [int_to_byte4(int(x)) for x in dls], dtype=np.int64
+            )
+            got = bc.value[ids]
+            bad = exp != got
+            yield pd.DataFrame(
+                {
+                    "mismatches": [int(bad.sum())],
+                    "sample_doc": [int(ids[bad][0]) if bad.any() else -1],
+                }
+            )
+
+    row = (
+        postings.groupBy("doc_id")
+        .agg(F.sum("tf").alias("dl"))
+        .mapInPandas(check, "mismatches long, sample_doc long")
+        .agg(
+            F.sum("mismatches").alias("m"),
+            F.max("sample_doc").alias("doc"),
+        )
+        .collect()[0]
+    )
+    if row["m"]:
+        raise ValueError(
+            f"norms cross-check failed: {row['m']} docs whose stored "
+            f"norm byte != SmallFloat(sum tf) (e.g. doc {row['doc']}) — "
+            "the directory's norms disagree with its postings"
+        )
+    return True
 
 
 def main(argv: list[str] | None = None) -> int:

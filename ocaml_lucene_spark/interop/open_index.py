@@ -400,6 +400,18 @@ class LuceneIndex:
         return out
 
 
+    def bm25_topk(
+        self, field: str, terms: list[str], k: int = 10, mode: str = "or"
+    ) -> list[tuple[int, float]]:
+        """Exact BM25 top-k over the opened index, block-max pruned by
+        the stored skip impacts (interop/wand_search.py); requires the
+        Lucene80 norms pair. [(global_doc_id, score)]."""
+        from .wand_search import bm25_topk as _topk
+
+        hits, _metrics = _topk(self, field, terms, k=k, mode=mode)
+        return hits
+
+
 def open_index(dir_path: str) -> LuceneIndex:
     """Open a real Lucene index directory (latest commit point)."""
     return LuceneIndex(dir_path)

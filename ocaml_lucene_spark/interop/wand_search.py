@@ -386,4 +386,41 @@ def bm25_topk_exhaustive(
     return out[:k]
 
 
+def main(argv: list[str] | None = None) -> int:
+    """CLI: score a query against a real Lucene directory.
+
+        python -m ocaml_lucene_spark.interop.wand_search \\
+            DIR FIELD TERM [TERM ...] [--k K] [--mode or|and]
+    """
+    import argparse
+
+    from .open_index import open_index
+
+    ap = argparse.ArgumentParser(
+        prog="ocaml_lucene_spark.interop.wand_search",
+        description="impacts-pruned BM25 top-k over a Lucene directory",
+    )
+    ap.add_argument("dir")
+    ap.add_argument("field")
+    ap.add_argument("terms", nargs="+")
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--mode", choices=["or", "and"], default="or")
+    args = ap.parse_args(argv)
+    hits, metrics = bm25_topk(
+        open_index(args.dir), args.field, args.terms,
+        k=args.k, mode=args.mode,
+    )
+    for doc, score in hits:
+        print(f"{doc}\t{score:.6f}")
+    print(
+        f"# decoded {metrics['decoded_blocks']}/{metrics['total_blocks']} "
+        f"blocks over {metrics['n_lists']} lists"
+    )
+    return 0 if hits else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
+
+
 __all__ = ["LuceneTermList", "bm25_topk", "bm25_topk_exhaustive"]

@@ -491,3 +491,19 @@ def test_norms_surface_through_open_index(tmp_path, corpus):
     # a directory without norms files reads as None
     d2 = _synth_lucene_dir(str(tmp_path / "plain"), postings)
     assert open_index(d2).segments[0].norms(FIELD) is None
+
+
+def test_import_norms_cross_check(spark, tmp_path, corpus):
+    """When the directory carries norms, the importer verifies each
+    doc's stored norm byte against SmallFloat(sum tf) distributed; a
+    directory whose norms disagree with its postings raises."""
+    docs, postings = corpus
+    dl = np.array([len(toks) for toks in docs], dtype=np.int64)
+    d = _synth_lucene_dir(str(tmp_path / "good"), postings, doc_lengths=dl)
+    row = import_lucene_index(spark, d, str(tmp_path / "engine"), FIELD)
+    assert row["n_docs"] > 0
+    bad = dl.copy()
+    bad[11] += 1000  # norm byte no longer matches the postings
+    d2 = _synth_lucene_dir(str(tmp_path / "bad"), postings, doc_lengths=bad)
+    with pytest.raises(ValueError, match="norms cross-check"):
+        import_lucene_index(spark, d2, str(tmp_path / "engine2"), FIELD)

@@ -167,3 +167,24 @@ def test_norms_free_index_raises(tmp_path):
     idx = open_index(d)
     with pytest.raises(ValueError, match="no norms|empty impact"):
         bm25_topk(idx, FIELD, ["bat"], k=5)
+
+
+def test_cli_and_index_method(tmp_path, capsys):
+    docs = _make_corpus(seed=51, n_docs=200)
+    d = _synth_lucene_dir(
+        str(tmp_path), _postings_map(docs), doc_lengths=_dl_of(docs)
+    )
+    from ocaml_lucene_spark.interop import wand_search
+
+    rc = wand_search.main([d, FIELD, "zebra", "bat", "--k", "5"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[-1].startswith("# decoded ")
+    hits = [ln.split("\t") for ln in out[:-1]]
+    assert hits
+    idx = open_index(d)
+    api = idx.bm25_topk(FIELD, ["zebra", "bat"], k=5)
+    assert [d_ for d_, _s in api] == [int(doc) for doc, _s in hits]
+    for (_d, s_api), (_d2, s_cli) in zip(api, hits):
+        assert f"{s_api:.6f}" == s_cli  # the CLI prints 6dp
+    assert wand_search.main([d, FIELD, "nothere"]) == 1
