@@ -22,6 +22,8 @@ per-row path.
 from .block_pointer import find_block  # noqa: F401
 from .data_input import DataInput, ReverseDataInput  # noqa: F401
 from .fst_reader import FstReader  # noqa: F401
+from .import_index import import_lucene_index  # noqa: F401
+from .norms import NormsReader, byte4_to_int, int_to_byte4  # noqa: F401
 from .open_index import LuceneIndex, open_index  # noqa: F401
 from .segment_meta import (  # noqa: F401
     read_field_infos,
@@ -32,3 +34,4 @@ from .segments_manifest import (  # noqa: F401
     read_latest,
     read_segments_file,
 )
+from .wand_search import bm25_topk  # noqa: F401
