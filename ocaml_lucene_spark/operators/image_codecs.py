@@ -1,7 +1,8 @@
 """Real image codecs, stdlib-only: PNG (via ``zlib``), BMP (24-bit),
-PPM/PGM, and (dispatched to operators/jpeg_codec.py) baseline
-sequential JPEG — the de-stubbed multimodal decode slot
-(operators/multimodal.py ``decode_real_image``). No third-party media
+PPM/PGM, and (dispatched to sibling modules) baseline sequential JPEG
+(operators/jpeg_codec.py) and GIF87a/89a (operators/gif_codec.py) —
+the de-stubbed multimodal decode slot (operators/multimodal.py
+``decode_real_image``). No third-party media
 libraries exist in this environment; these formats need none:
 PNG's DEFLATE stream is Python's ``zlib``, scanline unfiltering and
 the uncompressed formats are numpy reshapes, and baseline JPEG is
@@ -329,6 +330,8 @@ def sniff_format(blob: bytes) -> str | None:
         return "ppm"
     if blob[:3] == b"\xff\xd8\xff":  # SOI + first marker byte
         return "jpeg"
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -379,6 +382,11 @@ def probe_dims(blob: bytes) -> tuple[int, int] | None:
 
         dims = probe_jpeg_dims(blob)
         return _plausible(*dims) if dims else None
+    if fmt == "gif":
+        from .gif_codec import probe_gif_dims
+
+        dims = probe_gif_dims(blob)
+        return _plausible(*dims) if dims else None
     return None
 
 
@@ -425,8 +433,12 @@ def decode_image(
         from .jpeg_codec import decode_jpeg
 
         return decode_jpeg(blob, max_samples=max_decode_bytes)
+    if fmt == "gif":
+        from .gif_codec import decode_gif
+
+        return decode_gif(blob, max_decode_bytes=max_decode_bytes)
     raise NotImplementedError(
-        "unsupported media format (PNG/BMP/PPM/baseline-JPEG decode "
-        "natively; WebP/video need PIL/libvips/pyAV — not in this "
-        "container)"
+        "unsupported media format (PNG/BMP/PPM/baseline-JPEG/GIF "
+        "decode natively; WebP/video need PIL/libvips/pyAV — not in "
+        "this container)"
     )
