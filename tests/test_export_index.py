@@ -398,6 +398,53 @@ def test_engine_export_import_roundtrip(spark, tmp_path):
         assert t1 == t2, terms
 
 
+def test_engine_export_import_roundtrip_with_positions(spark, tmp_path):
+    """Same loop over a positions build: the exported directory gets a
+    .pos stream, import re-decodes positions, and phrase-bearing
+    postings survive the trip exactly."""
+    import pyarrow.parquet as pq
+
+    from ocaml_lucene_spark.codecs import pfor
+    from ocaml_lucene_spark.codecs.blocks import decode_positions
+    from ocaml_lucene_spark.codecs.delta import delta_decode
+    from ocaml_lucene_spark.index import segments as seg_mod
+    from ocaml_lucene_spark.index.build import assign_doc_ids, build_index
+
+    def flat_pos(index_dir):
+        out = {}
+        for s in seg_mod.list_segments(index_dir, live_only=True):
+            t = pq.read_table(
+                seg_mod.segment_paths(index_dir, s["segment"])["postings"]
+            )
+            d = t.to_pydict()
+            for i in range(t.num_rows):
+                docs = delta_decode(bytes(d["doc_bytes"][i]))
+                tfs = pfor.decode(bytes(d["tf_bytes"][i]), int(d["n"][i]))
+                poss = decode_positions(bytes(d["pos_bytes"][i]), tfs)
+                for dd, p in zip(docs.tolist(), poss):
+                    out[(d["term"][i], dd)] = tuple(p.tolist())
+        return out
+
+    docs = assign_doc_ids(_tiny_docs(spark, n_docs=120, seed=8)).select(
+        "doc_id", "url", "text"
+    )
+    d1 = str(tmp_path / "engine1")
+    lx = str(tmp_path / "lucene")
+    d2 = str(tmp_path / "engine2")
+    build_index(docs, d1, n_partitions=4, with_positions=True)
+    res = export_lucene_index(d1, lx, field=FIELD)
+    assert res["with_positions"]
+    # the exported directory really has a .pos stream open_index reads
+    (_seg, _d, _f, poss), = open_index(lx).positions(FIELD, b"zebra")
+    assert all(len(p) >= 1 for p in poss)
+    import_lucene_index(spark, lx, d2, FIELD)
+    ord_of = {int(g): o for o, g in enumerate(res["doc_map"].tolist())}
+    original = {
+        (t, ord_of[dd]): p for (t, dd), p in flat_pos(d1).items()
+    }
+    assert original == flat_pos(d2)
+
+
 def test_export_cli(spark, tmp_path, capsys):
     from ocaml_lucene_spark.index.build import assign_doc_ids, build_index
 
