@@ -21,7 +21,11 @@ per-row path.
 
 from .block_pointer import find_block  # noqa: F401
 from .data_input import DataInput, ReverseDataInput  # noqa: F401
-from .export_index import export_lucene_index, write_lucene_directory  # noqa: F401
+from .export_index import (  # noqa: F401
+    export_lucene_index,
+    export_lucene_partitions,
+    write_lucene_directory,
+)
 from .fst_reader import FstReader  # noqa: F401
 from .import_index import import_lucene_index  # noqa: F401
 from .norms import NormsReader, byte4_to_int, int_to_byte4  # noqa: F401

@@ -665,6 +665,171 @@ def export_lucene_index(
     return result
 
 
+def export_lucene_partitions(
+    spark,
+    index_dir: str,
+    out_base: str,
+    field: str = "body",
+    n_directories: int = 8,
+) -> list[dict]:
+    """DISTRIBUTED export: the engine index as ``n_directories``
+    self-contained one-segment Lucene directories under
+    ``out_base/part-NNNNN`` — the documented cluster-scale path
+    (a Lucene segment is one serial byte stream, so scale comes from
+    writing many of them in parallel, not one giant one).
+
+    Sharding is by DOC RANGE with deterministic equal-width boundaries
+    over the engine's doc-id span (the salting formula — NEVER
+    repartitionByRange, whose boundaries are not deterministic across
+    runs): every doc's postings land in exactly one directory, so each
+    directory's per-doc dl (and hence its norms) is exact, and the
+    union of all directories is the whole index. One posting-volume
+    shuffle; each executor task assembles one directory in memory
+    (size it via n_directories) and writes to shared storage, exactly
+    the importer's filesystem assumption in reverse.
+
+    Like Lucene/ES shards, each directory carries LOCAL stats —
+    cross-shard BM25 needs global stats at the coordinator (the
+    terms_shard_topk algebra); single-shard queries are exact as-is.
+
+    Returns one summary dict per directory (driver-side, tiny).
+    """
+    import pandas as pd
+
+    from ..codecs import pfor
+    from ..codecs.blocks import decode_positions
+    from ..codecs.delta import delta_decode
+    from ..index import segments as seg_mod
+    from ..index.deletes import deleted_ids
+
+    segs = seg_mod.list_segments(index_dir, live_only=True)
+    if not segs:
+        raise ValueError(f"no live segments in {index_dir}")
+    src_stats = [seg_mod.read_stats(index_dir, s["segment"]) for s in segs]
+    with_positions = all(bool(st.get("with_positions")) for st in src_stats)
+    deleted = deleted_ids(index_dir)
+    bc_deleted = spark.sparkContext.broadcast(
+        np.asarray(deleted, dtype=np.int64) if len(deleted) else None
+    )
+
+    posting_paths = [
+        seg_mod.segment_paths(index_dir, s["segment"])["postings"] for s in segs
+    ]
+    norms_paths = [
+        seg_mod.segment_paths(index_dir, s["segment"])["norms"] for s in segs
+    ]
+    from pyspark.sql import functions as F
+
+    lo, hi = (
+        spark.read.parquet(*norms_paths)
+        .agg(F.min("doc_id"), F.max("doc_id"))
+        .first()
+    )
+    lo, span = int(lo), int(hi) - int(lo) + 1
+    n_dirs = max(1, min(n_directories, span))
+
+    flat_schema = "bucket int, term string, doc_id long, tf long" + (
+        ", positions array<long>" if with_positions else ""
+    )
+
+    def unpack(batches):
+        dropped = bc_deleted.value
+        for pdf in batches:
+            outs = []
+            for term, n, db, tb, pb in zip(
+                pdf["term"], pdf["n"], pdf["doc_bytes"], pdf["tf_bytes"],
+                pdf["pos_bytes"],
+            ):
+                docs = delta_decode(bytes(db))
+                tfs = pfor.decode(bytes(tb), int(n)).astype(np.int64)
+                poss = (
+                    decode_positions(bytes(pb), tfs) if with_positions else None
+                )
+                if dropped is not None:
+                    keep = ~np.isin(docs, dropped)
+                    if not keep.all():
+                        if poss is not None:
+                            poss = [p for p, k in zip(poss, keep) if k]
+                        docs, tfs = docs[keep], tfs[keep]
+                        if not docs.size:
+                            continue
+                d = {
+                    "bucket": ((docs - lo) * n_dirs // span).astype(np.int32),
+                    "term": term,
+                    "doc_id": docs,
+                    "tf": tfs,
+                }
+                if with_positions:
+                    d["positions"] = poss
+                outs.append(pd.DataFrame(d))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    flat = spark.read.parquet(*posting_paths).mapInPandas(unpack, flat_schema)
+
+    out_schema = (
+        "bucket int, out_dir string, n_terms long, n_docs long, "
+        "n_postings long, n_keys long, n_blocks long"
+    )
+
+    def write_dir(pdf):
+        bucket = int(pdf["bucket"].iloc[0])
+        per_term: dict[str, list] = {}
+        for row in pdf.itertuples(index=False):
+            per_term.setdefault(row.term, []).append(row)
+        postings = []
+        for term in sorted(per_term):
+            rows = sorted(per_term[term], key=lambda r: r.doc_id)
+            docs = np.array([r.doc_id for r in rows], dtype=np.int64)
+            if with_positions:
+                payload = [np.asarray(r.positions, dtype=np.int64) for r in rows]
+            else:
+                payload = np.array([r.tf for r in rows], dtype=np.int64)
+            postings.append((term.encode("utf-8"), docs, payload))
+        all_ids = np.unique(pdf["doc_id"].to_numpy(dtype=np.int64))
+        remap = {int(g): o for o, g in enumerate(all_ids.tolist())}
+        postings = [
+            (
+                t,
+                np.array([remap[int(d)] for d in docs], dtype=np.int64),
+                payload,
+            )
+            for t, docs, payload in postings
+        ]
+        out_dir = os.path.join(out_base, f"part-{bucket:05d}")
+        res = write_lucene_directory(
+            out_dir,
+            field,
+            postings,
+            with_positions=with_positions,
+            max_doc=int(all_ids.size),
+            source=f"ocaml_lucene_spark.export:{os.path.basename(index_dir)}:part{bucket}",
+        )
+        np.save(os.path.join(out_dir, "doc_map.npy"), all_ids)
+        return pd.DataFrame(
+            [
+                {
+                    "bucket": bucket,
+                    "out_dir": out_dir,
+                    "n_terms": res["n_terms"],
+                    "n_docs": res["n_docs"],
+                    "n_postings": res["n_postings"],
+                    "n_keys": res["n_keys"],
+                    "n_blocks": res["n_blocks"],
+                }
+            ]
+        )
+
+    os.makedirs(out_base, exist_ok=True)
+    rows = (
+        flat.repartition(n_dirs, "bucket")
+        .groupBy("bucket")
+        .applyInPandas(write_dir, out_schema)
+        .collect()
+    )
+    return sorted((r.asDict() for r in rows), key=lambda r: r["bucket"])
+
+
 def main(argv: list[str] | None = None) -> int:
     """CLI: export an engine index as a Lucene-layout directory.
 

@@ -31,6 +31,7 @@ import pytest
 
 from ocaml_lucene_spark.interop.export_index import (
     export_lucene_index,
+    export_lucene_partitions,
     main as export_main,
     plan_blocks,
     write_lucene_directory,
@@ -443,6 +444,53 @@ def test_engine_export_import_roundtrip_with_positions(spark, tmp_path):
         (t, ord_of[dd]): p for (t, dd), p in flat_pos(d1).items()
     }
     assert original == flat_pos(d2)
+
+
+def test_export_lucene_partitions_shards_cover_and_are_deterministic(
+    spark, tmp_path
+):
+    """The distributed export: doc-range shards union back to the
+    exact postings relation, every shard is a self-contained readable
+    directory, and two runs produce byte-identical files (the
+    deterministic-boundaries contract — never repartitionByRange)."""
+    import os
+
+    from ocaml_lucene_spark.index.build import assign_doc_ids, build_index
+
+    docs = assign_doc_ids(_tiny_docs(spark, n_docs=150, seed=4)).select(
+        "doc_id", "url", "text"
+    )
+    d1 = str(tmp_path / "engine")
+    row = build_index(docs, d1, n_partitions=4)
+    base1 = str(tmp_path / "shards1")
+    parts = export_lucene_partitions(spark, d1, base1, n_directories=3)
+    assert [p["bucket"] for p in parts] == [0, 1, 2]
+    assert sum(p["n_postings"] for p in parts) == row["n_postings"]
+    assert sum(p["n_docs"] for p in parts) == row["n_docs"]
+
+    union: dict[tuple[str, int], int] = {}
+    for p in parts:
+        index = open_index(p["out_dir"])
+        doc_map = np.load(os.path.join(p["out_dir"], "doc_map.npy"))
+        seg = index.segments[0]
+        for term, _st in enumerate_terms(seg, FIELD):
+            (_s, got_docs, got_tfs), = index.postings(FIELD, term)
+            for o, tf in zip(got_docs.tolist(), got_tfs.tolist()):
+                key = (term.decode(), int(doc_map[o]))
+                assert key not in union
+                union[key] = int(tf)
+    assert union == _flat_postings(d1)
+
+    base2 = str(tmp_path / "shards2")
+    parts2 = export_lucene_partitions(spark, d1, base2, n_directories=3)
+    for p1, p2 in zip(parts, parts2):
+        files1 = sorted(os.listdir(p1["out_dir"]))
+        assert files1 == sorted(os.listdir(p2["out_dir"]))
+        for name in files1:
+            with open(os.path.join(p1["out_dir"], name), "rb") as f1, open(
+                os.path.join(p2["out_dir"], name), "rb"
+            ) as f2:
+                assert f1.read() == f2.read(), (p1["bucket"], name)
 
 
 def test_export_cli(spark, tmp_path, capsys):
