@@ -201,8 +201,14 @@ def plan_blocks(
         deep: list[tuple[bytes, int, int]] = []
         cur_lo, cur_n = (lo, eq - lo) if eq > lo else (None, 0)
         for b, i, j in split(depth, eq, hi):
-            if j - i > target:
-                # big child: its own (deeper) key subtree
+            # a big child becomes its own deeper key subtree — UNLESS
+            # its shortest term IS the child prefix (len == depth+1):
+            # a key equal to a term makes that term unseekable (the
+            # reference's crash, terms_enumerator.ml:225), and common
+            # words are prefixes of their derivations ("the"/"then"),
+            # so such children stay as one oversize linear-scan run
+            # instead — seekability beats block-size discipline
+            if j - i > target and len(terms[i]) > depth + 1:
                 if cur_lo is not None:
                     runs.append((cur_lo, i))
                     cur_lo, cur_n = None, 0
