@@ -22,8 +22,10 @@ per-row path.
 from .block_pointer import find_block  # noqa: F401
 from .data_input import DataInput, ReverseDataInput  # noqa: F401
 from .export_index import (  # noqa: F401
+    ShardedIndex,
     export_lucene_index,
     export_lucene_partitions,
+    open_exported_shards,
     write_lucene_directory,
 )
 from .fst_reader import FstReader  # noqa: F401

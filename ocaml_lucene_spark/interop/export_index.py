@@ -65,13 +65,17 @@ import numpy as np
 
 from ..codecs.varint import write_vint
 from .norms import encode_doc_lengths, write_norms
+from .open_index import open_index
 from .postings_stream import write_doc_stream, write_postings_streams
 from .fst_writer import write_reversed_fst
 from .terms_block import FieldFlags, TermEntry, write_block
 
 __all__ = [
+    "ShardedIndex",
     "encode_block_pointer",
     "export_lucene_index",
+    "export_lucene_partitions",
+    "open_exported_shards",
     "plan_blocks",
     "write_lucene_directory",
 ]
@@ -834,6 +838,65 @@ def export_lucene_partitions(
         .collect()
     )
     return sorted((r.asDict() for r in rows), key=lambda r: r["bucket"])
+
+
+class ShardedIndex:
+    """Every part-NNNNN directory of a partitioned export opened as
+    ONE logical index: ``segments`` is the shard segments' ordered
+    union, which is exactly the interface wand_search aggregates
+    global stats over and rebases doc ids through (cumulative .si
+    max_doc) — so cross-shard BM25 here is EXACT with GLOBAL
+    statistics, the coordinator role ES plays over its shards.
+
+    Because shards are ascending doc-id ranges and each shard's
+    doc_map is ascending, the concatenated doc_map is globally sorted:
+    a rebased hit id maps straight back to its engine doc id. Query
+    terms must be >= 2 bytes (the reference reader's 1-byte seek
+    crash, terms_enumerator.ml:225)."""
+
+    def __init__(self, shard_dirs: list[str]):
+        if not shard_dirs:
+            raise ValueError("no shard directories")
+        self.shard_dirs = list(shard_dirs)
+        self.indexes = [open_index(d) for d in self.shard_dirs]
+        self.segments = [s for ix in self.indexes for s in ix.segments]
+        maps = []
+        for d in self.shard_dirs:
+            p = os.path.join(d, "doc_map.npy")
+            maps.append(np.load(p) if os.path.exists(p) else None)
+        self.doc_map = (
+            np.concatenate(maps) if all(m is not None for m in maps) else None
+        )
+
+    def bm25_topk(
+        self,
+        field: str,
+        terms: list[str],
+        k: int = 10,
+        mode: str = "or",
+        engine_ids: bool = True,
+    ) -> list[tuple[int, float]]:
+        """Exact global-stats block-max BM25 over all shards;
+        [(doc_id, score)] with engine doc ids when every shard carries
+        a doc_map (else the rebased ordinal space)."""
+        from .wand_search import bm25_topk as _topk
+
+        hits, _metrics = _topk(self, field, terms, k=k, mode=mode)
+        if engine_ids and self.doc_map is not None:
+            hits = [(int(self.doc_map[d]), s) for d, s in hits]
+        return hits
+
+
+def open_exported_shards(out_base: str) -> ShardedIndex:
+    """Open an export_lucene_partitions output (every part-* child
+    directory, in bucket order) as one ShardedIndex."""
+    dirs = sorted(
+        os.path.join(out_base, name)
+        for name in os.listdir(out_base)
+        if name.startswith("part-")
+        and os.path.isdir(os.path.join(out_base, name))
+    )
+    return ShardedIndex(dirs)
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -492,6 +492,31 @@ def test_export_lucene_partitions_shards_cover_and_are_deterministic(
             ) as f2:
                 assert f1.read() == f2.read(), (p1["bucket"], name)
 
+    # cross-shard BM25 with GLOBAL stats: the ShardedIndex facade over
+    # 3 shards must rank AND score exactly like one directory holding
+    # the whole index (same quantized-dl model, same global stats,
+    # same engine ids via the concatenated doc_maps)
+    from ocaml_lucene_spark.interop.export_index import open_exported_shards
+
+    single = str(tmp_path / "single")
+    export_lucene_index(d1, single, field=FIELD)
+    whole = open_index(single)
+    sharded = open_exported_shards(base1)
+    assert len(sharded.indexes) == 3 and sharded.doc_map is not None
+    single_map = np.load(os.path.join(single, "doc_map.npy"))
+    assert np.array_equal(sharded.doc_map, single_map)
+    for terms, mode in (
+        (["hot", "rare"], "or"),
+        (["mid", "zebra"], "or"),
+        (["hot", "mid"], "and"),
+    ):
+        got = sharded.bm25_topk(FIELD, terms, k=10, mode=mode)
+        want = [
+            (int(single_map[d]), s)
+            for d, s in whole.bm25_topk(FIELD, terms, k=10, mode=mode)
+        ]
+        assert got == want, (terms, mode)
+
 
 def test_export_cli(spark, tmp_path, capsys):
     from ocaml_lucene_spark.index.build import assign_doc_ids, build_index
