@@ -699,8 +699,10 @@ def export_lucene_partitions(
     the importer's filesystem assumption in reverse.
 
     Like Lucene/ES shards, each directory carries LOCAL stats —
-    cross-shard BM25 needs global stats at the coordinator (the
-    terms_shard_topk algebra); single-shard queries are exact as-is.
+    ShardedIndex/open_exported_shards is the coordinator that queries
+    them with exact GLOBAL stats; single-shard queries are exact
+    as-is. Engine offsets are not exported (the single-directory
+    path's documented start-only boundary).
 
     Returns one summary dict per directory (driver-side, tiny).
     """
@@ -831,11 +833,10 @@ def export_lucene_partitions(
         )
 
     os.makedirs(out_base, exist_ok=True)
+    # ONE posting-volume shuffle: groupBy+applyInPandas hashes by
+    # bucket itself — a repartition first would shuffle twice
     rows = (
-        flat.repartition(n_dirs, "bucket")
-        .groupBy("bucket")
-        .applyInPandas(write_dir, out_schema)
-        .collect()
+        flat.groupBy("bucket").applyInPandas(write_dir, out_schema).collect()
     )
     return sorted((r.asDict() for r in rows), key=lambda r: r["bucket"])
 
