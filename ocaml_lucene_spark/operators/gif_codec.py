@@ -237,13 +237,19 @@ def probe_gif_dims(blob: bytes) -> tuple[int, int] | None:
     return (w, h)
 
 
-def decode_gif(
-    blob: bytes, max_decode_bytes: int | None = None
-) -> tuple[int, int, int, np.ndarray]:
-    """(width, height, 3, RGB pixels (h, w, 3) uint8): the first frame
-    composited onto the logical screen (module docstring). The decode
-    budget bounds the canvas allocation (default: image_codecs'
-    _MAX_DECODE_BYTES)."""
+def decode_gif_frames(
+    blob: bytes,
+    max_frames: int | None = None,
+    max_decode_bytes: int | None = None,
+) -> tuple[int, int, list[np.ndarray]]:
+    """(width, height, frames): every frame of the GIF as the COMPOSED
+    logical-screen canvas at display time ((h, w, 3) uint8 each),
+    with full GIF89a disposal semantics between frames — 0/1 leave the
+    canvas, 2 restores the frame's rectangle to the background color,
+    3 restores the canvas to its pre-frame state. ``max_frames`` stops
+    the walk early (the rest of the stream is not validated); without
+    it the TOTAL frame output is bounded by the decode budget
+    (canvas_bytes * n_frames <= budget, raises past it)."""
     from .image_codecs import _MAX_DECODE_BYTES, _MAX_PROBE_DIM
 
     budget = _MAX_DECODE_BYTES if max_decode_bytes is None else max_decode_bytes
@@ -257,21 +263,36 @@ def decode_gif(
         raise ValueError("GIF zero dimension")
     if sw > _MAX_PROBE_DIM or sh > _MAX_PROBE_DIM:
         raise ValueError("GIF implausible dimensions")
-    if sw * sh * 3 > budget:
+    canvas_bytes = sw * sh * 3
+    if canvas_bytes > budget:
         raise ValueError("GIF decoded size exceeds the decode budget")
     pos = 13
     gct = None
     if packed & 0x80:
         gct, pos = _color_table(blob, pos, packed & 0x07)
 
+    # the background color is defined against the GLOBAL table (a
+    # frame's palette may be a local one)
+    if gct is not None and bg_index < gct.shape[0]:
+        bg = gct[bg_index]
+    else:
+        bg = np.zeros(3, dtype=np.uint8)
+    canvas = np.broadcast_to(bg, (sh, sw, 3)).copy()
+
+    frames: list[np.ndarray] = []
     transparent: int | None = None
+    disposal = 0
     while True:
         if pos >= len(blob):
+            if frames:
+                break  # tolerated like a truncated LZW tail would not be
             raise ValueError("GIF ended without an image descriptor")
         block = blob[pos]
         pos += 1
         if block == 0x3B:  # trailer
-            raise ValueError("GIF has no image descriptor")
+            if not frames:
+                raise ValueError("GIF has no image descriptor")
+            break
         if block == 0x21:  # extension
             if pos >= len(blob):
                 raise ValueError("GIF extension truncated")
@@ -279,60 +300,119 @@ def decode_gif(
             pos += 1
             payload, pos = _sub_blocks(blob, pos)
             if label == 0xF9 and len(payload) >= 4:  # graphic control
-                if payload[0] & 0x01:
-                    transparent = payload[3]
+                disposal = (payload[0] >> 2) & 0x07
+                transparent = payload[3] if payload[0] & 0x01 else None
             continue
         if block != 0x2C:
             raise ValueError(f"GIF unknown block 0x{block:02x}")
-        break
 
-    if pos + 9 > len(blob):
-        raise ValueError("GIF image descriptor truncated")
-    left, top, fw, fh = struct.unpack("<HHHH", blob[pos : pos + 8])
-    ipacked = blob[pos + 8]
-    pos += 9
-    if fw == 0 or fh == 0:
-        raise ValueError("GIF zero frame dimension")
-    if left + fw > sw or top + fh > sh:
-        raise ValueError("GIF frame exceeds the logical screen")
-    lct = None
-    if ipacked & 0x80:
-        lct, pos = _color_table(blob, pos, ipacked & 0x07)
-    palette = lct if lct is not None else gct
-    if palette is None:
-        raise ValueError("GIF frame has no color table")
+        if pos + 9 > len(blob):
+            raise ValueError("GIF image descriptor truncated")
+        left, top, fw, fh = struct.unpack("<HHHH", blob[pos : pos + 8])
+        ipacked = blob[pos + 8]
+        pos += 9
+        if fw == 0 or fh == 0:
+            raise ValueError("GIF zero frame dimension")
+        if left + fw > sw or top + fh > sh:
+            raise ValueError("GIF frame exceeds the logical screen")
+        lct = None
+        if ipacked & 0x80:
+            lct, pos = _color_table(blob, pos, ipacked & 0x07)
+        palette = lct if lct is not None else gct
+        if palette is None:
+            raise ValueError("GIF frame has no color table")
 
-    if pos >= len(blob):
-        raise ValueError("GIF image data truncated")
-    min_code_size = blob[pos]
-    pos += 1
-    data, pos = _sub_blocks(blob, pos)
-    idx = lzw_decode(data, min_code_size, fw * fh)
-    if len(idx) != fw * fh:
-        raise ValueError(
-            f"GIF frame decoded {len(idx)} of {fw * fh} pixels"
-        )
-    indices = np.frombuffer(bytes(idx), dtype=np.uint8).reshape(fh, fw)
-    if int(indices.max()) >= palette.shape[0]:
-        raise ValueError("GIF pixel index outside the color table")
-    if ipacked & 0x40:  # interlaced
-        indices = indices[deinterlace_rows(fh)]
+        if pos >= len(blob):
+            raise ValueError("GIF image data truncated")
+        min_code_size = blob[pos]
+        pos += 1
+        data, pos = _sub_blocks(blob, pos)
+        idx = lzw_decode(data, min_code_size, fw * fh)
+        if len(idx) != fw * fh:
+            raise ValueError(
+                f"GIF frame decoded {len(idx)} of {fw * fh} pixels"
+            )
+        indices = np.frombuffer(bytes(idx), dtype=np.uint8).reshape(fh, fw)
+        if int(indices.max()) >= palette.shape[0]:
+            raise ValueError("GIF pixel index outside the color table")
+        if ipacked & 0x40:  # interlaced
+            indices = indices[deinterlace_rows(fh)]
 
-    # the background color is defined against the GLOBAL table (the
-    # frame's palette may be a local one)
-    if gct is not None and bg_index < gct.shape[0]:
-        bg = gct[bg_index]
-    else:
-        bg = np.zeros(3, dtype=np.uint8)
-    canvas = np.broadcast_to(bg, (sh, sw, 3)).copy()
-    frame = palette[indices]
-    if transparent is not None:
-        opaque = indices != transparent
+        if max_frames is None and (len(frames) + 1) * canvas_bytes > budget:
+            raise ValueError("GIF frame total exceeds the decode budget")
+        before = canvas.copy() if disposal == 3 else None
         region = canvas[top : top + fh, left : left + fw]
-        region[opaque] = frame[opaque]
-    else:
-        canvas[top : top + fh, left : left + fw] = frame
-    return sw, sh, 3, canvas
+        frame_px = palette[indices]
+        if transparent is not None:
+            opaque = indices != transparent
+            region[opaque] = frame_px[opaque]
+        else:
+            region[:] = frame_px
+        frames.append(canvas.copy())
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+        # disposal applies AFTER display, shaping the next frame's base
+        if disposal == 2:
+            canvas[top : top + fh, left : left + fw] = bg
+        elif disposal == 3:
+            canvas = before
+        transparent = None
+        disposal = 0
+    return sw, sh, frames
+
+
+def decode_gif(
+    blob: bytes, max_decode_bytes: int | None = None
+) -> tuple[int, int, int, np.ndarray]:
+    """(width, height, 3, RGB pixels (h, w, 3) uint8): the FIRST frame
+    composited onto the logical screen (module docstring); later
+    blocks are not walked."""
+    sw, sh, frames = decode_gif_frames(
+        blob, max_frames=1, max_decode_bytes=max_decode_bytes
+    )
+    return sw, sh, 3, frames[0]
+
+
+def probe_gif_n_frames(blob: bytes, max_scan: int = 4096) -> int | None:
+    """Frame count by walking the block graph WITHOUT LZW decode
+    (color tables and sub-block chains skip by length) — the
+    metadata-pass primitive beside probe_gif_dims. TOTAL: returns None
+    on malformed/truncated streams, and stops counting at ``max_scan``
+    frames (hostile megaframe blobs)."""
+    if blob[:6] not in GIF_VERSIONS or len(blob) < 13:
+        return None
+    try:
+        pos = 13
+        if blob[10] & 0x80:
+            pos += 3 * (1 << ((blob[10] & 0x07) + 1))
+        count = 0
+        while pos < len(blob):
+            block = blob[pos]
+            pos += 1
+            if block == 0x3B:
+                return count
+            if block == 0x21:
+                pos += 1
+                _payload, pos = _sub_blocks(blob, pos)
+                continue
+            if block != 0x2C:
+                return None
+            if pos + 9 > len(blob):
+                return None
+            ipacked = blob[pos + 8]
+            pos += 9
+            if ipacked & 0x80:
+                pos += 3 * (1 << ((ipacked & 0x07) + 1))
+            if pos >= len(blob):
+                return None
+            pos += 1  # LZW min code size
+            _data, pos = _sub_blocks(blob, pos)
+            count += 1
+            if count >= max_scan:
+                return count
+        return count if count else None
+    except (ValueError, IndexError):
+        return None
 
 
 # ----------------------------------------------------------- encode
@@ -393,4 +473,48 @@ def encode_gif(
         out.append(len(chunk))
         out += chunk
     out += b"\x00\x3b"
+    return bytes(out)
+
+
+def encode_gif_animation(
+    frames: list[dict],
+    palette: np.ndarray,
+    screen: tuple[int, int],
+    bg_index: int = 0,
+) -> bytes:
+    """Multi-frame test-fixture encoder. Each frame dict: ``indices``
+    ((h, w) uint8, required) plus optional ``offset`` (left, top),
+    ``disposal`` (0..3) and ``transparent`` index — a GCE is written
+    per frame, exactly what decode_gif_frames' disposal walk reads."""
+    palette = np.asarray(palette, dtype=np.uint8)
+    sw, sh = screen
+    size_bits = 0
+    while (1 << (size_bits + 1)) < palette.shape[0]:
+        size_bits += 1
+    table = np.zeros((1 << (size_bits + 1), 3), dtype=np.uint8)
+    table[: palette.shape[0]] = palette
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", sw, sh)
+    out += bytes([0x80 | size_bits, bg_index, 0])
+    out += table.tobytes()
+    min_code_size = max(2, size_bits + 1)
+    for f in frames:
+        indices = np.asarray(f["indices"], dtype=np.uint8)
+        h, w = indices.shape
+        left, top = f.get("offset", (0, 0))
+        transparent = f.get("transparent")
+        disposal = f.get("disposal", 0)
+        gce_flags = (disposal & 0x07) << 2 | (1 if transparent is not None else 0)
+        out += bytes([0x21, 0xF9, 4, gce_flags, 0, 0, transparent or 0, 0])
+        out += b"\x2c" + struct.pack("<HHHH", left, top, w, h)
+        out += b"\x00"  # no local table, not interlaced
+        out.append(min_code_size)
+        data = lzw_encode(indices.tobytes(), min_code_size)
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
     return bytes(out)

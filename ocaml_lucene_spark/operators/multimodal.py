@@ -159,15 +159,26 @@ def media_metadata(df: DataFrame, id_col: str = "media_id", blob_col: str = "blo
             h = np.where(valid, dims[:, 1], 0).astype(np.int32)
             f = np.where(valid, dims[:, 2], 0).astype(np.int32)
             kind = np.where(valid, np.where(f > 1, "video", "image"), "unknown")
-            # real formats (PNG/BMP/PPM): header-only dim probe for the
-            # rows that aren't synthetic — same cost class as the
-            # 20-byte fake-header slice, no pixel decode
+            # real formats (PNG/BMP/PPM/JPEG/GIF): header-only dim
+            # probe for the rows that aren't synthetic — same cost
+            # class as the 20-byte fake-header slice, no pixel decode.
+            # Animated GIFs count frames by a block-length walk (still
+            # no LZW decode) and report kind "video" like multi-frame
+            # fakes do.
             for i in np.nonzero(~valid)[0]:
-                pr = probe_dims(bytes(blobs[int(i)]))
+                b = bytes(blobs[int(i)])
+                pr = probe_dims(b)
                 if pr is not None:
                     w[i], h[i] = pr
-                    f[i] = 1
-                    kind[i] = "image"
+                    nf = 1
+                    if sniff_format(b) == "gif":
+                        from .gif_codec import probe_gif_n_frames
+
+                        nf = probe_gif_n_frames(b) or 0
+                        if nf == 0:
+                            continue  # dims parsed but no frame: invalid
+                    f[i] = nf
+                    kind[i] = "video" if nf > 1 else "image"
                     valid[i] = True
             yield pd.DataFrame(
                 {
@@ -190,14 +201,20 @@ def sample_frames(
     df: DataFrame, every_k: int = 2, id_col: str = "media_id", blob_col: str = "blob"
 ) -> DataFrame:
     """Explode videos into sampled frames: (media_id, frame_no, frame)
-    where frame is a re-encoded single-frame blob. Output rows stream
-    per Arrow batch — a partition of video never fully materializes.
-    Vectorized: blobs of identical dims stack into one (m, f, h, w)
-    array and the frame selection is a single strided slice per group;
-    the only per-row Python is the output blob assembly (C-level
-    tobytes of contiguous frame views)."""
+    where frame is a re-encoded single-frame blob — the synthetic fake
+    format for fake videos, PNG for animated GIFs (the one real
+    animation format with a native decoder); both re-encodings are
+    decodable by the downstream feature/metadata passes. Output rows
+    stream per Arrow batch — a partition of video never fully
+    materializes. Fake blobs stay fully vectorized (identical-dim
+    stacking, one strided slice per group); GIFs decode per blob (the
+    codec-call cost class), composed frames capped at 64 per blob with
+    hostile blobs dropped, never aborting the task."""
 
     def op(batches):
+        from .gif_codec import decode_gif_frames
+        from .image_codecs import encode_png, sniff_format as _sniff
+
         for pdf in batches:
             blobs = _blob_list(pdf[blob_col])
             ids = pdf[id_col].to_numpy(dtype=np.int64)
@@ -212,6 +229,18 @@ def sample_frames(
                         out_ids.append(int(ids[r]))
                         out_nos.append(fno)
                         out_frames.append(head + sel[j, sj].tobytes())
+            for i in np.nonzero(~valid)[0]:
+                b = bytes(blobs[int(i)])
+                if _sniff(b) != "gif":
+                    continue
+                try:
+                    _w, _h, frames = decode_gif_frames(b, max_frames=64)
+                except _DECODE_ERRORS:
+                    continue
+                for fno in range(0, len(frames), every_k):
+                    out_ids.append(int(ids[i]))
+                    out_nos.append(fno)
+                    out_frames.append(encode_png(frames[fno]))
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(out_ids, dtype="int64"),

@@ -14,11 +14,14 @@ import pytest
 from ocaml_lucene_spark.operators import multimodal as mm
 from ocaml_lucene_spark.operators.gif_codec import (
     decode_gif,
+    decode_gif_frames,
     deinterlace_rows,
     encode_gif,
+    encode_gif_animation,
     lzw_decode,
     lzw_encode,
     probe_gif_dims,
+    probe_gif_n_frames,
 )
 from ocaml_lucene_spark.operators.image_codecs import (
     decode_image,
@@ -155,6 +158,111 @@ def test_hostile_inputs_raise_and_probe_is_total():
     # probe reports the claimed dims; the plausibility cut is
     # image_codecs' _plausible (shared with every other format)
     assert probe_dims(huge) == (50_000, 50_000)
+
+
+def _animation():
+    """Five frames exercising every disposal mode, plus the numpy
+    reference canvases computed with an independent walk."""
+    pal = np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255],
+         [255, 255, 0], [9, 9, 9], [7, 7, 7], [1, 2, 3]],
+        dtype=np.uint8,
+    )
+    rng = np.random.default_rng(4)
+    f0 = rng.integers(0, 8, size=(10, 12)).astype(np.uint8)
+    f1 = rng.integers(0, 8, size=(4, 5)).astype(np.uint8)
+    f2 = rng.integers(0, 8, size=(3, 3)).astype(np.uint8)
+    f3 = rng.integers(0, 8, size=(6, 6)).astype(np.uint8)
+    f4 = rng.integers(0, 8, size=(2, 2)).astype(np.uint8)
+    blob = encode_gif_animation(
+        [
+            {"indices": f0, "disposal": 1},
+            {"indices": f1, "offset": (2, 3), "disposal": 1},
+            {"indices": f2, "offset": (7, 1), "disposal": 2},
+            {"indices": f3, "offset": (4, 2), "transparent": 5, "disposal": 3},
+            {"indices": f4},
+        ],
+        pal,
+        screen=(12, 10),
+    )
+    bg = pal[0]
+    canvas = np.broadcast_to(bg, (10, 12, 3)).copy()
+    want = []
+    canvas[0:10, 0:12] = pal[f0]
+    want.append(canvas.copy())
+    canvas[3:7, 2:7] = pal[f1]
+    want.append(canvas.copy())
+    canvas[1:4, 7:10] = pal[f2]
+    want.append(canvas.copy())
+    canvas[1:4, 7:10] = bg  # disposal 2: region back to background
+    before = canvas.copy()
+    region = canvas[2:8, 4:10]
+    opaque = f3 != 5
+    region[opaque] = pal[f3][opaque]
+    want.append(canvas.copy())
+    canvas = before  # disposal 3: canvas back to pre-frame state
+    canvas[0:2, 0:2] = pal[f4]
+    want.append(canvas.copy())
+    return blob, want
+
+
+def test_animation_frames_follow_disposal_semantics():
+    blob, want = _animation()
+    assert probe_gif_n_frames(blob) == 5
+    sw, sh, frames = decode_gif_frames(blob)
+    assert (sw, sh, len(frames)) == (12, 10, 5)
+    for k, (got, exp) in enumerate(zip(frames, want)):
+        np.testing.assert_array_equal(got, exp, err_msg=f"frame {k}")
+    # decode_gif is exactly frame 0; max_frames stops the walk early
+    _w, _h, _c, px = decode_gif(blob)
+    np.testing.assert_array_equal(px, want[0])
+    _sw, _sh, two = decode_gif_frames(blob, max_frames=2)
+    assert len(two) == 2
+    np.testing.assert_array_equal(two[1], want[1])
+
+
+def test_animation_budget_and_probe_totality():
+    blob, _want = _animation()
+    # without max_frames the TOTAL frame output is budget-bounded
+    with pytest.raises(ValueError, match="decode budget"):
+        decode_gif_frames(blob, max_decode_bytes=10 * 12 * 3 * 3)
+    # the frame-count probe never raises
+    assert probe_gif_n_frames(b"GIF89a\x00\x00\x00") is None
+    assert probe_gif_n_frames(blob[: len(blob) // 2]) is None
+    rng = np.random.default_rng(1)
+    single = encode_gif(
+        rng.integers(0, 4, size=(3, 3)).astype(np.uint8),
+        rng.integers(0, 256, size=(4, 3)).astype(np.uint8),
+    )
+    assert probe_gif_n_frames(single) == 1
+
+
+def test_multimodal_video_surfaces_over_animated_gif(spark):
+    """media_metadata reports animated GIFs as multi-frame video
+    (block-walk frame count, no pixel decode); sample_frames decodes,
+    composes, and re-encodes every k-th frame as PNG — byte-decodable
+    downstream and pixel-identical to the disposal reference."""
+    from ocaml_lucene_spark.operators.image_codecs import decode_image
+
+    blob, want = _animation()
+    df = spark.createDataFrame(
+        [(0, bytearray(blob)), (1, bytearray(b"GIF89a" + b"\x02" * 9))],
+        "media_id long, blob binary",
+    )
+    meta = {r.media_id: r for r in mm.media_metadata(df).collect()}
+    assert meta[0].kind == "video" and meta[0].n_frames == 5
+    assert (meta[0].width, meta[0].height) == (12, 10)
+    assert not meta[1].valid
+
+    frames = {
+        (r.media_id, r.frame_no): bytes(r.frame)
+        for r in mm.sample_frames(df, every_k=2).collect()
+    }
+    assert set(frames) == {(0, 0), (0, 2), (0, 4)}
+    for fno in (0, 2, 4):
+        w, h, c, px = decode_image(frames[(0, fno)])
+        assert (w, h, c) == (12, 10, 3)
+        np.testing.assert_array_equal(px, want[fno], err_msg=f"frame {fno}")
 
 
 def test_multimodal_metadata_and_features_over_gif(spark):
