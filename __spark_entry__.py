@@ -2043,10 +2043,15 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         return dedup.simhash_near_pairs(_docs(spark, sf), max_hamming=3)
 
     def q_lang_id(spark, sf):
-        return textstats.language_id(_docs(spark, sf))
+        # bespoke total order: the oracle SQL (frozen text, no ORDER
+        # BY) emits parquet natural order == doc_id ascending; the
+        # engine pipeline is repartitioned for compute parallelism
+        # (r9), so the Spark side pins the same order explicitly.
+        return textstats.language_id(_docs(spark, sf)).orderBy("doc_id")
 
     def q_quality(spark, sf):
-        return textstats.quality_features(_docs(spark, sf))
+        # same bespoke doc_id total order as q_lang_id (r9)
+        return textstats.quality_features(_docs(spark, sf)).orderBy("doc_id")
 
     def q_token_counts(spark, sf):
         return textstats.token_counts(_docs(spark, sf))

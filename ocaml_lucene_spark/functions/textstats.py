@@ -25,16 +25,30 @@ LANG_PROFILES: dict[str, list[str]] = {
 def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, pred_lang, hits): argmax of stopword-profile hits;
     'und' (undetermined) when no profile matches. Ties broken by
-    profile order en < de < fr via max(struct(hits, rank))."""
+    profile order en < de < fr via max(struct(hits, rank)).
+
+    Plan shape (r9): tokenize -> per-profile hit counts -> ONE
+    ``greatest(struct)`` in its own projection -> field extraction.
+    Referencing the greatest() from a single select expanded the whole
+    struct (and its three array filters) once per output column — 9
+    filter scans per row in the before-plan; the split keeps each hit
+    count and the greatest evaluated exactly once (CollapseProject
+    leaves multiply-referenced non-cheap aliases alone). The source is
+    routed through ensure_compute_parallelism: a single-row-group
+    parquet corpus is one scan task however small maxPartitionBytes
+    is, which serialized this whole CPU-bound pipeline."""
+    from ..session import ensure_compute_parallelism
+
     toks = tokens_col(text_col).alias("toks")
-    base = docs.select(F.col(id_col).alias("doc_id"), toks)
+    base = ensure_compute_parallelism(docs).select(F.col(id_col).alias("doc_id"), toks)
     cands = []
     for rank, (lang, words) in enumerate(LANG_PROFILES.items()):
         arr = F.array(*[F.lit(w) for w in words])
         hits = F.size(F.filter("toks", lambda t: F.array_contains(arr, t)))
         cands.append(F.struct(hits.alias("hits"), F.lit(-rank).alias("prio"), F.lit(lang).alias("lang")))
-    best = F.greatest(*cands)
-    return base.select(
+    best_base = base.select("doc_id", F.greatest(*cands).alias("_best"))
+    best = F.col("_best")
+    return best_base.select(
         "doc_id",
         F.when(best.getField("hits") > 0, best.getField("lang")).otherwise(F.lit("und")).alias("pred_lang"),
         best.getField("hits").alias("hits"),
@@ -46,22 +60,31 @@ def quality_features(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     stopword_ratio, alnum_ratio, quality_score) — the usual cheap
     quality filters (length, lexical diversity, stopword density,
     punctuation/noise share), rounded for oracle comparison."""
+    # One evaluation per heavy expression (r9): the before-plan
+    # computed length(regexp_replace(lower(text), ...)) TWICE (avg
+    # token len + alnum ratio) inside one projection; hoisting the
+    # counts into their own select pins single evaluation
+    # (CollapseProject keeps multiply-referenced non-cheap aliases
+    # split). ensure_compute_parallelism: single-row-group corpora
+    # otherwise run this CPU-bound pipeline in one scan task.
+    from ..session import ensure_compute_parallelism
+
     toks = tokens_col(text_col)
     en = F.array(*[F.lit(w) for w in LANG_PROFILES["en"]])
-    base = docs.select(
+    base = ensure_compute_parallelism(docs).select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("text"),
         toks.alias("toks"),
     ).select(
         "doc_id",
-        "text",
-        "toks",
         F.length("text").cast("long").alias("n_chars"),
         F.size("toks").cast("long").alias("n_tokens"),
         F.size(F.array_distinct("toks")).cast("long").alias("n_unique"),
+        F.length(F.regexp_replace(F.lower("text"), "[^a-z0-9]", "")).alias("_alnum"),
+        F.size(F.filter("toks", lambda t: F.array_contains(en, t))).alias("_stop"),
     )
-    alnum_chars = F.length(F.regexp_replace(F.lower("text"), "[^a-z0-9]", ""))
-    stop_hits = F.size(F.filter("toks", lambda t: F.array_contains(en, t)))
+    alnum_chars = F.col("_alnum")
+    stop_hits = F.col("_stop")
     out = base.select(
         "doc_id",
         "n_chars",

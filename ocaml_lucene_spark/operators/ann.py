@@ -46,9 +46,15 @@ def brute_force_topk(
     vec_col: str = "embedding",
     exclude_self: int | None = None,
 ) -> DataFrame:
-    """(vec_id, sim) exact cosine top-k; tie-break (sim desc, vec_id)."""
+    """(vec_id, sim) exact cosine top-k; tie-break (sim desc, vec_id).
+
+    The cosine is a higher-order-function expression (interpreted, not
+    codegen) over every row — decouple its parallelism from input
+    splits (a single-row-group embeddings file is ONE scan task)."""
+    from ..session import ensure_compute_parallelism
+
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    df = vecs.select(
+    df = ensure_compute_parallelism(vecs).select(
         F.col(id_col).alias("vec_id"),
         F.round(cosine_col(F.col(vec_col), q), 4).alias("sim"),
     )
@@ -121,8 +127,10 @@ def lsh_topk(
     Approximate by construction; recall vs brute_force_topk in tests."""
     probes = lsh_probe_buckets(query_vec, n_bits, n_probe)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
+    from ..session import ensure_compute_parallelism
+
     return (
-        vecs.select(
+        ensure_compute_parallelism(vecs).select(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).alias("v"),
             signbit_bucket(F.col(vec_col), n_bits).alias("bucket"),

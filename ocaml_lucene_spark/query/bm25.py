@@ -41,8 +41,17 @@ def _tokenized(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def corpus_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """One row: (n_docs, avgdl) — the per-field stats the reference keeps
-    in field_reader.ml:3-16, computed by a partial+final agg."""
-    return _tokenized(docs, id_col, text_col).agg(
+    in field_reader.ml:3-16, computed by a partial+final agg.
+
+    dl here is ``regexp_count(lower(text), '[a-z0-9]+')`` — the count
+    of maximal token runs, integer-identical to
+    ``size(filter(split(lower(text), '[^a-z0-9]+'), x != ''))`` (both
+    count exactly the maximal [a-z0-9] runs; both are NULL on NULL
+    text) without materializing the token array. This pass runs over
+    the FULL corpus on every scoring query, so it is the cheapest
+    possible shape that still matches the canonical grammar."""
+    dl = F.regexp_count(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"))
+    return ensure_compute_parallelism(docs).select(dl.alias("dl")).agg(
         F.count("*").alias("n_docs"),
         (F.sum("dl") / F.count("*")).alias("avgdl"),
     )
@@ -64,18 +73,36 @@ def candidate_tf(
 
 def _query_order_sum(terms: list[str]):
     """Deterministic per-doc score sum: fold the per-term components in
-    QUERY-TERM order (a left fold over a sorted array), bit-identical to
-    the pure-Python oracle's ``sum(score(t, d) for t in terms)``.
+    QUERY-TERM order, bit-identical to the pure-Python oracle's
+    ``sum(score(t, d) for t in terms)``.
 
     A plain F.sum's partial-aggregate addition order depends on the
     physical partitioning, so two docs whose true scores tie can come
     out one ulp apart and flip the (score desc, doc_id asc) tie-break
-    — reproducible ranks are part of the engine contract."""
-    qi = F.create_map(
-        *[x for i, t in enumerate(terms) for x in (F.lit(t), F.lit(i))]
-    )[F.col("term")]
-    pairs = F.sort_array(F.collect_list(F.struct(qi.alias("qi"), F.col("sc"))))
-    return F.aggregate(pairs, F.lit(0.0), lambda acc, x: acc + x["sc"])
+    — reproducible ranks are part of the engine contract.
+
+    Implementation (r9): a fixed-order pivot —
+    ``((0.0 + sum(sc | term=t0)) + sum(sc | term=t1)) + ...`` with
+    absent terms contributing a literal ``0.0``. Each conditional sum
+    aggregates AT MOST ONE row (every caller feeds one row per
+    (doc_id, term): candidate_tf groups by (doc, term); packed-index
+    blocks are doc-disjoint per term), so no float addition happens
+    inside the sums and the outer fold is the exact left fold the
+    contract requires. Interleaving ``+ 0.0`` for absent terms is an
+    IEEE identity here: per-term components are never ±0.0 (idf > 0,
+    tfn > 0; boosted variants scale by non-zero factors) and finite
+    cancellation yields +0.0, never -0.0, so every partial acc is
+    either the same value as the skip-absent fold or +0.0 in both.
+    vs the r1-r8 collect_list(struct) + sort_array + aggregate fold:
+    this is a codegen'd HashAggregate with map-side partials instead
+    of an object aggregate building a per-doc array (measured: the
+    object agg dominated the logical-BM25 reduce stage)."""
+    total = F.lit(0.0)
+    for t in terms:
+        total = total + F.coalesce(
+            F.sum(F.when(F.col("term") == t, F.col("sc"))), F.lit(0.0)
+        )
+    return total
 
 
 def idf_expr(n_col, df_col):
@@ -126,8 +153,17 @@ def bm25_topk(
         terms if mode == "and" else []
     )
     tf = candidate_tf(docs, terms, id_col, text_col)
-    # df/idf over the FULL corpus (before exclusion) — Lucene semantics
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # df/idf over the FULL corpus (before exclusion) — Lucene
+    # semantics. df = count of tf rows per term, computed as a WINDOW
+    # over the candidate frame: the r1-r8 shape
+    # (tf.join(broadcast(tf.groupBy("term").count()))) referenced the
+    # candidate subtree twice, and Spark re-evaluates shared subplans —
+    # the whole tokenize+explode ran once more just to count df. The
+    # window shuffles only the small candidate frame by term and reads
+    # the corpus once. Same integers, same idf, same scores.
+    from pyspark.sql import Window
+
+    tf = tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
     if exclude:
         ex_docs = (
             candidate_tf(docs, list(dict.fromkeys(exclude)), id_col, text_col)
@@ -137,8 +173,7 @@ def bm25_topk(
         tf = tf.join(ex_docs, "doc_id", "left_anti")
     stats = corpus_stats(docs, id_col, text_col)
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats))
+        tf.crossJoin(F.broadcast(stats))
         .withColumn(
             "sc",
             idf_expr(F.col("n_docs").cast("double"), F.col("df").cast("double"))

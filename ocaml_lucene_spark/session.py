@@ -51,6 +51,22 @@ def get_spark(
         .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIR", "/dev/shm/olspark"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # InferFiltersFromGenerate synthesizes `size(arr)>0 AND
+        # isnotnull(arr)` above every explode; predicate pushdown then
+        # drags that filter THROUGH the compute-parallelism repartition
+        # down to the parquet scan with the array expression inlined —
+        # so the full tokenize ran twice, once single-threaded inside
+        # the one-row-group scan task (r9 before-plans: term_stats,
+        # bm25 logical). The rule is a pure optimization (explode
+        # already skips empty/null arrays): excluding it changes no
+        # results, removes the duplicated tokenize, and keeps the scan
+        # task I/O-only. At cluster scale input splits outnumber cores
+        # and the skipped prune is rows-with-no-tokens only (~none in
+        # web corpora).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         # shuffle/IO codec: on memory-bandwidth-bound hosts (shuffle to
         # /dev/shm IS memory traffic) a stronger codec trades spare CPU
         # for bandwidth; env-overridable for measurement
