@@ -295,23 +295,40 @@ def near_dup_pairs(
     return out
 
 
+# per-worker md5 cache for the simhash kernel: term -> 60-bit hash.
+# Vocabulary-bounded (Heaps law) locally; capped so a pathological
+# corpus cannot grow it without bound in a reused python worker.
+_SIMHASH_MD5_CACHE: dict[str, int] = {}
+_SIMHASH_MD5_CACHE_MAX = 4_000_000
+
+
 def simhash_signatures(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 60
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 60,
+    impl: str = "kernel",
 ) -> DataFrame:
     """(doc_id, simhash): tf-weighted bit-majority over per-token 60-bit
-    md5-derived hashes, truncated to ``bits``. All JVM expressions:
-    explode tokens -> tf -> explode bit positions -> signed sum -> pack.
+    md5-derived hashes, truncated to ``bits``. Docs whose token list is
+    empty produce no output row (both impls).
 
-    Plan shape, measured (do not "optimize" this into wide aggregates):
-    the bit explode looks like a 60x row blowup, but map-side partial
-    aggregation collapses it to ``bits`` rows per doc BEFORE the
-    exchange, so shuffle volume is the same as a 1-row-per-doc plan
-    with 60 sum columns — and the wide-agg variant (60 conditional-sum
-    aggregate columns over (doc_id)) measured 1.3x SLOWER at sf0.1
-    local[32] (2.04 s vs 1.54 s best-of-3, identical output): 60
-    when-branches per input row in one giant codegen stage beat by the
-    slim exploded kernel. Explode + partial agg is both the local and
-    the cluster shape.
+    impl="kernel" (default, r9): the signature is a pure function of
+    ONE doc's token multiset, so the whole computation is partition-
+    local — JVM tokenize, then one vectorized mapInPandas pass (term
+    counts via np.unique over (doc, term-code) keys, md5 through a
+    per-worker cache, per-bit signed sums as ``bits`` C-level
+    bincounts) and ZERO exchanges after the compute repartition. The
+    r1-r8 shuffle plan moved 10M (doc,term) rows through a hash agg,
+    exploded them 60x through a second agg, and packed bits through a
+    third — three exchanges and ~600M row-aggregations at sf1 for
+    output that depends on no cross-doc state. All arithmetic is exact
+    integers (float64 bincount weights stay exact below 2^53), md5
+    bytes are identical to the JVM's, so the two impls are
+    value-identical (pinned by test).
+
+    impl="shuffle": the r1-r8 explode + partial-agg plan, kept as the
+    cross-check and for callers that want no Python boundary. (Within
+    the shuffle family, the 60-wide conditional-sum agg variant
+    measured 1.3x slower than the explode at sf0.1 — do not resurrect
+    it.)
 
     Sizing: ``bits`` defaults to the FULL 60 hash bits (15 hex chars of
     md5) — a truncated signature space saturates at corpus scale (32
@@ -324,6 +341,74 @@ def simhash_signatures(
     ``simhash_pairs_from_signatures(max_bucket_size=...)`` when one
     slice-key bucket may still exceed executor-comfortable row counts."""
     from ..session import ensure_compute_parallelism
+
+    if impl == "kernel":
+        base = ensure_compute_parallelism(docs).select(
+            F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("toks")
+        )
+
+        def kernel(batches):
+            import hashlib
+
+            import numpy as np
+            import pandas as pd
+
+            cache = _SIMHASH_MD5_CACHE
+            shifts = range(bits)
+
+            def h_of(t: str) -> int:
+                v = cache.get(t)
+                if v is None:
+                    v = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+                    if len(cache) >= _SIMHASH_MD5_CACHE_MAX:
+                        cache.clear()
+                    cache[t] = v
+                return v
+
+            for pdf in batches:
+                toks = pdf["toks"]
+                n = len(toks)
+                if not n:
+                    continue
+                sizes = np.fromiter((len(t) for t in toks), dtype=np.int64, count=n)
+                keep = sizes > 0  # empty docs emit no row (explode semantics)
+                if not keep.any():
+                    continue
+                doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+                flat = np.concatenate([np.asarray(t, dtype=object) for t in toks[keep]])
+                doc_idx = np.repeat(np.flatnonzero(keep), sizes[keep])
+                codes, uniques = pd.factorize(flat)
+                # per-(doc, term) tf: one sort-based unique over a
+                # combined int key — C speed, no Python per token
+                key = doc_idx * np.int64(len(uniques)) + codes
+                ukey, tf = np.unique(key, return_counts=True)
+                doc_of = (ukey // len(uniques)).astype(np.int64)
+                code_of = (ukey % len(uniques)).astype(np.int64)
+                h_uniq = np.fromiter(
+                    (h_of(t) for t in uniques), dtype=np.int64, count=len(uniques)
+                )
+                h = h_uniq[code_of]
+                tf_f = tf.astype(np.float64)  # exact: tf < 2^53
+                n_out = int(doc_of.max()) + 1
+                total = np.bincount(doc_of, weights=tf_f, minlength=n_out)
+                sig = np.zeros(n_out, dtype=np.int64)
+                for j in shifts:
+                    s_j = np.bincount(
+                        doc_of, weights=tf_f * ((h >> j) & 1), minlength=n_out
+                    )
+                    # signed sum > 0  <=>  2 * ones-weighted sum > total
+                    sig |= (2.0 * s_j > total).astype(np.int64) << j
+                # doc_of values ARE original pdf positions (doc_idx was
+                # built from flatnonzero(keep)), so index directly
+                present = np.unique(doc_of)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": doc_ids[present],
+                        "simhash": sig[present],
+                    }
+                )
+
+        return base.mapInPandas(kernel, "doc_id long, simhash long")
 
     tf = (
         ensure_compute_parallelism(docs)

@@ -582,3 +582,33 @@ def test_semdedup_planted_duplicate(spark):
     cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
     got = [tuple(r) for r in semdedup(df, cents, min_sim=0.95).collect()]
     assert got == [(1, 0, True), (2, 0, False), (3, 1, True)]
+
+
+def test_simhash_kernel_matches_shuffle_impl(spark, docs):
+    """r9 partition-local simhash kernel vs the r1-r8 shuffle plan:
+    identical (doc_id, simhash) sets — including docs dropped for
+    having no tokens, md5 byte-identity, and the exact tf-weighted
+    bit-majority integers."""
+    a = {(r.doc_id, r.simhash)
+         for r in dedup.simhash_signatures(docs, impl="kernel").collect()}
+    b = {(r.doc_id, r.simhash)
+         for r in dedup.simhash_signatures(docs, impl="shuffle").collect()}
+    assert a == b and len(a) > 0
+
+
+def test_simhash_kernel_empty_and_single_token_docs(spark):
+    """Edge semantics pinned: empty-token docs emit NO row (explode
+    semantics); a single-token doc's signature is the token hash's
+    bit pattern truncated to `bits`."""
+    import hashlib
+
+    rows = [(0, "zipf"), (1, "   ...!!!   "), (2, ""), (3, "zipf zipf alpha")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.simhash
+           for r in dedup.simhash_signatures(df, impl="kernel").collect()}
+    ref = {r.doc_id: r.simhash
+           for r in dedup.simhash_signatures(df, impl="shuffle").collect()}
+    assert got == ref
+    assert set(got) == {0, 3}  # 1, 2 tokenize to nothing
+    h = int(hashlib.md5(b"zipf").hexdigest()[:15], 16)
+    assert got[0] == h  # single token: majority = the token's bits
