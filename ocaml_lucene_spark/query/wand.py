@@ -84,9 +84,26 @@ class PostingList:
     cache: dict | None = None  # block_no -> (docs, scores), shared with
     # seed-pass clones so a block decodes at most once per query
 
+    def __post_init__(self):
+        # hot-loop representation (r9): the WAND sweep reads block
+        # metadata hundreds of thousands of times per query; numpy
+        # scalar extraction (arr[i] boxing + int()/float()) was ~40% of
+        # the loop (profiled on the all-stopword diagnostic). Plain
+        # Python lists hold the EXACT same values (int64 -> int,
+        # float64 -> float are exact), so every pruning decision is
+        # unchanged — this is representation only.
+        fd, ld, ub = self.first_doc, self.last_doc, self.ub
+        self._fd = fd.tolist() if hasattr(fd, "tolist") else list(map(int, fd))
+        self._ld = ld.tolist() if hasattr(ld, "tolist") else list(map(int, ld))
+        self._ubl = ub.tolist() if hasattr(ub, "tolist") else list(map(float, ub))
+        self._n = len(self.payloads)
+        self._max_ub = max(self._ubl) if self._ubl else 0.0
+
     @property
     def max_ub(self) -> float:
-        return float(self.ub.max()) if self.ub.size else 0.0
+        # cached: ub is immutable per list; the property was an
+        # O(n_blocks) np.max on EVERY pivot's bound accumulation
+        return self._max_ub
 
     def _decode_payload(self) -> tuple[np.ndarray, np.ndarray]:
         """(docs, scores) for the current block — the ONLY piece that
@@ -121,7 +138,7 @@ class PostingList:
         # apply any pending lazy target (pending <= block last_doc is an
         # advance_to invariant, so pi lands in range)
         self.pi = (
-            int(np.searchsorted(self.docs, self.pending, side="left"))
+            int(self.docs.searchsorted(self.pending, side="left"))
             if self.pending
             else 0
         )
@@ -139,23 +156,24 @@ class PostingList:
         )
 
     def exhausted(self) -> bool:
-        return self.bi >= len(self.payloads)
+        return self.bi >= self._n
 
     def current_doc(self) -> int:
         """Smallest possibly-not-yet-consumed docID. Exact when decoded
         or at a block boundary; a LOWER BOUND when lazily positioned
         inside an undecoded block (see is_exact)."""
-        if self.exhausted():
+        if self.bi >= self._n:
             return INF_DOC
         if self.docs is None:
-            return max(int(self.first_doc[self.bi]), self.pending)
+            fd = self._fd[self.bi]
+            return fd if fd >= self.pending else self.pending
         return int(self.docs[self.pi])
 
     def is_exact(self) -> bool:
         """True when current_doc() is a real posting (not a lazy bound)."""
-        if self.exhausted() or self.docs is not None:
+        if self.bi >= self._n or self.docs is not None:
             return True
-        return self.pending <= int(self.first_doc[self.bi])
+        return self.pending <= self._fd[self.bi]
 
     def resolve(self) -> None:
         """Make a lazy position exact (decodes the current block)."""
@@ -163,10 +181,10 @@ class PostingList:
             self._decode()
 
     def current_block_last(self) -> int:
-        return int(self.last_doc[self.bi])
+        return self._ld[self.bi]
 
     def current_block_ub(self) -> float:
-        return float(self.ub[self.bi]) if not self.exhausted() else 0.0
+        return self._ubl[self.bi] if self.bi < self._n else 0.0
 
     def advance_to(self, target: int) -> None:
         """Position at the first posting with doc >= target — lazily:
@@ -174,34 +192,39 @@ class PostingList:
         undecoded block is recorded as ``pending``, not decoded."""
         if self.pending > target:
             target = self.pending  # never move backward past a lazy target
+        ld, n = self._ld, self._n
         while True:
-            while not self.exhausted() and int(self.last_doc[self.bi]) < target:
-                self.bi += 1
+            bi = self.bi
+            if bi < n and ld[bi] < target:
                 self.docs = None
                 self.pending = 0
-            if self.exhausted():
+                bi += 1
+                while bi < n and ld[bi] < target:
+                    bi += 1
+                self.bi = bi
+            if bi >= n:
                 return
             if self.docs is None:
                 # last_doc[bi] >= target here (the invariant _decode uses)
-                self.pending = 0 if target <= int(self.first_doc[self.bi]) else target
+                self.pending = 0 if target <= self._fd[bi] else target
                 return
-            self.pi = int(np.searchsorted(self.docs, target, side="left"))
+            self.pi = int(self.docs.searchsorted(target, side="left"))
             if self.pi < self.docs.size:
                 return
-            self.bi += 1
+            self.bi = bi + 1
             self.docs = None
             self.pending = 0
 
     def score_at(self, doc: int) -> float:
         """Score if ``doc`` is present (advances the iterator to doc)."""
         self.advance_to(doc)
-        if self.exhausted() or self.current_doc() > doc:
+        if self.bi >= self._n or self.current_doc() > doc:
             return 0.0
         if self.docs is None:
             # current_doc() <= doc <= last_doc: doc may sit in this
             # block; the score needs the payload either way
             self._decode()
-            self.pi = max(self.pi, int(np.searchsorted(self.docs, doc, side="left")))
+            self.pi = max(self.pi, int(self.docs.searchsorted(doc, side="left")))
             if self.pi >= self.docs.size:
                 self.bi += 1
                 self.docs = None
@@ -215,7 +238,7 @@ class PostingList:
         leapfrog — blocks whose [first_doc, last_doc] cannot hold
         ``doc`` are skipped via metadata, never decoded."""
         self.advance_to(doc)
-        if self.exhausted() or self.current_doc() > doc:
+        if self.bi >= self._n or self.current_doc() > doc:
             return False
         if self.docs is None:
             if self.current_doc() != doc:
@@ -223,7 +246,7 @@ class PostingList:
                 # lb == doc is the only probe needing a decode
                 return False
             self._decode()
-            self.pi = max(self.pi, int(np.searchsorted(self.docs, doc, side="left")))
+            self.pi = max(self.pi, int(self.docs.searchsorted(doc, side="left")))
             if self.pi >= self.docs.size:
                 self.bi += 1
                 self.docs = None
