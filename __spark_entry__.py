@@ -2047,11 +2047,22 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         # BY) emits parquet natural order == doc_id ascending; the
         # engine pipeline is repartitioned for compute parallelism
         # (r9), so the Spark side pins the same order explicitly.
-        return textstats.language_id(_docs(spark, sf)).orderBy("doc_id")
+        # repartition(1)+sortWithinPartitions, NOT orderBy: a global
+        # sort's range-partitioning sampling pass re-executes the whole
+        # upstream pipeline once more (measured +0.34s at sf1).
+        return (
+            textstats.language_id(_docs(spark, sf))
+            .repartition(1)
+            .sortWithinPartitions("doc_id")
+        )
 
     def q_quality(spark, sf):
         # same bespoke doc_id total order as q_lang_id (r9)
-        return textstats.quality_features(_docs(spark, sf)).orderBy("doc_id")
+        return (
+            textstats.quality_features(_docs(spark, sf))
+            .repartition(1)
+            .sortWithinPartitions("doc_id")
+        )
 
     def q_token_counts(spark, sf):
         return textstats.token_counts(_docs(spark, sf))

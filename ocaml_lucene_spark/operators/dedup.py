@@ -33,14 +33,25 @@ LSH_BANDS = 4  # 16 signatures / 4 rows per band
 
 
 def shingles_col(text: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles as array<string> (distinct not applied)."""
+    """Word n-gram shingles as array<string> (distinct not applied).
+
+    The tokenize is BOUND ONCE via a one-element-array transform (a
+    let-binding: the lambda variable ``t`` is a cheap attribute inside
+    every inner expression). The r1-r8 form inlined ``tokens_col`` four
+    times — fatally, once inside the per-shingle slice lambda, so every
+    shingle re-tokenized the whole document: O(dl^2) per doc, measured
+    as ~30s+ of the sf1 minhash cold path for what is now <2s."""
     toks = tokens_col(text)
-    return F.when(F.size(toks) < n, F.array(F.array_join(toks, " "))).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+
+    def build(t: Column) -> Column:
+        return F.when(F.size(t) < n, F.array(F.array_join(t, " "))).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - n),
+                lambda i: F.array_join(F.slice(t, i + 1, n), " "),
+            )
         )
-    )
+
+    return F.transform(F.array(toks), build).getItem(0)
 
 
 def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -119,7 +130,24 @@ def minhash_candidate_pairs(
     pairs that collide in several bands. The round-1 plan instead ran
     distinct() on pairs and re-joined the signature table twice —
     three shuffles and the slowest bench query (11.2 s -> target ~5)."""
-    sigs = minhash_signatures(docs, id_col, text_col, n_hashes)
+    # DISK_ONLY persist of the FLAT signature frame: both sides of the
+    # self-join read this relation — without it Spark recomputes the
+    # shingle+16-md5 pipeline twice. The persist point matters (r9):
+    # r1-r8 persisted the post-explode banded frame, whose
+    # array<string> sigs column made the columnar cache serializer the
+    # dominant cost (measured at sf1: ~36s to materialize the 200k-row
+    # array cache vs ~8s to compute it; flat 16-string-column rows
+    # serialize an order of magnitude faster and hold 1/bands the
+    # rows). Banding re-derives from the cache on each side — 4
+    # concat+md5 per doc, trivial next to the 16-per-shingle stage the
+    # cache exists to not recompute. DISK_ONLY (not .cache): at 100 TB
+    # this is a materialized staging table, not a memory-pressure
+    # default competing with shuffle/exec memory.
+    from pyspark import StorageLevel
+
+    sigs = minhash_signatures(docs, id_col, text_col, n_hashes).persist(
+        StorageLevel.DISK_ONLY
+    )
     rows_per_band = n_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -127,31 +155,20 @@ def minhash_candidate_pairs(
         band_cols.append(
             F.struct(F.lit(b).alias("band_id"), F.md5(F.concat_ws("|", *parts)).alias("band_hash"))
         )
-    sig_arr = F.array(*[F.col(f"sig_{h}") for h in range(n_hashes)])
-    # DISK_ONLY persist: both sides of the self-join read this relation
-    # — without it Spark recomputes the shingle+16-md5 pipeline twice.
-    # MEMORY_AND_DESER (.cache) was the r1-r6 choice, but the exploded
-    # frame is bands x docs rows each carrying the full signature
-    # array: at 100 TB that is a memory-pressure default competing
-    # with shuffle/exec memory, while serialized disk blocks stream
-    # back at the cost of one deserialization — on a cluster this is
-    # a materialized staging table. Measured at sf0.1: within noise
-    # of .cache() (the frame is tiny locally; the change is for the
-    # at-scale memory profile).
-    from pyspark import StorageLevel
-
-    banded = (
-        sigs.select(
-            "doc_id", sig_arr.alias("sigs"), F.explode(F.array(*band_cols)).alias("b")
-        )
-        .select("doc_id", "sigs", "b.band_id", "b.band_hash")
-        .persist(StorageLevel.DISK_ONLY)
-    )
+    banded = sigs.select(
+        "doc_id",
+        *[F.col(f"sig_{h}") for h in range(n_hashes)],
+        F.explode(F.array(*band_cols)).alias("b"),
+    ).select("doc_id", *[f"sig_{h}" for h in range(n_hashes)], "b.band_id", "b.band_hash")
     l, r = banded.alias("l"), banded.alias("r")
-    eq = F.zip_with(
-        F.col("l.sigs"), F.col("r.sigs"), lambda x, y: (x == y).cast("int")
-    )
-    est = F.aggregate(eq, F.lit(0), lambda acc, x: acc + x) / float(n_hashes)
+    # est = fraction of equal components, as 16 flat codegen'd string
+    # comparisons — the r1-r8 zip_with+aggregate fold built two arrays
+    # per joined pair and ran interpreted; same integers either way.
+    eq_sum = None
+    for h in range(n_hashes):
+        term = (F.col(f"l.sig_{h}") == F.col(f"r.sig_{h}")).cast("int")
+        eq_sum = term if eq_sum is None else eq_sum + term
+    est = eq_sum / float(n_hashes)
     out = (
         l.join(r, ["band_id", "band_hash"])
         .filter(F.col("l.doc_id") < F.col("r.doc_id"))
@@ -164,7 +181,7 @@ def minhash_candidate_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.first("est_jaccard").alias("est_jaccard"))
     )
-    return _record_persisted(out, banded)
+    return _record_persisted(out, sigs)
 
 
 def ngram_jaccard_pairs(

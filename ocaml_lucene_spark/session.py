@@ -67,6 +67,17 @@ def get_spark(
             "spark.sql.optimizer.excludedRules",
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
+        # keyless repartition (ensure_compute_parallelism) pays a local
+        # sort of its input by default so retried map tasks reproduce
+        # the same row->partition assignment (SPARK-23207). Measured
+        # ~0.24s per query at sf1 just to round-robin 50k text rows.
+        # Safe to drop HERE because every consumer of a keyless
+        # repartition in this engine is content-deterministic: hash
+        # aggregations, equi-joins, or outputs with an explicit total
+        # order — no result depends on which partition a row landed in.
+        # (Partition-count-dependent things — docIDs, pack shards — use
+        # hash partitioning, which this conf does not touch.)
+        .config("spark.sql.execution.sortBeforeRepartition", "false")
         # shuffle/IO codec: on memory-bandwidth-bound hosts (shuffle to
         # /dev/shm IS memory traffic) a stronger codec trades spare CPU
         # for bandwidth; env-overridable for measurement
