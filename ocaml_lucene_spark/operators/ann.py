@@ -38,6 +38,24 @@ def cosine_col(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def cosine_with_query(a: Column, query_vec: list[float]) -> Column:
+    """``cosine_col(a, lit(query_vec))`` with the query's norm folded
+    to a literal. The norm is computed in Python with the exact same
+    left fold (0.0 + q0*q0 + q1*q1 + ...) and IEEE sqrt the in-plan
+    expression performs, so the resulting double — and therefore every
+    similarity — is bit-identical; it just stops being re-evaluated
+    per row (64 multiplies + adds per row for a constant) and shrinks
+    the expression tree by a third (faster analysis of the 64-literal
+    arrays)."""
+    import math
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    acc = 0.0
+    for x in query_vec:
+        acc = acc + float(x) * float(x)
+    return _dot(a, q) / (_norm(a) * F.lit(math.sqrt(acc)))
+
+
 def brute_force_topk(
     vecs: DataFrame,
     query_vec: list[float],
@@ -56,7 +74,7 @@ def brute_force_topk(
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     df = ensure_compute_parallelism(vecs).select(
         F.col(id_col).alias("vec_id"),
-        F.round(cosine_col(F.col(vec_col), q), 4).alias("sim"),
+        F.round(cosine_with_query(F.col(vec_col), query_vec), 4).alias("sim"),
     )
     if exclude_self is not None:
         df = df.filter(F.col("vec_id") != exclude_self)
@@ -136,7 +154,7 @@ def lsh_topk(
             signbit_bucket(F.col(vec_col), n_bits).alias("bucket"),
         )
         .filter(F.col("bucket").isin(probes))
-        .select("vec_id", F.round(cosine_col(F.col("v"), q), 4).alias("sim"))
+        .select("vec_id", F.round(cosine_with_query(F.col("v"), query_vec), 4).alias("sim"))
         .orderBy(F.desc("sim"), F.asc("vec_id"))
         .limit(k)
     )
@@ -185,7 +203,7 @@ def lsh_topk_indexed(
     return (
         spark.read.parquet(index_dir)
         .filter(F.col("bucket") == qbucket)
-        .select("vec_id", F.round(cosine_col(F.col("embedding"), q), 4).alias("sim"))
+        .select("vec_id", F.round(cosine_with_query(F.col("embedding"), query_vec), 4).alias("sim"))
         .orderBy(F.desc("sim"), F.asc("vec_id"))
         .limit(k)
     )
@@ -207,7 +225,7 @@ def ivf_cell_expr(vec_col: Column, centroids: list[list[float]]) -> Column:
         cvec = F.array(*[F.lit(float(x)) for x in c])
         cands.append(
             F.struct(
-                F.round(cosine_col(vec_col, cvec), 12).alias("s"),
+                F.round(cosine_with_query(vec_col, [float(x) for x in c]), 12).alias("s"),
                 F.lit(-i).alias("ni"),
                 F.lit(i).alias("i"),
             )
@@ -251,7 +269,7 @@ def ivf_topk(
             ivf_cell_expr(F.col(vec_col), centroids).alias("cell"),
         )
         .filter(F.col("cell").isin([int(p) for p in probes]))
-        .select("vec_id", F.round(cosine_col(F.col("v"), q), 4).alias("sim"))
+        .select("vec_id", F.round(cosine_with_query(F.col("v"), query_vec), 4).alias("sim"))
         .orderBy(F.desc("sim"), F.asc("vec_id"))
         .limit(k)
     )
@@ -389,7 +407,7 @@ def ivf_topk_indexed(
     return (
         spark.read.parquet(index_dir)
         .filter(F.col("cell").isin(probes))
-        .select("vec_id", F.round(cosine_col(F.col("embedding"), q), 4).alias("sim"))
+        .select("vec_id", F.round(cosine_with_query(F.col("embedding"), query_vec), 4).alias("sim"))
         .orderBy(F.desc("sim"), F.asc("vec_id"))
         .limit(k)
     )
@@ -489,7 +507,7 @@ def knn_filtered_topk(
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     df = vecs.filter(F.col(label_col) == int(filter_label)).select(
         F.col(id_col).alias("vec_id"),
-        (F.round(cosine_col(F.col(vec_col), q), 4) + F.lit(0.0)).alias("sim"),
+        (F.round(cosine_with_query(F.col(vec_col), query_vec), 4) + F.lit(0.0)).alias("sim"),
     )
     return df.orderBy(F.desc("sim"), F.asc("vec_id")).limit(k)
 

@@ -105,6 +105,102 @@ def _query_order_sum(terms: list[str]):
     return total
 
 
+import re as _re
+
+_SIMPLE_TOKEN_RE = _re.compile(r"^[a-z0-9]+$")
+
+
+def _bm25_topk_regex(
+    docs: DataFrame,
+    terms: list[str],
+    k: int,
+    id_col: str,
+    text_col: str,
+    round_to: int | None,
+    exclude: list[str],
+    must_set: list[str],
+    min_should_match: int,
+) -> DataFrame:
+    """Zero-explode logical BM25 for small term sets (r9 fast path).
+
+    tf of token t = ``regexp_count(lower(text), '(?<![a-z0-9])t(?![a-z0-9])')``
+    — the lookarounds are zero-width, so adjacent occurrences are all
+    counted, and the count equals the number of maximal [a-z0-9] runs
+    equal to t, i.e. exactly the explode-path tf. dl likewise counts
+    maximal token runs. One projection computes every per-doc quantity;
+    ONE broadcast row carries (n_docs, avgdl, df_t) from an aggregate
+    over the same projection; candidates, must, NOT and
+    min_should_match are plain filters; the per-doc score folds
+    when(tf>0, idf*tfn, 0.0) in query-term order (the +0.0 identity of
+    _query_order_sum). No token arrays, no explode, no (doc,term)
+    shuffle, no anti-join — measured 4x the explode plan at sf1.
+
+    Exactness: integer tf/dl/df/n identical to the explode path; the
+    score expression is the same idf_expr*tfn_expr over the same
+    doubles; prototype + replica compare bit-equal. The projection is
+    evaluated twice (stats agg job + candidate job — Spark re-executes
+    shared subplans), which is why the path is gated to small term
+    sets where k+1 regex passes beat tokenize+explode twice over."""
+    low = F.lower(F.col(text_col))
+    tf_cols = [
+        F.regexp_count(low, F.lit(f"(?<![a-z0-9]){t}(?![a-z0-9])")).alias(f"_tf_{i}")
+        for i, t in enumerate(terms)
+    ]
+    ex_cols = [
+        F.regexp_count(low, F.lit(f"(?<![a-z0-9]){t}(?![a-z0-9])")).alias(f"_ex_{j}")
+        for j, t in enumerate(exclude)
+    ]
+    base = ensure_compute_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_count(low, F.lit("[a-z0-9]+")).alias("dl"),
+        *tf_cols,
+        *ex_cols,
+    )
+    # df/N/avgdl over the FULL corpus, BEFORE exclusion (Lucene
+    # semantics) — one broadcast row
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl") / F.count("*")).alias("avgdl"),
+        *[
+            F.sum((F.col(f"_tf_{i}") > 0).cast("long")).alias(f"_df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    cond = None
+    for i in range(len(terms)):
+        c = F.col(f"_tf_{i}") > 0
+        cond = c if cond is None else (cond | c)
+    cand = base.filter(cond)
+    for t in must_set:
+        cand = cand.filter(F.col(f"_tf_{terms.index(t)}") > 0)
+    if min_should_match:
+        n_should = None
+        for i, t in enumerate(terms):
+            if t in must_set:
+                continue
+            c = (F.col(f"_tf_{i}") > 0).cast("int")
+            n_should = c if n_should is None else (n_should + c)
+        if n_should is not None:
+            cand = cand.filter(n_should >= min_should_match)
+    for j in range(len(exclude)):
+        cand = cand.filter(F.col(f"_ex_{j}") == 0)
+    cand = cand.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        sc_i = idf_expr(
+            F.col("n_docs").cast("double"), F.col(f"_df_{i}").cast("double")
+        ) * tfn_expr(
+            F.col(f"_tf_{i}").cast("double"), F.col("dl").cast("double"), F.col("avgdl")
+        )
+        score = score + F.when(F.col(f"_tf_{i}") > 0, sc_i).otherwise(F.lit(0.0))
+    score = F.round(score, round_to) if round_to is not None else score
+    return (
+        cand.select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def idf_expr(n_col, df_col):
     return F.log(F.lit(1.0) + (n_col - df_col + 0.5) / (df_col + 0.5))
 
@@ -152,6 +248,20 @@ def bm25_topk(
     must_set = list(dict.fromkeys(must)) if must else (
         terms if mode == "and" else []
     )
+    exclude = list(dict.fromkeys(exclude or []))
+    # r9 fast path: for small simple-token term sets the zero-explode
+    # regex plan wins (see _bm25_topk_regex); larger sets (MoreLikeThis
+    # style) keep the explode plan whose cost is O(text + postings),
+    # not O(k * text).
+    if (
+        terms
+        and len(terms) + len(exclude) <= 8
+        and all(_SIMPLE_TOKEN_RE.match(t) for t in terms + exclude)
+    ):
+        return _bm25_topk_regex(
+            docs, terms, k, id_col, text_col, round_to, exclude,
+            must_set, min_should_match,
+        )
     tf = candidate_tf(docs, terms, id_col, text_col)
     # df/idf over the FULL corpus (before exclusion) — Lucene
     # semantics. df = count of tf rows per term, computed as a WINDOW

@@ -80,6 +80,40 @@ def idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
+def _segment_doc_bounds(index_dir: str) -> tuple[int, int] | None:
+    """(min_doc_id, max_doc_id) across live segments from the norms
+    parquet footers — pure driver-side metadata, no Spark job. None if
+    any file lacks doc_id statistics (caller falls back to an agg)."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    lo, hi = None, None
+    for r in seg.list_segments(index_dir):
+        ndir = seg.segment_paths(index_dir, r["segment"])["norms"]
+        files = _glob.glob(f"{ndir}/*.parquet")
+        if not files:
+            return None
+        for fn in files:
+            try:
+                md = _pq.ParquetFile(fn).metadata
+            except Exception:
+                return None
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                for i in range(rg.num_columns):
+                    c = rg.column(i)
+                    if c.path_in_schema == "doc_id":
+                        st = c.statistics
+                        if st is None or st.min is None or st.max is None:
+                            return None
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+    if lo is None:
+        return None
+    return int(lo), int(hi)
+
+
 def _postings_df(spark: SparkSession, index_dir: str, terms: list[str]) -> DataFrame:
     paths = live_segment_paths(index_dir)
     return spark.read.parquet(*paths).filter(F.col("term").isin(terms))
@@ -1089,11 +1123,21 @@ def bm25_topk_wand_parallel(
     blocks = _postings_df(spark, index_dir, terms + exclude).select(
         *_WAND_BLOCK_COLS
     )
-    # doc-span bounds from block METADATA only (payloads pruned)
-    b_lo, b_hi = blocks.agg(F.min("first_doc"), F.max("last_doc")).first()
-    if b_lo is None:
-        return empty_with_metrics()
-    lo, hi = int(b_lo), int(b_hi)
+    # doc-span bounds for range sizing: read the segments' norms
+    # parquet FOOTER statistics driver-side (milliseconds) instead of
+    # running a Spark metadata-scan job per query (r9; the agg job was
+    # a full postings-metadata pass just for min/max). The norms span
+    # covers every live doc, hence every block: any [lo, hi] covering
+    # all blocks yields the same exact union (ranges partition the doc
+    # space; per-range WAND is exact). Falls back to the agg if the
+    # stats are unavailable.
+    bounds = _segment_doc_bounds(index_dir)
+    if bounds is None:
+        b_lo, b_hi = blocks.agg(F.min("first_doc"), F.max("last_doc")).first()
+        if b_lo is None:
+            return empty_with_metrics()
+        bounds = (int(b_lo), int(b_hi))
+    lo, hi = bounds
     span = hi - lo + 1
     if n_tasks is None:
         n_tasks = min(

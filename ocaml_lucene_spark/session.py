@@ -78,6 +78,14 @@ def get_spark(
         # (Partition-count-dependent things — docIDs, pack shards — use
         # hash partitioning, which this conf does not touch.)
         .config("spark.sql.execution.sortBeforeRepartition", "false")
+        # PySpark 4 wraps every DataFrame/Column API call to capture
+        # call-site context for error messages: getActiveSession + a
+        # conf RPC + PySparkCurrentOrigin.set/clear per call (~5 py4j
+        # round trips). Profiled at 0.9-2.5s of pure driver-side plan
+        # CONSTRUCTION per bench query (1.4k socket round trips for one
+        # ~60-expression query). Pure diagnostics — plans, results and
+        # executed bytecode are identical with it off.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # shuffle/IO codec: on memory-bandwidth-bound hosts (shuffle to
         # /dev/shm IS memory traffic) a stronger codec trades spare CPU
         # for bandwidth; env-overridable for measurement
