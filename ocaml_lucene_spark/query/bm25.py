@@ -538,31 +538,49 @@ def phrase_counts_multi(
     text_col: str = "text",
 ) -> DataFrame:
     """(doc_id, n_phrase) for an exact n-word phrase: occurrences where
-    words[i] sits at position p+i for every i. A chain of equi-joins on
-    (doc_id, anchor position p): slot i's positions shift down by i, so
-    every join key is (doc_id, p) and Catalyst co-partitions the whole
-    chain on one shuffle key. All sides are term-filtered under the
-    explode — only the query words' occurrences ever shuffle. Repeated
-    words work: slot offsets make the matched occurrences distinct."""
+    words[i] sits at position p+i for every i.
+
+    Single-pass (r9): anchor positions are counted directly on the
+    token array — ``filter(sequence(1, dl-L+1), p -> AND_i toks[p+i-1]
+    == words[i])`` — so the phrase count needs NO explode, NO join and
+    NO shuffle. The r1-r8 slot-join chain referenced its posexplode
+    subtree once per slot, and Spark re-evaluates shared subplans: a
+    2-word phrase tokenized the corpus twice and shuffled the
+    occurrence lists. Same integers (an anchor matches iff every slot
+    matches — exactly the chain-join predicate; repeated words and
+    L=1 degenerate identically); docs with zero matches are dropped on
+    both shapes."""
     assert words, "empty phrase"
-    wset = list(dict.fromkeys(words))
-    pos = (
-        ensure_compute_parallelism(docs)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.posexplode(tokens_col(text_col)).alias("pos", "term"),
-        )
-        .filter(F.col("term").isin(wset))
+    L = len(words)
+    base = ensure_compute_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("toks")
     )
-    cur = pos.filter(F.col("term") == words[0]).select(
-        "doc_id", F.col("pos").alias("p")
+
+    def match_at(p):
+        cond = None
+        for i, w in enumerate(words):
+            c = F.element_at("toks", p + F.lit(i)) == F.lit(w)
+            cond = c if cond is None else (cond & c)
+        return cond
+
+    anchors = F.filter(
+        F.sequence(F.lit(1), F.size("toks") - F.lit(L - 1)), match_at
     )
-    for i, w in enumerate(words[1:], start=1):
-        nxt = pos.filter(F.col("term") == w).select(
-            "doc_id", (F.col("pos") - i).alias("p")
-        )
-        cur = cur.join(nxt, ["doc_id", "p"])
-    return cur.groupBy("doc_id").agg(F.count("*").alias("n_phrase"))
+    guarded = F.when(F.size("toks") >= L, anchors).otherwise(
+        F.array().cast("array<int>")
+    )
+    # explode + count, NOT a size()>0 filter: a filter on the counted
+    # alias gets predicate-pushed below the compute repartition with
+    # the whole anchor expression (and its tokenize) INLINED — running
+    # it single-threaded in the scan task (observed: 45s at sf1). The
+    # generator is a pushdown barrier, zero-match docs simply produce
+    # no rows, and the post-explode shuffle is one row per phrase
+    # OCCURRENCE (tiny).
+    return (
+        base.select("doc_id", F.explode(guarded).alias("_p"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_phrase"))
+    )
 
 
 def explain_score(
