@@ -404,7 +404,10 @@ def _verify_norms_against_dl(spark, index, field: str, postings) -> bool:
         arr = seg.norms(field)
         if arr is None:
             return False  # no norms for this field: nothing to check
-        arrays.append(arr.astype(np.int64))
+        # norm bytes are 0..255: broadcast as uint8 so the stated
+        # 1 byte/doc/segment bound actually holds (r8 ADVICE: the
+        # previous int64 cast shipped 8 bytes/doc)
+        arrays.append(arr.astype(np.uint8))
     stacked = np.concatenate(arrays)  # global doc_id == rebased index
 
     bc = spark.sparkContext.broadcast(stacked)

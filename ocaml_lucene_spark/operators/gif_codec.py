@@ -338,7 +338,12 @@ def decode_gif_frames(
         if ipacked & 0x40:  # interlaced
             indices = indices[deinterlace_rows(fh)]
 
-        if max_frames is None and (len(frames) + 1) * canvas_bytes > budget:
+        # total-output budget holds with OR without max_frames: each
+        # composed frame is a full canvas snapshot, so a KB-sized
+        # hostile GIF (large screen, many tiny descriptors) must not
+        # expand to max_frames * canvas copies — the cap bounds frame
+        # count and total bytes together (r8 ADVICE).
+        if (len(frames) + 1) * canvas_bytes > budget:
             raise ValueError("GIF frame total exceeds the decode budget")
         before = canvas.copy() if disposal == 3 else None
         region = canvas[top : top + fh, left : left + fw]

@@ -169,14 +169,18 @@ def media_metadata(df: DataFrame, id_col: str = "media_id", blob_col: str = "blo
                 b = bytes(blobs[int(i)])
                 pr = probe_dims(b)
                 if pr is not None:
-                    w[i], h[i] = pr
                     nf = 1
                     if sniff_format(b) == "gif":
                         from .gif_codec import probe_gif_n_frames
 
                         nf = probe_gif_n_frames(b) or 0
                         if nf == 0:
-                            continue  # dims parsed but no frame: invalid
+                            # dims parsed but no frame: invalid — and
+                            # report 0x0 like every other invalid row
+                            # (r8 ADVICE: w/h were assigned before this
+                            # check)
+                            continue
+                    w[i], h[i] = pr
                     f[i] = nf
                     kind[i] = "video" if nf > 1 else "image"
                     valid[i] = True

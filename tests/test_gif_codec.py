@@ -288,3 +288,17 @@ def test_multimodal_metadata_and_features_over_gif(spark):
     want /= want.sum()
     np.testing.assert_allclose(feats[0], want, atol=1e-6)
     assert 1 not in feats  # the hostile row dropped, task survived
+
+
+def test_animation_budget_binds_even_with_max_frames():
+    """r9 (r8 ADVICE): the total-output budget must bound frame count
+    and bytes together even when max_frames caps the walk — a KB-sized
+    GIF with a large logical screen and many tiny descriptors must not
+    expand to max_frames full-canvas snapshots."""
+    blob, _ = _animation()
+    with pytest.raises(ValueError, match="decode budget"):
+        # budget covers fewer canvases than the animation has frames
+        decode_gif_frames(blob, max_frames=64, max_decode_bytes=10 * 12 * 3 * 2)
+    # within budget, max_frames still caps the walk normally
+    _w, _h, frames = decode_gif_frames(blob, max_frames=1)
+    assert len(frames) == 1
