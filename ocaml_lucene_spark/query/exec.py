@@ -910,8 +910,17 @@ def bm25_topk_wand_exec(
 
 
 DEFAULT_WAND_MAX_DF_SUM = 2_000_000
-MIN_RANGE_DOCS = 50_000  # parallel-WAND range floor: below this, local
-# thetas are too weak to prune (measured; see bm25_topk_wand_parallel)
+# parallel-WAND range floor. The plan exists for HOT (stopword-heavy)
+# term sets — the auto router sends prunable queries to the single-task
+# WAND — and for those, per-range decode is ~100% whatever the range
+# size, so smaller ranges buy wave parallelism without losing pruning
+# on the workload this plan actually serves. r9 sweep on the 100k-doc
+# bench index (all-stopword query, 32 slots): n_tasks 2/4/8/16/32 ->
+# 2.28/2.22/1.79/1.78/2.24 s; 12.5k keeps ranges big enough that the
+# per-range seed pass stays negligible. Still scale-adaptive: n_tasks
+# derives from the doc span and is capped by cluster parallelism — at
+# 10^9+ docs the cap binds and ranges are huge regardless.
+MIN_RANGE_DOCS = 12_500
 
 
 def bm25_route(
