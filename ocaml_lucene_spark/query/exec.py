@@ -492,12 +492,17 @@ def phrase_counts_indexed_multi(
     down by i. Only the query words' occurrences ever shuffle; joins
     and the final agg are whole-stage codegen."""
     assert words, "empty phrase"
-    flat = flat_positions_df(spark, index_dir, words)
-    cur = flat.filter(F.col("term") == words[0]).select(
+    # one flat_positions_df PER SLOT, scanned with that slot's term
+    # only (r9): a shared frame filtered per side is re-evaluated per
+    # join side by Spark, and each side's scan carried the FULL
+    # In(term, words) pushdown — every slot decoded every word's
+    # position blocks. Per-slot frames decode each word's blocks
+    # exactly once and the scans prune to one term each.
+    cur = flat_positions_df(spark, index_dir, [words[0]]).select(
         "doc_id", F.col("p").alias("pp")
     )
     for i, w in enumerate(words[1:], start=1):
-        nxt = flat.filter(F.col("term") == w).select(
+        nxt = flat_positions_df(spark, index_dir, [w]).select(
             "doc_id", (F.col("p") - i).alias("pp")
         )
         cur = cur.join(nxt, ["doc_id", "pp"])
@@ -523,13 +528,14 @@ def multi_phrase_counts_indexed(
     positions stream consumed per
     /root/reference/codec/lucene_84_postings_reader.ml:4-7."""
     assert slots and all(slots), "empty slot in multi-phrase"
-    all_terms = [w for alts in slots for w in alts]
-    flat = flat_positions_df(spark, index_dir, all_terms)
-    cur = flat.filter(F.col("term").isin(slots[0])).select(
+    # per-slot scans (same r9 fix as phrase_counts_indexed_multi): a
+    # shared frame is re-evaluated per join side with the union
+    # pushdown, decoding every slot's blocks once per slot
+    cur = flat_positions_df(spark, index_dir, list(slots[0])).select(
         "doc_id", F.col("p").alias("pp")
     )
     for i, alts in enumerate(slots[1:], start=1):
-        nxt = flat.filter(F.col("term").isin(alts)).select(
+        nxt = flat_positions_df(spark, index_dir, list(alts)).select(
             "doc_id", (F.col("p") - i).alias("pp")
         )
         cur = cur.join(nxt, ["doc_id", "pp"])
