@@ -47,7 +47,16 @@ def get_spark(
         # whole bench corpus into ~2 tasks, serializing every stage that
         # reads it (at cluster scale input files outnumber cores anyway)
         .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # 24g, not 48g (r9): in local mode the driver heap is the
+        # executor heap, and a 48g G1 heap let allocation-heavy
+        # interpreted stages (the minhash 16-md5-per-shingle storm)
+        # build tens of seconds of collection debt that poisoned the
+        # NEXT queries (measured: minhash first-rep 29.5s + 10.7s
+        # simhash aftermath at 48g vs 6.2s + 2.8s at 16-24g, same
+        # workload). Every driver-side collect in the engine is
+        # bounded and documented; shuffles spill. Env-overridable as
+        # before for hosts where a bigger heap is right.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIR", "/dev/shm/olspark"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
