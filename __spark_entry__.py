@@ -2215,11 +2215,16 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
     # by the 49 r5-checked stale rows — the 50-row window covers all 34
     # plus the 16 stalest r5 rows, so after r8 EVERY gate row has been
     # driver-proven at least once (the r7 verdict's top item).
-    # ROUND-9 ROTATION OBLIGATION: the remaining 33 r5-stale rows
-    # (list(queries())[50:83]) go first, then the r6-checked 50; the
-    # r7/r8-checked heads stay demoted. Recount with list(queries())
-    # before trusting any of these numbers. New rows added to the
-    # literal automatically land in the front (never-checked) bucket.
+    # ROUND-9 ROTATION (applied programmatically below, r9): the 50
+    # CORRECTNESS_r08 keys are demoted to the very end, so the front is
+    # exactly the 33 remaining r5-stale rows (verified equal to the r8
+    # verdict's list) and the 50-row window covers them plus the 17
+    # stalest r6-checked rows — after r9 no row's last driver proof is
+    # older than 3 rounds. ROUND-10 OBLIGATION: demote the
+    # CORRECTNESS_r09 keys the same way (front becomes the r6 tail).
+    # Recount with list(queries()) before trusting any of these
+    # numbers. New rows added to the literal automatically land in the
+    # front (never-checked) bucket.
     qs = {
         # -- last driver-checked in r4: the r6 rotation obligation says
         #    these 41 MUST make the 50-row cut this round --
@@ -2456,13 +2461,38 @@ def queries(ordered: bool = True) -> dict[str, Callable[[SparkSession, str], Dat
         "span_containing", "span_within", "bucket_selector",
         "bucket_sort", "bucket_script",
     )
-    _demoted = set(_r6_checked) | set(_r7_checked)
-    assert _demoted <= qs.keys() and len(_demoted) == 100
+    # _R8_CHECKED is the exact CORRECTNESS_r08.json key list (the 50
+    # rows the r8 driver window proved green) — demoted to the very
+    # end for the ROUND-9 rotation: the front is then the 33 remaining
+    # r5-stale rows, and the 50-row window covers them plus the 17
+    # stalest r6-checked rows (no row's last proof older than 3 rounds
+    # once the r9 window lands).
+    _r8_checked = (
+        "cumulative_sum", "percentiles_bucket", "serial_diff",
+        "weighted_avg", "top_metrics", "terms_shard_topk", "span_multi",
+        "dsir_importance", "cross_doc_repetition", "rank_eval",
+        "diversified_sampler", "hll_users", "hll_values",
+        "streamed_term_counts", "dup_spans", "complete_fuzzy",
+        "stats_bucket", "percentile_ranks", "mad_agg", "boxplot_agg",
+        "terms_set", "terms_lookup", "has_parent", "complete_context",
+        "rank_feature", "distance_feature", "string_stats", "t_test",
+        "normalize_agg", "cumulative_cardinality", "linear_fusion",
+        "frequent_item_sets", "variable_width_histogram", "semdedup",
+        "streamed_dedup", "minhash_candidate_pairs",
+        "ngram_jaccard_pairs", "near_dup_pairs", "simhash_near_pairs",
+        "language_id", "quality_features", "token_counts",
+        "bm25_single_rare", "bm25_or_with_absent",
+        "bm25_and_absent_empty", "doc_lengths", "phrase_counts",
+        "phrase3_counts", "proximity_counts", "term_stats_prefix",
+    )
+    _demoted = set(_r6_checked) | set(_r7_checked) | set(_r8_checked)
+    assert _demoted <= qs.keys() and len(_demoted) == 150
     _front = [k for k in qs if k not in _demoted]
     qs = (
         {k: qs[k] for k in _front}
         | {k: qs[k] for k in _r6_checked}
         | {k: qs[k] for k in _r7_checked}
+        | {k: qs[k] for k in _r8_checked}
     )
     if not ordered:
         return qs
